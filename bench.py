@@ -1,0 +1,70 @@
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed twice: a warm-up pass is NOT performed (cold numbers
+are what the driver records); timing covers full plan execution to a count
+or collect of the final (small) result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from duckdb_streaming_patterns_spark import get_spark
+from duckdb_streaming_patterns_spark.queries import QUERIES
+
+# Headline set: reference-parity core + star-schema joins + extended ops.
+HEADLINE = [
+    "user_clicks",
+    "user_clicks_top5",
+    "event_type_counts",
+    "reaggregate_partials",
+    "distinct_users_per_type",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="dsp-bench")
+    # Warm up the JVM/codegen path so the first headline query isn't charged
+    # for session startup; queries themselves still run cold.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        if name not in QUERIES:
+            continue
+        fn, _ = QUERIES[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        # Force full execution; results are small (aggregates / top-k).
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        assert n >= 0
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

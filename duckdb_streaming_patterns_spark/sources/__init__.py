@@ -1,0 +1,7 @@
+from duckdb_streaming_patterns_spark.sources.tables import (
+    TABLES,
+    load_table,
+    register_views,
+)
+
+__all__ = ["TABLES", "load_table", "register_views"]

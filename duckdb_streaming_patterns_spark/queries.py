@@ -252,3 +252,7 @@ def q_reaggregate_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partials.groupBy("user_id").agg(
         F.sum("count_of_clicks").alias("count_of_clicks")
     )
+
+
+# Register the extended query surfaces (import side effect).
+from duckdb_streaming_patterns_spark import queries_star  # noqa: E402,F401

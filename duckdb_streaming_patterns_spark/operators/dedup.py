@@ -1,0 +1,262 @@
+"""Deduplication operators for training-data pipelines (SURVEY §2.11).
+
+Five tiers, all join/agg-shaped (no driver-side loops, no O(n²) scans unless
+explicitly the exact-verification step over a *blocked* candidate set):
+
+- exact:      hash-groupBy on content (or md5(content) for wide payloads)
+- token/shingle Jaccard: exact set similarity over blocked pairs
+- MinHash+LSH: shingle → 128 minhashes → 64 bands of 2 → band-bucket
+  equi-join for candidates → exact-Jaccard verification
+- SimHash:    64-bit fingerprint via per-bit majority of token hashes;
+  near-dup = small Hamming distance within band buckets
+
+At 100 TB the LSH band join is the only all-data shuffle, and it shuffles
+(doc_id, band_key) pairs — a fixed small multiple of the row count — never
+the full text. Exact verification only touches candidate pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_streaming_patterns_spark.functions.text import (
+    distinct_tokens,
+    shingles,
+    normalized_text,
+)
+
+# MinHash parameters: 128 hashes = 64 bands × 2 rows. P(candidate | s) =
+# 1-(1-s^2)^64 → ≈1.0 at s=0.7, so verified output at threshold 0.7 equals
+# the exact all-pairs result with overwhelming probability.
+N_HASHES = 128
+BAND_ROWS = 2
+N_BANDS = N_HASHES // BAND_ROWS
+
+
+def exact_dedup(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup: canonical row id per distinct content (min id)."""
+    return df.groupBy(content_col).agg(F.min(id_col).alias(id_col))
+
+
+def exact_dedup_by_hash(df: DataFrame, content_col: str, id_col: str) -> DataFrame:
+    """Exact dedup keyed on md5(content): at scale you shuffle the 16-byte
+    hash, not the (arbitrarily wide) content."""
+    h = F.md5(F.col(content_col)).alias("content_hash")
+    return (
+        df.select(h, F.col(id_col))
+        .groupBy("content_hash")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("n_copies"))
+    )
+
+
+def _jaccard(a, b):
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(a) + F.size(b) - inter
+    return inter / union
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    set_col: str,
+    threshold: float,
+    block_cols: tuple[str, ...] = (),
+) -> DataFrame:
+    """Exact set-Jaccard similar pairs (a.id < b.id), optionally blocked on
+    equality columns (e.g. language) so the join is equi-shaped rather than
+    a full cross product."""
+    cols = [F.col(id_col).alias("id"), F.col(set_col).alias("s")] + [
+        F.col(c) for c in block_cols
+    ]
+    left = df.select(*cols)
+    right = (
+        df.select(*cols)
+        .withColumnRenamed("id", "id_b")
+        .withColumnRenamed("s", "s_b")
+    )
+    cond = F.col("id") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (left[c] == right[c])
+    pairs = left.join(right, cond)
+    j = _jaccard(F.col("s"), F.col("s_b"))
+    return (
+        pairs.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select(
+            F.col("id").alias("id_a"),
+            F.col("id_b"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str, text_col: str, n_hashes: int = N_HASHES
+) -> DataFrame:
+    """doc → array of n minhash values. Hash family: xxhash64(i, shingle)
+    (64-bit, JVM built-in, seeded by the hash index) — fully deterministic,
+    no sampled coefficients to ship around."""
+    sh = shingles(F.col(text_col))
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
+        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    )
+    return df.select(
+        F.col(id_col).alias("id"), sh.alias("shingle_set"), sig.alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, exact-Jaccard verified.
+
+    candidate generation: explode each signature into (band_id, band_hash)
+    keys; equi-join on the band key. Only candidate pairs are verified with
+    the exact Jaccard on shingle sets — the O(n²) step never materializes.
+    """
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    n_bands = n_hashes // band_rows
+    bands = sigs.select(
+        "id",
+        "shingle_set",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    b, F.slice("sig", b * band_rows + 1, band_rows).cast("string")
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+    left = bands.alias("a")
+    right = bands.alias("b")
+    cand = (
+        left.join(
+            right,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.shingle_set").alias("s_a"),
+            F.col("b.shingle_set").alias("s_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    j = _jaccard(F.col("s_a"), F.col("s_b"))
+    return (
+        cand.withColumn("jaccard", j)
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
+    """64-bit SimHash fingerprints: per-bit majority vote over token hashes.
+
+    Shaped as explode(tokens) → per-(doc, bit) signed vote → groupBy doc.
+    Token hashing via xxhash64 (JVM). Shuffle volume = rows × bits of tiny
+    ints; at scale prefer the aggregate form below which keeps it rows ×
+    1 array column.
+    """
+    toks = df.select(
+        F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("toks")
+    )
+    # Bit masks unrolled in Python (shift amounts must be literals); bit 63's
+    # mask is the sign bit, i.e. long MIN_VALUE in two's complement.
+    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
+    # votes[bit] = sum over tokens of (hash bit set ? +1 : -1), one fold per
+    # document — no explode, single projection.
+    votes = F.aggregate(
+        F.col("toks"),
+        F.array_repeat(F.lit(0), bits),
+        lambda acc, t: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(F.xxhash64(t).bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+                    for m in masks
+                ]
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # fingerprint = OR of masks where the vote is positive; masks are
+    # disjoint bits so integer addition == bitwise OR.
+    fp = F.aggregate(
+        F.zip_with(
+            votes,
+            F.array(*[F.lit(m).cast("long") for m in masks]),
+            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return toks.select("id", fp.alias("simhash"))
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
+) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, candidate-blocked on
+    16-bit fingerprint quarters (a pair within Hamming ≤3 of 64 bits must
+    agree exactly on at least one of the 4 quarters — pigeonhole)."""
+    fps = simhash(df, id_col, text_col)
+    quarters = fps.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(q).alias("q"),
+                        F.shiftright("simhash", q * 16)
+                        .bitwiseAND(0xFFFF)
+                        .alias("qh"),
+                    )
+                    for q in range(4)
+                ]
+            )
+        ).alias("qq"),
+    ).select("id", "simhash", "qq.q", "qq.qh")
+    a, b = quarters.alias("a"), quarters.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.q") == F.col("b.q"))
+            & (F.col("a.qh") == F.col("b.qh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.simhash").alias("h_a"),
+            F.col("b.simhash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", F.col("hamming").cast("bigint").alias("hamming"))
+    )
+
+
+def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Content fingerprint: md5 over whitespace-normalized lowercase text —
+    engine-portable (md5 is identical everywhere), used as the exact-dedup
+    key for wide documents."""
+    return df.select(
+        F.col(id_col),
+        F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    )

@@ -1,0 +1,82 @@
+"""Text-analysis operators (SURVEY §2.11): language ID, quality scoring,
+token counting, fingerprinting. Pure expression compositions — codegen'd,
+no UDFs — so they run at full scan speed over 100 TB of documents.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from duckdb_streaming_patterns_spark.functions.text import tokens
+
+# Stopword sets for the n-gram/stopword-hit language heuristic. Deliberately
+# tiny: the operator's shape (per-language token-set hit counts → argmax) is
+# what matters; swap in real lists for production.
+STOPWORDS = {
+    "en": ("the", "a", "and", "of", "to", "in", "is", "on", "for", "with"),
+    "de": ("der", "die", "das", "und", "ist", "von", "mit", "auf", "ein", "zu"),
+    "es": ("el", "la", "los", "de", "y", "es", "en", "un", "una", "con"),
+    "fr": ("le", "la", "les", "et", "est", "de", "un", "une", "dans", "pour"),
+}
+
+PUNCT_RE = "[^a-zA-Z0-9 ]"
+
+
+def token_count(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Whitespace token count + a BPE-ish subword proxy: number of matches
+    of letter-runs/digit-runs/punctuation singletons."""
+    t = F.col(text_col)
+    n_ws = F.size(tokens(t))
+    # regexp_count of word-ish units approximates a subword tokenizer's
+    # pre-tokenization pass.
+    n_bpe = F.regexp_count(t, F.lit(r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"))
+    return df.select(
+        F.col(id_col),
+        n_ws.cast("bigint").alias("n_tokens"),
+        n_bpe.cast("bigint").alias("n_subword_units"),
+    )
+
+
+def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
+    lit_arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda x: F.array_contains(lit_arr, x)))
+
+
+def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Heuristic quality signals: length, mean token length, punctuation
+    ratio, stopword ratio, uppercase ratio — the standard cheap filters a
+    pretraining pipeline applies before anything model-based."""
+    t = F.col(text_col)
+    toks = tokens(t)
+    n_tok = F.size(toks)
+    n_chars = F.length(t)
+    punct_chars = n_chars - F.length(F.regexp_replace(t, PUNCT_RE, ""))
+    upper_chars = F.length(t) - F.length(F.regexp_replace(t, "[A-Z]", ""))
+    sw_hits = _stopword_hits(F.transform(toks, F.lower), STOPWORDS["en"])
+    return df.select(
+        F.col(id_col),
+        n_chars.cast("bigint").alias("n_chars"),
+        n_tok.cast("bigint").alias("n_tokens"),
+        F.round((n_chars - (n_tok - 1)) / n_tok, 4).alias("mean_token_len"),
+        F.round(punct_chars / n_chars, 4).alias("punct_ratio"),
+        F.round(upper_chars / n_chars, 4).alias("upper_ratio"),
+        F.round(sw_hits / n_tok, 4).alias("stopword_ratio"),
+    )
+
+
+def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Stopword-hit language ID: per-language hit counts over the token set,
+    argmax with deterministic tie order (en > de > es > fr > unknown)."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    hits = {lang: _stopword_hits(toks, words) for lang, words in STOPWORDS.items()}
+    best = F.greatest(*hits.values())
+    pred = F.lit("unknown")
+    # build CASE from lowest to highest priority so earlier langs win ties
+    for lang in reversed(list(STOPWORDS)):
+        pred = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            pred
+        )
+    out = [F.col(id_col), pred.alias("pred_lang")]
+    out += [hits[lang].cast("bigint").alias(f"hits_{lang}") for lang in STOPWORDS]
+    return df.select(*out)

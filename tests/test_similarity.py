@@ -1,0 +1,41 @@
+"""Recall/consistency tests for the ANN path against the exact baseline."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from duckdb_streaming_patterns_spark.operators import similarity
+from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+
+def test_lsh_ann_recall_vs_bruteforce(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.knn_bruteforce(emb, queries, k=10).collect()
+    ann = similarity.knn_lsh(emb, queries, k=10, n_planes=6, n_tables=8).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    # every query gets candidates, and mean recall is non-trivial
+    assert set(ann_sets) == set(exact_sets)
+    recalls = [
+        len(ann_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def test_ann_cosines_match_exact_for_shared_neighbors(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in similarity.knn_bruteforce(emb, queries, k=10).collect()
+    }
+    ann = similarity.knn_lsh(emb, queries, k=10, n_planes=6, n_tables=8).collect()
+    shared = [r for r in ann if (r["query_id"], r["neighbor_id"]) in exact]
+    assert shared, "ANN found none of the true neighbors"
+    for r in shared:
+        assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-9

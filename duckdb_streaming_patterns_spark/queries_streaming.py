@@ -1,0 +1,70 @@
+"""Streaming-pattern query registrations.
+
+Each runs a full streaming pipeline (file-replayed micro-batches standing in
+for Kafka offsets) to completion and returns the final summary table. The
+oracle is the plain batch SQL — so the driver's gate checks the
+incremental ≡ batch equivalence property end-to-end (SURVEY §5.2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from duckdb_streaming_patterns_spark.queries import register
+from duckdb_streaming_patterns_spark.streaming import patterns, staging
+
+_BATCH_ORACLE = """
+    SELECT user_id,
+           count(*) AS count_of_clicks,
+           max(ts)  AS updated_at
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id
+"""
+
+
+@register("pattern_1_1_incremental_merge", _BATCH_ORACLE)
+def q_pattern_1_1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern 1.1 parity: per-batch delta aggregation + additive MERGE
+    (reference pattern_1_1.py:85-124), replayed over 5 micro-batches.
+    Oracle = one-shot batch aggregation → proves incremental ≡ batch."""
+    run = staging.new_run_dir("p11")
+    chunks = staging.stage_event_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_1_1(spark, chunks, run)
+
+
+@register("pattern_1_2_cdf_merge", _BATCH_ORACLE)
+def q_pattern_1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern 1.2 parity: snapshot-stamped ingest, CDF-scoped aggregation
+    rounds, end-of-run compaction (reference pattern_1_2.py)."""
+    run = staging.new_run_dir("p12")
+    chunks = staging.stage_event_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_1_2(spark, chunks, run, aggregate_every=2)
+
+
+@register("pattern_2_complete_overwrite", _BATCH_ORACLE)
+def q_pattern_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern 2 parity: JSON wire decode → stateful complete-mode agg →
+    per-batch DuckDB overwrite (reference pattern_2.py)."""
+    run = staging.new_run_dir("p2")
+    chunks = staging.stage_json_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_2(spark, chunks, run)
+
+
+@register(
+    "bonus_stateless_view_topk",
+    """
+    SELECT user_id, count(*) AS count_of_clicks
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id
+    ORDER BY count_of_clicks DESC, user_id
+    LIMIT 5
+    """,
+)
+def q_bonus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bonus-pattern parity: stateless views over a full re-scan of the
+    staged stream, JSON extracted at view level, top-5 re-planned per query
+    (reference bonus_pattern.py)."""
+    run = staging.new_run_dir("bonus")
+    chunks = staging.stage_json_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.bonus_stateless_views(spark, chunks, k=5)

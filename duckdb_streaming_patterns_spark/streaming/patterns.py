@@ -1,0 +1,214 @@
+"""Spark restatements of the reference's four streaming patterns
+(SURVEY §3). Each returns the final summary as a DataFrame so callers (tests,
+the driver gate) can check the invariant all patterns maintain::
+
+    summary == SELECT user_id, count(*), max(ts) FROM events
+               WHERE event_type='click' GROUP BY user_id
+
+Pattern map (reference → here):
+- 1.1 dual-thread delta MERGE (pattern_1_1.py)  → foreachBatch additive
+  merge into a SummaryTable; the micro-batch IS the delta, so the manual
+  high-watermark probe disappears into the stream position.
+- 1.2 DuckLake CDF (pattern_1_2.py)             → SnapshotTable ingest +
+  table_changes()-scoped aggregation rounds + compaction.
+- 2   complete-mode overwrite (pattern_2.py)    → stateful complete agg,
+  foreachBatch overwrite to DuckDB (the reference's JDBC sink, via the
+  in-process duckdb client).
+- bonus stateless views (bonus_pattern.py)      → batch re-scan registered
+  as temp views + top-k re-planned per query.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_streaming_patterns_spark.operators.merge import SummaryTable
+from duckdb_streaming_patterns_spark.operators.summary import CLICK
+from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
+from duckdb_streaming_patterns_spark.streaming import staging
+
+SUMMARY_DDL = "user_id long, count_of_clicks long, updated_at timestamp_ntz"
+
+
+def _delta_agg(batch: DataFrame) -> DataFrame:
+    """The per-batch delta aggregation (reference pattern_1_1.py:99-106)."""
+    return (
+        batch.filter(F.col("event_type") == CLICK)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("count_of_clicks"),
+            F.max("ts").alias("updated_at"),
+        )
+    )
+
+
+def pattern_1_1(spark: SparkSession, chunks_dir: str, run_dir: str) -> DataFrame:
+    """Incremental MERGE maintenance (reference pattern_1_1.py:85-124).
+
+    Each micro-batch: aggregate the delta, additively merge into the
+    summary (MERGE WHEN MATCHED UPDATE / NOT MATCHED INSERT semantics,
+    reference :97-116), fenced by batch id for exactly-once."""
+    summary = SummaryTable(spark, os.path.join(run_dir, "summary"), SUMMARY_DDL)
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        summary.merge_batch(
+            _delta_agg(batch),
+            batch_id,
+            keys=["user_id"],
+            add_cols=["count_of_clicks"],
+            max_cols=["updated_at"],
+        )
+
+    q = (
+        staging.read_event_stream(spark, chunks_dir)
+        .writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return summary.read()
+
+
+def pattern_1_2(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    aggregate_every: int = 2,
+) -> DataFrame:
+    """CDF-scoped incremental maintenance (reference pattern_1_2.py).
+
+    Ingest appends snapshot-stamped rows to a SnapshotTable (the DuckLake
+    stand-in). The aggregator wakes periodically (here: every
+    ``aggregate_every`` snapshots, mirroring the 5 s tick at
+    pattern_1_2.py:121), reads only ``table_changes(last_seen, current)``
+    (reference :105), and merges the delta. Ends with compaction
+    (reference :152-155)."""
+    raw = SnapshotTable(spark, os.path.join(run_dir, "raw"), staging.EVENT_SCHEMA)
+    summary = SummaryTable(spark, os.path.join(run_dir, "summary"), SUMMARY_DDL)
+
+    def aggregate_round() -> None:
+        last = summary.last_batch_id()  # fence doubles as snapshot watermark
+        current = raw.max_snapshot_id()
+        if current <= last:
+            return
+        delta = raw.table_changes(last, current).drop("snapshot_id")
+        summary.merge_batch(
+            _delta_agg(delta),
+            current,
+            keys=["user_id"],
+            add_cols=["count_of_clicks"],
+            max_cols=["updated_at"],
+        )
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        sid = raw.append(batch, batch_id=batch_id)
+        # aggregator tick: scoped to completed snapshots, like the
+        # reference's independent 5 s loop but deterministic.
+        if sid >= 0 and (sid + 1) % aggregate_every == 0:
+            aggregate_round()
+
+    q = (
+        staging.read_event_stream(spark, chunks_dir)
+        .writeStream.foreachBatch(ingest_batch)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    aggregate_round()  # drain the tail
+    raw.compact()
+    return summary.read()
+
+
+def pattern_2(spark: SparkSession, json_chunks_dir: str, run_dir: str) -> DataFrame:
+    """Complete-mode re-aggregation with per-batch sink overwrite
+    (reference pattern_2.py:14-68): JSON wire → from_json → filter →
+    stateful groupBy agg → outputMode(complete) → foreachBatch overwrites
+    the whole DuckDB table (the reference's overwrite_to_duckdb, :72-79).
+
+    The DuckDB connection is opened inside the callback on the executor-side
+    driver process — same shape as the reference's JDBC sink."""
+    import duckdb
+
+    db_path = os.path.join(run_dir, "events.duckdb")
+
+    agg = (
+        staging.read_json_stream(spark, json_chunks_dir)
+        .filter(F.col("event_type") == CLICK)
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("count_of_clicks"),
+            F.max("ts").alias("updated_at"),
+        )
+    )
+
+    def overwrite_to_duckdb(batch: DataFrame, batch_id: int) -> None:
+        pdf = batch.toPandas()  # summary-sized: one row per user
+        con = duckdb.connect(db_path)
+        try:
+            con.execute("CREATE OR REPLACE TABLE user_clicks AS SELECT * FROM pdf")
+        finally:
+            con.close()
+
+    q = (
+        agg.writeStream.foreachBatch(overwrite_to_duckdb)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    con = duckdb.connect(db_path)
+    try:
+        pdf = con.execute(
+            "SELECT CAST(user_id AS BIGINT) AS user_id,"
+            " CAST(count_of_clicks AS BIGINT) AS count_of_clicks,"
+            " updated_at FROM user_clicks"
+        ).fetchdf()
+    finally:
+        con.close()
+    return spark.createDataFrame(pdf, SUMMARY_DDL)
+
+
+def bonus_stateless_views(
+    spark: SparkSession, json_chunks_dir: str, k: int = 5
+) -> DataFrame:
+    """Stateless 'streaming views' (reference bonus_pattern.py): every query
+    re-reads the whole staged stream (the topic re-scan, :11,:22), decodes
+    JSON at view level (:17-23), aggregates in a second view (:24-41), and
+    serves top-k (:50)."""
+    raw = spark.read.option("recursiveFileLookup", "true").text(json_chunks_dir)
+    raw_events_view = (
+        raw.select(F.from_json("value", staging.JSON_WIRE_SCHEMA).alias("message"))
+        .select(
+            F.get_json_object(F.to_json("message"), "$.user_id").alias("user_id"),
+            F.to_timestamp(
+                F.get_json_object(F.to_json("message"), "$.timestamp"),
+                staging.TS_FMT,
+            ).cast("timestamp_ntz").alias("ts"),
+            F.col("message.event_type").alias("event_type"),
+        )
+    )
+    raw_events_view.createOrReplaceTempView("raw_events_view")
+    spark.sql(
+        f"""
+        CREATE OR REPLACE TEMP VIEW user_clicks_view AS
+        SELECT user_id, count(*) AS count_of_clicks, max(ts) AS updated_at
+        FROM raw_events_view
+        WHERE event_type = '{CLICK}'
+        GROUP BY user_id
+        """
+    )
+    return spark.sql(
+        f"""
+        SELECT CAST(user_id AS BIGINT) AS user_id, count_of_clicks
+        FROM user_clicks_view
+        ORDER BY count_of_clicks DESC, user_id
+        LIMIT {k}
+        """
+    )

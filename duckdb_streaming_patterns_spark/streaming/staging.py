@@ -1,0 +1,124 @@
+"""Deterministic stream replay from files (SURVEY §7 hard-part 4).
+
+The reference's stream is a Kafka topic; CI has no broker, so tests and the
+driver's correctness gate replay the `events` fixture through Spark's file
+source: the table is split into N chunk files written in event order, and
+``readStream(..., maxFilesPerTrigger=1)`` turns each chunk into one
+micro-batch — a faithful, reproducible stand-in for topic offsets
+(chunk boundary == offset range). The Kafka path proper is declared in
+streaming/kafka.py and differs only in the source format string.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+RUNS_ROOT = os.environ.get("SPARK_GRAFT_RUN_DIR", "/tmp/dsp_runs")
+
+EVENT_SCHEMA = (
+    "event_id long, ts timestamp_ntz, user_id long, event_type string,"
+    " value double, props string"
+)
+# JSON wire schema — mirrors the reference producer's message shape
+# (scripts/producer.py:73-78): ISO-8601 timestamp string + string ids.
+JSON_WIRE_SCHEMA = "timestamp string, user_id string, event_type string"
+TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def new_run_dir(tag: str) -> str:
+    d = os.path.join(RUNS_ROOT, f"{tag}_{uuid.uuid4().hex[:12]}")
+    os.makedirs(d, exist_ok=True)
+    return d
+
+
+def stage_event_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5
+) -> str:
+    """Split `events` into n_chunks single-file parquet chunks in event-id
+    order; chunk k is micro-batch k on replay."""
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id")
+    rows = ev.count()
+    per = (rows + n_chunks - 1) // n_chunks
+    chunks_dir = os.path.join(out_dir, "chunks")
+    os.makedirs(chunks_dir, exist_ok=True)
+    # One write per chunk, sequential, so file mtimes follow chunk order.
+    chunked = ev.withColumn(
+        "__chunk", (F.col("event_id") / F.lit(per)).cast("int")
+    )
+    for i in range(n_chunks):
+        (
+            chunked.filter(F.col("__chunk") == i)
+            .drop("__chunk")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .parquet(os.path.join(chunks_dir, f"chunk_{i:04d}"))
+        )
+    return chunks_dir
+
+
+def read_event_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
+    """File-source micro-batch stream: one staged chunk per trigger —
+    the Kafka-source stand-in (reference pattern_2.py:38-43)."""
+    return (
+        spark.readStream.schema(EVENT_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunks_dir)
+    )
+
+
+def stage_json_chunks(
+    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5
+) -> str:
+    """Stage events as JSON-lines text chunks — the Kafka *value* parity
+    path: each line is what the reference producer would put on the wire
+    (scripts/producer.py:73-78), exercising decode + from_json at read."""
+    ev = load_table(spark, sf_dir, "events").orderBy("event_id")
+    rows = ev.count()
+    per = (rows + n_chunks - 1) // n_chunks
+    wire = ev.select(
+        (F.col("event_id") / F.lit(per)).cast("int").alias("__chunk"),
+        F.to_json(
+            F.struct(
+                F.date_format("ts", TS_FMT).alias("timestamp"),
+                F.col("user_id").cast("string").alias("user_id"),
+                F.col("event_type"),
+            )
+        ).alias("value"),
+    )
+    chunks_dir = os.path.join(out_dir, "chunks")
+    os.makedirs(chunks_dir, exist_ok=True)
+    for i in range(n_chunks):
+        (
+            wire.filter(F.col("__chunk") == i)
+            .select("value")
+            .coalesce(1)
+            .write.mode("overwrite")
+            .text(os.path.join(chunks_dir, f"chunk_{i:04d}"))
+        )
+    return chunks_dir
+
+
+def read_json_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
+    """Text stream of JSON values → parsed columns, mirroring the
+    reference's Spark pipeline (pattern_2.py:46-51): CAST → from_json →
+    flatten → to_timestamp."""
+    raw = (
+        spark.readStream.option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .text(chunks_dir)
+    )
+    return (
+        raw.select(F.from_json(F.col("value"), JSON_WIRE_SCHEMA).alias("data"))
+        .select("data.*")
+        .withColumn(
+            "ts", F.to_timestamp("timestamp", TS_FMT).cast("timestamp_ntz")
+        )
+        .drop("timestamp")
+    )

@@ -1,0 +1,127 @@
+"""Pattern-level end-to-end tests (SURVEY §5.2): each streaming pattern's
+final summary must equal the one-shot batch aggregation (incremental ≡ batch),
+plus unit tests for the merge/fencing/ledger machinery (§5.3)."""
+
+from __future__ import annotations
+
+import datetime
+
+from pyspark.sql import functions as F
+
+from duckdb_streaming_patterns_spark.operators.merge import SummaryTable, additive_merge
+from duckdb_streaming_patterns_spark.operators.summary import user_clicks
+from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
+from duckdb_streaming_patterns_spark.sources.tables import load_table
+from duckdb_streaming_patterns_spark.streaming import patterns, staging
+
+
+def _batch_oracle(spark, sf_dir):
+    return {
+        (r["user_id"], r["count_of_clicks"], r["updated_at"])
+        for r in user_clicks(load_table(spark, sf_dir, "events")).collect()
+    }
+
+
+def _as_set(df):
+    return {tuple(r) for r in df.select("user_id", "count_of_clicks", "updated_at").collect()}
+
+
+def test_pattern_1_1_incremental_equals_batch(spark, sf_small):
+    run = staging.new_run_dir("t_p11")
+    chunks = staging.stage_event_chunks(spark, sf_small, run, n_chunks=4)
+    result = patterns.pattern_1_1(spark, chunks, run)
+    assert _as_set(result) == _batch_oracle(spark, sf_small)
+
+
+def test_pattern_1_2_cdf_equals_batch(spark, sf_small):
+    run = staging.new_run_dir("t_p12")
+    chunks = staging.stage_event_chunks(spark, sf_small, run, n_chunks=4)
+    result = patterns.pattern_1_2(spark, chunks, run, aggregate_every=2)
+    assert _as_set(result) == _batch_oracle(spark, sf_small)
+
+
+def test_pattern_2_complete_equals_batch(spark, sf_small):
+    run = staging.new_run_dir("t_p2")
+    chunks = staging.stage_json_chunks(spark, sf_small, run, n_chunks=4)
+    result = patterns.pattern_2(spark, chunks, run)
+    assert _as_set(result) == _batch_oracle(spark, sf_small)
+
+
+def test_bonus_topk_matches_batch(spark, sf_small):
+    run = staging.new_run_dir("t_bonus")
+    chunks = staging.stage_json_chunks(spark, sf_small, run, n_chunks=3)
+    got = patterns.bonus_stateless_views(spark, chunks, k=5).collect()
+    oracle = (
+        user_clicks(load_table(spark, sf_small, "events"))
+        .orderBy(F.col("count_of_clicks").desc(), "user_id")
+        .limit(5)
+        .collect()
+    )
+    assert [(r["user_id"], r["count_of_clicks"]) for r in got] == [
+        (r["user_id"], r["count_of_clicks"]) for r in oracle
+    ]
+
+
+# ---------------------------------------------------------------------------
+# Unit: merge semantics + fencing (reference pattern_1_1.py:97-116 semantics)
+# ---------------------------------------------------------------------------
+
+
+def _ts(s: str) -> datetime.datetime:
+    return datetime.datetime.fromisoformat(s)
+
+
+def test_additive_merge_matched_and_unmatched(spark):
+    dest = spark.createDataFrame(
+        [(1, 5, _ts("2024-01-01T00:00:00"))],
+        "user_id long, count_of_clicks long, updated_at timestamp_ntz",
+    )
+    src = spark.createDataFrame(
+        [
+            (1, 2, _ts("2024-01-02T00:00:00")),  # matched → add / greatest
+            (2, 7, _ts("2024-01-03T00:00:00")),  # unmatched → insert
+        ],
+        "user_id long, count_of_clicks long, updated_at timestamp_ntz",
+    )
+    out = {
+        r["user_id"]: (r["count_of_clicks"], r["updated_at"])
+        for r in additive_merge(
+            dest, src, ["user_id"], ["count_of_clicks"], ["updated_at"]
+        ).collect()
+    }
+    assert out[1] == (7, _ts("2024-01-02T00:00:00"))
+    assert out[2] == (7, _ts("2024-01-03T00:00:00"))
+
+
+def test_summary_table_batch_fencing(spark, tmp_path):
+    st = SummaryTable(
+        spark, str(tmp_path / "s"), "user_id long, count_of_clicks long, updated_at timestamp_ntz"
+    )
+    delta = spark.createDataFrame(
+        [(1, 3, _ts("2024-01-01T00:00:00"))],
+        "user_id long, count_of_clicks long, updated_at timestamp_ntz",
+    )
+    assert st.merge_batch(delta, 0, ["user_id"], ["count_of_clicks"], ["updated_at"])
+    # retry of the same epoch must be a no-op (exactly-once)
+    assert not st.merge_batch(delta, 0, ["user_id"], ["count_of_clicks"], ["updated_at"])
+    rows = st.read().collect()
+    assert len(rows) == 1 and rows[0]["count_of_clicks"] == 3
+
+
+def test_snapshot_table_changes_and_compaction(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "id long, v string")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    s1 = t.append(df1, batch_id=0)
+    s2 = t.append(df2, batch_id=1)
+    assert (s1, s2) == (0, 1)
+    # fenced duplicate append
+    assert t.append(df2, batch_id=1) == -1
+    assert t.table_changes(-1, 0).count() == 2
+    assert {r["id"] for r in t.table_changes(0, 1).collect()} == {3}
+    assert t.table_changes(1, 1).count() == 0
+    before = {tuple(r) for r in t.read().drop("snapshot_id").collect()}
+    t.compact()
+    after = {tuple(r) for r in t.read().drop("snapshot_id").collect()}
+    assert before == after
+    assert t.max_snapshot_id() == 1

@@ -1,0 +1,68 @@
+"""Multimodal plumbing tests: schema, batch shape, determinism, codec seam."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from duckdb_streaming_patterns_spark.operators import multimodal
+from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+
+def _media(spark, sf_small):
+    docs = load_table(spark, sf_small, "documents").limit(50)
+    return multimodal.attach_payloads(docs, "doc_id", "text")
+
+
+def test_attach_payloads_schema(spark, sf_small):
+    media = _media(spark, sf_small)
+    assert dict(media.dtypes)["payload"] == "binary"
+    assert dict(media.dtypes)["meta"].startswith("struct<mime:string")
+    row = media.first()
+    assert isinstance(row["payload"], (bytes, bytearray))
+    assert row["meta"]["n_bytes"] == len(row["payload"])
+
+
+def test_decode_is_deterministic_and_complete(spark, sf_small):
+    media = _media(spark, sf_small)
+    a = {r["doc_id"]: tuple(r) for r in multimodal.decode_payloads(media).collect()}
+    b = {r["doc_id"]: tuple(r) for r in multimodal.decode_payloads(media).collect()}
+    assert a == b
+    assert len(a) == media.count()
+    for r in a.values():
+        # (doc_id, media_type, n_bytes, width, height, n_frames, checksum)
+        assert r[2] > 0 and 16 <= r[3] < 80 and 16 <= r[4] < 80 and 1 <= r[5] <= 7
+
+
+def test_resize_clamps_dimensions(spark, sf_small):
+    media = _media(spark, sf_small)
+    resized = multimodal.resize_stub(
+        multimodal.decode_payloads(media), max_dim=32
+    ).collect()
+    assert all(r["width"] <= 32 and r["height"] <= 32 for r in resized)
+    assert all(r["width"] >= 1 and r["height"] >= 1 for r in resized)
+
+
+def test_real_codec_seam_raises(spark, sf_small):
+    media = _media(spark, sf_small)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_payloads(media, codec="pil")
+
+
+def test_frame_sample_covers_payload(spark, sf_small):
+    media = _media(spark, sf_small)
+    frames = multimodal.frame_sample(media, every_n_bytes=256)
+    sizes = (
+        frames.groupBy("doc_id")
+        .agg(F.sum("frame_size").alias("total"), F.count("*").alias("n"))
+        .collect()
+    )
+    orig = {
+        r["doc_id"]: r["n"]
+        for r in media.filter(F.col("media_type") == "video")
+        .select("doc_id", F.octet_length("payload").alias("n"))
+        .collect()
+    }
+    assert {r["doc_id"] for r in sizes} == set(orig)
+    for r in sizes:
+        assert r["total"] == orig[r["doc_id"]]

@@ -24,11 +24,34 @@ from duckdb_streaming_patterns_spark.queries import QUERIES
 
 # Headline set: reference-parity core + star-schema joins + extended ops.
 HEADLINE = [
+    # reference parity
     "user_clicks",
     "user_clicks_top5",
     "event_type_counts",
     "reaggregate_partials",
     "distinct_users_per_type",
+    "events_json_extract",
+    "events_hourly_window",
+    # star schema
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "top3_orders_per_customer",
+    "rollup_region_nation_customers",
+    # training-data ops
+    "dedup_exact_hash",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "knn_bruteforce",
+    "knn_lsh_ann",
+    "embedding_neardup_pairs",
+    "text_quality_scores",
+    "text_language_id",
+    "doc_fingerprint",
+    "multimodal_payload_stats",
+    # streaming patterns end-to-end
+    "pattern_1_1_incremental_merge",
+    "pattern_2_complete_overwrite",
 ]
 
 

@@ -26,10 +26,11 @@ from duckdb_streaming_patterns_spark.functions.text import (
     normalized_text,
 )
 
-# MinHash parameters: 128 hashes = 64 bands × 2 rows. P(candidate | s) =
-# 1-(1-s^2)^64 → ≈1.0 at s=0.7, so verified output at threshold 0.7 equals
-# the exact all-pairs result with overwhelming probability.
-N_HASHES = 128
+# MinHash parameters: 64 hashes = 32 bands × 2 rows. P(candidate | s) =
+# 1-(1-s^2)^32 → 1-1.2e-9 at s=0.7, so verified output at threshold 0.7
+# equals the exact all-pairs result with overwhelming probability, at half
+# the signature cost of the classic 128.
+N_HASHES = 64
 BAND_ROWS = 2
 N_BANDS = N_HASHES // BAND_ROWS
 
@@ -94,16 +95,27 @@ def jaccard_pairs(
 def minhash_signatures(
     df: DataFrame, id_col: str, text_col: str, n_hashes: int = N_HASHES
 ) -> DataFrame:
-    """doc → array of n minhash values. Hash family: xxhash64(i, shingle)
-    (64-bit, JVM built-in, seeded by the hash index) — fully deterministic,
-    no sampled coefficients to ship around."""
-    sh = shingles(F.col(text_col))
-    sig = F.transform(
-        F.sequence(F.lit(0), F.lit(n_hashes - 1)),
-        lambda i: F.array_min(F.transform(sh, lambda s: F.xxhash64(i, s))),
+    """doc → array of n minhash values.
+
+    Shape: explode shingles → one base xxhash64 per shingle → n_hashes
+    derived hashes as a flat codegen'd projection → groupBy(doc) with
+    n_hashes MIN aggregates. The per-row projection runs in whole-stage
+    codegen (a nested higher-order-function fold would be interpreted —
+    ~10× slower), and partial aggregation means the shuffle carries one
+    n_hashes-wide row per (doc × partition), not per shingle.
+
+    Hash family: h_i = xxhash64(i, base_hash) — deterministic, no sampled
+    coefficients to broadcast.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.col(text_col))).alias("shingle"),
+    ).withColumn("h", F.xxhash64("shingle"))
+    mins = exploded.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(n_hashes)]
     )
-    return df.select(
-        F.col(id_col).alias("id"), sh.alias("shingle_set"), sig.alias("sig")
+    return mins.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(n_hashes)]).alias("sig")
     )
 
 
@@ -125,7 +137,6 @@ def minhash_lsh_pairs(
     n_bands = n_hashes // band_rows
     bands = sigs.select(
         "id",
-        "shingle_set",
         F.posexplode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(n_bands - 1)),
@@ -144,13 +155,16 @@ def minhash_lsh_pairs(
             & (F.col("a.band_hash") == F.col("b.band_hash"))
             & (F.col("a.id") < F.col("b.id")),
         )
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.shingle_set").alias("s_a"),
-            F.col("b.shingle_set").alias("s_b"),
-        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    # exact verification only on candidates: join the shingle sets back in
+    sets = df.select(
+        F.col(id_col).alias("sid"), shingles(F.col(text_col)).alias("s")
+    )
+    cand = (
+        cand.join(sets.withColumnRenamed("sid", "id_a").withColumnRenamed("s", "s_a"), "id_a")
+        .join(sets.withColumnRenamed("sid", "id_b").withColumnRenamed("s", "s_b"), "id_b")
     )
     j = _jaccard(F.col("s_a"), F.col("s_b"))
     return (
@@ -168,40 +182,33 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
     ints; at scale prefer the aggregate form below which keeps it rows ×
     1 array column.
     """
-    toks = df.select(
-        F.col(id_col).alias("id"), distinct_tokens(F.col(text_col)).alias("toks")
-    )
     # Bit masks unrolled in Python (shift amounts must be literals); bit 63's
     # mask is the sign bit, i.e. long MIN_VALUE in two's complement.
     masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
-    # votes[bit] = sum over tokens of (hash bit set ? +1 : -1), one fold per
-    # document — no explode, single projection.
-    votes = F.aggregate(
-        F.col("toks"),
-        F.array_repeat(F.lit(0), bits),
-        lambda acc, t: F.zip_with(
-            acc,
-            F.array(
-                *[
-                    F.when(F.xxhash64(t).bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
-                    for m in masks
-                ]
-            ),
-            lambda a, v: a + v,
-        ),
+    # Shape: explode token set → one xxhash64 per token → 64 ±1 vote columns
+    # (flat codegen'd projection) → groupBy(doc) summing votes map-side.
+    # The shuffle carries one 64-int row per (doc × partition).
+    exploded = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(distinct_tokens(F.col(text_col))).alias("tok"),
+    ).withColumn("h", F.xxhash64("tok"))
+    votes = exploded.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.lit(m)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b, m in enumerate(masks)
+        ]
     )
     # fingerprint = OR of masks where the vote is positive; masks are
     # disjoint bits so integer addition == bitwise OR.
-    fp = F.aggregate(
-        F.zip_with(
-            votes,
-            F.array(*[F.lit(m).cast("long") for m in masks]),
-            lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("long")),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    return toks.select("id", fp.alias("simhash"))
+    fp = None
+    for b, m in enumerate(masks):
+        term = F.when(F.col(f"v{b}") > 0, F.lit(m).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        fp = term if fp is None else fp + term
+    return votes.select("id", fp.alias("simhash"))
 
 
 def simhash_pairs(

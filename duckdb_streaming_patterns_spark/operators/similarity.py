@@ -22,7 +22,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from duckdb_streaming_patterns_spark.functions.vectors import cosine_similarity
+from duckdb_streaming_patterns_spark.functions.vectors import (
+    cosine_similarity,
+    dot,
+    l2_norm,
+)
 
 
 def knn_bruteforce(
@@ -38,14 +42,22 @@ def knn_bruteforce(
     Output: (query_id, neighbor_id, cosine, rank).
     """
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
     )
+    # norms precomputed per row (n, not n×m); per-pair work is the dot fold
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec")))
+        .withColumn(
+            "cosine",
+            dot(F.col("q_vec"), F.col("c_vec")) / F.col("q_norm") / F.col("c_norm"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (
@@ -60,51 +72,46 @@ def knn_bruteforce(
     )
 
 
-def _hyperplane_sign(vec, plane_idx: int) -> "F.Column":
-    """Sign of <v, h_p> where h_p[d] is a deterministic pseudo-random ±…
-    value derived from xxhash64(plane_idx, d). Gives reproducible random
-    hyperplanes with zero sampled state."""
-    d_idx = F.sequence(F.lit(1), F.size(vec))
-    comps = F.zip_with(
-        vec,
-        d_idx,
-        lambda x, d: x.cast("double")
-        * (F.xxhash64(F.lit(plane_idx), d).cast("double") / F.lit(float(2**63))),
-    )
-    proj = F.aggregate(comps, F.lit(0.0), lambda acc, x: acc + x)
-    return (proj >= 0).cast("int")
-
-
-def lsh_signature(vec_col: str, n_planes: int, table: int = 0):
-    """n_planes sign bits → one integer bucket id. ``table`` offsets the
-    hyperplane indices so each hash table uses an independent family."""
-    vec = F.col(vec_col)
-    bits = [
-        _hyperplane_sign(vec, table * n_planes + p) for p in range(n_planes)
-    ]
-    sig = F.lit(0).cast("long")
-    for i, b in enumerate(bits):
-        sig = sig + (b.cast("long") * F.lit(2**i))
-    return sig
-
-
 def _lsh_keys(df: DataFrame, id_alias: str, vec_alias: str, id_col: str,
               vec_col: str, n_planes: int, n_tables: int) -> DataFrame:
-    """Explode each row into (table, bucket) keys — one per hash table."""
-    keys = F.array(
+    """Explode each row into (table, bucket) keys — one per hash table.
+
+    Hyperplane components are xxhash64(plane, dim)/2^63 — deterministic,
+    zero sampled state. Shape: posexplode the vector → one codegen'd
+    projection column per plane → groupBy(id) partial SUMs → sign bits →
+    bucket ids. (A per-plane higher-order fold would be interpreted; the
+    explode/agg form is codegen'd end to end and shuffles one
+    n_planes·n_tables-wide row per vector.)
+    """
+    total_planes = n_planes * n_tables
+    exploded = df.select(
+        F.col(id_col).alias(id_alias),
+        F.posexplode(F.col(vec_col)).alias("d", "x"),
+    )
+    projections = exploded.groupBy(id_alias).agg(
         *[
-            F.struct(
-                F.lit(t).alias("table"),
-                lsh_signature(vec_col, n_planes, t).alias("bucket"),
-            )
-            for t in range(n_tables)
+            F.sum(
+                F.col("x").cast("double")
+                * (
+                    F.xxhash64(F.lit(p), F.col("d")).cast("double")
+                    / F.lit(float(2**63))
+                )
+            ).alias(f"proj{p}")
+            for p in range(total_planes)
         ]
     )
-    return df.select(
-        F.col(id_col).alias(id_alias),
-        F.col(vec_col).alias(vec_alias),
-        F.explode(keys).alias("key"),
-    ).select(id_alias, vec_alias, "key.table", "key.bucket")
+    buckets = []
+    for t in range(n_tables):
+        sig = F.lit(0).cast("long")
+        for i in range(n_planes):
+            p = t * n_planes + i
+            sig = sig + (F.col(f"proj{p}") >= 0).cast("long") * F.lit(2**i)
+        buckets.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
+    keyed = projections.select(
+        id_alias, F.explode(F.array(*buckets)).alias("key")
+    ).select(id_alias, "key.table", "key.bucket")
+    vecs = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
+    return keyed.join(vecs, id_alias)
 
 
 def knn_lsh(
@@ -154,7 +161,11 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold),
     equi-blocked (default: label) so candidate generation is join-shaped."""
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    cols = [
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("nrm"),
+    ]
     if block_col:
         cols.append(F.col(block_col))
     a = df.select(*cols)
@@ -162,12 +173,13 @@ def cosine_neardup_pairs(
         df.select(*cols)
         .withColumnRenamed("id", "id_b")
         .withColumnRenamed("v", "v_b")
+        .withColumnRenamed("nrm", "nrm_b")
     )
     cond = F.col("id") < F.col("id_b")
     if block_col:
         cond = cond & (a[block_col] == b[block_col])
     pairs = a.join(b, cond)
-    cos = cosine_similarity(F.col("v"), F.col("v_b"))
+    cos = dot(F.col("v"), F.col("v_b")) / F.col("nrm") / F.col("nrm_b")
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

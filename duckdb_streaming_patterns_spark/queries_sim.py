@@ -45,19 +45,21 @@ _NEARDUP_COS = duckdb_cosine("a.embedding", "b.embedding")
 _NEARDUP_ORACLE = f"""
     SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM (
       SELECT a.vec_id AS id_a, b.vec_id AS id_b, {_NEARDUP_COS} AS cosine
-      FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.4
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
+    ) WHERE cosine >= 0.35
 """
 
 
 @register("embedding_neardup_pairs", _NEARDUP_ORACLE)
 def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All embedding pairs with cosine ≥ 0.4 (the fixtures contain no
-    planted >0.9 duplicates, so the threshold is set where the pair set is
-    non-trivial)."""
+    """Embedding pairs with cosine ≥ 0.35, equi-blocked on label so pair
+    generation is join-shaped (the 100 TB path: blocked or LSH-bucketed,
+    never unblocked n²). Threshold sits where the fixture's pair set is
+    non-trivial (it contains no planted >0.9 duplicates)."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.cosine_neardup_pairs(
-        emb, threshold=0.4, block_col=None
+        emb, threshold=0.35, block_col="label"
     )
 
 

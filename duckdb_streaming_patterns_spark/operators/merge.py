@@ -71,6 +71,30 @@ def additive_merge(
     return merged.select(*out_cols)
 
 
+def replace_merge(
+    dest: DataFrame,
+    src: DataFrame,
+    keys: list[str],
+    set_cols: list[str],
+) -> DataFrame:
+    """Full-outer-join replace merge: matched rows take the *source* values
+    (the source carries new running totals, as in update-mode streaming
+    output), unmatched dest rows carry over, unmatched src rows insert."""
+    d = dest.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__d_{c}") for c in set_cols],
+    )
+    s = src.select(
+        *[F.col(k) for k in keys],
+        *[F.col(c).alias(f"__s_{c}") for c in set_cols],
+    )
+    merged = d.join(s, on=keys, how="full_outer")
+    out_cols = [F.col(k) for k in keys] + [
+        F.coalesce(F.col(f"__s_{c}"), F.col(f"__d_{c}")).alias(c) for c in set_cols
+    ]
+    return merged.select(*out_cols)
+
+
 class SummaryTable:
     """Parquet-backed mutable summary table with atomic swap + batch fencing.
 
@@ -141,5 +165,21 @@ class SummaryTable:
         if batch_id <= self.last_batch_id():
             return False
         merged = additive_merge(self.read(), delta, keys, add_cols, max_cols)
+        self.overwrite(merged, batch_id=batch_id)
+        return True
+
+    def upsert_batch(
+        self,
+        delta: DataFrame,
+        batch_id: int,
+        keys: list[str],
+        set_cols: list[str],
+    ) -> bool:
+        """Replace-style upsert (update-mode streaming output: the delta
+        rows carry new running totals, not additive increments), with the
+        same batch-id fence as merge_batch."""
+        if batch_id <= self.last_batch_id():
+            return False
+        merged = replace_merge(self.read(), delta, keys, set_cols)
         self.overwrite(merged, batch_id=batch_id)
         return True

@@ -164,6 +164,143 @@ def knn_lsh(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest (cosine) centroid cell.
+
+    One Arrow-batched matmul per batch against the (tiny, closure-captured)
+    centroid matrix — the 100 TB shape: a narrow (id, cell) projection with
+    no shuffle; the physical index is the corpus written partitioned by
+    ``cell`` so probes prune partitions.
+    """
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+
+    @F.pandas_udf("int")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        return pd.Series((mat @ cn.T).argmax(axis=1).astype("int32"))
+
+    return df.select(
+        F.col(id_col), F.col(vec_col), nearest(F.col(vec_col)).alias("cell")
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_centroids: int = 16,
+    iters: int = 2,
+) -> np.ndarray:
+    """Deterministic IVF coarse quantizer: seed with the n_centroids
+    lowest-id vectors, refine with ``iters`` distributed Lloyd iterations.
+
+    Each iteration is one assignment pass (ivf_assign) plus a per-cell mean
+    — posexplode to (cell, dim, x), groupBy avg, and a collect of exactly
+    n_centroids × dim cells (the only driver-side data ever, ~KBs; the
+    corpus itself is never collected).
+    """
+    dim_probe = corpus.select(F.size(F.col(vec_col)).alias("d")).first()
+    dim = int(dim_probe["d"])
+    seeds = (
+        corpus.orderBy(id_col)
+        .limit(n_centroids)
+        .select(vec_col)
+        .collect()
+    )
+    centroids = np.asarray([list(r[0]) for r in seeds], dtype=np.float64)
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+        means = (
+            assigned.select("cell", F.posexplode(F.col(vec_col)).alias("d", "x"))
+            .groupBy("cell", "d")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        nxt = centroids.copy()  # empty cells keep their previous centroid
+        by_cell: dict[int, list] = {}
+        for r in means:
+            by_cell.setdefault(r["cell"], [None] * dim)[r["d"]] = r["m"]
+        for cell, vals in by_cell.items():
+            nxt[cell] = np.asarray(vals, dtype=np.float64)
+        centroids = nxt
+    return centroids
+
+
+def knn_ivf(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    iters: int = 2,
+) -> DataFrame:
+    """IVF-style ANN top-k: coarse-quantize the corpus into centroid cells,
+    probe only the ``n_probe`` nearest cells per query, exact cosine on the
+    surviving candidates.
+
+    At 100 TB the corpus is written partitioned by cell, so each query
+    batch reads n_probe/n_centroids of the data (partition pruning); the
+    probe→cell map is an equi-join, and queries broadcast.
+    """
+    centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
+    cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
+    cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+        "cell",
+    )
+
+    @F.pandas_udf("array<int>")
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        order = np.argsort(-(mat @ cn.T), axis=1)[:, :n_probe]
+        return pd.Series(list(order.astype("int32")))
+
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot(F.col("q_vec"), F.col("c_vec")) / F.col("q_norm") / F.col("c_norm"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -66,8 +66,21 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("knn_lsh_ann", None)
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors via multi-table random-hyperplane LSH.
-    No SQL oracle (the hyperplane family is Spark-xxhash64-derived);
+    No SQL oracle (the hyperplane family is Spark-seeded);
     tests/test_similarity.py checks recall against the exact result."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     return similarity.knn_lsh(emb, queries, k=10, n_planes=6, n_tables=8)
+
+
+@register("knn_ivf_ann", None)
+def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 neighbors via IVF coarse quantization: nearest
+    n_probe of 16 centroid cells per query, exact cosine inside the probed
+    cells. No SQL oracle (centroids come from distributed Lloyd
+    iterations); tests/test_similarity.py checks recall vs exact."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.knn_ivf(
+        emb, queries, k=10, n_centroids=16, n_probe=4, iters=2
+    )

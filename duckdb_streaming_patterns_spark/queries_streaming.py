@@ -51,6 +51,40 @@ def q_pattern_2(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pattern_windowed_watermark",
+    """
+    SELECT date_trunc('hour', ts) AS window_start,
+           count(*) AS count_of_clicks,
+           max(ts)  AS updated_at
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY date_trunc('hour', ts)
+    """,
+)
+def q_pattern_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling windows + watermark, update-mode upsert. The
+    stream is staged in event-time order so nothing is late; oracle = batch
+    hourly bucketing — proves windowed incremental ≡ batch."""
+    run = staging.new_run_dir("pww")
+    chunks = staging.stage_event_chunks(
+        spark, sf_dir, run, n_chunks=5, order_col="ts"
+    )
+    return patterns.pattern_windowed_watermark(spark, chunks, run)
+
+
+@register("pattern_streaming_dedup", _BATCH_ORACLE)
+def q_pattern_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark over a stream that carries every event
+    twice; oracle = batch aggregation over the distinct events — proves the
+    stream dedup removed exactly the staged copies."""
+    run = staging.new_run_dir("psd")
+    chunks = staging.stage_event_chunks(
+        spark, sf_dir, run, n_chunks=5, order_col="ts", dup_factor=2
+    )
+    return patterns.pattern_streaming_dedup(spark, chunks, run)
+
+
+@register(
     "bonus_stateless_view_topk",
     """
     SELECT user_id, count(*) AS count_of_clicks

@@ -124,6 +124,115 @@ def pattern_1_2(
     return summary.read()
 
 
+def pattern_windowed_watermark(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    window_len: str = "1 hour",
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Event-time tumbling-window aggregation with a watermark (SURVEY §2.9
+    T7 — the windowed surface the reference lacks).
+
+    The stream is staged in event-time order, so the watermark (max event
+    time − delay, advancing at batch boundaries) never drops a row and the
+    final state equals the batch re-aggregation — while still exercising
+    real watermark semantics: the state store evicts windows older than the
+    watermark instead of growing with stream length (the 100 TB state
+    story). Output mode is ``update``; each emitted row carries the
+    window's new running total, upserted (replace, not add) into the
+    summary keyed by window start."""
+    summary = SummaryTable(
+        spark,
+        os.path.join(run_dir, "summary"),
+        "window_start timestamp_ntz, count_of_clicks long, updated_at timestamp_ntz",
+    )
+
+    # withWatermark requires TIMESTAMP (tz-aware); the session runs UTC so
+    # the ntz→utc cast is value-preserving and reversed on output.
+    agg = (
+        staging.read_event_stream(spark, chunks_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .filter(F.col("event_type") == CLICK)
+        .groupBy(F.window("ts", window_len))
+        .agg(
+            F.count("*").alias("count_of_clicks"),
+            F.max("ts").alias("updated_at"),
+        )
+        .select(
+            F.col("window.start").cast("timestamp_ntz").alias("window_start"),
+            "count_of_clicks",
+            F.col("updated_at").cast("timestamp_ntz").alias("updated_at"),
+        )
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        summary.upsert_batch(
+            batch,
+            batch_id,
+            keys=["window_start"],
+            set_cols=["count_of_clicks", "updated_at"],
+        )
+
+    q = (
+        agg.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return summary.read()
+
+
+def pattern_streaming_dedup(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    delay: str = "30 minutes",
+) -> DataFrame:
+    """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` (SURVEY
+    §2.11 / §2.9 T5 — the late/duplicate handling the reference lacks).
+
+    The staged stream carries each event twice within its chunk (see
+    ``stage_event_chunks(dup_factor=2)``); the operator keeps one copy per
+    event_id while its state store only retains ids newer than the
+    watermark — bounded state, unlike a global dropDuplicates. Downstream,
+    the deduped append stream feeds the same additive MERGE as pattern
+    1.1, so the final summary equals the batch aggregation over distinct
+    events."""
+    summary = SummaryTable(spark, os.path.join(run_dir, "summary"), SUMMARY_DDL)
+
+    # watermark needs TIMESTAMP; cast back to ntz after the stateful op
+    # (session TZ is UTC, so the round-trip is value-preserving).
+    deduped = (
+        staging.read_event_stream(spark, chunks_dir)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", delay)
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        summary.merge_batch(
+            _delta_agg(batch),
+            batch_id,
+            keys=["user_id"],
+            add_cols=["count_of_clicks"],
+            max_cols=["updated_at"],
+        )
+
+    q = (
+        deduped.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return summary.read()
+
+
 def pattern_2(spark: SparkSession, json_chunks_dir: str, run_dir: str) -> DataFrame:
     """Complete-mode re-aggregation with per-batch sink overwrite
     (reference pattern_2.py:14-68): JSON wire → from_json → filter →

@@ -38,20 +38,40 @@ def new_run_dir(tag: str) -> str:
 
 
 def stage_event_chunks(
-    spark: SparkSession, sf_dir: str, out_dir: str, n_chunks: int = 5
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 5,
+    order_col: str = "event_id",
+    dup_factor: int = 1,
 ) -> str:
-    """Split `events` into n_chunks single-file parquet chunks in event-id
-    order; chunk k is micro-batch k on replay."""
+    """Split `events` into n_chunks single-file parquet chunks in
+    ``order_col`` order; chunk k is micro-batch k on replay.
+
+    order_col="ts" stages an event-time-ordered stream: each chunk's rows
+    are all later than the previous chunk's, so a ``withWatermark`` query
+    replaying it never classifies a row late — the deterministic harness
+    for watermark semantics (SURVEY §7 hard-part 4). dup_factor > 1 writes
+    each event that many times within its chunk, the fixture for streaming
+    dedup (the copies land in one micro-batch, inside any watermark).
+
+    (The ntile window is a global sort — staging is the test harness, not
+    an engine path; the engine never globally sorts the stream.)
+    """
+    from pyspark.sql import Window as W
+
     ev = load_table(spark, sf_dir, "events")
-    rows = ev.count()
-    per = (rows + n_chunks - 1) // n_chunks
     chunks_dir = os.path.join(out_dir, "chunks")
-    # Single pass: hive-partition by chunk id. Chunk k == micro-batch k in
-    # event-id terms; replay order across chunks doesn't affect any final
-    # state (all maintained aggregates are order-independent).
+    chunk = (
+        F.ntile(n_chunks).over(W.orderBy(order_col, "event_id")) - 1
+    ).alias("__chunk")
+    staged = ev.select("*", chunk)
+    if dup_factor > 1:
+        staged = staged.withColumn(
+            "__copy", F.explode(F.array(*[F.lit(i) for i in range(dup_factor)]))
+        ).drop("__copy")
     (
-        ev.withColumn("__chunk", (F.col("event_id") / F.lit(per)).cast("int"))
-        .repartition("__chunk")
+        staged.repartition("__chunk")
         .write.mode("overwrite")
         .partitionBy("__chunk")
         .parquet(chunks_dir)

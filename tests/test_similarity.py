@@ -39,3 +39,35 @@ def test_ann_cosines_match_exact_for_shared_neighbors(spark, sf_small):
     assert shared, "ANN found none of the true neighbors"
     for r in shared:
         assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-9
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.knn_bruteforce(emb, queries, k=10).collect()
+    ann = similarity.knn_ivf(
+        emb, queries, k=10, n_centroids=16, n_probe=4, iters=2
+    ).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    ann_sets = {}
+    for r in ann:
+        ann_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
+    assert set(ann_sets) == set(exact_sets)
+    recalls = [
+        len(ann_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
+    ]
+    # probing 4/16 cells: recall must beat the 25% random-cell baseline
+    assert sum(recalls) / len(recalls) >= 0.4, recalls
+
+
+def test_ivf_assignment_is_deterministic_and_total(spark, sf_small):
+    emb = load_table(spark, sf_small, "embeddings")
+    cents = similarity.ivf_centroids(emb, n_centroids=8, iters=1)
+    a1 = similarity.ivf_assign(emb, cents).groupBy("cell").count().collect()
+    a2 = similarity.ivf_assign(emb, cents).groupBy("cell").count().collect()
+    assert sorted((r["cell"], r["count"]) for r in a1) == sorted(
+        (r["cell"], r["count"]) for r in a2
+    )
+    assert sum(r["count"] for r in a1) == emb.count()

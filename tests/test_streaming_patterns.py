@@ -125,3 +125,40 @@ def test_snapshot_table_changes_and_compaction(spark, tmp_path):
     after = {tuple(r) for r in t.read().drop("snapshot_id").collect()}
     assert before == after
     assert t.max_snapshot_id() == 1
+
+
+def test_windowed_watermark_equals_batch_hourly(spark, sf_small):
+    run = staging.new_run_dir("t_pww")
+    chunks = staging.stage_event_chunks(
+        spark, sf_small, run, n_chunks=4, order_col="ts"
+    )
+    result = patterns.pattern_windowed_watermark(spark, chunks, run)
+    got = {
+        (r["window_start"], r["count_of_clicks"], r["updated_at"])
+        for r in result.collect()
+    }
+    ev = load_table(spark, sf_small, "events")
+    want = {
+        (r["window_start"], r["count_of_clicks"], r["updated_at"])
+        for r in ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("hour", "ts").alias("window_start"))
+        .agg(
+            F.count("*").alias("count_of_clicks"),
+            F.max("ts").alias("updated_at"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_streaming_dedup_removes_staged_copies(spark, sf_small):
+    run = staging.new_run_dir("t_psd")
+    chunks = staging.stage_event_chunks(
+        spark, sf_small, run, n_chunks=4, order_col="ts", dup_factor=2
+    )
+    # staged stream really carries 2 copies of every event
+    staged_rows = spark.read.option("recursiveFileLookup", "true").parquet(chunks)
+    ev_rows = load_table(spark, sf_small, "events").count()
+    assert staged_rows.count() == 2 * ev_rows
+    result = patterns.pattern_streaming_dedup(spark, chunks, run)
+    assert _as_set(result) == _batch_oracle(spark, sf_small)

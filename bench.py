@@ -49,6 +49,7 @@ HEADLINE = [
     "dedup_simhash",
     "knn_bruteforce",
     "knn_lsh_ann",
+    "knn_ivf_ann",
     "embedding_neardup_pairs",
     "text_quality_scores",
     "text_language_id",
@@ -57,6 +58,7 @@ HEADLINE = [
     # streaming patterns end-to-end
     "pattern_1_1_incremental_merge",
     "pattern_2_complete_overwrite",
+    "pattern_streaming_sessionization",
 ]
 
 

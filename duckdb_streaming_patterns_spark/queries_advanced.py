@@ -386,3 +386,65 @@ def q_null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.lag("o_orderkey").over(w), F.lit(-1)).alias("prev_ok"),
         F.nullif(F.col("o_orderstatus"), F.lit("O")).isNull().alias("is_open"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew mitigation (operators/skew.py) — salted plans, oracle = unsalted SQL
+# ---------------------------------------------------------------------------
+
+from duckdb_streaming_patterns_spark.operators import skew  # noqa: E402
+
+
+@register(
+    "user_clicks_salted",
+    """
+    SELECT user_id,
+           count(*) AS count_of_clicks,
+           max(ts)  AS updated_at
+    FROM events
+    WHERE event_type = 'click'
+    GROUP BY user_id
+    """,
+)
+def q_user_clicks_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship aggregation computed skew-safely: partial agg per
+    (user_id, salt) then final per user_id. Oracle = the plain one-shuffle
+    SQL — salting must not change any value."""
+    ev = _t(spark, sf_dir, "events").filter(F.col("event_type") == "click")
+    return skew.salted_two_phase_agg(
+        ev,
+        keys=["user_id"],
+        salt_src="event_id",
+        aggs={
+            "count_of_clicks": ("*", "count"),
+            "updated_at": ("ts", "max"),
+        },
+    )
+
+
+@register(
+    "salted_join_segment_revenue",
+    """
+    SELECT c_mktsegment, ROUND(sum(o_totalprice), 2) AS revenue,
+           count(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment
+    """,
+)
+def q_salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by market segment through a salted fact→dim join (customer
+    replicated 8×, orders salted on o_orderkey). Oracle = the plain join —
+    salting must be value-invisible."""
+    orders = _t(spark, sf_dir, "orders").withColumnRenamed("o_custkey", "custkey")
+    cust = _t(spark, sf_dir, "customer").withColumnRenamed("c_custkey", "custkey")
+    joined = skew.salted_join(
+        orders,
+        cust.select("custkey", "c_mktsegment"),
+        on=["custkey"],
+        salt_src="o_orderkey",
+        n_salts=8,
+    )
+    return joined.groupBy("c_mktsegment").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        F.count("*").alias("n_orders"),
+    )

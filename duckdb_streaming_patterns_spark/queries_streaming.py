@@ -84,6 +84,44 @@ def q_pattern_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patterns.pattern_streaming_dedup(spark, chunks, run)
 
 
+_SESSION_GAP_US = 30 * 60 * 1_000_000
+
+_SESSION_ORACLE = f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), numbered AS (
+      SELECT user_id, ts, event_id,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_seq
+"""
+
+
+@register("pattern_streaming_sessionization", _SESSION_ORACLE)
+def q_pattern_streaming_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator: gap-based sessionization with
+    applyInPandasWithState, replayed over 5 event-time-ordered
+    micro-batches. Oracle = the batch lag+cumsum sessionization — proves
+    the incremental per-key state machine equals the window-function
+    formulation."""
+    run = staging.new_run_dir("pss")
+    chunks = staging.stage_event_chunks(
+        spark, sf_dir, run, n_chunks=5, order_col="ts"
+    )
+    return patterns.pattern_streaming_sessionization(spark, chunks, run)
+
+
 @register(
     "bonus_stateless_view_topk",
     """

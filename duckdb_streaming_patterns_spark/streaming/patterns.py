@@ -233,6 +233,103 @@ def pattern_streaming_dedup(
     return summary.read()
 
 
+def pattern_streaming_sessionization(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    gap_us: int = 30 * 60 * 1_000_000,
+) -> DataFrame:
+    """Custom stateful streaming operator (SURVEY §2.10 escape hatch done
+    right): gap-based sessionization via ``applyInPandasWithState``.
+
+    Per-user state is one open session (seq, start, last-seen, count) —
+    O(1) per key, the 100 TB state story. Each micro-batch extends or
+    closes sessions; closed sessions AND the still-open session are both
+    emitted and replace-upserted by (user_id, session_seq), so the final
+    table equals the batch lag+cumsum sessionization without needing a
+    state flush at stream end. Requires an event-time-ordered replay
+    (stage_event_chunks(order_col="ts")) — same discipline a Kafka source
+    partitioned by user key provides.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    summary = SummaryTable(
+        spark,
+        os.path.join(run_dir, "summary"),
+        "user_id long, session_seq long, n_events long,"
+        " session_start timestamp_ntz, session_end timestamp_ntz",
+    )
+
+    def sessionize(key, pdf_iter, state: GroupState):
+        (user_id,) = key
+        rows = pd.concat(list(pdf_iter), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        # normalize to ns first — Arrow may hand us datetime64[us] or [ns]
+        ts_us = rows["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        if state.exists:
+            seq, start_us, last_us, n = state.get
+        else:
+            seq, start_us, last_us, n = 0, None, None, 0
+        out = []
+        for t in ts_us:
+            t = int(t)
+            if start_us is None:
+                seq, start_us, last_us, n = seq + 1, t, t, 1
+            elif t - last_us > gap_us:
+                out.append((user_id, seq, n, start_us, last_us))  # close
+                seq, start_us, last_us, n = seq + 1, t, t, 1
+            else:
+                last_us, n = t, n + 1
+        state.update((seq, start_us, last_us, n))
+        out.append((user_id, seq, n, start_us, last_us))  # open session too
+        yield pd.DataFrame(
+            {
+                "user_id": [o[0] for o in out],
+                "session_seq": [o[1] for o in out],
+                "n_events": [o[2] for o in out],
+                "session_start": pd.to_datetime([o[3] for o in out], unit="us"),
+                "session_end": pd.to_datetime([o[4] for o in out], unit="us"),
+            }
+        )
+
+    sessions = (
+        staging.read_event_stream(spark, chunks_dir)
+        .select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            sessionize,
+            outputStructType=(
+                "user_id long, session_seq long, n_events long,"
+                " session_start timestamp_ntz, session_end timestamp_ntz"
+            ),
+            stateStructType=(
+                "session_seq long, start_us long, last_us long, n_events long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        summary.upsert_batch(
+            batch,
+            batch_id,
+            keys=["user_id", "session_seq"],
+            set_cols=["n_events", "session_start", "session_end"],
+        )
+
+    q = (
+        sessions.writeStream.foreachBatch(apply_batch)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return summary.read()
+
+
 def pattern_2(spark: SparkSession, json_chunks_dir: str, run_dir: str) -> DataFrame:
     """Complete-mode re-aggregation with per-batch sink overwrite
     (reference pattern_2.py:14-68): JSON wire → from_json → filter →

@@ -76,3 +76,48 @@ def test_minhash_lsh_candidates_equijoin(spark, sf_small):
     p = plan_of(spark, sf_small, "dedup_minhash_lsh")
     # band-key candidate join compiles to a hash join on band columns
     assert "SortMergeJoin" in p or "ShuffledHashJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_salted_join_equals_plain_join(spark, sf_small):
+    from duckdb_streaming_patterns_spark.operators import skew
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_small, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    plain = {tuple(r) for r in orders.join(cust, "custkey").collect()}
+    salted = {
+        tuple(r)
+        for r in skew.salted_join(
+            orders, cust, on=["custkey"], salt_src="o_orderkey", n_salts=4
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_two_phase_agg_equals_plain(spark, sf_small):
+    from duckdb_streaming_patterns_spark.operators import skew
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    ev = load_table(spark, sf_small, "events")
+    plain = {
+        tuple(r)
+        for r in ev.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.max("value").alias("mx"))
+        .collect()
+    }
+    salted = {
+        tuple(r)
+        for r in skew.salted_two_phase_agg(
+            ev,
+            keys=["user_id"],
+            salt_src="event_id",
+            aggs={"n": ("*", "count"), "mx": ("value", "max")},
+        ).collect()
+    }
+    assert salted == plain

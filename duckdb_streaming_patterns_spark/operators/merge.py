@@ -95,6 +95,43 @@ def replace_merge(
     return merged.select(*out_cols)
 
 
+class UpsertLog:
+    """Log-structured upsert table: each micro-batch *appends* its emitted
+    rows under ``<root>/__batch_id=N/``; readers resolve last-writer-wins
+    per key with one window over the log.
+
+    Write cost per batch is O(batch), not O(accumulated state) — the LSM
+    trade the SummaryTable's swap-rewrite makes the other way. The right
+    choice when the updated key-space per batch is small relative to total
+    state (e.g. update-mode streaming output where only touched groups
+    re-emit). Writing a batch directory is idempotent (mode=overwrite on
+    the batch's own dir), so foreachBatch retries are exactly-once without
+    a fence. Periodic compaction = read_latest → rewrite as a new base.
+    """
+
+    def __init__(self, spark: SparkSession, root: str, keys: list[str]):
+        self.spark = spark
+        self.root = root
+        self.keys = keys
+        os.makedirs(root, exist_ok=True)
+
+    def append(self, batch: DataFrame, batch_id: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(self.root, f"__batch_id={batch_id}")
+        )
+
+    def read_latest(self) -> DataFrame:
+        from pyspark.sql import Window as W
+
+        log = self.spark.read.parquet(self.root)  # partition col __batch_id
+        w = W.partitionBy(*self.keys).orderBy(F.col("__batch_id").desc())
+        return (
+            log.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__batch_id")
+        )
+
+
 class SummaryTable:
     """Parquet-backed mutable summary table with atomic swap + batch fencing.
 

@@ -254,11 +254,15 @@ def pattern_streaming_sessionization(
     import pandas as pd
     from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-    summary = SummaryTable(
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    # log-structured upsert: per-batch write cost is O(emitted sessions),
+    # not O(all sessions so far) — the swap-rewrite SummaryTable would
+    # rewrite the whole session table every micro-batch.
+    summary = UpsertLog(
         spark,
         os.path.join(run_dir, "summary"),
-        "user_id long, session_seq long, n_events long,"
-        " session_start timestamp_ntz, session_end timestamp_ntz",
+        keys=["user_id", "session_seq"],
     )
 
     def sessionize(key, pdf_iter, state: GroupState):
@@ -312,12 +316,7 @@ def pattern_streaming_sessionization(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        summary.upsert_batch(
-            batch,
-            batch_id,
-            keys=["user_id", "session_seq"],
-            set_cols=["n_events", "session_start", "session_end"],
-        )
+        summary.append(batch, batch_id)
 
     q = (
         sessions.writeStream.foreachBatch(apply_batch)
@@ -327,7 +326,7 @@ def pattern_streaming_sessionization(
         .start()
     )
     q.awaitTermination()
-    return summary.read()
+    return summary.read_latest()
 
 
 def pattern_2(spark: SparkSession, json_chunks_dir: str, run_dir: str) -> DataFrame:

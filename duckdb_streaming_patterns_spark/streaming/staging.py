@@ -62,9 +62,15 @@ def stage_event_chunks(
 
     ev = load_table(spark, sf_dir, "events")
     chunks_dir = os.path.join(out_dir, "chunks")
-    chunk = (
-        F.ntile(n_chunks).over(W.orderBy(order_col, "event_id")) - 1
-    ).alias("__chunk")
+    if order_col == "event_id":
+        # event_id is dense — arithmetic chunking, no sort needed
+        rows = ev.count()
+        per = (rows + n_chunks - 1) // n_chunks
+        chunk = (F.col("event_id") / F.lit(per)).cast("int").alias("__chunk")
+    else:
+        chunk = (
+            F.ntile(n_chunks).over(W.orderBy(order_col, "event_id")) - 1
+        ).alias("__chunk")
     staged = ev.select("*", chunk)
     if dup_factor > 1:
         staged = staged.withColumn(

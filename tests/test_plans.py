@@ -121,3 +121,32 @@ def test_salted_two_phase_agg_equals_plain(spark, sf_small):
         ).collect()
     }
     assert salted == plain
+
+
+def test_q6_predicates_push_to_scan(spark, sf_small):
+    p = plan_of(spark, sf_small, "q6_forecast_revenue")
+    assert "GreaterThanOrEqual(l_shipdate" in p
+    assert "LessThan(l_quantity,24" in p
+    # scalar agg: partial+final pair, single exchange in the tree
+    assert p.count("HashAggregate") >= 2
+    assert p.split("(1) Scan")[0].count("Exchange") == 1
+
+
+def test_q9_dimensions_broadcast(spark, sf_small):
+    p = plan_of(spark, sf_small, "q9_product_type_profit")
+    # part, supplier, nation broadcast; only lineitem<->orders may shuffle
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+
+
+def test_q4_exists_is_semi_join(spark, sf_small):
+    p = plan_of(spark, sf_small, "q4_order_priority")
+    assert "LeftSemi" in p
+    assert "GreaterThan(l_quantity,45" in p
+
+
+def test_q18_having_subquery_is_join_not_collect(spark, sf_small):
+    p = plan_of(spark, sf_small, "q18_large_volume_customers")
+    # the >300-qty key set joins in (broadcast), never driver-collected
+    assert "BroadcastHashJoin" in p
+    assert "TakeOrderedAndProject" in p

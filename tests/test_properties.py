@@ -1,0 +1,107 @@
+"""Property-based tests (hypothesis): the Column-expression text functions
+are differentially checked against plain-Python references on arbitrary
+inputs, and the merge algebra's invariants are checked on random tables.
+
+Spark jobs are expensive per example, so each property batches all of a
+hypothesis example's rows into one job and runs few examples.
+"""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from duckdb_streaming_patterns_spark.functions.text import (
+    normalized_text,
+    shingles,
+)
+from duckdb_streaming_patterns_spark.operators.dedup import simhash
+from duckdb_streaming_patterns_spark.operators.merge import additive_merge
+
+_SETTINGS = dict(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+_word = st.text(alphabet="abcdef", min_size=1, max_size=4)
+_doc = st.lists(_word, min_size=0, max_size=9).map(" ".join)
+_docs = st.lists(_doc, min_size=1, max_size=25)
+
+
+def _py_shingles(text: str, k: int = 3) -> set[str]:
+    stripped = text.strip()
+    toks = re.split(r"\s+", stripped)  # "" → [""], same as split(trim(x))
+    if len(toks) < k:
+        return set()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+@settings(**_SETTINGS)
+@given(_docs)
+def test_shingles_match_python_reference(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, t string")
+    got = {
+        r["i"]: set(r["s"])
+        for r in df.select("i", shingles(F.col("t")).alias("s")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == _py_shingles(t), (t, got[i])
+
+
+@settings(**_SETTINGS)
+@given(_docs)
+def test_normalized_text_is_idempotent(spark, texts):
+    df = spark.createDataFrame([(t,) for t in texts], "t string")
+    rows = df.select(
+        normalized_text(F.col("t")).alias("once"),
+    ).select(
+        "once", normalized_text(F.col("once")).alias("twice")
+    ).collect()
+    for r in rows:
+        assert r["once"] == r["twice"]
+
+
+@settings(**_SETTINGS)
+@given(_docs, st.randoms(use_true_random=False))
+def test_simhash_is_token_set_invariant(spark, texts, rnd):
+    """SimHash votes over the distinct-token set: permuting the words of a
+    document must not change its fingerprint."""
+    shuffled = []
+    for t in texts:
+        toks = t.split(" ")
+        rnd.shuffle(toks)
+        shuffled.append(" ".join(toks))
+    base = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, t string"
+    )
+    perm = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(shuffled)], "id long, t string"
+    )
+    h1 = {r["id"]: r["simhash"] for r in simhash(base, "id", "t").collect()}
+    h2 = {r["id"]: r["simhash"] for r in simhash(perm, "id", "t").collect()}
+    assert h1 == h2
+
+
+_kv = st.dictionaries(
+    st.integers(min_value=0, max_value=20),
+    st.integers(min_value=0, max_value=1000),
+    max_size=12,
+)
+
+
+@settings(**_SETTINGS)
+@given(_kv, _kv)
+def test_additive_merge_is_per_key_sum(spark, dest, src):
+    ddl = "k long, n long"
+    d = spark.createDataFrame(list(dest.items()), ddl)
+    s = spark.createDataFrame(list(src.items()), ddl)
+    merged = {
+        r["k"]: r["n"]
+        for r in additive_merge(d, s, keys=["k"], add_cols=["n"], max_cols=[]).collect()
+    }
+    want = {k: dest.get(k, 0) + src.get(k, 0) for k in set(dest) | set(src)}
+    assert merged == want

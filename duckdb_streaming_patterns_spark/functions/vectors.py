@@ -21,9 +21,22 @@ def _to_double(arr: Column) -> Column:
     return F.transform(arr, lambda x: x.cast("double"))
 
 
+def to_double_array(arr: Column) -> Column:
+    """Materialize a float array as double — do this once per *row* before
+    a pair join so the per-pair dot skips two interpreted cast passes."""
+    return _to_double(arr)
+
+
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double precision."""
     prods = F.zip_with(_to_double(a), _to_double(b), lambda x, y: x * y)
+    return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
+
+
+def dot_double(a: Column, b: Column) -> Column:
+    """dot() for inputs already cast to array<double> (see to_double_array)
+    — identical values, two fewer interpreted HOF passes per pair."""
+    prods = F.zip_with(a, b, lambda x, y: x * y)
     return F.aggregate(prods, F.lit(0.0), lambda acc, x: acc + x)
 
 

@@ -24,7 +24,11 @@ from pyspark.sql import DataFrame
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from duckdb_streaming_patterns_spark.functions.vectors import dot, l2_norm
+from duckdb_streaming_patterns_spark.functions.vectors import (
+    dot_double,
+    l2_norm,
+    to_double_array,
+)
 
 
 def knn_bruteforce(
@@ -39,22 +43,25 @@ def knn_bruteforce(
     queries is expected small (it is broadcast). Self-matches excluded.
     Output: (query_id, neighbor_id, cosine, rank).
     """
+    # casts and norms computed per row (n, not n×m); per-pair work is one
+    # zip_with+fold
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        to_double_array(F.col(vec_col)).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
     )
     c = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        to_double_array(F.col(vec_col)).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
     )
-    # norms precomputed per row (n, not n×m); per-pair work is the dot fold
     scored = (
         c.join(F.broadcast(q), F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("q_vec"), F.col("c_vec")) / F.col("q_norm") / F.col("c_norm"),
+            dot_double(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -134,21 +141,23 @@ def knn_lsh(
     )
     c_vecs = corpus.select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        to_double_array(F.col(vec_col)).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
     )
     q_vecs = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        to_double_array(F.col(vec_col)).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
     )
-    # norms are computed once per row; per-pair work is only the dot fold.
+    # casts and norms computed once per row; per-pair work is one fold.
     scored = (
         cand.join(c_vecs, "neighbor_id")
         .join(F.broadcast(q_vecs), "query_id")
         .withColumn(
             "cosine",
-            dot(F.col("q_vec"), F.col("c_vec")) / F.col("q_norm") / F.col("c_norm"),
+            dot_double(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -258,7 +267,7 @@ def knn_ivf(
     cn = centroids / np.linalg.norm(centroids, axis=1, keepdims=True)
     cells = ivf_assign(corpus, centroids, id_col, vec_col).select(
         F.col(id_col).alias("neighbor_id"),
-        F.col(vec_col).alias("c_vec"),
+        to_double_array(F.col(vec_col)).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
         "cell",
     )
@@ -276,7 +285,7 @@ def knn_ivf(
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
-        F.col(vec_col).alias("q_vec"),
+        to_double_array(F.col(vec_col)).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
         F.explode(probe_cells(F.col(vec_col))).alias("cell"),
     )
@@ -285,7 +294,9 @@ def knn_ivf(
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
-            dot(F.col("q_vec"), F.col("c_vec")) / F.col("q_norm") / F.col("c_norm"),
+            dot_double(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
@@ -310,9 +321,11 @@ def cosine_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ threshold),
     equi-blocked (default: label) so candidate generation is join-shaped."""
+    # cast to double and compute the norm once per ROW; per-pair work is
+    # then a single zip_with+fold (dot_double), not five HOF passes
     cols = [
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
+        to_double_array(F.col(vec_col)).alias("v"),
         l2_norm(F.col(vec_col)).alias("nrm"),
     ]
     if block_col:
@@ -328,7 +341,7 @@ def cosine_neardup_pairs(
     if block_col:
         cond = cond & (a[block_col] == b[block_col])
     pairs = a.join(b, cond)
-    cos = dot(F.col("v"), F.col("v_b")) / F.col("nrm") / F.col("nrm_b")
+    cos = dot_double(F.col("v"), F.col("v_b")) / F.col("nrm") / F.col("nrm_b")
     return (
         pairs.withColumn("cosine", cos)
         .filter(F.col("cosine") >= threshold)

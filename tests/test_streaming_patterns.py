@@ -162,3 +162,32 @@ def test_streaming_dedup_removes_staged_copies(spark, sf_small):
     assert staged_rows.count() == 2 * ev_rows
     result = patterns.pattern_streaming_dedup(spark, chunks, run)
     assert _as_set(result) == _batch_oracle(spark, sf_small)
+
+
+def test_windowed_watermark_drops_late_rows_when_replay_is_unordered(
+    spark, sf_small
+):
+    """SURVEY §2.9 T5: the reference silently never counts rows that arrive
+    behind its high-watermark. Spark makes the same trade *explicit*: with
+    an arrival-unordered replay and a tight watermark, late rows are
+    dropped by the windowed aggregation — observably fewer clicks than the
+    batch total — while the event-time-ordered replay (previous test)
+    matches batch exactly."""
+    run = staging.new_run_dir("t_late")
+    # chunk by `value` (uncorrelated with ts — event_id would NOT do, the
+    # fixture generates it in timestamp order): each chunk spans the full
+    # time range, so after micro-batch 1 the watermark sits near the global
+    # max event time and most later rows are late
+    chunks = staging.stage_event_chunks(
+        spark, sf_small, run, n_chunks=4, order_col="value"
+    )
+    result = patterns.pattern_windowed_watermark(
+        spark, chunks, run, delay="0 seconds"
+    )
+    got_clicks = result.agg(F.sum("count_of_clicks")).first()[0] or 0
+    total_clicks = (
+        load_table(spark, sf_small, "events")
+        .filter(F.col("event_type") == "click")
+        .count()
+    )
+    assert 0 < got_clicks < total_clicks

@@ -11,6 +11,7 @@ streaming/kafka.py and differs only in the source format string.
 
 from __future__ import annotations
 
+import glob
 import os
 import uuid
 
@@ -37,6 +38,19 @@ def new_run_dir(tag: str) -> str:
     return d
 
 
+def _stamp_chunk_order(chunks_dir: str) -> None:
+    """Give chunk k's files mtime = t0 + k. Spark's file stream source
+    orders files by modification time; a single-pass partitioned write
+    stamps near-identical mtimes, so without this the replay order of
+    chunks is ARBITRARY (observed: chunk 1 before chunk 0) — silently
+    breaking every order-sensitive replay (watermarks, sessionization)."""
+    t0 = os.path.getmtime(chunks_dir)
+    for d in glob.glob(os.path.join(chunks_dir, "__chunk=*")):
+        k = int(d.rsplit("=", 1)[1])
+        for f in glob.glob(os.path.join(d, "*")):
+            os.utime(f, (t0 + k, t0 + k))
+
+
 def stage_event_chunks(
     spark: SparkSession,
     sf_dir: str,
@@ -55,23 +69,32 @@ def stage_event_chunks(
     each event that many times within its chunk, the fixture for streaming
     dedup (the copies land in one micro-batch, inside any watermark).
 
-    (The ntile window is a global sort — staging is the test harness, not
-    an engine path; the engine never globally sorts the stream.)
+    Chunk assignment is range-bucketing on approxQuantile boundaries
+    (parallel scan + a codegen'd per-row comparison) — no global sort.
+    Ties at a boundary all land in the lower chunk, so chunks are monotone
+    in order_col (the property the watermark tests need) even if slightly
+    uneven in size.
     """
-    from pyspark.sql import Window as W
-
     ev = load_table(spark, sf_dir, "events")
     chunks_dir = os.path.join(out_dir, "chunks")
     if order_col == "event_id":
-        # event_id is dense — arithmetic chunking, no sort needed
+        # event_id is dense — arithmetic chunking, no boundary probe needed
         rows = ev.count()
         per = (rows + n_chunks - 1) // n_chunks
         chunk = (F.col("event_id") / F.lit(per)).cast("int").alias("__chunk")
+        staged = ev.select("*", chunk)
     else:
-        chunk = (
-            F.ntile(n_chunks).over(W.orderBy(order_col, "event_id")) - 1
-        ).alias("__chunk")
-    staged = ev.select("*", chunk)
+        ord_expr = F.col(order_col)
+        if "timestamp" in dict(ev.dtypes)[order_col]:
+            ord_expr = F.unix_micros(ord_expr.cast("timestamp"))
+        probed = ev.withColumn("__ord", ord_expr.cast("double"))
+        bounds = probed.approxQuantile(
+            "__ord", [i / n_chunks for i in range(1, n_chunks)], 0.001
+        )
+        chunk = sum(
+            F.when(F.col("__ord") > F.lit(b), 1).otherwise(0) for b in bounds
+        )
+        staged = probed.select("*", chunk.cast("int").alias("__chunk")).drop("__ord")
     if dup_factor > 1:
         staged = staged.withColumn(
             "__copy", F.explode(F.array(*[F.lit(i) for i in range(dup_factor)]))
@@ -82,6 +105,7 @@ def stage_event_chunks(
         .partitionBy("__chunk")
         .parquet(chunks_dir)
     )
+    _stamp_chunk_order(chunks_dir)
     return chunks_dir
 
 
@@ -122,6 +146,7 @@ def stage_json_chunks(
         .partitionBy("__chunk")
         .text(chunks_dir)
     )
+    _stamp_chunk_order(chunks_dir)
     return chunks_dir
 
 

@@ -5,6 +5,7 @@ plus unit tests for the merge/fencing/ledger machinery (§5.3)."""
 from __future__ import annotations
 
 import datetime
+import os
 
 from pyspark.sql import functions as F
 
@@ -191,3 +192,45 @@ def test_windowed_watermark_drops_late_rows_when_replay_is_unordered(
         .count()
     )
     assert 0 < got_clicks < total_clicks
+
+
+def test_sessionization_order_sensitivity_at_scale(spark):
+    """Regression for the micro-batch ordering bug: at sf0.1 (5× more
+    chunks-worth of data than the oracle gate's sf0.01) an out-of-order
+    replay diverged from batch by ~1.5% while sf0.01 passed by luck.
+    Run the full streaming sessionization at sf0.1 and require exact
+    per-session equality with the batch lag+cumsum computation."""
+    sf = os.environ.get("SPARK_GRAFT_TEST_SF_BENCH", "/root/testdata/sf0.1")
+    run = staging.new_run_dir("t_pss_sf01")
+    chunks = staging.stage_event_chunks(spark, sf, run, n_chunks=5, order_col="ts")
+    got = {
+        (r["user_id"], r["session_seq"], r["n_events"])
+        for r in patterns.pattern_streaming_sessionization(
+            spark, chunks, run
+        ).collect()
+    }
+    gap_us = 30 * 60 * 1_000_000
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = ev.select("user_id", "ts", "event_id", us.alias("us")).withColumn(
+        "is_new",
+        F.when(
+            F.lag("us").over(w).isNull()
+            | ((F.col("us") - F.lag("us").over(w)) > gap_us),
+            1,
+        ).otherwise(0),
+    )
+    numbered = flagged.withColumn(
+        "session_seq",
+        F.sum("is_new").over(w.rowsBetween(W.unboundedPreceding, W.currentRow)),
+    )
+    want = {
+        (r["user_id"], r["session_seq"], r["n_events"])
+        for r in numbered.groupBy("user_id", "session_seq")
+        .agg(F.count("*").alias("n_events"))
+        .collect()
+    }
+    assert got == want

@@ -54,6 +54,8 @@ HEADLINE = [
     "text_quality_scores",
     "text_language_id",
     "doc_fingerprint",
+    "contamination_flags",
+    "train_val_test_split",
     "multimodal_payload_stats",
     # streaming patterns end-to-end
     "pattern_1_1_incremental_merge",

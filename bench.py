@@ -41,6 +41,8 @@ HEADLINE = [
     "q6_forecast_revenue",
     "q9_product_type_profit",
     "q18_large_volume_customers",
+    "q8_national_market_share",
+    "q21_sole_returning_supplier",
     "top3_orders_per_customer",
     "rollup_region_nation_customers",
     # training-data ops

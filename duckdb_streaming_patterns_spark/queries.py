@@ -257,6 +257,7 @@ def q_reaggregate_partials(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Register the extended query surfaces (import side effect).
 from duckdb_streaming_patterns_spark import queries_star  # noqa: E402,F401
 from duckdb_streaming_patterns_spark import queries_tpch  # noqa: E402,F401
+from duckdb_streaming_patterns_spark import queries_tpch2  # noqa: E402,F401
 from duckdb_streaming_patterns_spark import queries_text  # noqa: E402,F401
 from duckdb_streaming_patterns_spark import queries_sim  # noqa: E402,F401
 from duckdb_streaming_patterns_spark import queries_streaming  # noqa: E402,F401

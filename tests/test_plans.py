@@ -150,3 +150,48 @@ def test_q18_having_subquery_is_join_not_collect(spark, sf_small):
     # the >300-qty key set joins in (broadcast), never driver-collected
     assert "BroadcastHashJoin" in p
     assert "TakeOrderedAndProject" in p
+
+
+def test_q2_correlated_min_stays_broadcast(spark, sf_small):
+    """Q2's correlated min-subquery must compile to a broadcast join of the
+    per-part minima, with the region/size/type filters broadcast too —
+    never a recomputation per probe row."""
+    p = plan_of(spark, sf_small, "q2_min_cost_supplier")
+    assert p.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in p
+    assert "TakeOrderedAndProject" in p
+
+
+def test_q8_seven_table_join_one_shuffle_join(spark, sf_small):
+    """Q8 joins seven tables; every dimension must broadcast so the only
+    shuffled join is lineitem<->orders."""
+    p = plan_of(spark, sf_small, "q8_national_market_share")
+    assert p.count("BroadcastHashJoin") >= 4
+    assert p.count("SortMergeJoin") + p.count("ShuffledHashJoin") <= 1
+
+
+def test_q11_threshold_is_exact_decimal(spark, sf_small):
+    """Q11's HAVING threshold compares DECIMAL sums — exact arithmetic so
+    the cut is partial-sum-order independent (a double sum near the
+    threshold would flap between runs/engines)."""
+    fn, _ = QUERIES["q11_important_stock"]
+    df = fn(spark, sf_small)
+    assert dict(df.dtypes)["part_value"] == "double"  # output cast back
+    p = plan_of(spark, sf_small, "q11_important_stock")
+    assert "decimal" in p.lower()
+
+
+def test_q16_not_in_is_anti_join(spark, sf_small):
+    p = plan_of(spark, sf_small, "q16_supplier_part_counts")
+    assert "LeftAnti" in p
+    assert "CartesianProduct" not in p
+
+
+def test_q21_decorrelated_exists_is_aggregate_join(spark, sf_small):
+    """Q21's EXISTS/NOT-EXISTS pair is decorrelated into per-order
+    distinct-supplier counts: the plan must contain aggregation and joins,
+    no nested-loop re-scan of lineitem per row."""
+    p = plan_of(spark, sf_small, "q21_sole_returning_supplier")
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert p.count("HashAggregate") >= 2

@@ -57,6 +57,56 @@ def _jaccard(a, b):
     return inter / union
 
 
+def _balanced_sum(terms):
+    """Pairwise-reduced addition tree: depth log2(n) instead of n. A 64-term
+    linear chain generates one enormous nested-add method that Janino takes
+    seconds to compile (and may kick out of whole-stage codegen); the
+    balanced tree compiles fast and computes the same value."""
+    terms = list(terms)
+    while len(terms) > 1:
+        terms = [
+            terms[i] + terms[i + 1] if i + 1 < len(terms) else terms[i]
+            for i in range(0, len(terms), 2)
+        ]
+    return terms[0]
+
+
+def _bucket_pairs(bucketed: DataFrame, key_cols: list[str], item_col) -> DataFrame:
+    """Ordered within-bucket pairs via collect + in-array expansion.
+
+    The naive candidate join self-joins the bucketed relation, which makes
+    Catalyst compute the (expensive) upstream fingerprint aggregation
+    TWICE — exchange reuse does not fire across the alias boundary. Here
+    each bucket's items are collected once and pairs are expanded with
+    array transforms: one scan, one aggregation, and the shuffle carries
+    each item once per bucket key. Right for near-uniform small buckets
+    (MinHash bands: 2-row bands make collisions rare). For blocking keys
+    with LARGE clusters, prefer a persisted-input self-join instead — the
+    quadratic in-bucket expansion runs in codegen there, while these array
+    transforms are interpreted (see simhash_pairs).
+
+    ``item_col`` must sort by id first (atom or struct with id leading) so
+    pair order gives id_a < id_b. Returns columns ``a`` and ``b``.
+    """
+    buckets = bucketed.groupBy(*key_cols).agg(
+        F.sort_array(F.collect_list(item_col)).alias("items")
+    )
+    pair_arrays = F.flatten(
+        F.transform(
+            F.col("items"),
+            lambda x, i: F.transform(
+                F.slice(F.col("items"), i + 2, F.size(F.col("items"))),
+                lambda y: F.struct(x.alias("a"), y.alias("b")),
+            ),
+        )
+    )
+    return (
+        buckets.filter(F.size("items") >= 2)
+        .select(F.explode(pair_arrays).alias("p"))
+        .select("p.a", "p.b")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -146,16 +196,9 @@ def minhash_lsh_pairs(
             )
         ).alias("band_id", "band_hash"),
     )
-    left = bands.alias("a")
-    right = bands.alias("b")
     cand = (
-        left.join(
-            right,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        _bucket_pairs(bands, ["band_id", "band_hash"], F.col("id"))
+        .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact verification only on candidates: join the shingle sets back in
@@ -201,13 +244,14 @@ def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFr
         ]
     )
     # fingerprint = OR of masks where the vote is positive; masks are
-    # disjoint bits so integer addition == bitwise OR.
-    fp = None
-    for b, m in enumerate(masks):
-        term = F.when(F.col(f"v{b}") > 0, F.lit(m).cast("long")).otherwise(
+    # disjoint bits so integer addition == bitwise OR (balanced tree —
+    # a 64-deep linear add chain stalls Janino compilation).
+    fp = _balanced_sum(
+        F.when(F.col(f"v{b}") > 0, F.lit(m).cast("long")).otherwise(
             F.lit(0).cast("long")
         )
-        fp = term if fp is None else fp + term
+        for b, m in enumerate(masks)
+    )
     return votes.select("id", fp.alias("simhash"))
 
 
@@ -216,8 +260,17 @@ def simhash_pairs(
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-blocked on
     16-bit fingerprint quarters (a pair within Hamming ≤3 of 64 bits must
-    agree exactly on at least one of the 4 quarters — pigeonhole)."""
-    fps = simhash(df, id_col, text_col)
+    agree exactly on at least one of the 4 quarters — pigeonhole).
+
+    Candidates come from a hash self-join on the quarter key: near-dup
+    corpora have LARGE clusters (every pair in a cluster shares quarters),
+    and the codegen'd join handles the quadratic in-bucket expansion far
+    better than interpreted array transforms (measured 2x at sf0.1). The
+    fingerprints are persisted first so the expensive vote aggregation
+    runs once, not once per join side — exchange reuse does not fire
+    across the self-join alias boundary. The cache entry is one 16-byte
+    row per doc; it lives until the session drops it."""
+    fps = simhash(df, id_col, text_col).persist()
     quarters = fps.select(
         "id",
         "simhash",

@@ -469,18 +469,31 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     receipt>commit lateness predicate). The EXISTS pair with inequality
     correlation is re-expressed as per-order distinct-supplier counts:
     n_supp >= 2 <=> another supplier exists; distinct returning suppliers
-    == 1 <=> no OTHER supplier returned (l1 itself is returning). One
-    aggregation of lineitem replaces two correlated fact scans — the
-    classic decorrelation, done by hand so the plan is join-shaped at
-    100 TB."""
+    == 1 <=> no OTHER supplier returned (l1 itself is returning), and
+    numwait = that sole supplier's returned-line count. Lineitem is
+    shuffled ONCE — a per-(order, supplier) aggregate — and both
+    order-level stats come from a window over that (much smaller)
+    relation; the order-status check joins against the aggregate, never
+    the raw fact table. The classic decorrelation done by hand so the
+    plan is join-shaped at 100 TB."""
+    from pyspark.sql import Window
+
     li = _t(spark, sf_dir, "lineitem")
-    ord_supp = li.groupBy(F.col("l_orderkey").alias("ok1")).agg(
-        F.count_distinct("l_suppkey").alias("n_supp")
+    per_pair = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(
+            F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+        ).alias("n_r_lines")
     )
-    ret_supp = (
-        li.filter(F.col("l_returnflag") == "R")
-        .groupBy(F.col("l_orderkey").alias("ok2"))
-        .agg(F.count_distinct("l_suppkey").alias("n_ret_supp"))
+    w = Window.partitionBy("l_orderkey")
+    stats = per_pair.select(
+        "*",
+        F.count("*").over(w).alias("n_supp"),
+        F.sum((F.col("n_r_lines") > 0).cast("int")).over(w).alias("n_ret_supp"),
+    )
+    qual = stats.filter(
+        (F.col("n_r_lines") > 0)
+        & (F.col("n_supp") >= 2)
+        & (F.col("n_ret_supp") == 1)
     )
     orders = (
         _t(spark, sf_dir, "orders")
@@ -491,15 +504,11 @@ def q21_sole_returning_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     supp = _t(spark, sf_dir, "supplier").join(
         F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey")
     ).select("s_suppkey", "s_name")
-    l1 = li.filter(F.col("l_returnflag") == "R")
     return (
-        l1.join(F.broadcast(supp), l1.l_suppkey == supp.s_suppkey)
-        .join(orders, l1.l_orderkey == orders.o_orderkey)
-        .join(ord_supp, l1.l_orderkey == F.col("ok1"))
-        .join(ret_supp, l1.l_orderkey == F.col("ok2"))
-        .filter((F.col("n_supp") >= 2) & (F.col("n_ret_supp") == 1))
+        qual.join(orders, qual.l_orderkey == orders.o_orderkey, "left_semi")
+        .join(F.broadcast(supp), qual.l_suppkey == supp.s_suppkey)
         .groupBy("s_name")
-        .agg(F.count("*").alias("numwait"))
+        .agg(F.sum("n_r_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
         .limit(100)
     )

@@ -191,6 +191,191 @@ def q_quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "doc_chunks",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
+    )
+    SELECT doc_id, start AS chunk_start,
+           len(t[start:start+63]) AS n_chunk_tokens,
+           md5(array_to_string(t[start:start+63], ' ')) AS chunk_md5
+    FROM toks, unnest(range(1, greatest(1, len(t))+1, 48)) AS u(start)
+    """,
+)
+def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split each document into 64-token windows
+    with stride 48 (16-token overlap) — the pretraining tokenize-and-chunk
+    step. Pure row-local explode (sequence of window starts → slice), so
+    it parallelizes per document with no shuffle at any scale; emitted
+    chunks carry an md5 so the (wide) chunk text never needs to move."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    chunked = docs.select(
+        "doc_id",
+        t.alias("t"),
+        F.explode(
+            F.sequence(F.lit(1), F.greatest(F.lit(1), F.size(t)), F.lit(48))
+        ).alias("chunk_start"),
+    )
+    window = F.slice(F.col("t"), F.col("chunk_start"), 64)
+    return chunked.select(
+        "doc_id",
+        "chunk_start",
+        F.size(window).alias("n_chunk_tokens"),
+        F.md5(F.array_join(window, " ")).alias("chunk_md5"),
+    )
+
+
+@register(
+    "pack_token_bins",
+    r"""
+    WITH sized AS (
+      SELECT substring(md5(CAST(doc_id AS VARCHAR)), 1, 1) AS shard,
+             doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+    ), offsets AS (
+      SELECT shard, n_tok,
+             COALESCE(sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                                       ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING), 0) AS prefix
+      FROM sized
+    )
+    SELECT shard, CAST(floor(prefix / 2048.0) AS BIGINT) AS bin_id,
+           count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens
+    FROM offsets
+    GROUP BY shard, bin_id
+    """,
+)
+def q_pack_token_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: assign documents to 2048-token training bins by
+    running token offset, sharded 16 ways by key hash. Packing is
+    inherently sequential, so the scale move is to shard first (each shard
+    packs independently — one window shuffle per shard, never a global
+    sort) and accept bin boundaries that split a document across bins:
+    that IS how contiguous-token pretraining batches are built."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    sized = docs.select(
+        _hash_digit(F.col("doc_id")).alias("shard"),
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).alias("n_tok"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = sized.select(
+        "shard",
+        "n_tok",
+        F.coalesce(F.sum("n_tok").over(w), F.lit(0)).alias("prefix"),
+    )
+    return (
+        offsets.groupBy(
+            "shard",
+            F.floor(F.col("prefix") / 2048.0).cast("bigint").alias("bin_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("total_tokens"),
+        )
+    )
+
+
+@register(
+    "domain_mix_sample",
+    """
+    SELECT source, count(*) AS n_kept,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM documents
+    WHERE instr('0123456789abcdef',
+                substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1
+          < CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 16
+                 WHEN source IN ('src5','src6','src7','src8','src9') THEN 8
+                 WHEN source IN ('src10','src11','src12','src13','src14') THEN 4
+                 ELSE 2 END
+    GROUP BY source
+    """,
+)
+def q_domain_mix_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain mixing: per-source sampling rates (1, 1/2, 1/4, 1/8) applied
+    as deterministic key-hash thresholds — the corpus-reweighting step of
+    every pretraining mix. Membership is a pure function of (doc_id,
+    source): no RNG state, stable under re-partitioning, and the same doc
+    survives identically on every engine and cluster size."""
+    docs = _t(spark, sf_dir, "documents")
+    digit16 = (
+        F.instr(F.lit("0123456789abcdef"), _hash_digit(F.col("doc_id"))) - 1
+    )
+    threshold = (
+        F.when(F.col("source").isin(*[f"src{i}" for i in range(5)]), 16)
+        .when(F.col("source").isin(*[f"src{i}" for i in range(5, 10)]), 8)
+        .when(F.col("source").isin(*[f"src{i}" for i in range(10, 15)]), 4)
+        .otherwise(2)
+    )
+    return (
+        docs.filter(digit16 < threshold)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_kept"),
+            F.sum("n_chars").cast("bigint").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "top_bigrams_per_lang",
+    r"""
+    WITH toks AS (
+      SELECT lang, string_split_regex(trim(text), '\s+') AS t FROM documents
+    ), bg AS (
+      SELECT lang,
+             unnest(list_transform(range(1, len(t)),
+                                   i -> t[i] || ' ' || t[i+1])) AS bigram
+      FROM toks
+    ), counted AS (
+      SELECT lang, bigram, count(*) AS n FROM bg GROUP BY lang, bigram
+    )
+    SELECT lang, bigram, n
+    FROM (SELECT *, row_number() OVER (PARTITION BY lang
+                                       ORDER BY n DESC, bigram) AS rk
+          FROM counted)
+    WHERE rk <= 5
+    """,
+)
+def q_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 token bigrams per language — the n-gram statistics pass of
+    corpus analysis. Bigram generation is a row-local zip of the token
+    array with its own tail (no shuffle); the count is one partial+final
+    aggregation, and the per-language top-k is a window over the (small)
+    counted relation with a total-order tiebreak."""
+    from pyspark.sql import Window
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.split(F.trim(F.col("text")), r"\s+")
+    n = F.size(t)
+    bigrams = F.zip_with(
+        F.slice(t, 1, n - 1),
+        F.slice(t, 2, n - 1),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    counted = (
+        docs.select("lang", F.explode(bigrams).alias("bigram"))
+        .groupBy("lang", "bigram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("n").desc(), "bigram")
+    return (
+        counted.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select("lang", "bigram", "n")
+    )
+
+
 @register("approx_distinct_users", None)
 def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ distinct-user estimate per event type

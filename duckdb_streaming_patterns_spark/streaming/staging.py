@@ -22,6 +22,13 @@ from duckdb_streaming_patterns_spark.sources.tables import load_table
 
 RUNS_ROOT = os.environ.get("SPARK_GRAFT_RUN_DIR", "/tmp/dsp_runs")
 
+# Staged chunk dirs are a pure function of (table dir, chunking params) —
+# the same bytes every time — so repeated pattern runs in one process
+# (bench + the oracle gate run every pattern query) reuse the first
+# staging instead of re-writing it. Checkpoints and summaries stay
+# per-run; only the *input* replay files are shared.
+_STAGE_CACHE: dict[tuple, str] = {}
+
 EVENT_SCHEMA = (
     "event_id long, ts timestamp_ntz, user_id long, event_type string,"
     " value double, props string"
@@ -75,6 +82,10 @@ def stage_event_chunks(
     in order_col (the property the watermark tests need) even if slightly
     uneven in size.
     """
+    key = ("events", sf_dir, n_chunks, order_col, dup_factor)
+    cached = _STAGE_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
     ev = load_table(spark, sf_dir, "events")
     chunks_dir = os.path.join(out_dir, "chunks")
     if order_col == "event_id":
@@ -106,6 +117,7 @@ def stage_event_chunks(
         .parquet(chunks_dir)
     )
     _stamp_chunk_order(chunks_dir)
+    _STAGE_CACHE[key] = chunks_dir
     return chunks_dir
 
 
@@ -126,6 +138,10 @@ def stage_json_chunks(
     """Stage events as JSON-lines text chunks — the Kafka *value* parity
     path: each line is what the reference producer would put on the wire
     (scripts/producer.py:73-78), exercising decode + from_json at read."""
+    key = ("events_json", sf_dir, n_chunks)
+    cached = _STAGE_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
     ev = load_table(spark, sf_dir, "events")
     rows = ev.count()
     per = (rows + n_chunks - 1) // n_chunks
@@ -147,6 +163,7 @@ def stage_json_chunks(
         .text(chunks_dir)
     )
     _stamp_chunk_order(chunks_dir)
+    _STAGE_CACHE[key] = chunks_dir
     return chunks_dir
 
 

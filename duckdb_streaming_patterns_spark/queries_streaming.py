@@ -12,6 +12,13 @@ from pyspark.sql import DataFrame, SparkSession
 from duckdb_streaming_patterns_spark.queries import register
 from duckdb_streaming_patterns_spark.streaming import patterns, staging
 
+# State-store partition count for these fixture-scale runs: the summaries
+# hold ~1.5k keys, so 8 partitions bound the per-batch store-commit
+# overhead (32 x 5 commits dominated pattern_2 before). A 100 TB keyspace
+# sizes this to cluster cores instead -- the parameter exists because the
+# right value tracks STATE size, not a session default.
+_STATE_PARTS = 8
+
 _BATCH_ORACLE = """
     SELECT user_id,
            count(*) AS count_of_clicks,
@@ -29,7 +36,7 @@ def q_pattern_1_1(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle = one-shot batch aggregation → proves incremental ≡ batch."""
     run = staging.new_run_dir("p11")
     chunks = staging.stage_event_chunks(spark, sf_dir, run, n_chunks=5)
-    return patterns.pattern_1_1(spark, chunks, run)
+    return patterns.pattern_1_1(spark, chunks, run, state_partitions=_STATE_PARTS)
 
 
 @register("pattern_1_2_cdf_merge", _BATCH_ORACLE)
@@ -38,7 +45,9 @@ def q_pattern_1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounds, end-of-run compaction (reference pattern_1_2.py)."""
     run = staging.new_run_dir("p12")
     chunks = staging.stage_event_chunks(spark, sf_dir, run, n_chunks=5)
-    return patterns.pattern_1_2(spark, chunks, run, aggregate_every=2)
+    return patterns.pattern_1_2(
+        spark, chunks, run, aggregate_every=2, state_partitions=_STATE_PARTS
+    )
 
 
 @register("pattern_2_complete_overwrite", _BATCH_ORACLE)
@@ -47,7 +56,7 @@ def q_pattern_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-batch DuckDB overwrite (reference pattern_2.py)."""
     run = staging.new_run_dir("p2")
     chunks = staging.stage_json_chunks(spark, sf_dir, run, n_chunks=5)
-    return patterns.pattern_2(spark, chunks, run)
+    return patterns.pattern_2(spark, chunks, run, state_partitions=_STATE_PARTS)
 
 
 @register(
@@ -69,7 +78,9 @@ def q_pattern_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = staging.stage_event_chunks(
         spark, sf_dir, run, n_chunks=5, order_col="ts"
     )
-    return patterns.pattern_windowed_watermark(spark, chunks, run)
+    return patterns.pattern_windowed_watermark(
+        spark, chunks, run, state_partitions=_STATE_PARTS
+    )
 
 
 @register("pattern_streaming_dedup", _BATCH_ORACLE)
@@ -81,7 +92,9 @@ def q_pattern_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = staging.stage_event_chunks(
         spark, sf_dir, run, n_chunks=5, order_col="ts", dup_factor=2
     )
-    return patterns.pattern_streaming_dedup(spark, chunks, run)
+    return patterns.pattern_streaming_dedup(
+        spark, chunks, run, state_partitions=_STATE_PARTS
+    )
 
 
 _SESSION_GAP_US = 30 * 60 * 1_000_000
@@ -119,7 +132,9 @@ def q_pattern_streaming_sessionization(spark: SparkSession, sf_dir: str) -> Data
     chunks = staging.stage_event_chunks(
         spark, sf_dir, run, n_chunks=5, order_col="ts"
     )
-    return patterns.pattern_streaming_sessionization(spark, chunks, run)
+    return patterns.pattern_streaming_sessionization(
+        spark, chunks, run, state_partitions=_STATE_PARTS
+    )
 
 
 @register(

@@ -21,6 +21,7 @@ Pattern map (reference → here):
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -31,6 +32,29 @@ from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
 from duckdb_streaming_patterns_spark.streaming import staging
 
 SUMMARY_DDL = "user_id long, count_of_clicks long, updated_at timestamp_ntz"
+
+
+@contextmanager
+def _state_partitions(spark: SparkSession, n: int | None):
+    """Temporarily set the shuffle-partition count for a streaming run.
+
+    A stateful query's state-store partition count is fixed from
+    ``spark.sql.shuffle.partitions`` at checkpoint creation, and every
+    micro-batch pays a per-partition store open/commit. That fixed cost
+    must be sized to the STATE, not the session default: the bench's
+    ~1.5k-key summaries want a handful of partitions (32 partitions x 5
+    batches of commit overhead dominated pattern_2's runtime, measured
+    2.3x at sf0.1), while a 100 TB keyspace wants thousands. Callers pass
+    the size that fits their state; None keeps the session setting."""
+    if n is None:
+        yield
+        return
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
 def _delta_agg(batch: DataFrame) -> DataFrame:
@@ -45,7 +69,12 @@ def _delta_agg(batch: DataFrame) -> DataFrame:
     )
 
 
-def pattern_1_1(spark: SparkSession, chunks_dir: str, run_dir: str) -> DataFrame:
+def pattern_1_1(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Incremental MERGE maintenance (reference pattern_1_1.py:85-124).
 
     Each micro-batch: aggregate the delta, additively merge into the
@@ -62,14 +91,15 @@ def pattern_1_1(spark: SparkSession, chunks_dir: str, run_dir: str) -> DataFrame
             max_cols=["updated_at"],
         )
 
-    q = (
-        staging.read_event_stream(spark, chunks_dir)
-        .writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_event_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return summary.read()
 
 
@@ -78,6 +108,7 @@ def pattern_1_2(
     chunks_dir: str,
     run_dir: str,
     aggregate_every: int = 2,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """CDF-scoped incremental maintenance (reference pattern_1_2.py).
 
@@ -111,15 +142,16 @@ def pattern_1_2(
         if sid >= 0 and (sid + 1) % aggregate_every == 0:
             aggregate_round()
 
-    q = (
-        staging.read_event_stream(spark, chunks_dir)
-        .writeStream.foreachBatch(ingest_batch)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
-    aggregate_round()  # drain the tail
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_event_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        aggregate_round()  # drain the tail
     raw.compact()
     return summary.read()
 
@@ -130,6 +162,7 @@ def pattern_windowed_watermark(
     run_dir: str,
     window_len: str = "1 hour",
     delay: str = "30 minutes",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Event-time tumbling-window aggregation with a watermark (SURVEY §2.9
     T7 — the windowed surface the reference lacks).
@@ -175,14 +208,15 @@ def pattern_windowed_watermark(
             set_cols=["count_of_clicks", "updated_at"],
         )
 
-    q = (
-        agg.writeStream.foreachBatch(apply_batch)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return summary.read()
 
 
@@ -191,6 +225,7 @@ def pattern_streaming_dedup(
     chunks_dir: str,
     run_dir: str,
     delay: str = "30 minutes",
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Streaming exact dedup via ``dropDuplicatesWithinWatermark`` (SURVEY
     §2.11 / §2.9 T5 — the late/duplicate handling the reference lacks).
@@ -223,13 +258,14 @@ def pattern_streaming_dedup(
             max_cols=["updated_at"],
         )
 
-    q = (
-        deduped.writeStream.foreachBatch(apply_batch)
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            deduped.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return summary.read()
 
 
@@ -238,6 +274,7 @@ def pattern_streaming_sessionization(
     chunks_dir: str,
     run_dir: str,
     gap_us: int = 30 * 60 * 1_000_000,
+    state_partitions: int | None = None,
 ) -> DataFrame:
     """Custom stateful streaming operator (SURVEY §2.10 escape hatch done
     right): gap-based sessionization via ``applyInPandasWithState``.
@@ -265,35 +302,49 @@ def pattern_streaming_sessionization(
         keys=["user_id", "session_seq"],
     )
 
+    import numpy as np
+
     def sessionize(key, pdf_iter, state: GroupState):
         (user_id,) = key
         rows = pd.concat(list(pdf_iter), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         # normalize to ns first — Arrow may hand us datetime64[us] or [ns]
-        ts_us = rows["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ts_us = (
+            rows["ts"].astype("datetime64[ns]").astype("int64") // 1000
+        ).to_numpy()
         if state.exists:
             seq, start_us, last_us, n = state.get
         else:
             seq, start_us, last_us, n = 0, None, None, 0
-        out = []
-        for t in ts_us:
-            t = int(t)
-            if start_us is None:
-                seq, start_us, last_us, n = seq + 1, t, t, 1
-            elif t - last_us > gap_us:
-                out.append((user_id, seq, n, start_us, last_us))  # close
-                seq, start_us, last_us, n = seq + 1, t, t, 1
-            else:
-                last_us, n = t, n + 1
-        state.update((seq, start_us, last_us, n))
-        out.append((user_id, seq, n, start_us, last_us))  # open session too
+        # vectorized segmentation: a row opens a new session iff its gap
+        # from the previous event (batch-internal, or the carried
+        # last-seen) exceeds gap_us. Per-segment aggregates come from
+        # boundary indices — no per-row Python loop (the loop form was
+        # ~3x the pattern's runtime at sf0.1).
+        new = np.empty(len(ts_us), dtype=bool)
+        new[0] = last_us is None or ts_us[0] - last_us > gap_us
+        np.greater(np.diff(ts_us), gap_us, out=new[1:])
+        bounds = np.flatnonzero(new)
+        if not new[0]:  # first segment continues the carried open session
+            bounds = np.concatenate(([0], bounds))
+        seg_ends = np.concatenate((bounds[1:], [len(ts_us)]))
+        counts = (seg_ends - bounds).astype("int64")
+        starts = ts_us[bounds]
+        ends = ts_us[seg_ends - 1]
+        seqs = seq + np.cumsum(new)[bounds]
+        if not new[0]:  # continuation: keep seq/start, add prior count
+            counts[0] += n
+            starts[0] = start_us
+        state.update(
+            (int(seqs[-1]), int(starts[-1]), int(ends[-1]), int(counts[-1]))
+        )
         yield pd.DataFrame(
             {
-                "user_id": [o[0] for o in out],
-                "session_seq": [o[1] for o in out],
-                "n_events": [o[2] for o in out],
-                "session_start": pd.to_datetime([o[3] for o in out], unit="us"),
-                "session_end": pd.to_datetime([o[4] for o in out], unit="us"),
+                "user_id": np.full(len(bounds), user_id, dtype="int64"),
+                "session_seq": seqs.astype("int64"),
+                "n_events": counts,
+                "session_start": pd.to_datetime(starts, unit="us"),
+                "session_end": pd.to_datetime(ends, unit="us"),
             }
         )
 
@@ -318,18 +369,24 @@ def pattern_streaming_sessionization(
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         summary.append(batch, batch_id)
 
-    q = (
-        sessions.writeStream.foreachBatch(apply_batch)
-        .outputMode("update")
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            sessions.writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
     return summary.read_latest()
 
 
-def pattern_2(spark: SparkSession, json_chunks_dir: str, run_dir: str) -> DataFrame:
+def pattern_2(
+    spark: SparkSession,
+    json_chunks_dir: str,
+    run_dir: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
     """Complete-mode re-aggregation with per-batch sink overwrite
     (reference pattern_2.py:14-68): JSON wire → from_json → filter →
     stateful groupBy agg → outputMode(complete) → foreachBatch overwrites
@@ -359,14 +416,15 @@ def pattern_2(spark: SparkSession, json_chunks_dir: str, run_dir: str) -> DataFr
         finally:
             con.close()
 
-    q = (
-        agg.writeStream.foreachBatch(overwrite_to_duckdb)
-        .outputMode("complete")
-        .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    with _state_partitions(spark, state_partitions):
+        q = (
+            agg.writeStream.foreachBatch(overwrite_to_duckdb)
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
 
     con = duckdb.connect(db_path)
     try:

@@ -191,9 +191,7 @@ def q_quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "doc_chunks",
-    r"""
+_DOC_CHUNKS_ORACLE = r"""
     WITH toks AS (
       SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents
     )
@@ -201,8 +199,10 @@ def q_quality_filter_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(t[start:start+63]) AS n_chunk_tokens,
            md5(array_to_string(t[start:start+63], ' ')) AS chunk_md5
     FROM toks, unnest(range(1, greatest(1, len(t))+1, 48)) AS u(start)
-    """,
-)
+"""
+
+
+@register("doc_chunks", _DOC_CHUNKS_ORACLE)
 def q_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Context-window chunking: split each document into 64-token windows
     with stride 48 (16-token overlap) — the pretraining tokenize-and-chunk
@@ -373,6 +373,59 @@ def q_top_bigrams_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         counted.withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= 5)
         .select("lang", "bigram", "n")
+    )
+
+
+@register("doc_chunks_udtf", _DOC_CHUNKS_ORACLE)
+def q_doc_chunks_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SAME chunking as doc_chunks, via a Python UDTF lateral join
+    (SURVEY §2.10 — the engine-defined table-function surface the
+    reference only consumes). Row-at-a-time Python: the flexibility
+    escape hatch, NOT the scale path — the native sequence/slice form is
+    ~10x cheaper and both are held to the same DuckDB oracle, which is
+    the point: swap-in extensions must not change results."""
+    from duckdb_streaming_patterns_spark.functions.udtfs import register_udtfs
+
+    register_udtfs(spark)
+    _t(spark, sf_dir, "documents").createOrReplaceTempView("__docs_chunk_src")
+    return spark.sql(
+        """
+        SELECT d.doc_id, c.chunk_start, c.n_chunk_tokens, c.chunk_md5
+        FROM __docs_chunk_src d, LATERAL chunk_doc(d.text) c
+        """
+    )
+
+
+@register(
+    "events_variant_stats",
+    """
+    SELECT event_type,
+           count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(max(k) AS BIGINT) AS max_k
+    FROM (SELECT event_type, CAST(props ->> '$.k' AS BIGINT) AS k FROM events)
+    WHERE k IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def q_events_variant_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured props via VariantType (SURVEY §1.4's Spark-4
+    mapping for the reference's `::json` cast, bonus_pattern.py:21):
+    parse_json once, then typed variant_get extraction — the open-schema
+    path where the JSON shape is not declared up front. Variant's binary
+    encoding makes repeated field extraction cheaper than re-parsing
+    strings per path (the get_json_object form in events_json_extract)."""
+    ev = _t(spark, sf_dir, "events")
+    k = F.try_variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .filter(F.col("k").isNotNull())
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("k").cast("bigint").alias("sum_k"),
+            F.max("k").cast("bigint").alias("max_k"),
+        )
     )
 
 

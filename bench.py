@@ -58,6 +58,8 @@ HEADLINE = [
     "doc_fingerprint",
     "contamination_flags",
     "train_val_test_split",
+    "doc_chunks",
+    "pack_token_bins",
     "multimodal_payload_stats",
     # streaming patterns end-to-end
     "pattern_1_1_incremental_merge",

@@ -195,3 +195,27 @@ def test_q21_decorrelated_exists_is_aggregate_join(spark, sf_small):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert p.count("HashAggregate") >= 2
+
+
+def test_doc_chunks_is_shuffle_free(spark, sf_small):
+    """Chunking is a row-local explode: the plan must contain no Exchange —
+    it parallelizes per input split at any scale."""
+    p = plan_of(spark, sf_small, "doc_chunks")
+    assert "Exchange" not in p
+    assert "Generate" in p  # the explode
+
+
+def test_pack_token_bins_single_window_shuffle(spark, sf_small):
+    """Packing shuffles once (on the shard key for the running-offset
+    window) plus the final small aggregation — never a global sort."""
+    p = plan_of(spark, sf_small, "pack_token_bins")
+    assert p.count("Exchange hashpartitioning") <= 2
+    assert "rangepartitioning" not in p.lower().replace(" ", "")
+
+
+def test_domain_mix_prunes_columns(spark, sf_small):
+    """The sampling predicate is row-local; only the three referenced
+    columns may be read from parquet."""
+    p = plan_of(spark, sf_small, "domain_mix_sample")
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "text" not in read  # the wide column stays unread

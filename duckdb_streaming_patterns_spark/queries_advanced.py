@@ -448,3 +448,41 @@ def q_salted_join_segment_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         F.count("*").alias("n_orders"),
     )
+
+
+@register(
+    "rolling_30d_revenue",
+    """
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+                 PARTITION BY o_custkey
+                 ORDER BY date_diff('day', DATE '1970-01-01',
+                                    CAST(o_orderdate AS DATE))
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_30d
+    FROM orders
+    """,
+)
+def q_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per-customer 30-day trailing revenue per
+    order. The frame key is integer days-since-epoch so the RANGE bounds
+    are engine-identical (interval-literal frames differ subtly between
+    dialects), and the frame sum runs in DECIMAL so peers' addition order
+    cannot move the rounded output. One shuffle on the partition key;
+    frame state per row is O(frame span), independent of history length."""
+    orders = _t(spark, sf_dir, "orders")
+    day = F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01"))
+    w = (
+        W.partitionBy("o_custkey")
+        .orderBy(day)
+        .rangeBetween(-30, 0)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .over(w)
+        .cast("double")
+        .alias("rolling_30d"),
+    )

@@ -486,3 +486,44 @@ def q_rolling_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("rolling_30d"),
     )
+
+
+@register(
+    "bucketed_join_revenue",
+    """
+    SELECT o_orderstatus,
+           ROUND(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           count(*) AS n_lines
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    """,
+)
+def q_bucketed_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact join through bucketed-at-rest tables (operators/layout.py):
+    the SortMergeJoin reads co-located bucketed scans with zero Exchange
+    (plan-asserted). Oracle = the plain join on raw parquet — physical
+    layout must be value-invisible."""
+    from duckdb_streaming_patterns_spark.operators import layout
+
+    return layout.bucketed_revenue_by_status(spark, sf_dir)
+
+
+@register(
+    "partition_pruned_daily_clicks",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           count(*) AS n_clicks
+    FROM events
+    WHERE CAST(ts AS DATE) BETWEEN DATE '2024-01-10' AND DATE '2024-01-12'
+      AND event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def q_partition_pruned_daily_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-window clicks from the date-partitioned layout
+    (operators/layout.py): the range predicate becomes PartitionFilters on
+    the scan, so only 3 of 30 day-directories are read. Oracle = the same
+    aggregation over the unpartitioned raw table."""
+    from duckdb_streaming_patterns_spark.operators import layout
+
+    return layout.pruned_daily_clicks(spark, sf_dir, "2024-01-10", "2024-01-12")

@@ -219,3 +219,25 @@ def test_domain_mix_prunes_columns(spark, sf_small):
     p = plan_of(spark, sf_small, "domain_mix_sample")
     read = p.split("ReadSchema")[1].splitlines()[0]
     assert "text" not in read  # the wide column stays unread
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_small):
+    """Bucketed-at-rest join: the SortMergeJoin consumes co-located
+    bucketed scans — ZERO Exchange anywhere in the join subtree. This is
+    the layout-time-shuffle trade the 100 TB design leans on."""
+    p = plan_of(spark, sf_small, "bucketed_join_revenue")
+    assert "SortMergeJoin" in p
+    # exactly ONE Exchange in the whole plan: the final aggregation's.
+    # The join itself consumes the bucketed scans directly.
+    tree = p.split("(1) Scan")[0]
+    assert tree.count("Exchange") == 1
+    assert "Bucketed: true" in p
+    assert "SelectedBucketsCount" in p
+
+
+def test_partition_pruning_reaches_scan(spark, sf_small):
+    """The date-range predicate must land in PartitionFilters (directory
+    pruning), not just PushedFilters (row-group pruning)."""
+    p = plan_of(spark, sf_small, "partition_pruned_daily_clicks")
+    seg = p.split("PartitionFilters")[1].splitlines()[0]
+    assert "event_date" in seg

@@ -155,3 +155,33 @@ def q_bonus(spark: SparkSession, sf_dir: str) -> DataFrame:
     run = staging.new_run_dir("bonus")
     chunks = staging.stage_json_chunks(spark, sf_dir, run, n_chunks=5)
     return patterns.bonus_stateless_views(spark, chunks, k=5)
+
+
+@register(
+    "pattern_stream_stream_join",
+    """
+    SELECT c.user_id, count(*) AS n_pairs
+    FROM events c JOIN events v
+      ON c.user_id = v.user_id
+     AND c.event_type = 'click' AND v.event_type = 'view'
+     AND v.ts BETWEEN c.ts - INTERVAL 1 DAY AND c.ts
+    GROUP BY c.user_id
+    """,
+)
+def q_pattern_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermarked stream-stream interval join (clicks x preceding views
+    within 1 day, per user) over a 5-batch event-time-ordered replay.
+    Oracle = the batch interval join — proves the streaming join's
+    buffered-state bookkeeping loses and invents nothing. The window is
+    sized to the fixture's event density so a measurable share of pairs
+    (~6% at sf0.01) SPANS micro-batch boundaries — the partner must
+    survive in buffered state across batches for the counts to match;
+    the watermark delay (2 days) exceeds the join window (1 day) so no
+    partner is evicted before it can match."""
+    run = staging.new_run_dir("pssj")
+    chunks = staging.stage_event_chunks(
+        spark, sf_dir, run, n_chunks=5, order_col="ts"
+    )
+    return patterns.pattern_stream_stream_join(
+        spark, chunks, run, state_partitions=_STATE_PARTS
+    )

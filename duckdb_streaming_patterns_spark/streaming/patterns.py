@@ -381,6 +381,86 @@ def pattern_streaming_sessionization(
     return summary.read_latest()
 
 
+def pattern_stream_stream_join(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    join_window: str = "1 day",
+    delay: str = "2 days",
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Stream-stream interval join (SURVEY §2.9's missing join surface):
+    click events joined to the view events that preceded them within
+    ``join_window``, per user, both sides watermarked.
+
+    Both streams derive from ONE staged source (filtered two ways), so the
+    replay stays deterministic. The interval condition bounds each side's
+    buffered state to the join window x watermark delay — at 100 TB the
+    state is O(in-flight window), never O(stream). The replay is
+    event-time ordered with delay >> window, so no matched pair is
+    state-evicted before its partner arrives and the result equals the
+    batch interval join (the oracle).
+
+    Matched pairs append to an UpsertLog keyed by the pair ids (append =
+    idempotent per batch dir); the per-user pair count is a batch
+    aggregation over the log at the end — counting in-stream would stack
+    a second stateful operator on the join for no semantic gain."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    pairs = UpsertLog(
+        spark,
+        os.path.join(run_dir, "pairs"),
+        keys=["click_id", "view_id"],
+    )
+
+    src = staging.read_event_stream(spark, chunks_dir).withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks = (
+        src.filter(F.col("event_type") == CLICK)
+        .select(
+            F.col("event_id").alias("click_id"),
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+        )
+        .withWatermark("c_ts", delay)
+    )
+    views = (
+        src.filter(F.col("event_type") == "view")
+        .select(
+            F.col("event_id").alias("view_id"),
+            F.col("user_id").alias("v_user"),
+            F.col("ts").alias("v_ts"),
+        )
+        .withWatermark("v_ts", delay)
+    )
+    joined = clicks.join(
+        views,
+        F.expr(
+            f"c_user = v_user AND "
+            f"v_ts BETWEEN c_ts - INTERVAL {join_window} AND c_ts"
+        ),
+        "inner",
+    ).select("click_id", "view_id", F.col("c_user").alias("user_id"))
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        pairs.append(batch, batch_id)
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            joined.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return (
+        pairs.read_latest()
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
 def pattern_2(
     spark: SparkSession,
     json_chunks_dir: str,

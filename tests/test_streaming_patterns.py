@@ -234,3 +234,43 @@ def test_sessionization_order_sensitivity_at_scale(spark):
         .collect()
     }
     assert got == want
+
+
+def test_stream_stream_join_buffers_across_batches(spark, sf_oracle):
+    """The interval join's oracle equality only proves buffering if pairs
+    actually SPAN micro-batches — pin that the fixture/window combination
+    produces cross-chunk pairs, so a future window shrink can't quietly
+    turn this into a within-batch-only test."""
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_oracle, "events")
+    bounds = (
+        ev.withColumn("us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .approxQuantile("us", [0.2, 0.4, 0.6, 0.8], 0.001)
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("cu"), F.col("ts").alias("c_ts")
+    )
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("vu"), F.col("ts").alias("v_ts")
+    )
+    pairs = clicks.join(
+        views,
+        (F.col("cu") == F.col("vu"))
+        & F.col("v_ts").between(
+            F.col("c_ts") - F.expr("INTERVAL 1 DAY"), F.col("c_ts")
+        ),
+    ).select(
+        F.unix_micros(F.col("c_ts").cast("timestamp")).alias("c_us"),
+        F.unix_micros(F.col("v_ts").cast("timestamp")).alias("v_us"),
+    )
+    crossing = pairs.filter(
+        # some staged chunk boundary falls strictly between view and click
+        F.exists(
+            F.array(*[F.lit(int(b)) for b in bounds]),
+            lambda b: (b > F.col("v_us")) & (b <= F.col("c_us")),
+        )
+    ).count()
+    assert crossing > 0

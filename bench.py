@@ -61,10 +61,14 @@ HEADLINE = [
     "doc_chunks",
     "pack_token_bins",
     "multimodal_payload_stats",
+    # physical layout
+    "bucketed_join_revenue",
+    "partition_pruned_daily_clicks",
     # streaming patterns end-to-end
     "pattern_1_1_incremental_merge",
     "pattern_2_complete_overwrite",
     "pattern_streaming_sessionization",
+    "pattern_stream_stream_join",
 ]
 
 

@@ -40,9 +40,20 @@ def _rev():
     return F.col("l_extendedprice") * (1 - F.col("l_discount"))
 
 
-def _partsupp_cost(spark, sf_dir):
-    """Surrogate partsupp: min observed unit price per (part, supplier)."""
+def _partsupp_cost(spark, sf_dir, part_keys=None):
+    """Surrogate partsupp: min observed unit price per (part, supplier).
+
+    ``part_keys`` (a one-column DataFrame of p_partkey) pre-filters the
+    fact scan with a broadcast semi-join BEFORE the aggregation — at
+    100 TB the part predicate must reach lineitem first, or the one big
+    shuffle carries every part's rows just to drop most of them later."""
     li = _t(spark, sf_dir, "lineitem")
+    if part_keys is not None:
+        li = li.join(
+            F.broadcast(part_keys),
+            li.l_partkey == F.col(part_keys.columns[0]),
+            "left_semi",
+        )
     return li.groupBy("l_partkey", "l_suppkey").agg(
         F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("supplycost")
     )
@@ -81,12 +92,16 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated min-subquery becomes a groupBy-min on the region-scoped
     derived partsupp, broadcast back into an equality filter — the fact
     table is aggregated exactly once. The min is over identical IEEE
-    division results on both engines, so the equality is exact."""
-    ps = _partsupp_cost(spark, sf_dir)
+    division results on both engines, so the equality is exact. The part
+    predicate pre-filters the lineitem aggregation via broadcast semi-join
+    (the scoped relation only contains qualifying parts anyway)."""
     part = (
         _t(spark, sf_dir, "part")
         .filter((F.col("p_size") == 15) & (F.col("p_type") == "PROMO"))
         .select("p_partkey", "p_name")
+    )
+    ps = _partsupp_cost(
+        spark, sf_dir, part_keys=part.select(F.col("p_partkey").alias("pk"))
     )
     region = _t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE")
     nation = _t(spark, sf_dir, "nation").join(
@@ -332,17 +347,24 @@ def q16_supplier_part_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     same NOT-IN -> anti-join plan). The distinct part-supplier pairs come
     from one lineitem aggregation; the exclusion list is tiny and
     broadcast as a left-anti join (keys are non-null, so NOT IN and anti
-    are equivalent)."""
-    ps = (
-        _t(spark, sf_dir, "lineitem")
-        .select("l_partkey", "l_suppkey")
-        .distinct()
-    )
+    are equivalent). The part predicate semi-joins into the fact scan
+    BEFORE the distinct, so the dedup shuffle carries only qualifying
+    parts' pairs."""
     part = _t(spark, sf_dir, "part").filter(
         (F.col("p_brand") != "Brand#1")
         & (F.col("p_type") != "PROMO")
         & F.col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45)
     ).select("p_partkey", "p_brand", "p_type", "p_size")
+    li = _t(spark, sf_dir, "lineitem")
+    ps = (
+        li.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("fk"))),
+            li.l_partkey == F.col("fk"),
+            "left_semi",
+        )
+        .select("l_partkey", "l_suppkey")
+        .distinct()
+    )
     flagged = (
         _t(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
@@ -372,15 +394,24 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlated per-part average becomes one groupBy over lineitem joined
     back by part key (quantities are exact integers in double, so the
     0.5*avg threshold is engine-stable). At scale the per-part averages
-    relation is part-sized — broadcastable."""
+    relation is part-sized — broadcastable; its input is pre-filtered to
+    qualifying part keys via broadcast semi-join so the aggregation never
+    shuffles non-qualifying parts' rows (the correlated subquery only
+    ever probes qualifying parts)."""
     li = _t(spark, sf_dir, "lineitem")
     part = (
         _t(spark, sf_dir, "part")
         .filter((F.col("p_brand") == "Brand#3") & (F.col("p_size") < 10))
         .select("p_partkey")
     )
-    avg_qty = li.groupBy(F.col("l_partkey").alias("ak")).agg(
-        F.avg("l_quantity").alias("avg_qty")
+    avg_qty = (
+        li.join(
+            F.broadcast(part.select(F.col("p_partkey").alias("fk"))),
+            li.l_partkey == F.col("fk"),
+            "left_semi",
+        )
+        .groupBy(F.col("l_partkey").alias("ak"))
+        .agg(F.avg("l_quantity").alias("avg_qty"))
     )
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)

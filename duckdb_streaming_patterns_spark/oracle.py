@@ -85,8 +85,14 @@ class DiffResult:
 
 def compare_frames(
     name: str, spark_pdf: pd.DataFrame, oracle_pdf: pd.DataFrame,
-    float_rtol: float = 1e-6,
+    float_rtol: float = 0.0,
 ) -> DiffResult:
+    """Default float tolerance is ZERO: the driver's gate hash-compares
+    stringified values, so a loose local harness would pass results the
+    gate rejects (it did — a half-even vs half-up rounding boundary slipped
+    through at rtol=1e-6). Queries are engineered for bit-identical floats
+    (sequential folds, DECIMAL thresholds, JVM-side HALF_UP rounding);
+    hold them to it locally."""
     a = _canonicalize(spark_pdf)
     b = _canonicalize(oracle_pdf)
     res = DiffResult(
@@ -128,6 +134,8 @@ def _float_series_close(a: pd.Series, b: pd.Series, rtol: float) -> bool:
     af = pd.to_numeric(a, errors="coerce")
     bf = pd.to_numeric(b, errors="coerce")
     both_nan = af.isna() & bf.isna()
+    if rtol == 0.0:
+        return bool((both_nan | (af == bf)).all())
     close = (af - bf).abs() <= (rtol * bf.abs().clip(lower=1.0))
     return bool((both_nan | close).all())
 

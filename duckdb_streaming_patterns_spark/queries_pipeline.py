@@ -441,3 +441,57 @@ def q_approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users")
     )
+
+
+@register(
+    "user_gap_stats_pandas",
+    """
+    WITH g AS (
+      SELECT user_id,
+             epoch_us(ts) - lag(epoch_us(ts))
+               OVER (PARTITION BY user_id ORDER BY ts) AS gap_us
+      FROM events
+    )
+    SELECT user_id,
+           count(gap_us) AS n_gaps,
+           ROUND(quantile_cont(gap_us / 1e6, 0.5), 4) AS median_gap_s
+    FROM g
+    WHERE gap_us IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q_user_gap_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user median inter-event gap via grouped-map applyInPandas —
+    the §2.10 grouped-map surface (one Arrow batch per key group, pandas
+    inside). The same result is expressible natively (lag window +
+    percentile) — the point of registering the pandas form is proving the
+    escape hatch is value-equal to the SQL oracle, like doc_chunks_udtf.
+    Gap multiset depends only on sorted timestamp VALUES, so timestamp
+    ties cannot make the median nondeterministic."""
+    import numpy as np
+    import pandas as pd
+
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts")
+
+    def stats(pdf: pd.DataFrame) -> pd.DataFrame:
+        gaps = (
+            pdf["ts"].sort_values().diff().dropna().dt.total_seconds().to_numpy()
+        )
+        if len(gaps) == 0:
+            return pd.DataFrame(
+                {"user_id": [], "n_gaps": [], "median_gap_s": []}
+            ).astype({"user_id": "int64", "n_gaps": "int64"})
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_gaps": [len(gaps)],
+                "median_gap_s": [float(np.median(gaps))],
+            }
+        )
+
+    # round JVM-side: Spark's HALF_UP matches DuckDB's ROUND, while
+    # Python's round() is half-even — one boundary value per ~10k groups
+    # would mismatch the oracle otherwise.
+    return ev.groupBy("user_id").applyInPandas(
+        stats, "user_id long, n_gaps long, median_gap_s double"
+    ).withColumn("median_gap_s", F.round("median_gap_s", 4))

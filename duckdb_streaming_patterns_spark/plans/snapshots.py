@@ -93,6 +93,13 @@ class SnapshotTable:
         """Full-table scan, scoped to committed snapshots."""
         return self.table_changes(-1, self.max_snapshot_id())
 
+    def read_as_of(self, snapshot_id: int) -> DataFrame:
+        """Time travel: the table as it stood after ``snapshot_id``
+        committed (DuckLake reads any snapshot; the reference itself only
+        reads latest). Same partition-pruned scan as table_changes —
+        snapshots <= the asked version."""
+        return self.table_changes(-1, snapshot_id)
+
     def table_changes(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
         """Reference ``table_changes(tbl, from, to)`` (pattern_1_2.py:105):
         rows appended in snapshots (from, to]. Partition pruning on

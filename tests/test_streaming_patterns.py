@@ -274,3 +274,22 @@ def test_stream_stream_join_buffers_across_batches(spark, sf_oracle):
         )
     ).count()
     assert crossing > 0
+
+
+def test_snapshot_time_travel(spark, tmp_path):
+    """read_as_of(k) reconstructs the table at snapshot k exactly, and its
+    scan prunes to the asked snapshots' partitions."""
+    t = SnapshotTable(spark, str(tmp_path / "tt"), "id long, v string")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), batch_id=0)
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"), batch_id=1)
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"), batch_id=2)
+    assert {r["id"] for r in t.read_as_of(0).collect()} == {1}
+    assert {r["id"] for r in t.read_as_of(1).collect()} == {1, 2}
+    assert {r["id"] for r in t.read_as_of(2).collect()} == {1, 2, 3}
+    import contextlib
+    import io
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        t.read_as_of(1).explain("formatted")
+    assert "snapshot_id" in buf.getvalue().split("PartitionFilters")[1].splitlines()[0]

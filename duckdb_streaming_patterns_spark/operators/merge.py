@@ -169,7 +169,9 @@ class SummaryTable:
 
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Atomically replace contents: write new version dir, fsync meta,
-        point the reader at it, GC the old dir."""
+        point the reader at it. GC is deferred by one version — a reader that
+        resolved the previous pointer just before the swap still has a live
+        directory for its (lazy) scan; only version N-2 is deleted here."""
         meta = self._meta()
         new_version = meta["version"] + 1
         data_dir = f"data_v{new_version:06d}_{uuid.uuid4().hex[:8]}"
@@ -178,6 +180,7 @@ class SummaryTable:
             "version": new_version,
             "last_batch_id": batch_id if batch_id is not None else meta["last_batch_id"],
             "data": data_dir,
+            "prev_data": meta["data"],
             "written_at": time.time(),
         }
         tmp = self._meta_path + ".tmp"
@@ -186,8 +189,9 @@ class SummaryTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, self._meta_path)  # atomic pointer swap
-        if meta["data"]:
-            shutil.rmtree(os.path.join(self.root, meta["data"]), ignore_errors=True)
+        stale = meta.get("prev_data")
+        if stale and stale != data_dir:
+            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
 
     def merge_batch(
         self,

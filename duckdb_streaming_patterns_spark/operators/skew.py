@@ -32,7 +32,19 @@ def salted_join(
     and the join key becomes (on..., salt) — splitting each hot key's rows
     across n_salts reducers at the cost of an n_salts× dim replication
     (dim is the small side; at scale it was broadcast-or-small anyway).
+
+    Only fact-preserving join types are allowed: with ``right`` or
+    ``full_outer`` the replicated dim side would emit every unmatched dim
+    row n_salts times.
     """
+    allowed = {"inner", "left", "left_outer", "leftouter", "left_semi",
+               "leftsemi", "semi", "left_anti", "leftanti", "anti", "cross"}
+    if how.lower() not in allowed:
+        raise ValueError(
+            f"salted_join supports fact-preserving joins only ({sorted(allowed)}); "
+            f"got how={how!r} — the n_salts-replicated dim side would duplicate "
+            "unmatched dim rows under right/full_outer."
+        )
     salted_fact = fact.withColumn(
         "__salt", F.pmod(F.xxhash64(F.col(salt_src)), F.lit(n_salts)).cast("int")
     )

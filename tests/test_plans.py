@@ -241,3 +241,21 @@ def test_partition_pruning_reaches_scan(spark, sf_small):
     p = plan_of(spark, sf_small, "partition_pruned_daily_clicks")
     seg = p.split("PartitionFilters")[1].splitlines()[0]
     assert "event_date" in seg
+
+
+def test_salted_join_rejects_dim_duplicating_how(spark, sf_small):
+    """right/full_outer would emit every unmatched dim row n_salts times —
+    must be rejected, not silently wrong."""
+    from duckdb_streaming_patterns_spark.operators import skew
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    orders = load_table(spark, sf_small, "orders").withColumnRenamed(
+        "o_custkey", "custkey"
+    )
+    cust = load_table(spark, sf_small, "customer").select(
+        F.col("c_custkey").alias("custkey"), "c_mktsegment"
+    )
+    for how in ("right", "full_outer", "full", "outer"):
+        with pytest.raises(ValueError):
+            skew.salted_join(orders, cust, on=["custkey"], salt_src="o_orderkey", how=how)

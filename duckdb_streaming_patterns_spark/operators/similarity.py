@@ -312,6 +312,62 @@ def knn_ivf(
     )
 
 
+def lsh_neardup_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.35,
+    n_planes: int = 4,
+    n_tables: int = 16,
+) -> DataFrame:
+    """Embedding near-duplicate pairs for an UNLABELED corpus: candidate
+    pairs are rows colliding in ≥1 random-hyperplane hash table, exact
+    cosine only on candidates. This is the 100 TB blocking story end to
+    end — ``cosine_neardup_pairs`` needs a label column to block on; real
+    corpora have none, so the blocks come from the data itself.
+
+    Recall/cost knob: a pair at angle θ collides per table with
+    p = (1 − θ/π)^n_planes and survives ≥1 of n_tables with
+    1 − (1 − p)^n_tables; fewer planes / more tables = higher recall and
+    more candidates. Defaults (4 planes × 16 tables) give ~0.9+ expected
+    recall at cosine 0.35. The shuffle carries (id, table, bucket) rows
+    and then deduped id pairs — never a vector; vectors join back in at
+    the end, exactly like knn_lsh.
+    """
+    keys = _lsh_keys(df, "id_a", id_col, vec_col, n_planes, n_tables)
+    # Self-join: exchange reuse does not cross the alias boundary, so
+    # persist the (tiny, narrow) key set rather than recompute the pandas
+    # UDF on both sides (same measured trade as simhash's self-join).
+    keys = keys.persist()
+    b = (
+        keys.withColumnRenamed("id_a", "id_b")
+    )
+    cand = (
+        keys.join(b, ["table", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    vecs_a = df.select(
+        F.col(id_col).alias("id_a"),
+        to_double_array(F.col(vec_col)).alias("v_a"),
+        l2_norm(F.col(vec_col)).alias("n_a"),
+    )
+    vecs_b = df.select(
+        F.col(id_col).alias("id_b"),
+        to_double_array(F.col(vec_col)).alias("v_b"),
+        l2_norm(F.col(vec_col)).alias("n_b"),
+    )
+    cos = dot_double(F.col("v_a"), F.col("v_b")) / F.col("n_a") / F.col("n_b")
+    return (
+        cand.join(vecs_a, "id_a")
+        .join(vecs_b, "id_b")
+        .withColumn("cosine", cos)
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )
+
+
 def cosine_neardup_pairs(
     df: DataFrame,
     id_col: str = "vec_id",

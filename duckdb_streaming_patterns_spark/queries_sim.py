@@ -63,6 +63,17 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("embedding_neardup_lsh", None)
+def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unlabeled-corpus near-dup pairs: LSH-bucketed blocking (4 planes ×
+    16 tables) instead of a label column — the blocking strategy a real
+    100 TB corpus needs. No SQL oracle (Spark-seeded hyperplanes make the
+    candidate set engine-specific); tests/test_similarity.py pins recall
+    of the exact ≥-threshold pair set."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.lsh_neardup_pairs(emb, threshold=0.35)
+
+
 @register("knn_lsh_ann", None)
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors via multi-table random-hyperplane LSH.

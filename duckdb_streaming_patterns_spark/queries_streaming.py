@@ -59,6 +59,20 @@ def q_pattern_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patterns.pattern_2(spark, chunks, run, state_partitions=_STATE_PARTS)
 
 
+@register("pattern_2_insert_overwrite", _BATCH_ORACLE)
+def q_pattern_2_insert_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pattern 2's staging-table sink (reference pattern_2.py:81-113):
+    append-mode partial aggregates into user_clicks_unaggregated, then a
+    transactional DELETE + INSERT..GROUP BY re-aggregate per batch. Oracle
+    = one-shot batch aggregation → proves partial-append + transactional
+    re-aggregate ≡ batch."""
+    run = staging.new_run_dir("p2io")
+    chunks = staging.stage_json_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_2_insert_overwrite(
+        spark, chunks, run, state_partitions=_STATE_PARTS
+    )
+
+
 @register(
     "pattern_windowed_watermark",
     """

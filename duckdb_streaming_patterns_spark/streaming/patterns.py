@@ -518,6 +518,112 @@ def pattern_2(
     return spark.createDataFrame(pdf, SUMMARY_DDL)
 
 
+def pattern_2_insert_overwrite(
+    spark: SparkSession,
+    json_chunks_dir: str,
+    run_dir: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Pattern 2's second sink (reference pattern_2.py:81-113,
+    ``insert_overwrite_duckdb``): each micro-batch APPENDS its partial
+    aggregate to an unaggregated staging table, then a transaction
+    re-aggregates the staging table into the serving table
+    (``DELETE FROM user_clicks; INSERT INTO user_clicks SELECT … GROUP BY``,
+    reference :103-112 with con.begin()/commit() around it).
+
+    Differences from ``pattern_2``: no stateful streaming aggregation at
+    all — the stream stays append-mode and the partial→final combine
+    happens in the sink's transaction, which is exactly the reference's
+    "funky stuff within the spark streaming runtime" variant. The staging
+    table carries a batch_id column and the append is fenced INSIDE the
+    same transaction as the re-aggregate, so a foreachBatch retry is a
+    committed no-op (exactly-once at the sink).
+
+    The per-batch partial aggregate keeps the appended rows
+    summary-shaped (one row per user per batch), so staging-table growth
+    is O(batches x keys), not O(events) — the property that lets the
+    DELETE+INSERT re-aggregate stay cheap at scale."""
+    import duckdb
+
+    db_path = os.path.join(run_dir, "events.duckdb")
+
+    stream = staging.read_json_stream(spark, json_chunks_dir).filter(
+        F.col("event_type") == CLICK
+    )
+
+    def insert_overwrite(batch: DataFrame, batch_id: int) -> None:
+        # per-batch partial aggregate (map-side combine shape; the sink's
+        # transaction is the reduce side, reference pattern_2.py:103-108)
+        pdf = (
+            batch.groupBy("user_id")
+            .agg(
+                F.count("*").alias("count_of_clicks"),
+                F.max("ts").alias("updated_at"),
+            )
+            .toPandas()
+        )
+        con = duckdb.connect(db_path)
+        try:
+            con.execute(
+                """
+                CREATE TABLE IF NOT EXISTS user_clicks_unaggregated (
+                    user_id VARCHAR, count_of_clicks BIGINT,
+                    updated_at TIMESTAMP, batch_id BIGINT
+                )
+                """
+            )
+            con.execute(
+                """
+                CREATE TABLE IF NOT EXISTS user_clicks (
+                    user_id VARCHAR, count_of_clicks BIGINT,
+                    updated_at TIMESTAMP
+                )
+                """
+            )
+            con.begin()
+            already = con.execute(
+                "SELECT count(*) FROM user_clicks_unaggregated WHERE batch_id = ?",
+                [batch_id],
+            ).fetchone()[0]
+            if already == 0 and len(pdf) > 0:
+                con.execute(
+                    "INSERT INTO user_clicks_unaggregated "
+                    f"SELECT user_id, count_of_clicks, updated_at, {batch_id} FROM pdf"
+                )
+                con.execute(
+                    """
+                    DELETE FROM user_clicks;
+                    INSERT INTO user_clicks
+                    SELECT user_id, sum(count_of_clicks), max(updated_at)
+                    FROM user_clicks_unaggregated
+                    GROUP BY user_id
+                    """
+                )
+            con.commit()
+        finally:
+            con.close()
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            stream.writeStream.foreachBatch(insert_overwrite)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    con = duckdb.connect(db_path)
+    try:
+        pdf = con.execute(
+            "SELECT CAST(user_id AS BIGINT) AS user_id,"
+            " CAST(count_of_clicks AS BIGINT) AS count_of_clicks,"
+            " updated_at FROM user_clicks"
+        ).fetchdf()
+    finally:
+        con.close()
+    return spark.createDataFrame(pdf, SUMMARY_DDL)
+
+
 def bonus_stateless_views(
     spark: SparkSession, json_chunks_dir: str, k: int = 5
 ) -> DataFrame:
@@ -529,11 +635,10 @@ def bonus_stateless_views(
     raw_events_view = (
         raw.select(F.from_json("value", staging.JSON_WIRE_SCHEMA).alias("message"))
         .select(
-            F.get_json_object(F.to_json("message"), "$.user_id").alias("user_id"),
-            F.to_timestamp(
-                F.get_json_object(F.to_json("message"), "$.timestamp"),
-                staging.TS_FMT,
-            ).cast("timestamp_ntz").alias("ts"),
+            F.col("message.user_id").alias("user_id"),
+            F.to_timestamp(F.col("message.timestamp"), staging.TS_FMT)
+            .cast("timestamp_ntz")
+            .alias("ts"),
             F.col("message.event_type").alias("event_type"),
         )
     )

@@ -1,0 +1,54 @@
+"""Driver-contract ordering tests: the correctness gate verifies the first
+50 entries of queries(), so that window must cover every operator family."""
+
+from __future__ import annotations
+
+import importlib.util
+
+spec = importlib.util.spec_from_file_location(
+    "__spark_entry__", "/root/repo/__spark_entry__.py"
+)
+entry_mod = importlib.util.module_from_spec(spec)
+spec.loader.exec_module(entry_mod)
+
+
+def test_priority_names_all_registered():
+    names = list(entry_mod.queries())
+    assert names[: len(entry_mod._PRIORITY)] == entry_mod._PRIORITY
+    assert len(set(entry_mod._PRIORITY)) == len(entry_mod._PRIORITY) == 50
+
+
+def test_first_50_cover_every_family():
+    first50 = set(list(entry_mod.queries())[:50])
+    families = {
+        "base": {"user_clicks", "reaggregate_partials"},
+        "streaming": {
+            "pattern_1_1_incremental_merge",
+            "pattern_1_2_cdf_merge",
+            "pattern_2_complete_overwrite",
+            "pattern_2_insert_overwrite",
+            "pattern_windowed_watermark",
+            "pattern_streaming_dedup",
+            "pattern_streaming_sessionization",
+            "pattern_stream_stream_join",
+            "bonus_stateless_view_topk",
+        },
+        "dedup": {"dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash"},
+        "similarity": {
+            "knn_bruteforce",
+            "embedding_neardup_pairs",
+            "embedding_neardup_lsh",
+        },
+        "multimodal": {"multimodal_payload_stats", "multimodal_frame_sample"},
+        "text": {"text_token_count", "text_language_id"},
+        "pipeline": {"doc_chunks", "pack_token_bins", "contamination_flags"},
+        "layout": {"bucketed_join_revenue", "partition_pruned_daily_clicks"},
+        "tpch": {"q1_pricing_summary", "q3_shipping_priority"},
+    }
+    for fam, members in families.items():
+        assert members <= first50, f"family {fam} missing from first-50 window"
+
+
+def test_oracle_order_matches_query_order():
+    qnames = [n for n in entry_mod.queries() if n in entry_mod.oracle_sql()]
+    assert qnames == list(entry_mod.oracle_sql())

@@ -71,3 +71,27 @@ def test_ivf_assignment_is_deterministic_and_total(spark, sf_small):
         (r["cell"], r["count"]) for r in a2
     )
     assert sum(r["count"] for r in a1) == emb.count()
+
+
+def test_lsh_neardup_recall_vs_exact(spark, sf_small):
+    """Unlabeled blocking: LSH-bucketed pair generation must recover most
+    of the exact (unblocked) ≥-threshold pair set, with every surviving
+    pair's cosine exact (the scoring step is the same expression)."""
+    emb = load_table(spark, sf_small, "embeddings")
+    exact = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.cosine_neardup_pairs(
+            emb, threshold=0.35, block_col=None
+        ).collect()
+    }
+    lsh = {
+        (r["id_a"], r["id_b"]): r["cosine"]
+        for r in similarity.lsh_neardup_pairs(emb, threshold=0.35).collect()
+    }
+    assert exact, "fixture must contain pairs at the test threshold"
+    # no false positives: every LSH pair is a true ≥-threshold pair with
+    # the identical cosine
+    for pair, c in lsh.items():
+        assert pair in exact and abs(exact[pair] - c) < 1e-9
+    recall = len(set(lsh) & set(exact)) / len(exact)
+    assert recall >= 0.7, f"recall {recall:.2f} over {len(exact)} exact pairs"

@@ -355,3 +355,42 @@ def test_summary_overwrite_defers_gc_one_version(spark, tmp_path):
     # exactly current + previous versions remain on disk
     data_dirs = [d for d in os.listdir(root) if d.startswith("data_v")]
     assert len(data_dirs) == 2
+
+
+def test_pattern_2_insert_overwrite_equals_batch(spark, sf_small):
+    run = staging.new_run_dir("t_p2io")
+    chunks = staging.stage_json_chunks(spark, sf_small, run, n_chunks=4)
+    result = patterns.pattern_2_insert_overwrite(spark, chunks, run)
+    assert _as_set(result) == _batch_oracle(spark, sf_small)
+
+
+def test_kafka_decode_matches_staged_json(spark, sf_small):
+    """The Kafka source itself needs a broker, but its decode chain
+    (binary value → string → from_json → flatten → to_timestamp,
+    reference pattern_2.py:46-51) is pure DataFrame code — drive it on a
+    synthetic `value: binary` frame in the producer wire format and check
+    it equals the staged-JSON read of the same events."""
+    from duckdb_streaming_patterns_spark.streaming import kafka
+
+    ev = load_table(spark, sf_small, "events").limit(200)
+    wire = ev.select(
+        F.to_json(
+            F.struct(
+                F.date_format("ts", staging.TS_FMT).alias("timestamp"),
+                F.col("user_id").cast("string").alias("user_id"),
+                F.col("event_type"),
+            )
+        )
+        .cast("binary")
+        .alias("value")
+    )
+    decoded = kafka._decode(wire)
+    assert decoded.columns == ["user_id", "event_type", "ts"]
+    got = {tuple(r) for r in decoded.collect()}
+    want = {
+        tuple(r)
+        for r in ev.select(
+            F.col("user_id").cast("string"), "event_type", "ts"
+        ).collect()
+    }
+    assert got == want

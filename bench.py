@@ -154,6 +154,9 @@ def _diff_against_previous_round(timings: dict[str, float], sf: float) -> None:
             prev = json.load(f)
     except (OSError, json.JSONDecodeError):
         return
+    # the driver wraps the bench line under "parsed"
+    if "parsed" in prev and isinstance(prev["parsed"], dict):
+        prev = prev["parsed"]
     if prev.get("sf") != sf:
         return
     prev_q = prev.get("queries", {})

@@ -312,6 +312,65 @@ def simhash_pairs(
     )
 
 
+def connected_components(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 25,
+) -> DataFrame:
+    """Connected components over the near-dup pair graph: every node gets
+    ``cluster`` = the minimum node id in its component (singletons cluster
+    with themselves). This is the step that turns pairwise near-dup output
+    into actionable dedup groups.
+
+    Algorithm: iterative min-label propagation — each round every node
+    takes min(own label, neighbors' labels); converges in O(graph
+    diameter) rounds. Near-dup components are quasi-cliques (every member
+    pairs with most others), so diameter is 1-2 and the loop exits after
+    2-3 rounds; for adversarially chain-shaped graphs the known fix is the
+    large-star/small-star contraction (Kiveris et al., MR-CC) which this
+    loop's join structure extends to. Convergence is detected by the label
+    SUM (strictly decreasing until fixpoint — one scalar agg per round,
+    no full-table diff join). Each round shuffles (src, label) pairs —
+    never document content.
+
+    ``nodes``: one column ``id_col``; ``edges``: columns id_a/id_b.
+    Returns (id, cluster).
+    """
+    sym = edges.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionByName(edges.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    sym = sym.persist()
+    labels = nodes.select(
+        F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
+    ).persist()
+    prev_sum = labels.agg(F.sum("cluster")).first()[0] or 0
+    for _ in range(max_iters):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("cluster").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
+                ).alias("cluster"),
+            )
+            .persist()
+        )
+        cur_sum = new_labels.agg(F.sum("cluster")).first()[0] or 0
+        labels.unpersist()
+        labels = new_labels
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    sym.unpersist()
+    return labels
+
+
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Content fingerprint: md5 over whitespace-normalized lowercase text —
     engine-portable (md5 is identical everywhere), used as the exact-dedup

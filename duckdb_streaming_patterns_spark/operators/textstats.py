@@ -65,6 +65,55 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Repetition-based quality signals (the Gopher-rules family):
+    duplicate-token fraction, duplicate-line fraction, and the fraction of
+    bigram occurrences taken by the single most frequent bigram — the cheap
+    detectors for boilerplate/spam/keyword-stuffed documents.
+
+    Shape: the per-doc ratios are pure expressions; the top-bigram count is
+    explode → (doc, bigram) groupBy → per-doc max/sum — partial aggregation
+    collapses each doc's bigrams map-side, so the shuffle carries one row
+    per distinct (doc, bigram), never the text. Bigrams come from the same
+    zip_with-of-shifted-slices construction as shingles() (the element_at
+    form re-evaluates the regex split per element — see functions/text.py).
+    """
+    t = F.col(text_col)
+    toks = tokens(t)
+    lines = F.split(t, "\n", -1)
+    shifted = F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0)))
+    bigrams = F.filter(
+        F.zip_with(toks, shifted, lambda a, b: F.concat(a, F.lit(" "), b)),
+        lambda x: x.isNotNull(),
+    )
+    scalars = df.select(
+        F.col(id_col),
+        F.round(F.lit(1) - F.size(F.array_distinct(toks)) / F.size(toks), 4).alias(
+            "dup_token_ratio"
+        ),
+        F.round(F.lit(1) - F.size(F.array_distinct(lines)) / F.size(lines), 4).alias(
+            "dup_line_ratio"
+        ),
+    )
+    per_bigram = (
+        df.select(F.col(id_col), F.explode(bigrams).alias("bigram"))
+        .groupBy(id_col, "bigram")
+        .count()
+    )
+    top = per_bigram.groupBy(id_col).agg(
+        F.max("count").alias("top_cnt"), F.sum("count").alias("n_bigrams")
+    )
+    return scalars.join(top, id_col, "left").select(
+        F.col(id_col),
+        "dup_token_ratio",
+        "dup_line_ratio",
+        F.round(
+            F.coalesce(F.col("top_cnt") / F.col("n_bigrams"), F.lit(0.0)), 4
+        ).alias("top_bigram_ratio"),
+        F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("bigint").alias("n_bigrams"),
+    )
+
+
 def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Stopword-hit language ID: per-language hit counts over the token set,
     argmax with deterministic tie order (en > de > es > fr > unknown)."""

@@ -212,3 +212,138 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3
     )
+
+
+_CLUSTER_EDGES_FRAG = rf"""
+    sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents)
+      WHERE len(t) >= 3
+    ),
+    pairs AS (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+      WHERE {_JACCARD_FRAG} >= 0.7
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, lbl) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+    ),
+    clusters AS (
+      SELECT id AS doc_id, min(lbl) AS cluster_id FROM walk GROUP BY id
+    )
+"""
+
+_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTER_EDGES_FRAG}
+    SELECT doc_id, cluster_id FROM clusters
+"""
+
+
+@register("dedup_minhash_clusters", _CLUSTER_ORACLE)
+def q_dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup CLUSTERS: MinHash+LSH pairs (Jaccard ≥ 0.7) fed through
+    connected components; every doc labeled with the min doc_id of its
+    component (singletons label themselves). The oracle re-derives the
+    exact pair set in SQL and clusters it with a recursive CTE — so both
+    the pair generation AND the iterative propagation are verified."""
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)
+    labels = dedup.connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    )
+
+
+_CANONICAL_ORACLE = f"""
+    WITH RECURSIVE {_CLUSTER_EDGES_FRAG}
+    SELECT cluster_id,
+           doc_id AS canonical_doc_id,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(n_chars AS BIGINT) AS n_chars
+    FROM (
+      SELECT c.cluster_id, c.doc_id, length(d.text) AS n_chars,
+             count(*) OVER (PARTITION BY c.cluster_id) AS n_docs,
+             row_number() OVER (PARTITION BY c.cluster_id
+                                ORDER BY length(d.text) DESC, c.doc_id) AS rn
+      FROM clusters c JOIN documents d ON c.doc_id = d.doc_id
+    ) WHERE rn = 1
+"""
+
+
+@register("dedup_canonical_docs", _CANONICAL_ORACLE)
+def q_dedup_canonical_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KEEP decision a dedup pipeline actually ships: one canonical doc
+    per near-dup cluster — longest text wins, doc_id breaks ties — plus the
+    cluster's member count. Composition of dedup_minhash_clusters with a
+    per-cluster top-1 window."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.7)
+    labels = dedup.connected_components(
+        docs.select("doc_id"), pairs.select("id_a", "id_b"), id_col="doc_id"
+    )
+    member = labels.select(
+        F.col("id").alias("doc_id"), F.col("cluster").alias("cluster_id")
+    ).join(
+        docs.select("doc_id", F.length("text").alias("n_chars")), "doc_id"
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.desc("n_chars"), F.asc("doc_id"))
+    wc = W.partitionBy("cluster_id")
+    return (
+        member.withColumn("n_docs", F.count("*").over(wc))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "cluster_id",
+            F.col("doc_id").alias("canonical_doc_id"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+    )
+
+
+_REPETITION_ORACLE = r"""
+    WITH base AS (
+      SELECT doc_id,
+             string_split_regex(trim(text), '\s+') AS t,
+             string_split(text, chr(10)) AS lines
+      FROM documents
+    ), bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)), i -> t[i] || ' ' || t[i+1])) AS b
+      FROM base
+    ), cnt AS (
+      SELECT doc_id, b, count(*) AS c FROM bg GROUP BY doc_id, b
+    ), top AS (
+      SELECT doc_id, max(c) AS top_cnt, sum(c) AS n_bigrams
+      FROM cnt GROUP BY doc_id
+    )
+    SELECT base.doc_id,
+           ROUND(1 - len(list_distinct(t)) / len(t), 4) AS dup_token_ratio,
+           ROUND(1 - len(list_distinct(lines)) / len(lines), 4) AS dup_line_ratio,
+           ROUND(COALESCE(top.top_cnt / top.n_bigrams, 0), 4) AS top_bigram_ratio,
+           CAST(COALESCE(top.n_bigrams, 0) AS BIGINT) AS n_bigrams
+    FROM base LEFT JOIN top ON base.doc_id = top.doc_id
+"""
+
+
+@register("text_repetition_stats", _REPETITION_ORACLE)
+def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filters: duplicate-token / duplicate-line
+    fractions and top-bigram occupancy per document."""
+    return textstats.repetition_stats(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )

@@ -56,3 +56,16 @@ def test_fingerprint_normalizes_whitespace_and_case(spark):
     df = spark.createDataFrame(rows, "doc_id long, text string")
     fps = {r["doc_id"]: r["fingerprint"] for r in dedup.fingerprint(df, "doc_id", "text").collect()}
     assert fps[1] == fps[2] == fps[3]
+
+
+def test_connected_components_chain_and_singletons(spark):
+    """A chain has diameter > 1, forcing multiple propagation rounds — the
+    case the quasi-clique dedup fixture doesn't exercise."""
+    from duckdb_streaming_patterns_spark.operators.dedup import connected_components
+
+    nodes = spark.createDataFrame([(i,) for i in (1, 2, 3, 4, 5, 7, 8, 9)], "id long")
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (7, 8)], "id_a long, id_b long"
+    )
+    labels = {r["id"]: r["cluster"] for r in connected_components(nodes, edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 9: 9}

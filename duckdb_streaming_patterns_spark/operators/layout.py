@@ -88,6 +88,37 @@ def bucketed_join_tables(
     return names
 
 
+_IVF_LAYOUT: dict[tuple, tuple[str, object]] = {}
+
+
+def ivf_partitioned_embeddings(
+    spark: SparkSession, sf_dir: str, n_centroids: int = 16, iters: int = 2
+):
+    """Materialize the IVF index AT REST: embeddings written partitioned by
+    their coarse-quantizer cell (memoized); returns (path, centroids).
+
+    This is the physical form knn_ivf's docstring promises: a probe for
+    n_probe cells is a directory-pruned scan reading n_probe/n_centroids of
+    the corpus (PartitionFilters, asserted in tests), instead of an
+    assignment pass over everything. Centroids are returned so probes use
+    the same quantizer the layout was built with."""
+    from duckdb_streaming_patterns_spark.operators import similarity
+
+    key = (sf_dir, n_centroids, iters)
+    cached = _IVF_LAYOUT.get(key)
+    if cached and os.path.isdir(cached[0]):
+        return cached
+    path = os.path.join(LAYOUT_ROOT, _tag(sf_dir), f"embeddings_ivf{n_centroids}")
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids = similarity.ivf_centroids(
+        emb, n_centroids=n_centroids, iters=iters
+    )
+    assigned = similarity.ivf_assign(emb, centroids)
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+    _IVF_LAYOUT[key] = (path, centroids)
+    return path, centroids
+
+
 def bucketed_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by order status through the bucketed pair. The ``merge``
     hint pins SortMergeJoin (a broadcast would hide the layout win at

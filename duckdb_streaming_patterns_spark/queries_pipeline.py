@@ -495,3 +495,47 @@ def q_user_gap_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         stats, "user_id long, n_gaps long, median_gap_s double"
     ).withColumn("median_gap_s", F.round("median_gap_s", 4))
+
+
+_NGRAM_CONTAM_ORACLE = r"""
+    WITH sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents)
+    ),
+    bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 50),
+    corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 50)
+    SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_ngrams
+    FROM corpus c JOIN bench b ON c.g = b.g
+    GROUP BY c.doc_id
+"""
+
+
+@register("contamination_ngram_overlap", _NGRAM_CONTAM_ORACLE)
+def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact n-gram decontamination (the standard eval-leakage check):
+    corpus docs (doc_id ≥ 50) that share any 3-token shingle with a
+    benchmark doc (doc_id < 50), with the count of distinct shared
+    shingles. The benchmark's distinct shingle set is broadcast — at
+    100 TB scale that side is a few benchmark suites (~MBs as hashes, or
+    a Bloom filter for billions of grams); the corpus side is one
+    explode + semi-shaped join + per-doc count, never self-joined."""
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("s"))
+    bench_g = (
+        sh.filter(F.col("doc_id") < 50)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    corpus_g = sh.filter(F.col("doc_id") >= 50).select(
+        "doc_id", F.explode("s").alias("g")
+    )
+    return (
+        corpus_g.join(F.broadcast(bench_g), "g")
+        .groupBy("doc_id")
+        .agg(F.countDistinct("g").alias("n_shared_ngrams"))
+    )

@@ -199,3 +199,74 @@ def q_pattern_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return patterns.pattern_stream_stream_join(
         spark, chunks, run, state_partitions=_STATE_PARTS
     )
+
+
+# --------------------------------------------------------------------------
+# CDF / time-travel reads as registered queries (S5/S6): the snapshot table
+# is built deterministically (chunk k = event_id div per, the same
+# arithmetic as stage_event_chunks), so the oracle can reproduce snapshot
+# membership in pure SQL.
+# --------------------------------------------------------------------------
+
+import os as _os
+
+from pyspark.sql import functions as F
+
+from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
+
+_CDF_TABLES: dict[str, SnapshotTable] = {}
+
+
+def _cdf_table(spark: SparkSession, sf_dir: str) -> SnapshotTable:
+    t = _CDF_TABLES.get(sf_dir)
+    if t is not None:
+        return t
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.count()
+    per = (rows + 4) // 5
+    run = staging.new_run_dir("cdfq")
+    t = SnapshotTable(spark, _os.path.join(run, "cdf"), staging.EVENT_SCHEMA)
+    for k in range(5):
+        t.append(
+            ev.filter((F.col("event_id") / F.lit(per)).cast("int") == k),
+            batch_id=k,
+        )
+    _CDF_TABLES[sf_dir] = t
+    return t
+
+
+_CDF_PER = "CAST(ceil(count(*) / 5.0) AS BIGINT)"
+
+
+@register(
+    "cdf_table_changes",
+    f"""
+    WITH p AS (SELECT {_CDF_PER} AS per FROM events)
+    SELECT e.*, CAST(floor(e.event_id / p.per) AS INT) AS snapshot_id
+    FROM events e, p
+    WHERE floor(e.event_id / p.per) BETWEEN 2 AND 3
+    """,
+)
+def q_cdf_table_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S5 as a registered query: rows appended in snapshots (1, 3] of a
+    5-snapshot table — the DuckLake ``table_changes`` read (reference
+    pattern_1_2.py:105). The scan is partition-pruned to the two snapshot
+    directories (plan-asserted in tests/test_streaming_patterns.py)."""
+    return _cdf_table(spark, sf_dir).table_changes(1, 3)
+
+
+@register(
+    "snapshot_time_travel_read",
+    f"""
+    WITH p AS (SELECT {_CDF_PER} AS per FROM events)
+    SELECT e.*, CAST(floor(e.event_id / p.per) AS INT) AS snapshot_id
+    FROM events e, p
+    WHERE floor(e.event_id / p.per) <= 2
+    """,
+)
+def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 as a registered query: the table as of snapshot 2 (time travel —
+    DuckLake reads any snapshot; same pruned scan shape as table_changes)."""
+    return _cdf_table(spark, sf_dir).read_as_of(2)

@@ -95,3 +95,34 @@ def test_lsh_neardup_recall_vs_exact(spark, sf_small):
         assert pair in exact and abs(exact[pair] - c) < 1e-9
     recall = len(set(lsh) & set(exact)) / len(exact)
     assert recall >= 0.7, f"recall {recall:.2f} over {len(exact)} exact pairs"
+
+
+def test_ivf_at_rest_layout_prunes_and_matches_assignment(spark, sf_small):
+    """The materialized IVF layout: cell-partitioned parquet whose probe
+    scan is directory-pruned (PartitionFilters on cell), with contents
+    identical to a fresh assignment pass under the same centroids."""
+    import contextlib
+    import io
+
+    from duckdb_streaming_patterns_spark.operators import layout
+
+    path, cents = layout.ivf_partitioned_embeddings(
+        spark, sf_small, n_centroids=8, iters=1
+    )
+    emb = load_table(spark, sf_small, "embeddings")
+    at_rest = spark.read.parquet(path)
+    assert at_rest.count() == emb.count()
+    probed = at_rest.filter(F.col("cell").isin(0, 1))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probed.explain("formatted")
+    plan = buf.getvalue()
+    assert "cell" in plan.split("PartitionFilters")[1].splitlines()[0]
+    direct = {
+        (r["vec_id"], r["cell"])
+        for r in similarity.ivf_assign(emb, cents)
+        .filter(F.col("cell").isin(0, 1))
+        .collect()
+    }
+    got = {(r["vec_id"], r["cell"]) for r in probed.select("vec_id", "cell").collect()}
+    assert got == direct

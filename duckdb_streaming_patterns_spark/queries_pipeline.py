@@ -539,3 +539,59 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id")
         .agg(F.countDistinct("g").alias("n_shared_ngrams"))
     )
+
+
+_MIX_BUDGET = 2000  # tokens per source
+
+_MIX_BUDGET_ORACLE = rf"""
+    WITH sized AS (
+      SELECT source, doc_id,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), running AS (
+      SELECT source, doc_id, n_tok,
+             sum(n_tok) OVER (PARTITION BY source ORDER BY h, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum_tokens
+      FROM sized
+    )
+    SELECT source, doc_id,
+           CAST(n_tok AS BIGINT) AS n_tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM running WHERE cum_tokens <= {_MIX_BUDGET}
+"""
+
+
+@register("mix_token_budget", _MIX_BUDGET_ORACLE)
+def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget-proportional corpus mixing: per source, keep docs in
+    deterministic md5(doc_id) order until the source's cumulative token
+    count reaches the budget — how a training mix hits per-domain token
+    targets reproducibly (same selection on any cluster size or engine,
+    no sampled state). One window per source partition; the shuffle
+    carries (source, doc_id, n_tok) — never text."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    n_tok = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    sized = docs.select(
+        "source",
+        "doc_id",
+        n_tok.alias("n_tok"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("h", "doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        sized.withColumn("cum_tokens", F.sum("n_tok").over(w))
+        .filter(F.col("cum_tokens") <= _MIX_BUDGET)
+        .select(
+            "source",
+            "doc_id",
+            F.col("n_tok").cast("bigint").alias("n_tokens"),
+            F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
+        )
+    )

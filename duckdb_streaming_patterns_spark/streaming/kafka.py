@@ -64,16 +64,24 @@ def _decode(raw: DataFrame) -> DataFrame:
     )
 
 
+def _encode(df: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """Producer wire encode (reference scripts/producer.py:73-87): the
+    full row as a JSON value keyed by ``key_col``, both as binary — the
+    exact frame a Kafka sink transmits. Split out from write_kafka so the
+    encode⇄decode round-trip is unit-testable without a broker."""
+    return df.select(
+        F.col(key_col).cast("string").cast("binary").alias("key"),
+        F.to_json(F.struct(*df.columns)).cast("binary").alias("value"),
+    )
+
+
 def write_kafka(
     df: DataFrame, bootstrap_servers: str, topic: str, key_col: str = "user_id"
 ) -> None:
     """Kafka producer parity (reference scripts/producer.py:81-87): JSON
     value keyed by user_id."""
     (
-        df.select(
-            F.col(key_col).cast("string").alias("key"),
-            F.to_json(F.struct(*df.columns)).alias("value"),
-        )
+        _encode(df, key_col)
         .write.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)
         .option("topic", topic)

@@ -394,3 +394,28 @@ def test_kafka_decode_matches_staged_json(spark, sf_small):
         ).collect()
     }
     assert got == want
+
+
+def test_kafka_encode_decode_roundtrip(spark, sf_small):
+    """Producer encode → consumer decode round-trip, broker-free: the wire
+    frame kafka._encode emits must decode (kafka._decode) back to the
+    original events projection, closing the W7 producer path."""
+    from duckdb_streaming_patterns_spark.streaming import kafka
+
+    ev = load_table(spark, sf_small, "events").limit(100)
+    wire_src = ev.select(
+        F.date_format("ts", staging.TS_FMT).alias("timestamp"),
+        F.col("user_id").cast("string").alias("user_id"),
+        F.col("event_type"),
+    )
+    encoded = kafka._encode(wire_src, key_col="user_id")
+    assert dict(encoded.dtypes) == {"key": "binary", "value": "binary"}
+    decoded = kafka._decode(encoded)
+    got = {tuple(r) for r in decoded.collect()}
+    want = {
+        tuple(r)
+        for r in ev.select(
+            F.col("user_id").cast("string"), "event_type", "ts"
+        ).collect()
+    }
+    assert got == want

@@ -131,6 +131,26 @@ class UpsertLog:
             .drop("__rn", "__batch_id")
         )
 
+    def compact(self) -> None:
+        """LSM-style maintenance: fold the whole log into one base batch
+        directory carrying the current max batch id, so the read-side
+        last-writer-wins window scans O(keys) rows again instead of
+        O(batches × touched keys). The resolved state is fully written to
+        a temp dir BEFORE any log directory is removed (the lazy plan
+        executes at write time), then renamed into place; run offline like
+        SnapshotTable.compact."""
+        import glob
+
+        dirs = sorted(glob.glob(os.path.join(self.root, "__batch_id=*")))
+        if len(dirs) <= 1:
+            return
+        max_id = max(int(d.rsplit("=", 1)[1]) for d in dirs)
+        tmp = os.path.join(self.root, f".compact_{uuid.uuid4().hex[:8]}")
+        self.read_latest().write.mode("overwrite").parquet(tmp)
+        for d in dirs:
+            shutil.rmtree(d)
+        os.replace(tmp, os.path.join(self.root, f"__batch_id={max_id}"))
+
 
 class SummaryTable:
     """Parquet-backed mutable summary table with atomic swap + batch fencing.

@@ -19,6 +19,14 @@ from duckdb_streaming_patterns_spark.streaming import patterns, staging
 # right value tracks STATE size, not a session default.
 _STATE_PARTS = 8
 
+# The interval join maintains TWO per-partition state buffers (one per
+# stream side) and commits both every micro-batch, so its per-partition
+# fixed cost is roughly double an aggregation's. Measured at sf0.01 AND
+# sf0.1 (interleaved, warm): 4 partitions beat 8 by ~2s per run with
+# identical results; state is O(in-flight window) per key, far below even
+# 4 partitions' capacity at fixture scale.
+_JOIN_STATE_PARTS = 4
+
 _BATCH_ORACLE = """
     SELECT user_id,
            count(*) AS count_of_clicks,
@@ -197,7 +205,7 @@ def q_pattern_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, run, n_chunks=5, order_col="ts"
     )
     return patterns.pattern_stream_stream_join(
-        spark, chunks, run, state_partitions=_STATE_PARTS
+        spark, chunks, run, state_partitions=_JOIN_STATE_PARTS
     )
 
 

@@ -419,3 +419,50 @@ def test_kafka_encode_decode_roundtrip(spark, sf_small):
         ).collect()
     }
     assert got == want
+
+
+def test_pattern_1_1_resumes_from_checkpoint(spark, sf_small, tmp_path):
+    """Checkpoint recovery: run the pipeline over a prefix of the stream,
+    then reveal the remaining chunks and run AGAIN with the same
+    checkpoint + summary — the second run must process only the new
+    offsets (the fence would reject re-applied batches anyway) and land on
+    the exact batch answer. This is the restart-after-crash story."""
+    import shutil
+
+    run = staging.new_run_dir("t_resume")
+    chunks = staging.stage_event_chunks(spark, sf_small, run, n_chunks=4)
+    grow_dir = os.path.join(run, "growing")
+    os.makedirs(grow_dir, exist_ok=True)
+    all_chunks = sorted(
+        d for d in os.listdir(chunks) if d.startswith("__chunk=")
+    )
+    for d in all_chunks[:2]:
+        shutil.copytree(os.path.join(chunks, d), os.path.join(grow_dir, d))
+    partial = patterns.pattern_1_1(spark, grow_dir, run)
+    batch_ids_after_first = partial.count()
+    assert batch_ids_after_first > 0
+    # reveal the rest of the stream, resume from the same checkpoint
+    for d in all_chunks[2:]:
+        shutil.copytree(os.path.join(chunks, d), os.path.join(grow_dir, d))
+    final = patterns.pattern_1_1(spark, grow_dir, run)
+    assert _as_set(final) == _batch_oracle(spark, sf_small)
+
+
+def test_upsert_log_compaction_preserves_state(spark, tmp_path):
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(spark, str(tmp_path / "log"), keys=["k"])
+    log.append(spark.createDataFrame([(1, "a0"), (2, "b0")], "k long, v string"), 0)
+    log.append(spark.createDataFrame([(1, "a1")], "k long, v string"), 1)
+    log.append(spark.createDataFrame([(3, "c2")], "k long, v string"), 2)
+    before = {tuple(r) for r in log.read_latest().collect()}
+    assert before == {(1, "a1"), (2, "b0"), (3, "c2")}
+    log.compact()
+    dirs = [d for d in os.listdir(str(tmp_path / "log")) if d.startswith("__batch_id=")]
+    assert dirs == ["__batch_id=2"]
+    assert {tuple(r) for r in log.read_latest().collect()} == before
+    # later batches still win after compaction
+    log.append(spark.createDataFrame([(2, "b3")], "k long, v string"), 3)
+    assert {tuple(r) for r in log.read_latest().collect()} == {
+        (1, "a1"), (2, "b3"), (3, "c2")
+    }

@@ -56,15 +56,20 @@ HEADLINE = [
     "embedding_neardup_lsh",
     "text_quality_scores",
     "text_language_id",
+    "text_repetition_stats",
     "doc_fingerprint",
+    "dedup_minhash_clusters",
     "contamination_flags",
+    "contamination_ngram_overlap",
     "train_val_test_split",
     "doc_chunks",
     "pack_token_bins",
+    "mix_token_budget",
     "multimodal_payload_stats",
     # physical layout
     "bucketed_join_revenue",
     "partition_pruned_daily_clicks",
+    "cdf_table_changes",
     # streaming patterns end-to-end
     "pattern_1_1_incremental_merge",
     "pattern_2_complete_overwrite",

@@ -105,3 +105,43 @@ def test_additive_merge_is_per_key_sum(spark, dest, src):
     }
     want = {k: dest.get(k, 0) + src.get(k, 0) for k in set(dest) | set(src)}
     assert merged == want
+
+
+_edges = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    max_size=20,
+)
+
+
+@settings(**_SETTINGS)
+@given(_edges)
+def test_connected_components_matches_union_find(spark, raw_edges):
+    """Spark min-label propagation == a plain Python union-find on random
+    graphs (including multi-edges, both orientations, and isolated nodes)."""
+    from duckdb_streaming_patterns_spark.operators.dedup import connected_components
+
+    node_ids = sorted({0, 15, *(n for e in raw_edges for n in e)})
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    # canonical: min node id per component
+    want = {n: find(n) for n in node_ids}
+
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    edges = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in raw_edges] or [(0, 0)],
+        "id_a long, id_b long",
+    )
+    if not raw_edges:
+        edges = edges.filter("id_a <> id_a")  # empty edge set
+    got = {r["id"]: r["cluster"] for r in connected_components(nodes, edges).collect()}
+    assert got == want

@@ -1,7 +1,7 @@
-"""Multimodal query registrations. Payload stats and frame sampling are
-oracle-checked (byte lengths / md5 agree across engines); the mapInPandas
-decode path is rows-only (its fake decoder is Python-side by design) and is
-covered by tests/test_multimodal.py."""
+"""Multimodal query registrations — all three oracle-checked: payload
+stats and frame sampling via byte-length/md5 parity, and the mapInPandas
+decode+resize chain via the deterministic fake codec being an exact
+SQL-reproducible function of the payload bytes (fixture text is ASCII)."""
 
 from __future__ import annotations
 
@@ -70,11 +70,43 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return multimodal.frame_sample(media, every_n_bytes=256)
 
 
-@register("multimodal_decode_features", None)
+@register(
+    "multimodal_decode_features",
+    """
+    -- The fake codec's metadata is a pure function of the payload bytes,
+    -- and the fixture text is ASCII (octet_length==length for every doc at
+    -- every sf), so first/last byte == ord() of first/last char and
+    -- md5(text) == md5 of the UTF-8 payload: the whole Python decode+resize
+    -- chain is reproducible in SQL. floor() before the int casts — DuckDB
+    -- CAST rounds where pandas astype truncates.
+    WITH m AS (
+      SELECT doc_id,
+             CASE WHEN doc_id % 3 = 0 THEN 'image'
+                  WHEN doc_id % 3 = 1 THEN 'audio'
+                  ELSE 'video' END AS media_type,
+             length(text) AS n,
+             16 + ord(substring(text, 1, 1)) % 64 AS w,
+             16 + ord(substring(text, length(text), 1)) % 64 AS h,
+             md5(text) AS checksum
+      FROM documents
+    ), scaled AS (
+      SELECT *, greatest(greatest(w, h) / 32.0, 1.0) AS scale FROM m
+    )
+    SELECT doc_id, media_type,
+           CAST(n AS BIGINT) AS n_bytes,
+           CAST(greatest(floor(w / scale), 1) AS INT) AS width,
+           CAST(greatest(floor(h / scale), 1) AS INT) AS height,
+           CAST(1 + n % 7 AS INT) AS n_frames,
+           checksum
+    FROM scaled
+    """,
+)
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Arrow-batched mapInPandas decode (stubbed codec) + chained resize —
-    the real plumbing for media feature extraction. Rows-only check; the
-    deterministic-decoder properties are asserted in tests/test_multimodal.py."""
+    the real plumbing for media feature extraction, now oracle-checked:
+    the deterministic fake codec makes the Python path's output an exact
+    SQL-reproducible function of the bytes. Decoder unit properties remain
+    in tests/test_multimodal.py."""
     media = multimodal.attach_payloads(
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     )

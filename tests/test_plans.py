@@ -259,3 +259,27 @@ def test_salted_join_rejects_dim_duplicating_how(spark, sf_small):
     for how in ("right", "full_outer", "full", "outer"):
         with pytest.raises(ValueError):
             skew.salted_join(orders, cust, on=["custkey"], salt_src="o_orderkey", how=how)
+
+
+def test_ngram_contamination_broadcasts_benchmark(spark, sf_small):
+    """The benchmark gram set must broadcast; the corpus side is a scan +
+    semi-shaped join, never a self-join or shuffle of the corpus grams."""
+    p = plan_of(spark, sf_small, "contamination_ngram_overlap")
+    assert "BroadcastHashJoin" in p or "BroadcastExchange" in p
+    assert "CartesianProduct" not in p
+
+
+def test_mix_token_budget_single_window_shuffle(spark, sf_small):
+    """Budget mixing shuffles once on source for the running-sum window —
+    no global sort."""
+    p = plan_of(spark, sf_small, "mix_token_budget")
+    assert p.count("Exchange hashpartitioning") <= 1
+    assert "rangepartitioning" not in p.lower().replace(" ", "")
+
+
+def test_repetition_stats_no_cartesian_and_pruned(spark, sf_small):
+    p = plan_of(spark, sf_small, "text_repetition_stats")
+    assert "CartesianProduct" not in p
+    # only doc_id/text read from parquet
+    read = p.split("ReadSchema")[1].splitlines()[0]
+    assert "lang" not in read and "source" not in read

@@ -527,3 +527,46 @@ def q_partition_pruned_daily_clicks(spark: SparkSession, sf_dir: str) -> DataFra
     from duckdb_streaming_patterns_spark.operators import layout
 
     return layout.pruned_daily_clicks(spark, sf_dir, "2024-01-10", "2024-01-12")
+
+
+@register(
+    "sessionization_session_window",
+    f"""
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ), numbered AS (
+      SELECT user_id, ts,
+             sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                               ROWS UNBOUNDED PRECEDING) AS seq
+      FROM flagged
+    )
+    SELECT user_id, count(*) AS n_events,
+           min(ts) AS session_start, max(ts) AS session_end
+    FROM numbered GROUP BY user_id, seq
+    """,
+)
+def q_sessionization_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization via the NATIVE ``F.session_window`` aggregation —
+    Catalyst's own merging-session operator (one shuffle on user_id, windows
+    merged inside the aggregation), vs. the lag+cumsum formulation above and
+    the applyInPandasWithState streaming operator; all three agree with the
+    same batch oracle. Boundary semantics: an event at exactly
+    last_event + gap EXTENDS the session (gap-inclusive merge — pinned by
+    a unit test with an exact-gap pair), so the oracle's break condition
+    is strictly > gap, identical to the lag+cumsum formulation."""
+    ev = _t(spark, sf_dir, "events")
+    sw = F.session_window(F.col("ts").cast("timestamp"), "30 minutes")
+    return (
+        ev.groupBy("user_id", sw)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .select("user_id", "n_events", "session_start", "session_end")
+    )

@@ -466,3 +466,27 @@ def test_upsert_log_compaction_preserves_state(spark, tmp_path):
     assert {tuple(r) for r in log.read_latest().collect()} == {
         (1, "a1"), (2, "b3"), (3, "c2")
     }
+
+
+def test_session_window_exact_gap_extends_session(spark):
+    """Pin Spark's session_window boundary: an event at exactly
+    last_event + gap EXTENDS the session (merge is gap-inclusive), while
+    one microsecond past the gap opens a new one — the strict > in the
+    sessionization_session_window oracle."""
+    gap_edge = [
+        (1, datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        (1, datetime.datetime(2024, 1, 1, 0, 30, 0)),  # exactly +gap: merges
+        (2, datetime.datetime(2024, 1, 1, 0, 0, 0)),
+        (2, datetime.datetime(2024, 1, 1, 0, 30, 0, 1)),  # +gap+1us: new
+    ]
+    df = spark.createDataFrame(gap_edge, "user_id long, ts timestamp_ntz")
+    out = (
+        df.groupBy("user_id", F.session_window(F.col("ts").cast("timestamp"), "30 minutes"))
+        .count()
+        .collect()
+    )
+    by_user = {}
+    for r in out:
+        by_user.setdefault(r["user_id"], []).append(r["count"])
+    assert sorted(by_user[1]) == [2]
+    assert sorted(by_user[2]) == [1, 1]

@@ -53,6 +53,19 @@ def normalized_text(text: Column) -> Column:
 
 # DuckDB oracle fragments with identical semantics.
 DUCKDB_TOKENS = "string_split_regex(trim({t}), '\\s+')"
+
+# Shared oracle CTE: per-doc distinct 3-token shingle sets over `documents`
+# — the single source of truth for every shingle-based oracle (minhash,
+# clustering, n-gram contamination), so tokenization/k changes cannot
+# silently diverge between them. Mirrors shingles() above.
+DUCKDB_SHINGLE_SET_CTE = r"""sh AS (
+      SELECT doc_id,
+             list_distinct(list_transform(range(1, len(t) - 1),
+               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+            FROM documents)
+      WHERE len(t) >= 3
+    )"""
 DUCKDB_DISTINCT_TOKENS = "list_distinct(string_split_regex(trim({t}), '\\s+'))"
 
 

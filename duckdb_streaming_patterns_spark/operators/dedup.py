@@ -345,6 +345,7 @@ def connected_components(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
     ).persist()
     prev_sum = labels.agg(F.sum("cluster")).first()[0] or 0
+    converged = False
     for _ in range(max_iters):
         nbr_min = (
             sym.join(labels, sym["dst"] == labels["id"])
@@ -365,9 +366,19 @@ def connected_components(
         labels.unpersist()
         labels = new_labels
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
     sym.unpersist()
+    if not converged:
+        # Silent partial convergence would split components (and, e.g.,
+        # keep multiple "canonical" docs per duplicate family) — fail loud.
+        raise RuntimeError(
+            f"connected_components did not converge in {max_iters} rounds; "
+            "the pair graph has a component with diameter > max_iters "
+            "(chain-shaped, not clique-shaped) — raise max_iters or switch "
+            "to large-star/small-star contraction"
+        )
     return labels
 
 

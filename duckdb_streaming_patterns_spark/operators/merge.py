@@ -133,23 +133,35 @@ class UpsertLog:
 
     def compact(self) -> None:
         """LSM-style maintenance: fold the whole log into one base batch
-        directory carrying the current max batch id, so the read-side
-        last-writer-wins window scans O(keys) rows again instead of
-        O(batches × touched keys). The resolved state is fully written to
-        a temp dir BEFORE any log directory is removed (the lazy plan
-        executes at write time), then renamed into place; run offline like
-        SnapshotTable.compact."""
+        directory so the read-side last-writer-wins window scans O(keys)
+        rows again instead of O(batches × touched keys).
+
+        Crash-safety invariants:
+        - The base gets a FRESH NEGATIVE batch id (one below the current
+          minimum). Engine-delivered epochs are ≥ 0, so a foreachBatch
+          retry of the newest uncommitted batch can never overwrite the
+          folded base (folding into an existing id would let that retry
+          replace the whole base with one batch's rows), and the base
+          correctly LOSES to every re-delivered real batch.
+        - Order of operations keeps every intermediate state resolvable:
+          the resolved snapshot is fully written to a dot-prefixed temp
+          (invisible to readers), atomically renamed to the new base
+          (readers now see base + old dirs — last-writer-wins resolves
+          identically since old dirs outrank the base), and only then are
+          the old directories removed one by one (any surviving subset
+          still resolves to the same state). A crash at ANY point leaves
+          a readable, correct log."""
         import glob
 
         dirs = sorted(glob.glob(os.path.join(self.root, "__batch_id=*")))
         if len(dirs) <= 1:
             return
-        max_id = max(int(d.rsplit("=", 1)[1]) for d in dirs)
+        base_id = min(int(d.rsplit("=", 1)[1]) for d in dirs) - 1
         tmp = os.path.join(self.root, f".compact_{uuid.uuid4().hex[:8]}")
         self.read_latest().write.mode("overwrite").parquet(tmp)
+        os.replace(tmp, os.path.join(self.root, f"__batch_id={base_id}"))
         for d in dirs:
             shutil.rmtree(d)
-        os.replace(tmp, os.path.join(self.root, f"__batch_id={max_id}"))
 
 
 class SummaryTable:

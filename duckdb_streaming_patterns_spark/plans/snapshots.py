@@ -100,6 +100,10 @@ class SnapshotTable:
                 if s.get("batch_id") == batch_id:
                     return -1  # fenced: foreachBatch retry of an applied epoch
         staging_root = os.path.join(self.root, ".staging")
+        # Single-writer: sweep staging wholesale so orphans from crashed
+        # prior attempts (which got a different uuid suffix and would never
+        # be clobbered by name) cannot accumulate.
+        shutil.rmtree(staging_root, ignore_errors=True)
         os.makedirs(staging_root, exist_ok=True)
         staged = os.path.join(staging_root, f"{sid:09d}.{uuid.uuid4().hex[:8]}")
         # snapshot_id is carried by the hive partition directory name, so the

@@ -497,14 +497,10 @@ def q_user_gap_stats_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).withColumn("median_gap_s", F.round("median_gap_s", 4))
 
 
-_NGRAM_CONTAM_ORACLE = r"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, len(t) - 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-            FROM documents)
-    ),
+from duckdb_streaming_patterns_spark.functions.text import DUCKDB_SHINGLE_SET_CTE
+
+_NGRAM_CONTAM_ORACLE = rf"""
+    WITH {DUCKDB_SHINGLE_SET_CTE},
     bench AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 50),
     corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 50)
     SELECT c.doc_id, CAST(count(DISTINCT c.g) AS BIGINT) AS n_shared_ngrams

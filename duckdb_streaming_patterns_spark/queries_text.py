@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from duckdb_streaming_patterns_spark.functions.text import DUCKDB_SHINGLE_SET_CTE
 from duckdb_streaming_patterns_spark.queries import register, _t
 from duckdb_streaming_patterns_spark.operators import dedup, textstats
 
@@ -176,14 +177,7 @@ def q_dedup_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _SHINGLE_JACCARD_ORACLE = rf"""
-    WITH sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, len(t) - 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-            FROM documents)
-      WHERE len(t) >= 3
-    )
+    WITH {DUCKDB_SHINGLE_SET_CTE}
     SELECT id_a, id_b, ROUND(jac, 6) AS jaccard FROM (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b, {_JACCARD_FRAG} AS jac
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id
@@ -215,14 +209,7 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CLUSTER_EDGES_FRAG = rf"""
-    sh AS (
-      SELECT doc_id,
-             list_distinct(list_transform(range(1, len(t) - 1),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS s
-      FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
-            FROM documents)
-      WHERE len(t) >= 3
-    ),
+    {DUCKDB_SHINGLE_SET_CTE},
     pairs AS (
       SELECT a.doc_id AS id_a, b.doc_id AS id_b
       FROM sh a JOIN sh b ON a.doc_id < b.doc_id

@@ -459,13 +459,69 @@ def test_upsert_log_compaction_preserves_state(spark, tmp_path):
     assert before == {(1, "a1"), (2, "b0"), (3, "c2")}
     log.compact()
     dirs = [d for d in os.listdir(str(tmp_path / "log")) if d.startswith("__batch_id=")]
-    assert dirs == ["__batch_id=2"]
+    # base gets a fresh NEGATIVE id so no engine-delivered epoch (>= 0) can
+    # ever overwrite it
+    assert dirs == ["__batch_id=-1"]
     assert {tuple(r) for r in log.read_latest().collect()} == before
     # later batches still win after compaction
     log.append(spark.createDataFrame([(2, "b3")], "k long, v string"), 3)
     assert {tuple(r) for r in log.read_latest().collect()} == {
         (1, "a1"), (2, "b3"), (3, "c2")
     }
+
+
+def test_upsert_log_compact_survives_retry_of_last_batch(spark, tmp_path):
+    """The checkpoint-uncommitted newest batch can be re-delivered AFTER an
+    offline compaction; its overwrite of its own directory must not clobber
+    the folded base (the reason the base id is negative, never max_id)."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(spark, str(tmp_path / "log"), keys=["k"])
+    log.append(spark.createDataFrame([(1, "a0"), (2, "b0")], "k long, v string"), 0)
+    log.append(spark.createDataFrame([(1, "a1")], "k long, v string"), 1)
+    log.compact()
+    # foreachBatch retry of epoch 1 (the newest, assumed uncommitted)
+    log.append(spark.createDataFrame([(1, "a1")], "k long, v string"), 1)
+    assert {tuple(r) for r in log.read_latest().collect()} == {
+        (1, "a1"), (2, "b0")  # key 2 must survive the retry
+    }
+
+
+def test_upsert_log_compact_crash_window_is_consistent(spark, tmp_path):
+    """Mid-compact crash simulation: once the negative-id base lands, any
+    surviving subset of the old batch dirs resolves to the same state
+    (old dirs outrank the base and re-apply identical values)."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(spark, str(tmp_path / "log"), keys=["k"])
+    log.append(spark.createDataFrame([(1, "a0"), (2, "b0")], "k long, v string"), 0)
+    log.append(spark.createDataFrame([(1, "a1")], "k long, v string"), 1)
+    want = {tuple(r) for r in log.read_latest().collect()}
+    # materialize the base exactly as compact() does, but "crash" before
+    # deleting any old dir
+    log.read_latest().write.mode("overwrite").parquet(
+        os.path.join(str(tmp_path / "log"), "__batch_id=-1")
+    )
+    assert {tuple(r) for r in log.read_latest().collect()} == want
+    # ...and after deleting only ONE old dir
+    import shutil
+
+    shutil.rmtree(os.path.join(str(tmp_path / "log"), "__batch_id=0"))
+    assert {tuple(r) for r in log.read_latest().collect()} == want
+
+
+def test_connected_components_raises_on_non_convergence(spark):
+    import pytest as _pytest
+
+    from duckdb_streaming_patterns_spark.operators.dedup import connected_components
+
+    chain = [(i, i + 1) for i in range(6)]  # diameter 6 > max_iters=3
+    nodes = spark.createDataFrame([(i,) for i in range(7)], "id long")
+    edges = spark.createDataFrame(chain, "id_a long, id_b long")
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, edges, max_iters=3)
+    ok = {r["id"]: r["cluster"] for r in connected_components(nodes, edges, max_iters=10).collect()}
+    assert set(ok.values()) == {0}
 
 
 def test_session_window_exact_gap_extends_session(spark):

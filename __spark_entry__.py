@@ -29,12 +29,19 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 # multimodal, text, corpus-pipeline, layout/join strategies, and the TPC-H
 # flagships. Everything else follows in registration order (all of it is
 # still exact-checked by the local oracle suite in tests/).
+#
+# Round-3 rotation: redundant slots (dedup_exact ~ dedup_exact_hash,
+# doc_chunks ~ doc_chunks_udtf, watermark_delta_bootstrap ~ _incremental,
+# multimodal_payload_stats ~ _decode_features) swapped for the shipped
+# dedup decision (dedup_minhash_clusters + dedup_canonical_docs), the
+# standard decontamination check (contamination_ngram_overlap), and the
+# native session-window formulation — every window entry is now
+# SQL-oracled, so the driver gate can show 50/50 hash-green.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
     "user_clicks_top5",
     "scalar_max_ts",
-    "watermark_delta_bootstrap",
     "watermark_delta_incremental",
     "events_exclude_props",
     "events_json_extract",
@@ -52,12 +59,14 @@ _PRIORITY = [
     "pattern_streaming_sessionization",
     "pattern_stream_stream_join",
     "bonus_stateless_view_topk",
+    "sessionization_session_window",
     # deduplication + fingerprinting (§2.11)
-    "dedup_exact",
     "dedup_exact_hash",
     "dedup_token_jaccard",
     "dedup_minhash_lsh",
     "dedup_simhash",
+    "dedup_minhash_clusters",
+    "dedup_canonical_docs",
     "doc_fingerprint",
     # similarity search (§2.11)
     "knn_bruteforce",
@@ -65,7 +74,6 @@ _PRIORITY = [
     "embedding_neardup_lsh",
     "knn_lsh_ann",
     # multimodal (§2.11)
-    "multimodal_payload_stats",
     "multimodal_frame_sample",
     "multimodal_decode_features",
     # text analysis (§2.11)
@@ -73,9 +81,9 @@ _PRIORITY = [
     "text_quality_scores",
     "text_language_id",
     # corpus pipeline (§2.11)
-    "doc_chunks",
     "pack_token_bins",
     "contamination_flags",
+    "contamination_ngram_overlap",
     "train_val_test_split",
     "doc_chunks_udtf",
     # join/layout strategies (§2.12 scale surfaces)

@@ -59,6 +59,7 @@ HEADLINE = [
     "text_repetition_stats",
     "doc_fingerprint",
     "dedup_minhash_clusters",
+    "dedup_canonical_docs",
     "contamination_flags",
     "contamination_ngram_overlap",
     "train_val_test_split",
@@ -70,12 +71,15 @@ HEADLINE = [
     "bucketed_join_revenue",
     "partition_pruned_daily_clicks",
     "cdf_table_changes",
+    "asof_join_last_click",
+    "range_join_price_bands",
     # streaming patterns end-to-end
     "pattern_1_1_incremental_merge",
     "pattern_2_complete_overwrite",
     "pattern_2_insert_overwrite",
     "pattern_streaming_sessionization",
     "pattern_stream_stream_join",
+    "sessionization_session_window",
     "bonus_stateless_view_topk",
 ]
 

@@ -217,24 +217,49 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash(df: DataFrame, id_col: str, text_col: str, bits: int = 64) -> DataFrame:
-    """64-bit SimHash fingerprints: per-bit majority vote over token hashes.
+SIMHASH_BITS = 60
+
+
+def portable_token_hash(col) -> "F.Column":
+    """60-bit token hash every engine can reproduce: the first 15 hex chars
+    of md5 as an integer. xxhash64 would be marginally faster JVM-side but
+    is Spark-specific — md5 exists identically in DuckDB/Postgres/etc., so
+    SimHash fingerprints built on it are oracle-checkable bit for bit
+    (DUCKDB_HEX15 below is the other half of the contract). 15 hex chars
+    = 60 bits < 2^63 keeps every value positive in a BIGINT on both
+    engines: no sign-bit special cases in masks or shifts."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+# DuckDB fragment computing the same 60-bit value from a hex column {m}
+# (exact integer arithmetic: digit × 16^k with literal BIGINT powers —
+# power() returns DOUBLE, which cannot hold a 60-bit sum exactly).
+_HEX15_POWERS = [16 ** (15 - i) for i in range(1, 16)]
+DUCKDB_HEX15 = (
+    "CAST(list_sum(list_transform(range(1,16),"
+    " i -> (strpos('0123456789abcdef', {m}[i]) - 1)"
+    f" * ({_HEX15_POWERS}::BIGINT[])[i])) AS BIGINT)"
+)
+
+
+def simhash(
+    df: DataFrame, id_col: str, text_col: str, bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """SimHash fingerprints: per-bit majority vote over token hashes.
 
     Shaped as explode(tokens) → per-(doc, bit) signed vote → groupBy doc.
-    Token hashing via xxhash64 (JVM). Shuffle volume = rows × bits of tiny
-    ints; at scale prefer the aggregate form below which keeps it rows ×
-    1 array column.
+    Token hashing via portable_token_hash (md5-derived, 60-bit) so the
+    fingerprint — and therefore the near-dup pair set — is engine-portable
+    and exactly oracle-checkable. Shuffle volume = rows × bits of tiny
+    ints; partial aggregation keeps it one row per (doc × partition).
     """
-    # Bit masks unrolled in Python (shift amounts must be literals); bit 63's
-    # mask is the sign bit, i.e. long MIN_VALUE in two's complement.
-    masks = [(1 << b) if b < 63 else -(1 << 63) for b in range(bits)]
-    # Shape: explode token set → one xxhash64 per token → 64 ±1 vote columns
+    masks = [1 << b for b in range(bits)]
+    # Shape: explode token set → one hash per token → `bits` ±1 vote columns
     # (flat codegen'd projection) → groupBy(doc) summing votes map-side.
-    # The shuffle carries one 64-int row per (doc × partition).
     exploded = df.select(
         F.col(id_col).alias("id"),
         F.explode(distinct_tokens(F.col(text_col))).alias("tok"),
-    ).withColumn("h", F.xxhash64("tok"))
+    ).withColumn("h", portable_token_hash(F.col("tok")))
     votes = exploded.groupBy("id").agg(
         *[
             F.sum(
@@ -259,8 +284,11 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3
 ) -> DataFrame:
     """Near-dup pairs by SimHash Hamming distance, candidate-blocked on
-    16-bit fingerprint quarters (a pair within Hamming ≤3 of 64 bits must
-    agree exactly on at least one of the 4 quarters — pigeonhole).
+    15-bit fingerprint quarters (a pair within Hamming ≤3 of 60 bits must
+    agree exactly on at least one of the 4 quarters — pigeonhole). The
+    blocking is therefore lossless: the blocked join returns EXACTLY the
+    all-pairs Hamming ≤3 set, which is what the DuckDB oracle computes
+    with an unblocked self-join at test scale.
 
     Candidates come from a hash self-join on the quarter key: near-dup
     corpora have LARGE clusters (every pair in a cluster shares quarters),
@@ -279,8 +307,8 @@ def simhash_pairs(
                 *[
                     F.struct(
                         F.lit(q).alias("q"),
-                        F.shiftright("simhash", q * 16)
-                        .bitwiseAND(0xFFFF)
+                        F.shiftright("simhash", q * (SIMHASH_BITS // 4))
+                        .bitwiseAND((1 << (SIMHASH_BITS // 4)) - 1)
                         .alias("qh"),
                     )
                     for q in range(4)
@@ -328,11 +356,20 @@ def connected_components(
     diameter) rounds. Near-dup components are quasi-cliques (every member
     pairs with most others), so diameter is 1-2 and the loop exits after
     2-3 rounds; for adversarially chain-shaped graphs the known fix is the
-    large-star/small-star contraction (Kiveris et al., MR-CC) which this
-    loop's join structure extends to. Convergence is detected by the label
-    SUM (strictly decreasing until fixpoint — one scalar agg per round,
-    no full-table diff join). Each round shuffles (src, label) pairs —
-    never document content.
+    large-star/small-star contraction (Kiveris et al., MR-CC — see
+    connected_components_star below). Convergence is detected by COUNTING
+    CHANGED LABELS — a flag column on the frame the round already joins,
+    so it costs one scalar agg and no extra join, and (unlike a label-SUM
+    probe) works for string/any orderable id types where SUM would be
+    NULL. Each round shuffles (src, label) pairs — never document content.
+
+    Each round's labels are ``localCheckpoint``ed, not merely persisted:
+    ``labels`` appears TWICE in the next round's plan (neighbor-min build
+    and the join back), so without lineage truncation the logical plan
+    doubles per round — by round ~10 analysis/codegen alone OOMs the
+    driver, long before any data-size limit. Checkpointing keeps the plan
+    O(1)-deep however many rounds run; the checkpointed blocks are
+    (id, label) pairs only and are GC'd when the frame is dropped.
 
     ``nodes``: one column ``id_col``; ``edges``: columns id_a/id_b.
     Returns (id, cluster).
@@ -343,8 +380,7 @@ def connected_components(
     sym = sym.persist()
     labels = nodes.select(
         F.col(id_col).alias("id"), F.col(id_col).alias("cluster")
-    ).persist()
-    prev_sum = labels.agg(F.sum("cluster")).first()[0] or 0
+    ).localCheckpoint(eager=True)
     converged = False
     for _ in range(max_iters):
         nbr_min = (
@@ -352,34 +388,120 @@ def connected_components(
             .groupBy("src")
             .agg(F.min("cluster").alias("nbr_min"))
         )
-        new_labels = (
+        flagged = (
             labels.join(nbr_min, labels["id"] == nbr_min["src"], "left")
             .select(
                 labels["id"],
                 F.least(
                     F.col("cluster"), F.coalesce(F.col("nbr_min"), F.col("cluster"))
                 ).alias("cluster"),
+                (F.col("nbr_min") < F.col("cluster")).alias("__changed"),
             )
-            .persist()
+            .localCheckpoint(eager=True)
         )
-        cur_sum = new_labels.agg(F.sum("cluster")).first()[0] or 0
-        labels.unpersist()
-        labels = new_labels
-        if cur_sum == prev_sum:
+        n_changed = (
+            flagged.agg(F.sum(F.col("__changed").cast("long"))).first()[0] or 0
+        )
+        labels = flagged.drop("__changed")
+        if n_changed == 0:
             converged = True
             break
-        prev_sum = cur_sum
     sym.unpersist()
     if not converged:
-        # Silent partial convergence would split components (and, e.g.,
-        # keep multiple "canonical" docs per duplicate family) — fail loud.
-        raise RuntimeError(
-            f"connected_components did not converge in {max_iters} rounds; "
-            "the pair graph has a component with diameter > max_iters "
-            "(chain-shaped, not clique-shaped) — raise max_iters or switch "
-            "to large-star/small-star contraction"
-        )
+        # A component with diameter > max_iters (chain-shaped, not the
+        # quasi-clique shape near-dup graphs have). Silent partial
+        # convergence would split components, so switch to the
+        # O(log²)-round star contraction, which handles any shape.
+        return connected_components_star(nodes, edges, id_col)
     return labels
+
+
+def connected_components_star(
+    nodes: DataFrame,
+    edges: DataFrame,
+    id_col: str = "id",
+    max_iters: int = 50,
+) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    contraction (Kiveris et al., "Connected Components in MapReduce and
+    Beyond", SoCC'14) — O(log² n) rounds regardless of graph diameter,
+    the scale-safe path for chain-shaped graphs where per-round min-label
+    propagation needs O(diameter) rounds.
+
+    One round:
+    - large-star: every node u links each STRICTLY LARGER neighbor to
+      m(u) = min(Γ(u) ∪ {u});
+    - small-star: edges pointed large→small; every node u re-links its
+      smaller-or-equal neighborhood (and itself) into a star on m(u).
+    Both steps are groupBy(min) + equi-join — each round shuffles (node,
+    label) pairs only, and the edge frame is localCheckpoint'ed per round
+    so lineage stays O(1) however many rounds run.
+
+    At the fixed point the edge set is a star forest (v, root) with root =
+    the component minimum. Same contract as connected_components:
+    ``nodes`` has ``id_col``; ``edges`` has id_a/id_b; returns
+    (id, cluster) with singletons labelled by themselves.
+    """
+    e = (
+        edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .select(F.least("u", "v").alias("lo"), F.greatest("u", "v").alias("hi"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    converged = False
+    for _ in range(max_iters):
+        prev = e
+        # large-star over the symmetric closure
+        sym = prev.select(F.col("lo").alias("u"), F.col("hi").alias("v")).unionByName(
+            prev.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        )
+        mins = (
+            sym.groupBy("u")
+            .agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m"))
+        )
+        large = (
+            sym.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("lo"), F.col("v").alias("hi"))
+            .filter(F.col("lo") != F.col("hi"))
+            .distinct()
+        )
+        # small-star on large's output (edges already point large→small
+        # because each pair is stored as (lo, hi))
+        dir_ = large.select(F.col("hi").alias("u"), F.col("lo").alias("v"))
+        mins2 = dir_.groupBy("u").agg(F.min("v").alias("m"))
+        small = (
+            dir_.join(mins2, "u")
+            .select(
+                F.col("m"),
+                F.explode(F.array(F.col("v"), F.col("u"))).alias("n"),
+            )
+            .filter(F.col("m") != F.col("n"))
+            .select(F.col("m").alias("lo"), F.col("n").alias("hi"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        e = small
+        # fixed point: the edge SET is unchanged (counts + one anti-join)
+        n_new = e.count()
+        if n_new == prev.count() and e.subtract(prev).count() == 0:
+            converged = True
+            break
+    if not converged:
+        raise RuntimeError(
+            f"connected_components_star did not converge in {max_iters} "
+            "rounds — O(log² n) bound exceeded; graph larger than this "
+            "configuration supports"
+        )
+    # star forest: every non-root points at its component min
+    labels = e.groupBy(F.col("hi").alias("id")).agg(F.min("lo").alias("cluster"))
+    return (
+        nodes.select(F.col(id_col).alias("id"))
+        .join(labels, "id", "left")
+        .select("id", F.coalesce("cluster", F.col("id")).alias("cluster"))
+    )
 
 
 def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:

@@ -148,15 +148,22 @@ class UpsertLog:
           (invisible to readers), atomically renamed to the new base
           (readers now see base + old dirs — last-writer-wins resolves
           identically since old dirs outrank the base), and only then are
-          the old directories removed one by one (any surviving subset
-          still resolves to the same state). A crash at ANY point leaves
-          a readable, correct log."""
+          the old directories removed in ASCENDING numeric batch-id order
+          (lexicographic order would drop __batch_id=10 before =2: a crash
+          mid-GC could then leave an older dir alive while a newer one
+          survives only inside the base, losing last-writer-wins). With
+          ascending deletion any surviving suffix of dirs is the NEWEST
+          batches, which outrank the base and every deleted batch — so
+          every crash window still resolves to the same state."""
         import glob
 
-        dirs = sorted(glob.glob(os.path.join(self.root, "__batch_id=*")))
+        dirs = sorted(
+            glob.glob(os.path.join(self.root, "__batch_id=*")),
+            key=lambda d: int(d.rsplit("=", 1)[1]),
+        )
         if len(dirs) <= 1:
             return
-        base_id = min(int(d.rsplit("=", 1)[1]) for d in dirs) - 1
+        base_id = int(dirs[0].rsplit("=", 1)[1]) - 1
         tmp = os.path.join(self.root, f".compact_{uuid.uuid4().hex[:8]}")
         self.read_latest().write.mode("overwrite").parquet(tmp)
         os.replace(tmp, os.path.join(self.root, f"__batch_id={base_id}"))

@@ -4,9 +4,11 @@
   the (small) query set against the corpus, per-partition heap via
   row_number window. Exact.
 - LSH-bucketed ANN (random hyperplane signs): the scale path. Candidate set
-  = corpus rows sharing a signature bucket with the query; exact cosine only
-  on candidates. Hyperplanes are derived deterministically from xxhash64 so
-  there is no sampled state to broadcast and results are reproducible.
+  = corpus rows sharing a signature bucket with the query (optionally plus
+  Hamming-1 multi-probe buckets); exact cosine only on candidates.
+  Hyperplanes come from a fixed-seed generator (lsh_planes) and the
+  projections are fold-ordered, so bucket assignment is deterministic,
+  engine-portable, and exactly oracle-checkable.
 - IVF-style variant: coarse centroids by k-means-free binning (label column
   or signature prefix) — provided as partition pruning over the bucketed
   table.
@@ -77,21 +79,38 @@ def knn_bruteforce(
     )
 
 
+def lsh_planes(dim: int, n_planes: int, n_tables: int, seed: int = 42) -> np.ndarray:
+    """The random-hyperplane matrix, shape (dim, n_planes·n_tables).
+
+    Single source of truth shared by the Spark bucketing UDF AND the
+    DuckDB oracle generators (queries_sim.py inlines these exact float64
+    values as SQL literals via repr — which round-trips IEEE754 exactly),
+    so the bucket assignment is engine-portable and hash-checkable.
+    """
+    return np.random.RandomState(seed).standard_normal((dim, n_planes * n_tables))
+
+
 def _lsh_keys(df: DataFrame, id_alias: str, id_col: str,
               vec_col: str, n_planes: int, n_tables: int,
               seed: int = 42) -> DataFrame:
     """Explode each row into (id, table, bucket) keys — one per hash table.
 
-    Bucket ids are computed by an Arrow-batched pandas UDF: one numpy
-    matmul (batch × dim) @ (dim × planes·tables) per Arrow batch, then sign
-    bits → per-table bucket ints. Dense-vector math is exactly the case
-    where a vectorized pandas UDF beats Catalyst expressions — the
-    expression form (posexplode + planes·tables SUM aggregates) costs an
-    extra shuffle plus a multi-second codegen compile of the 48-agg
-    operator, measured ~10× slower end to end at sf0.1.
+    Bucket ids are computed by an Arrow-batched pandas UDF. Dense-vector
+    math is exactly the case where a vectorized pandas UDF beats Catalyst
+    expressions — the expression form (posexplode + planes·tables SUM
+    aggregates) costs an extra shuffle plus a multi-second codegen compile
+    of the 48-agg operator, measured ~10× slower end to end at sf0.1.
 
-    The hyperplane matrix is regenerated per executor from a fixed seed
-    (np.random.RandomState(seed)) — deterministic, zero broadcast state.
+    The projections are accumulated SEQUENTIALLY over dimensions
+    (acc += x_i·p_i, vectorized across rows×planes but ordered over i) —
+    bit-identical to a left-to-right double fold, i.e. to Spark's
+    F.aggregate and DuckDB's list_sum(list_transform(...)). A BLAS matmul
+    would be ~the same speed here but uses pairwise/SIMD summation whose
+    last-ulp differences could flip a sign at a bucket boundary and make
+    the candidate set engine-specific; the sequential form keeps the
+    oracle exact. Hyperplanes are regenerated per executor from the fixed
+    seed (lsh_planes) — deterministic, zero broadcast state.
+
     Output is narrow (id, table, bucket) rows; vectors join back *after*
     candidate dedup so no shuffle ever carries an embedding.
     """
@@ -105,8 +124,17 @@ def _lsh_keys(df: DataFrame, id_alias: str, id_col: str,
         mat = np.asarray(
             [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
         )
-        planes = np.random.RandomState(seed).standard_normal((mat.shape[1], n_total))
-        signs = (mat @ planes >= 0).reshape(len(vecs), n_tables, n_planes)
+        # Inline (not a call to lsh_planes) so the closure stays
+        # self-contained — a module-level reference would require the
+        # package on every Python worker's sys.path. MUST stay identical
+        # to lsh_planes(), which the DuckDB oracle generators replay.
+        planes = np.random.RandomState(seed).standard_normal(
+            (mat.shape[1], n_total)
+        )
+        acc = np.zeros((len(vecs), n_total))
+        for i in range(mat.shape[1]):
+            acc = acc + mat[:, i : i + 1] * planes[i : i + 1, :]
+        signs = (acc >= 0).reshape(len(vecs), n_tables, n_planes)
         buckets = (signs * weights).sum(axis=2)
         return pd.Series(list(buckets))
 
@@ -124,14 +152,35 @@ def knn_lsh(
     k: int = 10,
     n_planes: int = 8,
     n_tables: int = 8,
+    multiprobe: bool = False,
 ) -> DataFrame:
     """ANN top-k: exact cosine restricted to LSH candidates — rows sharing
     a bucket with the query in ANY of the n_tables hash tables (standard
     multi-table random-hyperplane LSH; recall grows with n_tables, cost per
     table with 2^-n_planes). At scale the n×m cross join becomes an
-    equi-join on (table, bucket), shuffling each row n_tables times."""
+    equi-join on (table, bucket), shuffling each row n_tables times.
+
+    ``multiprobe``: additionally probe every Hamming-1 neighbor bucket of
+    the query's bucket in each table (Lv et al., multi-probe LSH). Only
+    the (tiny, broadcast) QUERY side fans out ×(n_planes+1); the corpus
+    shuffle is unchanged — recall rises sharply at near-zero cost, the
+    right trade at 100 TB where corpus passes dominate."""
     c = _lsh_keys(corpus, "neighbor_id", id_col, vec_col, n_planes, n_tables)
     q = _lsh_keys(queries, "query_id", id_col, vec_col, n_planes, n_tables)
+    if multiprobe:
+        q = q.select(
+            "query_id",
+            "table",
+            F.explode(
+                F.array(
+                    F.col("bucket"),
+                    *[
+                        F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                        for p in range(n_planes)
+                    ],
+                )
+            ).alias("bucket"),
+        )
     # bucket join + dedup over narrow id rows only; vectors join in after.
     cand = (
         c.join(F.broadcast(q), ["table", "bucket"])
@@ -348,6 +397,12 @@ def lsh_neardup_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # Materialize the (narrow) candidate pairs, then release the key cache
+    # — without this the persisted keys leak cached blocks for the life of
+    # the session on every call. localCheckpoint truncates lineage so the
+    # downstream cosine join never re-triggers the unpersisted UDF scan.
+    cand = cand.localCheckpoint(eager=True)
+    keys.unpersist()
     vecs_a = df.select(
         F.col(id_col).alias("id_a"),
         to_double_array(F.col(vec_col)).alias("v_a"),

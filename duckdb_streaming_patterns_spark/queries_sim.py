@@ -13,6 +13,43 @@ from duckdb_streaming_patterns_spark.queries import register, _t
 from duckdb_streaming_patterns_spark.operators import similarity
 from duckdb_streaming_patterns_spark.functions.vectors import duckdb_cosine
 
+# Fixture embedding dimensionality (constant across every sf — asserted by
+# tests/test_similarity.py); the oracle SQL inlines dim-sized hyperplane
+# literals so it must be known at registration time.
+_DIM = 64
+
+
+def _lsh_bucket_sql(n_planes: int, n_tables: int, seed: int = 42):
+    """DuckDB fragments replaying similarity._lsh_keys bit for bit.
+
+    Returns (w_cte, bucket_select_list). The hyperplane matrix comes from
+    the SAME lsh_planes() the Spark UDF uses, flattened column-major into
+    one DOUBLE[] literal (repr round-trips IEEE754 exactly); each bucket
+    bit is the sign of a sequential left-to-right double fold — the order
+    DuckDB's list_sum evaluates and the Spark UDF reproduces, so bucket
+    assignments agree exactly."""
+    planes = similarity.lsh_planes(_DIM, n_planes, n_tables, seed)
+    n_total = n_planes * n_tables
+    w_flat = ", ".join(
+        repr(float(planes[i, c])) for c in range(n_total) for i in range(_DIM)
+    )
+    w_cte = f"w AS (SELECT [{w_flat}]::DOUBLE[] AS w)"
+
+    def dot(c: int) -> str:
+        return (
+            f"list_sum(list_transform(range(1,{_DIM + 1}),"
+            f" i -> CAST(embedding[i] AS DOUBLE) * w[{c * _DIM} + i]))"
+        )
+
+    buckets = []
+    for t in range(n_tables):
+        terms = " + ".join(
+            f"(CASE WHEN {dot(t * n_planes + p)} >= 0 THEN {1 << p} ELSE 0 END)"
+            for p in range(n_planes)
+        )
+        buckets.append(f"CAST({terms} AS BIGINT) AS b{t}")
+    return w_cte, ",\n             ".join(buckets)
+
 _COS = duckdb_cosine("q_vec", "c_vec")
 
 _KNN_ORACLE = f"""
@@ -63,25 +100,85 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("embedding_neardup_lsh", None)
+_ND_W_CTE, _ND_BUCKETS = _lsh_bucket_sql(n_planes=4, n_tables=16)
+_ND_MATCH = " OR ".join(f"a.b{t} = b.b{t}" for t in range(16))
+_ND_LSH_ORACLE = f"""
+    WITH {_ND_W_CTE},
+         k AS (SELECT vec_id, embedding,
+             {_ND_BUCKETS}
+             FROM embeddings, w)
+    SELECT id_a, id_b, ROUND(cosine, 6) AS cosine FROM (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             {duckdb_cosine("a.embedding", "b.embedding")} AS cosine
+      FROM k a JOIN k b ON a.vec_id < b.vec_id AND ({_ND_MATCH})
+    ) WHERE cosine >= 0.35
+"""
+
+
+@register("embedding_neardup_lsh", _ND_LSH_ORACLE)
 def q_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unlabeled-corpus near-dup pairs: LSH-bucketed blocking (4 planes ×
     16 tables) instead of a label column — the blocking strategy a real
-    100 TB corpus needs. No SQL oracle (Spark-seeded hyperplanes make the
-    candidate set engine-specific); tests/test_similarity.py pins recall
-    of the exact ≥-threshold pair set."""
+    100 TB corpus needs. The oracle replays the (deterministic,
+    fold-ordered) bucket assignment with inlined hyperplane literals, so
+    the candidate set — and therefore the emitted pair set — is exactly
+    checkable; tests/test_similarity.py additionally pins recall ≥ 0.7 of
+    the exact ≥-threshold pair set."""
     emb = _t(spark, sf_dir, "embeddings")
     return similarity.lsh_neardup_pairs(emb, threshold=0.35)
 
 
-@register("knn_lsh_ann", None)
+_KNN_N_PLANES, _KNN_N_TABLES = 6, 8
+_KNN_W_CTE, _KNN_BUCKETS = _lsh_bucket_sql(_KNN_N_PLANES, _KNN_N_TABLES)
+# multi-probe: a corpus row is a candidate if its bucket equals the query's
+# bucket OR any Hamming-1 neighbor of it (single-bit xor probes), per table.
+_KNN_MATCH = " OR ".join(
+    "c.b{t} IN (q.b{t}, {probes})".format(
+        t=t,
+        probes=", ".join(
+            f"xor(q.b{t}, {1 << p})" for p in range(_KNN_N_PLANES)
+        ),
+    )
+    for t in range(_KNN_N_TABLES)
+)
+_KNN_LSH_ORACLE = f"""
+    WITH {_KNN_W_CTE},
+         k AS (SELECT vec_id, embedding,
+             {_KNN_BUCKETS}
+             FROM embeddings, w),
+         q AS (SELECT * FROM k WHERE vec_id < 5),
+         cand AS (
+           SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  q.embedding AS q_vec, c.embedding AS c_vec
+           FROM q JOIN k c ON q.vec_id <> c.vec_id AND ({_KNN_MATCH})
+         ),
+         s AS (SELECT query_id, neighbor_id,
+                      {duckdb_cosine("q_vec", "c_vec")} AS cosine
+               FROM cand),
+         r AS (SELECT query_id, neighbor_id, cosine,
+                      row_number() OVER (PARTITION BY query_id
+                                         ORDER BY cosine DESC, neighbor_id) AS rank
+               FROM s)
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM r WHERE rank <= 10
+"""
+
+
+@register("knn_lsh_ann", _KNN_LSH_ORACLE)
 def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-10 neighbors via multi-table random-hyperplane LSH.
-    No SQL oracle (the hyperplane family is Spark-seeded);
-    tests/test_similarity.py checks recall against the exact result."""
+    """Approximate top-10 neighbors via multi-table random-hyperplane LSH
+    with Hamming-1 multi-probe on the query side (recall without extra
+    corpus shuffle). Deterministic fold-ordered bucketing + inlined
+    hyperplane literals make the candidate set — hence the ANN result —
+    exactly oracle-checkable; tests/test_similarity.py pins recall vs the
+    exact top-k."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.knn_lsh(emb, queries, k=10, n_planes=6, n_tables=8)
+    return similarity.knn_lsh(
+        emb, queries, k=10, n_planes=_KNN_N_PLANES, n_tables=_KNN_N_TABLES,
+        multiprobe=True,
+    )
 
 
 @register("knn_ivf_ann", None)

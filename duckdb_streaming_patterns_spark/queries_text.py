@@ -197,11 +197,48 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", None)
+# SimHash oracle: same md5-derived 60-bit token hash (DUCKDB_HEX15 ==
+# portable_token_hash), same per-bit majority votes, then an UNBLOCKED
+# self-join — valid because the engine's 15-bit quarter blocking is
+# lossless for Hamming ≤ 3 (pigeonhole; see simhash_pairs docstring).
+_SIMHASH_VOTES = ",\n             ".join(
+    f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v{b}"
+    for b in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_FP = " + ".join(
+    f"(CASE WHEN v{b} > 0 THEN {1 << b} ELSE 0 END)"
+    for b in range(dedup.SIMHASH_BITS)
+)
+_SIMHASH_ORACLE = rf"""
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(list_distinct(string_split_regex(trim(text), '\s+'))) AS tok
+      FROM documents
+    ),
+    hashes AS (
+      SELECT doc_id, {dedup.DUCKDB_HEX15.format(m="m")} AS h
+      FROM (SELECT doc_id, md5(tok) AS m FROM toks)
+    ),
+    votes AS (
+      SELECT doc_id,
+             {_SIMHASH_VOTES}
+      FROM hashes GROUP BY doc_id
+    ),
+    fp AS (SELECT doc_id, CAST({_SIMHASH_FP} AS BIGINT) AS f FROM votes)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.f, b.f)) AS BIGINT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 3
+"""
+
+
+@register("dedup_simhash", _SIMHASH_ORACLE)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (Hamming ≤ 3 of 64 bits). No SQL oracle:
-    the fingerprint depends on Spark's xxhash64 hash family; correctness is
-    covered by property tests (identical text → identical fingerprint,
+    """SimHash near-dup pairs (Hamming ≤ 3 of 60 bits). The fingerprint is
+    built on the portable md5-derived token hash, so the oracle replays the
+    exact vote arithmetic in SQL; the engine's quarter blocking is lossless
+    at this Hamming radius, so the blocked and unblocked pair sets are
+    identical. Property tests (identical text → identical fingerprint,
     near-dup pairs ⊇ exact dups) in tests/test_dedup.py."""
     return dedup.simhash_pairs(
         _t(spark, sf_dir, "documents"), "doc_id", "text", max_hamming=3

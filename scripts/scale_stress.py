@@ -1,0 +1,141 @@
+"""Scale-stress harness: time-vs-rows curvature for the heavy operators.
+
+Round-2 verdict item #4: the cheapest available proxy for the 100 TB claim
+is to scale the fixture corpus ~10x and check the heavy set scales
+~linearly. This script synthesizes x1/x3/x10 corpora from sf0.1 into /tmp
+and times the five most expensive operator families once per factor,
+printing one JSON line per (factor, query).
+
+Scaling is designed so the WORK grows linearly (the honest test):
+
+- documents: copy i>0 gets every whitespace token suffixed with `_si` —
+  shingle/token/minhash/simhash sets across copies are disjoint, so the
+  near-dup pair graph replicates per copy instead of exploding
+  quadratically (10 verbatim copies of each doc would make every doc a
+  member of a 10-clique: output — and any correct algorithm's cost —
+  would be ~45x, measuring output blow-up, not engine curvature).
+- events: copy i>0 shifts user_id (and event_id) by i*10^7 — per-key
+  state for sessionization / stream-stream join stays constant while the
+  key count scales, which is how a bigger corpus actually behaves.
+
+Run:  python scripts/scale_stress.py [factors...]   (default: 1 3 10)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO_ROOT not in sys.path:
+    sys.path.insert(0, _REPO_ROOT)
+
+from pyspark.sql import SparkSession, functions as F  # noqa: E402
+
+from duckdb_streaming_patterns_spark import get_spark  # noqa: E402
+from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
+
+SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+WORK = "/tmp/dsp_scale_stress"
+
+HEAVY = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_minhash_clusters",
+    "pattern_streaming_sessionization",
+    "pattern_stream_stream_join",
+]
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+]
+
+
+def build_dir(spark: SparkSession, factor: int) -> str:
+    out = os.path.join(WORK, f"x{factor}")
+    if os.path.isdir(out):
+        return out
+    os.makedirs(out, exist_ok=True)
+    for t in TABLES:
+        src = os.path.join(SRC_SF, f"{t}.parquet")
+        dst = os.path.join(out, f"{t}.parquet")
+        if factor == 1 or t not in ("documents", "events"):
+            if not os.path.exists(dst):
+                os.symlink(src, dst)
+            continue
+        copies = F.explode(F.array(*[F.lit(i) for i in range(factor)])).alias("__c")
+        if t == "documents":
+            df = spark.read.parquet(src).select("*", copies)
+            # token-salt every copy>0: disjoint token/shingle space per copy
+            salted = F.when(
+                F.col("__c") == 0, F.col("text")
+            ).otherwise(
+                F.array_join(
+                    F.transform(
+                        F.split(F.col("text"), r"\s+"),
+                        lambda tok: F.concat(
+                            tok, F.lit("_s"), F.col("__c").cast("string")
+                        ),
+                    ),
+                    " ",
+                )
+            )
+            df = df.select(
+                (F.col("doc_id") + F.col("__c") * F.lit(10_000_000)).alias("doc_id"),
+                salted.alias("text"),
+                "lang", "source", "n_chars",
+            )
+        else:  # events
+            df = spark.read.parquet(src).select("*", copies)
+            df = df.select(
+                (F.col("event_id") + F.col("__c") * F.lit(10_000_000)).alias(
+                    "event_id"
+                ),
+                "ts",
+                (F.col("user_id") + F.col("__c") * F.lit(10_000_000)).alias(
+                    "user_id"
+                ),
+                "event_type", "value", "props",
+            )
+        df.write.mode("overwrite").parquet(dst)
+    return out
+
+
+def main() -> None:
+    factors = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
+    spark = get_spark(app_name="dsp-scale-stress")
+    results = []
+    for factor in factors:
+        d = build_dir(spark, factor)
+        n_docs = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
+        n_events = spark.read.parquet(os.path.join(d, "events.parquet")).count()
+        for name in HEAVY:
+            fn, _ = QUERIES[name]
+            t0 = time.perf_counter()
+            rows_out = fn(spark, d).count()
+            sec = round(time.perf_counter() - t0, 3)
+            rec = {
+                "factor": factor,
+                "query": name,
+                "rows_in": n_events if name.startswith("pattern") else n_docs,
+                "rows_out": rows_out,
+                "sec": sec,
+            }
+            results.append(rec)
+            print(json.dumps(rec), flush=True)
+    # curvature: ratio of ideal-linear time (base scaled by factor) to the
+    # measured time — 1.0 = perfectly linear, >1 = sublinear (fixed costs
+    # amortizing), <1 = superlinear (a scale problem to investigate).
+    base = {r["query"]: r["sec"] for r in results if r["factor"] == factors[0]}
+    for r in results:
+        ideal = base[r["query"]] * r["factor"] / factors[0]
+        r["linear_ratio"] = round(ideal / r["sec"], 3) if r["sec"] else None
+    print(json.dumps({"summary": results}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -33,15 +33,25 @@ def test_first_50_cover_every_family():
             "pattern_stream_stream_join",
             "bonus_stateless_view_topk",
         },
-        "dedup": {"dedup_exact_hash", "dedup_minhash_lsh", "dedup_simhash"},
+        "dedup": {
+            "dedup_exact_hash",
+            "dedup_minhash_lsh",
+            "dedup_simhash",
+            "dedup_minhash_clusters",
+            "dedup_canonical_docs",
+        },
         "similarity": {
             "knn_bruteforce",
             "embedding_neardup_pairs",
             "embedding_neardup_lsh",
         },
-        "multimodal": {"multimodal_payload_stats", "multimodal_frame_sample"},
+        "multimodal": {"multimodal_frame_sample", "multimodal_decode_features"},
         "text": {"text_token_count", "text_language_id"},
-        "pipeline": {"doc_chunks", "pack_token_bins", "contamination_flags"},
+        "pipeline": {
+            "pack_token_bins",
+            "contamination_flags",
+            "contamination_ngram_overlap",
+        },
         "layout": {"bucketed_join_revenue", "partition_pruned_daily_clicks"},
         "tpch": {"q1_pricing_summary", "q3_shipping_priority"},
     }

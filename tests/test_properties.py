@@ -145,3 +145,75 @@ def test_connected_components_matches_union_find(spark, raw_edges):
         edges = edges.filter("id_a <> id_a")  # empty edge set
     got = {r["id"]: r["cluster"] for r in connected_components(nodes, edges).collect()}
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(_edges)
+def test_connected_components_star_matches_union_find(spark, raw_edges):
+    """The large-star/small-star contraction path must agree with
+    union-find on the same arbitrary graphs as min-label propagation."""
+    from duckdb_streaming_patterns_spark.operators.dedup import (
+        connected_components_star,
+    )
+
+    node_ids = sorted({0, 15, *(n for e in raw_edges for n in e)})
+    parent = {n: n for n in node_ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw_edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in node_ids}
+
+    nodes = spark.createDataFrame([(n,) for n in node_ids], "id long")
+    edges = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in raw_edges] or [(0, 0)],
+        "id_a long, id_b long",
+    )
+    if not raw_edges:
+        edges = edges.filter("id_a <> id_a")
+    got = {
+        r["id"]: r["cluster"]
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert got == want
+
+
+def test_connected_components_chain_exceeding_round_limit(spark):
+    """A 150-node path graph has diameter 149 > the propagation round
+    limit; connected_components must fall back to star contraction (no
+    RuntimeError for legal inputs) and still label every node with the
+    component minimum. Ids are permuted so the chain order is unrelated
+    to the id order."""
+    import random
+
+    from duckdb_streaming_patterns_spark.operators.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    n = 150
+    ids = list(range(1000, 1000 + n))
+    random.Random(7).shuffle(ids)
+    chain_edges = [
+        (min(a, b), max(a, b)) for a, b in zip(ids, ids[1:])
+    ]
+    nodes = spark.createDataFrame([(i,) for i in ids], "id long")
+    edges = spark.createDataFrame(chain_edges, "id_a long, id_b long")
+    want = {i: 1000 for i in ids}  # one component, min id 1000
+    got = {
+        r["id"]: r["cluster"]
+        for r in connected_components(nodes, edges, max_iters=10).collect()
+    }
+    assert got == want
+    got_star = {
+        r["id"]: r["cluster"]
+        for r in connected_components_star(nodes, edges).collect()
+    }
+    assert got_star == want

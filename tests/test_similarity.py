@@ -9,22 +9,40 @@ from duckdb_streaming_patterns_spark.sources.tables import load_table
 
 
 def test_lsh_ann_recall_vs_bruteforce(spark, sf_small):
+    """Quality floor for the shipped ANN configuration (Hamming-1
+    multi-probe). Measured mean recall@10: 0.34 without multi-probe, 0.80
+    (sf0.001) / 0.86 (sf0.01) with it — probing the n_planes single-bit
+    neighbor buckets costs only query-side fan-out (the corpus shuffle is
+    unchanged), so recall/cost is strictly better than adding tables.
+    Floor pinned at 0.6: regression tripwire with headroom for fixture
+    drift, well above the 0.3 quality bar of the unprobed variant."""
     emb = load_table(spark, sf_small, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
     exact = similarity.knn_bruteforce(emb, queries, k=10).collect()
-    ann = similarity.knn_lsh(emb, queries, k=10, n_planes=6, n_tables=8).collect()
+    ann = similarity.knn_lsh(
+        emb, queries, k=10, n_planes=6, n_tables=8, multiprobe=True
+    ).collect()
     exact_sets = {}
     for r in exact:
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     ann_sets = {}
     for r in ann:
         ann_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    # every query gets candidates, and mean recall is non-trivial
+    # every query gets candidates, and mean recall clears the 0.6 floor
     assert set(ann_sets) == set(exact_sets)
     recalls = [
         len(ann_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
     ]
-    assert sum(recalls) / len(recalls) >= 0.3, recalls
+    assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_embedding_dim_is_constant_64(spark, sf_small):
+    """The LSH oracle SQL inlines dim-sized hyperplane literals generated
+    at registration time (queries_sim._DIM = 64); if the fixture dim ever
+    drifts this must fail before the oracle silently mismatches."""
+    emb = load_table(spark, sf_small, "embeddings")
+    dims = emb.select(F.size("embedding").alias("d")).distinct().collect()
+    assert [r["d"] for r in dims] == [64]
 
 
 def test_ann_cosines_match_exact_for_shared_neighbors(spark, sf_small):
@@ -34,7 +52,9 @@ def test_ann_cosines_match_exact_for_shared_neighbors(spark, sf_small):
         (r["query_id"], r["neighbor_id"]): r["cosine"]
         for r in similarity.knn_bruteforce(emb, queries, k=10).collect()
     }
-    ann = similarity.knn_lsh(emb, queries, k=10, n_planes=6, n_tables=8).collect()
+    ann = similarity.knn_lsh(
+        emb, queries, k=10, n_planes=6, n_tables=8, multiprobe=True
+    ).collect()
     shared = [r for r in ann if (r["query_id"], r["neighbor_id"]) in exact]
     assert shared, "ANN found none of the true neighbors"
     for r in shared:

@@ -90,6 +90,11 @@ def build_dir(spark: SparkSession, factor: int) -> str:
                 "lang", "source", "n_chars",
             )
         else:  # events
+            # ts is nanosecond-precision parquet: read it as raw INT64
+            # (the loader's own trick) and write it back as plain INT64 —
+            # load_table's `ts div 1000` path reads the scaled file
+            # identically to the original.
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(src).select("*", copies)
             df = df.select(
                 (F.col("event_id") + F.col("__c") * F.lit(10_000_000)).alias(
@@ -108,6 +113,10 @@ def build_dir(spark: SparkSession, factor: int) -> str:
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
     spark = get_spark(app_name="dsp-scale-stress")
+    # events.ts is nanosecond parquet, which the vectorized reader rejects;
+    # the raw row counts below (and the scaled-copy writes) read it as INT64
+    # exactly like sources/tables.load_table does.
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     results = []
     for factor in factors:
         d = build_dir(spark, factor)

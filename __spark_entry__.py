@@ -37,6 +37,10 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 # standard decontamination check (contamination_ngram_overlap), and the
 # native session-window formulation — every window entry is now
 # SQL-oracled, so the driver gate can show 50/50 hash-green.
+# Also: contamination_flags (exact benchmark membership — subsumed by the
+# n-gram overlap check, still exact-checked locally) swapped for
+# dedup_incremental_verdicts, the cross-corpus continuous-ingestion dedup
+# decision (a new operator family this round).
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -67,6 +71,7 @@ _PRIORITY = [
     "dedup_simhash",
     "dedup_minhash_clusters",
     "dedup_canonical_docs",
+    "dedup_incremental_verdicts",
     "doc_fingerprint",
     # similarity search (§2.11)
     "knn_bruteforce",
@@ -82,7 +87,6 @@ _PRIORITY = [
     "text_language_id",
     # corpus pipeline (§2.11)
     "pack_token_bins",
-    "contamination_flags",
     "contamination_ngram_overlap",
     "train_val_test_split",
     "doc_chunks_udtf",

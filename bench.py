@@ -60,6 +60,7 @@ HEADLINE = [
     "doc_fingerprint",
     "dedup_minhash_clusters",
     "dedup_canonical_docs",
+    "dedup_incremental_verdicts",
     "contamination_flags",
     "contamination_ngram_overlap",
     "train_val_test_split",

@@ -169,6 +169,33 @@ def minhash_signatures(
     )
 
 
+def minhash_bands(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+) -> DataFrame:
+    """The LSH band index: (id, band_id, band_hash), one row per document
+    per band. This is the AT-REST form a production corpus stores (a
+    narrow table, n_bands rows × ~24 B per document): new batches join
+    against it directly, so corpus text is never re-hashed — and, for
+    incremental dedup, never even re-read."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    n_bands = n_hashes // band_rows
+    return sigs.select(
+        F.col("id").alias(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(n_bands - 1)),
+                lambda b: F.xxhash64(
+                    b, F.slice("sig", b * band_rows + 1, band_rows).cast("string")
+                ),
+            )
+        ).alias("band_id", "band_hash"),
+    )
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -183,18 +210,8 @@ def minhash_lsh_pairs(
     keys; equi-join on the band key. Only candidate pairs are verified with
     the exact Jaccard on shingle sets — the O(n²) step never materializes.
     """
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
-    n_bands = n_hashes // band_rows
-    bands = sigs.select(
-        "id",
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(n_bands - 1)),
-                lambda b: F.xxhash64(
-                    b, F.slice("sig", b * band_rows + 1, band_rows).cast("string")
-                ),
-            )
-        ).alias("band_id", "band_hash"),
+    bands = minhash_bands(df, id_col, text_col, n_hashes, band_rows).withColumnRenamed(
+        id_col, "id"
     )
     cand = (
         _bucket_pairs(bands, ["band_id", "band_hash"], F.col("id"))
@@ -214,6 +231,99 @@ def minhash_lsh_pairs(
         cand.withColumn("jaccard", j)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def incremental_exact_matches(
+    batch: DataFrame,
+    corpus: DataFrame,
+    content_col: str,
+    id_col: str,
+) -> DataFrame:
+    """Exact-content matches of a NEW batch against an EXISTING corpus:
+    (batch_id, corpus_id) where md5(content) is identical, corpus_id = the
+    minimum matching corpus id.
+
+    The production shape for continuous ingestion: the corpus side reduces
+    to (content_hash, min id) — at rest this is a stored index that never
+    gets recomputed — and the batch side is hashed fresh and broadcast
+    (a batch is ≪ the corpus by definition; if it ever isn't, drop the
+    broadcast hint and this is a plain equi-join on the 16-byte hash).
+    The corpus is scanned once and NEVER shuffled: Spark plans a broadcast
+    hash join keyed on the md5."""
+    c = (
+        corpus.select(
+            F.md5(F.col(content_col)).alias("content_hash"),
+            F.col(id_col).alias("corpus_id"),
+        )
+        .groupBy("content_hash")
+        .agg(F.min("corpus_id").alias("corpus_id"))
+    )
+    b = batch.select(
+        F.col(id_col).alias("batch_id"),
+        F.md5(F.col(content_col)).alias("content_hash"),
+    )
+    return c.join(F.broadcast(b), "content_hash").select("batch_id", "corpus_id")
+
+
+def incremental_neardup_matches(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    n_hashes: int = N_HASHES,
+    band_rows: int = BAND_ROWS,
+    corpus_bands: DataFrame | None = None,
+) -> DataFrame:
+    """Near-dup matches of a NEW batch against an EXISTING corpus:
+    (batch_id, corpus_id, jaccard) for every cross pair with shingle
+    Jaccard ≥ threshold. Incremental MinHash+LSH: candidates come from the
+    corpus band index equi-joined with the (broadcast) batch band index,
+    exact Jaccard is verified on candidates only.
+
+    100 TB shape: pass ``corpus_bands`` — the at-rest (id, band_id,
+    band_hash) index ``minhash_bands`` produces, stored once and appended
+    per ingested batch — and the whole operator is one narrow index scan
+    plus two broadcast joins: NOTHING corpus-sized ever shuffles, and
+    corpus text is only read for the candidate rows in the verify join.
+    Without it the bands are computed in-line, which adds the signature
+    partial-aggregation's corpus-KEYED shuffle (narrow: one 64-value row
+    per doc × map partition — never text) — correct, but the index is the
+    point of the incremental shape. Batch-internal duplicates are NOT
+    emitted here (run minhash_lsh_pairs on the batch for those); this
+    operator answers "which new docs already exist".
+    """
+    cb = (
+        corpus_bands
+        if corpus_bands is not None
+        else minhash_bands(corpus, id_col, text_col, n_hashes, band_rows)
+    ).toDF("corpus_id", "band_id", "band_hash")
+    bb = minhash_bands(batch, id_col, text_col, n_hashes, band_rows).toDF(
+        "batch_id", "band_id", "band_hash"
+    )
+    cand = (
+        cb.join(F.broadcast(bb), ["band_id", "band_hash"])
+        .select("batch_id", "corpus_id")
+        .dropDuplicates(["batch_id", "corpus_id"])
+    )
+    b_sets = batch.select(
+        F.col(id_col).alias("batch_id"), shingles(F.col(text_col)).alias("s_b")
+    )
+    c_sets = corpus.select(
+        F.col(id_col).alias("corpus_id"), shingles(F.col(text_col)).alias("s_c")
+    )
+    # Verify join shape: (candidates ⋈ batch shingles) is candidate-sized —
+    # broadcast it so the corpus side of BOTH joins in this operator stays
+    # a pure scan (no Exchange on any corpus-derived relation; asserted in
+    # tests/test_plans.py).
+    verified = (
+        c_sets.join(F.broadcast(cand.join(F.broadcast(b_sets), "batch_id")), "corpus_id")
+        .withColumn("jaccard", _jaccard(F.col("s_b"), F.col("s_c")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
     )
 
 

@@ -129,3 +129,88 @@ def language_id(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     out = [F.col(id_col), pred.alias("pred_lang")]
     out += [hits[lang].cast("bigint").alias(f"hits_{lang}") for lang in STOPWORDS]
     return df.select(*out)
+
+
+# PII detector patterns. Alternation-free and backreference-free on purpose:
+# Java's backtracking engine (Spark) and RE2 (DuckDB) agree on
+# leftmost-greedy matches for character-class + quantifier patterns, so the
+# match COUNTS are engine-portable; alternation would diverge (Java takes
+# the first branch, RE2 the longest match).
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}",
+    "ssn": r"\d{3}-\d{2}-\d{4}",
+    "phone": r"\+?\d[\d().\- ]{7,14}\d",
+}
+
+
+def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-document PII signal counts (email / IPv4 / SSN-shaped / phone-
+    shaped) plus an any-hit flag — the redaction-or-drop gate a training
+    pipeline runs before text leaves the ingest boundary. Pure regexp_count
+    expressions: codegen'd, one scan, no shuffle at all (the operator is
+    embarrassingly parallel over documents)."""
+    t = F.col(text_col)
+    counts = {
+        name: F.regexp_count(t, F.lit(pat)).cast("bigint")
+        for name, pat in PII_PATTERNS.items()
+    }
+    total = None
+    for c in counts.values():
+        total = c if total is None else total + c
+    return df.select(
+        F.col(id_col),
+        *[c.alias(f"n_{name}") for name, c in counts.items()],
+        (total > 0).alias("has_pii"),
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Top-k characteristic terms per group by TF-IDF: tf = term
+    occurrences within the group, idf = ln(n_docs / doc_frequency).
+    Deterministic total order (score DESC, term ASC) so top-k is unique.
+
+    Scale shape: one explode pass feeds BOTH aggregations — (group, term)
+    counts and per-term document frequency — each a partial-agg shuffle of
+    narrow (term, count) rows bounded by vocabulary size, never text. The
+    df side joins back on term (vocabulary-sized, so a plain equi-join —
+    do NOT broadcast a 100 TB corpus's vocabulary), and top-k per group is
+    a window over (group), state = k rows per group."""
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    n_docs = df.count()  # scalar-only driver action, like scalar_max_ts
+    exploded = df.select(F.col(group_col).alias("grp"), toks.alias("toks"))
+    tf = (
+        exploded.select("grp", F.explode("toks").alias("term"))
+        .groupBy("grp", "term")
+        .agg(F.count("*").alias("tf"))
+    )
+    # each input row is one document, so exploding its DISTINCT terms
+    # yields exactly one row per (doc, term) — df = a plain count
+    docfreq = (
+        exploded.select(F.explode(F.array_distinct("toks")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("df"))
+    )
+    from pyspark.sql import Window as W
+
+    scored = tf.join(docfreq, "term").withColumn(
+        "tfidf", F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 4)
+    )
+    w = W.partitionBy("grp").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            F.col("grp").alias(group_col),
+            "term",
+            F.col("tf").cast("bigint").alias("tf"),
+            F.col("df").cast("bigint").alias("doc_freq"),
+            "tfidf",
+            F.col("rn").cast("bigint").alias("rank"),
+        )
+    )

@@ -371,3 +371,191 @@ def q_text_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.repetition_stats(
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-corpus) dedup — the continuous-ingestion shape
+# ---------------------------------------------------------------------------
+
+# Deterministic batch/corpus split of the fixture: docs with doc_id % 10 = 7
+# play the "newly arrived batch", the rest the existing corpus. The oracle
+# re-derives the exact cross-pair set; the engine's LSH candidate recall at
+# s >= 0.7 with 32 bands x 2 rows is 1-(1-0.49)^32 ~ 1-4e-10, so the
+# verified incremental output equals the exact result (same argument as
+# dedup_minhash_lsh, already hash-proven).
+_BATCH_PRED = "doc_id % 10 = 7"
+
+_INCR_PAIRS_ORACLE = rf"""
+    WITH {DUCKDB_SHINGLE_SET_CTE}
+    SELECT batch_id, corpus_id, ROUND(jac, 6) AS jaccard FROM (
+      SELECT a.doc_id AS batch_id, b.doc_id AS corpus_id, {_JACCARD_FRAG} AS jac
+      FROM sh a JOIN sh b
+        ON a.{_BATCH_PRED} AND NOT (b.{_BATCH_PRED})
+    ) WHERE jac >= 0.7
+"""
+
+
+@register("dedup_incremental_pairs", _INCR_PAIRS_ORACLE)
+def q_dedup_incremental_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup audit trail: every (new doc, existing doc)
+    pair at shingle Jaccard ≥ 0.7. Candidates come from the corpus LSH
+    band index equi-joined with the broadcast batch bands; corpus TEXT
+    never shuffles, and with an at-rest band index (the corpus_bands
+    parameter) nothing corpus-sized shuffles at all — which is what makes
+    dedup of a small batch against a 100 TB corpus a single-pass
+    operation."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.expr(_BATCH_PRED))
+    corpus = docs.filter(~F.expr(_BATCH_PRED))
+    return dedup.incremental_neardup_matches(
+        batch, corpus, "doc_id", "text", threshold=0.7
+    )
+
+
+_INCR_VERDICTS_ORACLE = rf"""
+    WITH {DUCKDB_SHINGLE_SET_CTE},
+    b AS (SELECT * FROM documents WHERE {_BATCH_PRED}),
+    ex AS (
+      SELECT DISTINCT b.doc_id
+      FROM b JOIN documents c
+        ON md5(b.text) = md5(c.text) AND NOT (c.{_BATCH_PRED})
+    ),
+    nr AS (
+      SELECT a.doc_id, count(*) AS n_near, max({_JACCARD_FRAG}) AS best
+      FROM sh a JOIN sh b
+        ON a.{_BATCH_PRED} AND NOT (b.{_BATCH_PRED})
+       AND {_JACCARD_FRAG} >= 0.7
+      GROUP BY a.doc_id
+    )
+    SELECT b.doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'drop_exact'
+                WHEN nr.n_near > 0 THEN 'drop_near'
+                ELSE 'keep' END AS verdict,
+           CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near_matches,
+           ROUND(COALESCE(nr.best, 0.0), 6) AS best_jaccard
+    FROM b LEFT JOIN ex ON b.doc_id = ex.doc_id
+           LEFT JOIN nr ON b.doc_id = nr.doc_id
+"""
+
+
+@register("dedup_incremental_verdicts", _INCR_VERDICTS_ORACLE)
+def q_dedup_incremental_verdicts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ingest decision per newly-arrived doc: drop_exact (identical
+    content already in the corpus, md5 match), drop_near (a corpus near-dup
+    at Jaccard ≥ 0.7 exists), or keep — plus the match count and best
+    Jaccard. Composition of incremental_exact_matches (broadcast md5 join)
+    and incremental_neardup_matches (corpus band index ⋈ broadcast batch
+    bands); every join the corpus feeds is broadcast-shaped, so corpus
+    text crosses no Exchange."""
+    docs = _t(spark, sf_dir, "documents")
+    batch = docs.filter(F.expr(_BATCH_PRED))
+    corpus = docs.filter(~F.expr(_BATCH_PRED))
+    exact = (
+        dedup.incremental_exact_matches(batch, corpus, "text", "doc_id")
+        .select("batch_id")
+        .dropDuplicates(["batch_id"])
+        .withColumn("is_exact", F.lit(True))
+    )
+    near = (
+        dedup.incremental_neardup_matches(
+            batch, corpus, "doc_id", "text", threshold=0.7
+        )
+        .groupBy("batch_id")
+        .agg(
+            F.count("*").alias("n_near_matches"),
+            F.max("jaccard").alias("best"),
+        )
+    )
+    return (
+        batch.select(F.col("doc_id").alias("batch_id"))
+        .join(exact, "batch_id", "left")
+        .join(near, "batch_id", "left")
+        .select(
+            F.col("batch_id").alias("doc_id"),
+            F.when(F.col("is_exact"), "drop_exact")
+            .when(F.col("n_near_matches") > 0, "drop_near")
+            .otherwise("keep")
+            .alias("verdict"),
+            F.coalesce(F.col("n_near_matches"), F.lit(0))
+            .cast("bigint")
+            .alias("n_near_matches"),
+            F.round(F.coalesce(F.col("best"), F.lit(0.0)), 6).alias("best_jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII scanning + TF-IDF characteristic terms
+# ---------------------------------------------------------------------------
+
+# The fixture corpus is digit-free word soup, so every PII count is 0 on it
+# — the oracle still proves the regex semantics agree engine-to-engine
+# (alternation-free patterns: Java backtracking and RE2 produce identical
+# leftmost-greedy match counts), and tests/test_pipeline_queries.py carries
+# the positive-match evidence on synthetic PII text.
+_PII_ORACLE = rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{textstats.PII_PATTERNS["email"]}')) AS BIGINT) AS n_email,
+           CAST(len(regexp_extract_all(text, '{textstats.PII_PATTERNS["ipv4"]}')) AS BIGINT) AS n_ipv4,
+           CAST(len(regexp_extract_all(text, '{textstats.PII_PATTERNS["ssn"]}')) AS BIGINT) AS n_ssn,
+           CAST(len(regexp_extract_all(text, '{textstats.PII_PATTERNS["phone"]}')) AS BIGINT) AS n_phone,
+           (len(regexp_extract_all(text, '{textstats.PII_PATTERNS["email"]}'))
+            + len(regexp_extract_all(text, '{textstats.PII_PATTERNS["ipv4"]}'))
+            + len(regexp_extract_all(text, '{textstats.PII_PATTERNS["ssn"]}'))
+            + len(regexp_extract_all(text, '{textstats.PII_PATTERNS["phone"]}'))) > 0 AS has_pii
+    FROM documents
+"""
+
+
+@register("text_pii_scan", _PII_ORACLE)
+def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document PII counts (email / IPv4 / SSN / phone shapes) and the
+    any-hit flag — the redaction gate before text leaves ingest. Pure
+    regexp_count projection: no shuffle, scales as a scan."""
+    return textstats.pii_scan(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+_TFIDF_ORACLE = r"""
+    WITH docs AS (
+      SELECT lang,
+             list_transform(string_split_regex(trim(text), '\s+'),
+                            t -> lower(t)) AS toks
+      FROM documents
+    ),
+    n AS (SELECT count(*) AS n_docs FROM docs),
+    tf AS (
+      SELECT lang AS grp, unnest(toks) AS term FROM docs
+    ),
+    tfc AS (SELECT grp, term, count(*) AS tf FROM tf GROUP BY grp, term),
+    dfc AS (
+      SELECT term, count(*) AS df
+      FROM (SELECT unnest(list_distinct(toks)) AS term FROM docs)
+      GROUP BY term
+    ),
+    scored AS (
+      SELECT grp, tfc.term, tf, df,
+             ROUND(tf * ln(n_docs / df), 4) AS tfidf
+      FROM tfc JOIN dfc ON tfc.term = dfc.term, n
+    )
+    SELECT grp AS lang, term,
+           CAST(tf AS BIGINT) AS tf,
+           CAST(df AS BIGINT) AS doc_freq,
+           tfidf,
+           CAST(rn AS BIGINT) AS rank
+    FROM (
+      SELECT *, row_number() OVER (PARTITION BY grp
+                                   ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) WHERE rn <= 5
+"""
+
+
+@register("text_tfidf_top_terms", _TFIDF_ORACLE)
+def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 characteristic terms per language by TF-IDF (tf within the
+    language group × ln(n_docs/df)). Ordering is over the ROUNDED score
+    with a term tiebreak, so the top-k set is a deterministic total order
+    in any engine."""
+    return textstats.tfidf_top_terms(
+        _t(spark, sf_dir, "documents"), "lang", "text", k=5
+    )

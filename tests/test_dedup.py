@@ -69,3 +69,102 @@ def test_connected_components_chain_and_singletons(spark):
     )
     labels = {r["id"]: r["cluster"] for r in connected_components(nodes, edges).collect()}
     assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 7: 7, 8: 7, 9: 9}
+
+
+def test_incremental_exact_matches(spark):
+    """New-batch exact dedup vs corpus: only identical content matches,
+    corpus_id = min matching corpus id."""
+    corpus = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta"),
+            (11, "alpha beta gamma delta"),  # second copy: min id 10 wins
+            (12, "entirely different corpus text"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "alpha beta gamma delta"),  # exact dup of 10/11
+            (101, "brand new unseen content"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["batch_id"], r["corpus_id"])
+        for r in dedup.incremental_exact_matches(
+            batch, corpus, "text", "doc_id"
+        ).collect()
+    }
+    assert got == {(100, 10)}
+
+
+def test_incremental_neardup_matches(spark):
+    """Cross-corpus near-dup: batch docs match their corpus near-dups (and
+    only those); batch-internal and corpus-internal pairs are NOT emitted."""
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight again"),
+            (11, "completely unrelated corpus document about spark engines"),
+            # corpus-internal near-dup pair (10, 12): must not appear
+            (12, "the quick brown fox jumps over the lazy dog tonight too"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight again"),
+            (101, "nothing like anything in the existing corpus at all here"),
+            # batch-internal near-dup of 100: cross pairs only, so 102's
+            # matches are corpus docs, not 100
+            (102, "the quick brown fox jumps over the lazy dog tonight again"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = dedup.incremental_neardup_matches(
+        batch, corpus, "doc_id", "text", threshold=0.5
+    ).collect()
+    got = {(r["batch_id"], r["corpus_id"]) for r in rows}
+    assert (100, 10) in got
+    assert (102, 10) in got
+    assert all(b >= 100 and c < 100 for b, c in got)
+    assert not any(b == 101 for b, _ in got)
+    exact = [r for r in rows if r["batch_id"] == 100 and r["corpus_id"] == 10]
+    assert exact and exact[0]["jaccard"] == 1.0
+
+
+def test_incremental_neardup_at_rest_bands_identical(spark, tmp_path):
+    """The at-rest path — corpus band index written to parquet once, read
+    back, passed via corpus_bands — must produce exactly the inline
+    result. This is the 100 TB shape: the stored index replaces the
+    corpus-side signature computation entirely."""
+    corpus = spark.createDataFrame(
+        [
+            (10, "the quick brown fox jumps over the lazy dog tonight again"),
+            (11, "completely unrelated corpus document about spark engines"),
+            (12, "the quick brown fox jumps over the lazy dog tonight too"),
+        ],
+        "doc_id long, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (100, "the quick brown fox jumps over the lazy dog tonight again"),
+            (101, "nothing like anything in the existing corpus at all here"),
+        ],
+        "doc_id long, text string",
+    )
+    idx_path = str(tmp_path / "corpus_bands")
+    dedup.minhash_bands(corpus, "doc_id", "text").write.parquet(idx_path)
+    stored = spark.read.parquet(idx_path)
+    inline = {
+        tuple(r)
+        for r in dedup.incremental_neardup_matches(
+            batch, corpus, "doc_id", "text", threshold=0.5
+        ).collect()
+    }
+    at_rest = {
+        tuple(r)
+        for r in dedup.incremental_neardup_matches(
+            batch, corpus, "doc_id", "text", threshold=0.5, corpus_bands=stored
+        ).collect()
+    }
+    assert at_rest == inline and len(inline) > 0

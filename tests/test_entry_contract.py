@@ -39,6 +39,7 @@ def test_first_50_cover_every_family():
             "dedup_simhash",
             "dedup_minhash_clusters",
             "dedup_canonical_docs",
+            "dedup_incremental_verdicts",
         },
         "similarity": {
             "knn_bruteforce",
@@ -49,7 +50,6 @@ def test_first_50_cover_every_family():
         "text": {"text_token_count", "text_language_id"},
         "pipeline": {
             "pack_token_bins",
-            "contamination_flags",
             "contamination_ngram_overlap",
         },
         "layout": {"bucketed_join_revenue", "partition_pruned_daily_clicks"},

@@ -99,3 +99,67 @@ def test_domain_mix_keeps_full_weight_sources(spark, sf_oracle):
         assert kept[s] == full[s]
     for s in ["src15", "src16", "src17", "src18", "src19"]:
         assert kept.get(s, 0) < full[s]
+
+
+def test_pii_scan_positive_matches_and_duckdb_parity(spark):
+    """The fixture corpus is digit-free (every fixture PII count is 0), so
+    the POSITIVE evidence lives here: synthetic docs with real PII shapes,
+    counted identically by Spark (Java regex) and DuckDB (RE2) — the
+    alternation-free-pattern portability claim, exercised on matches."""
+    import duckdb
+
+    from duckdb_streaming_patterns_spark.operators import textstats
+
+    rows = [
+        (1, "contact me at alice@example.com or bob.smith+x@mail.co.uk thanks"),
+        (2, "server at 192.168.0.1 and backup at 10.0.0.254 went down"),
+        (3, "ssn 123-45-6789 phone +1 (415) 555-2671 and 020 7946 0958"),
+        (4, "no personal data here at all, just words"),
+        (5, "edge: a@b.co 1.2.3.4 999-99-9999"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in textstats.pii_scan(df, "doc_id", "text").collect()}
+    assert got[1]["n_email"] == 2 and got[1]["has_pii"]
+    assert got[2]["n_ipv4"] == 2
+    assert got[3]["n_ssn"] == 1 and got[3]["n_phone"] >= 1
+    assert not got[4]["has_pii"]
+    assert got[5]["n_email"] == 1 and got[5]["n_ipv4"] == 1 and got[5]["n_ssn"] == 1
+
+    con = duckdb.connect()
+    for doc_id, text in rows:
+        for name, pat in textstats.PII_PATTERNS.items():
+            want = con.execute(
+                "SELECT len(regexp_extract_all(?, ?))", [text, pat]
+            ).fetchone()[0]
+            assert got[doc_id][f"n_{name}"] == want, (doc_id, name)
+
+
+def test_tfidf_top_terms_small_corpus(spark):
+    """TF-IDF sanity on a corpus with known statistics: a term present in
+    every doc has idf 0; the group-exclusive term ranks first."""
+    from duckdb_streaming_patterns_spark.operators import textstats
+
+    df = spark.createDataFrame(
+        [
+            ("en", "shared spark spark unique_en"),
+            ("en", "shared spark"),
+            ("de", "shared funke unique_de"),
+            ("de", "shared funke"),
+        ],
+        "lang string, text string",
+    )
+    out = textstats.tfidf_top_terms(df, "lang", "text", k=3).collect()
+    by_grp = {}
+    for r in out:
+        by_grp.setdefault(r["lang"], []).append(r)
+    # 'shared' appears in all 4 docs -> idf = ln(1) = 0 -> never outranks
+    for grp, rws in by_grp.items():
+        ranked = sorted(rws, key=lambda r: r["rank"])
+        assert ranked[0]["term"] in ("spark", "funke", "unique_en", "unique_de")
+        for r in rws:
+            if r["term"] == "shared":
+                assert r["tfidf"] == 0.0
+    # spark: tf=3 in en, df=2 -> 3*ln(4/2); unique_en: tf=1, df=1 -> ln(4)
+    en = {r["term"]: r for r in by_grp["en"]}
+    assert en["spark"]["rank"] == 1 and en["spark"]["tf"] == 3
+    assert abs(en["spark"]["tfidf"] - round(3 * __import__("math").log(2), 4)) < 1e-9

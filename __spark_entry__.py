@@ -41,6 +41,11 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 # n-gram overlap check, still exact-checked locally) swapped for
 # dedup_incremental_verdicts, the cross-corpus continuous-ingestion dedup
 # decision (a new operator family this round).
+# And: embedding_neardup_pairs (label-blocked pair listing — the same
+# blocked-cosine-join shape as embedding_neardup_lsh, still exact-checked
+# locally) swapped for semdedup_prune, the SemDeDup keep/drop verdict — a
+# distinct published dedup family (embedding-cluster prune) and the
+# decision a training pipeline actually ships.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -75,7 +80,7 @@ _PRIORITY = [
     "doc_fingerprint",
     # similarity search (§2.11)
     "knn_bruteforce",
-    "embedding_neardup_pairs",
+    "semdedup_prune",
     "embedding_neardup_lsh",
     "knn_lsh_ann",
     # multimodal (§2.11)

@@ -54,6 +54,7 @@ HEADLINE = [
     "knn_ivf_ann",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
+    "semdedup_prune",
     "text_quality_scores",
     "text_language_id",
     "text_repetition_stats",

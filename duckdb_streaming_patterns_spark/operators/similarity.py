@@ -462,3 +462,106 @@ def cosine_neardup_pairs(
             F.round("cosine", 6).alias("cosine"),
         )
     )
+
+
+def semdedup_verdicts(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    threshold: float = 0.3,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): coarse-cluster
+    the corpus in embedding space, then inside each cluster drop every
+    document that has a near-identical (cosine >= threshold) member with a
+    smaller id. Output: one verdict row per input — (vec_id, cell_id, keep).
+
+    Spark-first shape, designed for 100 TB:
+
+    - The coarse quantizer is a deterministic anchor sample: the n_cells
+      rows with the smallest md5(id) (engine-portable "random" — the same
+      family the corpus split uses). The anchors are KB-sized, so they are
+      collected once and inlined as expression literals; cell assignment is
+      then pure per-row Catalyst compute — NO shuffle, no Python — and,
+      unlike Lloyd centroids, exactly replayable in the DuckDB oracle. At
+      production scale, ``ivf_centroids`` (distributed Lloyd) can be
+      swapped in for tighter cells; the pruning stage is unchanged.
+    - Tie-breaks mirror the oracle's ``row_number() ORDER BY cos DESC,
+      anchor_id``: the per-row argmax takes the max of (cosine, -anchor_id)
+      structs, so equal cosines resolve to the smallest anchor id.
+    - The only wide shuffle carries (id, cell) plus one vector copy into
+      the intra-cell self-join; pair blow-up is bounded by cell size (IVF
+      discipline), never all-pairs. The narrow (id, cell) assignment is
+      localCheckpoint'ed so the anchor expressions evaluate once and no
+      cache handle leaks.
+    """
+    import math
+
+    anchor_rows = (
+        df.select(
+            F.col(id_col).cast("long").alias("anchor_id"),
+            to_double_array(F.col(vec_col)).alias("a_vec"),
+        )
+        .withColumn("__h", F.md5(F.col("anchor_id").cast("string")))
+        .orderBy("__h", "anchor_id")
+        .limit(n_cells)
+        .collect()
+    )
+
+    def _seq_norm(vals: list[float]) -> float:
+        # sequential left-to-right fold — bit-identical to l2_norm /
+        # DuckDB's list_sum(list_transform(...)) on the same doubles
+        s = 0.0
+        for x in vals:
+            s += x * x
+        return math.sqrt(s)
+
+    cands = F.array(
+        *[
+            F.struct(
+                (
+                    dot_double(
+                        F.col("__v"),
+                        F.array(*[F.lit(float(x)) for x in r.a_vec]),
+                    )
+                    / F.col("__nrm")
+                    / F.lit(_seq_norm(r.a_vec))
+                ).alias("cos"),
+                F.lit(-int(r.anchor_id)).cast("long").alias("neg_id"),
+            )
+            for r in anchor_rows
+        ]
+    )
+    cells = (
+        df.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            to_double_array(F.col(vec_col)).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__nrm"),
+        )
+        .select(
+            "vec_id",
+            (-F.array_max(cands)["neg_id"]).cast("long").alias("cell_id"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    with_cell = df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.col(vec_col).alias("__emb"),
+    ).join(cells, "vec_id")
+    dup_pairs = cosine_neardup_pairs(
+        with_cell,
+        id_col="vec_id",
+        vec_col="__emb",
+        threshold=threshold,
+        block_col="cell_id",
+    )
+    dups = (
+        dup_pairs.select(F.col("id_b").alias("vec_id"))
+        .distinct()
+        .withColumn("__dup", F.lit(True))
+    )
+    return cells.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cell_id",
+        F.col("__dup").isNull().alias("keep"),
+    )

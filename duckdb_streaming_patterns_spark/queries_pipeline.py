@@ -591,3 +591,33 @@ def q_mix_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cum_tokens").cast("bigint").alias("cum_tokens"),
         )
     )
+
+
+@register(
+    "stratified_sample_docs",
+    """
+    SELECT doc_id, lang, source, n_chars
+    FROM documents
+    WHERE CASE WHEN lang = 'en'
+               THEN substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3')
+               ELSE substring(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                    IN ('0','1','2','3','4','5','6','7')
+          END
+    """,
+)
+def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus downsampling: keep 4/16 of over-represented
+    English and 8/16 of every other language, selected by the first hex
+    digit of md5(doc_id) — the same engine-portable hash family as the
+    train/val/test split, so the sample is a pure function of the key:
+    identical on any cluster size or partitioning, re-runnable with no
+    stored state, and exactly oracle-checkable. The filter is a Column
+    expression (no shuffle at all — a scan-time predicate); rebalancing
+    language mix this way is the first step of corpus curation at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    h = _hash_digit(F.col("doc_id"))
+    keep = F.when(F.col("lang") == "en", h.isin(*"0123")).otherwise(
+        h.isin(*"01234567")
+    )
+    return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")

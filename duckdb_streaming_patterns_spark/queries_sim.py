@@ -192,3 +192,44 @@ def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(
         emb, queries, k=10, n_centroids=16, n_probe=4, iters=2
     )
+
+
+_SD_N_CELLS, _SD_THR = 16, 0.3
+_SD_ORACLE = f"""
+    WITH a AS (SELECT CAST(vec_id AS BIGINT) AS anchor_id, embedding AS a_vec
+               FROM embeddings
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), anchor_id
+               LIMIT {_SD_N_CELLS}),
+         s AS (SELECT e.vec_id, a.anchor_id,
+                      {duckdb_cosine("e.embedding", "a.a_vec")} AS cos
+               FROM embeddings e CROSS JOIN a),
+         g AS (SELECT vec_id, anchor_id,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, anchor_id) AS rnk
+               FROM s),
+         cells AS (SELECT CAST(g.vec_id AS BIGINT) AS vec_id,
+                          CAST(g.anchor_id AS BIGINT) AS cell_id, e.embedding
+                   FROM g JOIN embeddings e ON g.vec_id = e.vec_id
+                   WHERE g.rnk = 1),
+         dup AS (SELECT DISTINCT b.vec_id
+                 FROM cells a JOIN cells b
+                   ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+                 WHERE {duckdb_cosine("a.embedding", "b.embedding")} >= {_SD_THR})
+    SELECT c.vec_id, c.cell_id, (d.vec_id IS NULL) AS keep
+    FROM cells c LEFT JOIN dup d ON c.vec_id = d.vec_id
+"""
+
+
+@register("semdedup_prune", _SD_ORACLE)
+def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dedup (SemDeDup, Abbas et al. 2023): coarse-cluster the
+    embedding corpus into 16 cells, then inside each cell drop every row
+    with a cosine >= 0.3 neighbor of smaller id. Emits a keep/drop verdict
+    per row — the decision a training pipeline ships. The deterministic
+    md5-anchor quantizer makes the whole decision exactly oracle-checkable;
+    at production scale the quantizer swaps to distributed-Lloyd centroids
+    (operators/similarity.ivf_centroids) with the pruning stage unchanged."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return similarity.semdedup_verdicts(
+        emb, n_cells=_SD_N_CELLS, threshold=_SD_THR
+    )

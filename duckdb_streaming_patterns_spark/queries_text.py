@@ -559,3 +559,112 @@ def q_text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.tfidf_top_terms(
         _t(spark, sf_dir, "documents"), "lang", "text", k=5
     )
+
+
+@register(
+    "text_length_percentiles",
+    """
+    WITH r AS (SELECT lang, n_chars,
+                      row_number() OVER (PARTITION BY lang
+                                         ORDER BY n_chars, doc_id) AS rn,
+                      count(*) OVER (PARTITION BY lang) AS n
+               FROM documents)
+    SELECT lang,
+           CAST(max(n) AS BIGINT) AS n_docs,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.50 * n) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS p50,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.90 * n) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS p90,
+           CAST(max(CASE WHEN rn = CAST(ceil(0.99 * n) AS BIGINT)
+                         THEN n_chars END) AS BIGINT) AS p99
+    FROM r GROUP BY lang
+    """,
+)
+def q_text_length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-language length percentiles via the nearest-rank method
+    (value at row ceil(p*n) of the length-sorted stratum) — written
+    identically in both engines, so results are integers and hash-exact,
+    unlike interpolating percentile built-ins whose interpolation rules
+    differ across engines. One shuffle on lang + an in-partition sort; at
+    100 TB the scale path is percentile_approx (a mergeable KLL/GK sketch,
+    map-side combined), with this exact form as its correctness oracle."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    w_rank = W.partitionBy("lang").orderBy("n_chars", "doc_id")
+    w_all = W.partitionBy("lang")
+    r = docs.select(
+        "lang",
+        "n_chars",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count("*").over(w_all).alias("n"),
+    )
+
+    def _at(p: float):
+        return F.max(
+            F.when(
+                F.col("rn") == F.ceil(F.lit(p) * F.col("n")).cast("bigint"),
+                F.col("n_chars"),
+            )
+        ).cast("bigint")
+
+    return r.groupBy("lang").agg(
+        F.max("n").cast("bigint").alias("n_docs"),
+        _at(0.50).alias("p50"),
+        _at(0.90).alias("p90"),
+        _at(0.99).alias("p99"),
+    )
+
+
+@register(
+    "quality_filter_funnel",
+    None,  # oracle assembled below from the quality-scores oracle CTE
+)
+def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation-funnel report: how many documents survive each successive
+    quality gate (length -> token count -> punctuation -> stopword
+    density). One scan, conditional partial aggregation (map-side
+    combined, single summary row) — the per-stage accounting a 100 TB
+    curation run reports after every filter change. Gates evaluate the
+    same rounded scores `text_quality_scores` emits, so the funnel is
+    exactly oracle-checkable by wrapping that query's oracle as a CTE."""
+    from duckdb_streaming_patterns_spark.operators import textstats
+
+    qs = textstats.quality_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    len_ok = F.col("n_chars") >= 200
+    tok_ok = F.col("n_tokens") >= 20
+    punct_ok = F.col("punct_ratio") <= 0.3
+    stop_ok = F.col("stopword_ratio") >= 0.05
+    return qs.agg(
+        F.count("*").alias("n_total"),
+        F.sum(len_ok.cast("long")).alias("n_len_ok"),
+        F.sum((len_ok & tok_ok).cast("long")).alias("n_tok_ok"),
+        F.sum((len_ok & tok_ok & punct_ok).cast("long")).alias("n_punct_ok"),
+        F.sum(
+            (len_ok & tok_ok & punct_ok & stop_ok).cast("long")
+        ).alias("n_pass_all"),
+    )
+
+
+# assemble the funnel oracle by wrapping the quality-scores oracle —
+# guarantees both run the exact same stage definitions
+from duckdb_streaming_patterns_spark.queries import QUERIES as _Q  # noqa: E402
+
+_FUNNEL_ORACLE = f"""
+    WITH qs AS ({_Q["text_quality_scores"][1]})
+    SELECT count(*) AS n_total,
+           CAST(sum(CASE WHEN n_chars >= 200 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_len_ok,
+           CAST(sum(CASE WHEN n_chars >= 200 AND n_tokens >= 20
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_tok_ok,
+           CAST(sum(CASE WHEN n_chars >= 200 AND n_tokens >= 20
+                          AND punct_ratio <= 0.3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_punct_ok,
+           CAST(sum(CASE WHEN n_chars >= 200 AND n_tokens >= 20
+                          AND punct_ratio <= 0.3 AND stopword_ratio >= 0.05
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM qs
+"""
+_Q["quality_filter_funnel"] = (_Q["quality_filter_funnel"][0], _FUNNEL_ORACLE)

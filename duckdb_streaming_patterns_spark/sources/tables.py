@@ -41,16 +41,26 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one fixture table. Reference analogue: DuckDB table scan
     (``FROM raw_events`` — reference pattern_1_1.py:104).
 
-    ``events.ts`` is nanosecond-precision parquet, which Spark's vectorized
-    reader rejects; we read it as raw INT64 (legacy conf) and truncate to
-    microsecond TIMESTAMP_NTZ — exactly what DuckDB does when it reads the
-    same file into its microsecond TIMESTAMP, so oracle comparisons agree.
+    ``events.ts`` arrives in whatever precision the fixture generator used:
+    nanosecond parquet (which Spark's vectorized reader rejects — read as
+    raw INT64 via the legacy conf and truncate to microseconds) or native
+    microsecond ``isAdjustedToUTC=false`` (read directly as
+    TIMESTAMP_NTZ). Both normalize to microsecond TIMESTAMP_NTZ — exactly
+    what DuckDB's microsecond TIMESTAMP holds for the same file, so oracle
+    comparisons agree either way. The branch keys off the *read* schema,
+    not an assumption about the file.
     """
     path = os.path.join(sf_dir, f"{name}.parquet")
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
-        ts_ntz = F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz")
+        if df.schema["ts"].dataType.simpleString() == "bigint":
+            # nanos-as-long fixture: integer-divide to micros
+            ts_ntz = F.timestamp_micros(F.expr("ts div 1000")).cast(
+                "timestamp_ntz"
+            )
+        else:
+            ts_ntz = F.col("ts").cast("timestamp_ntz")
         return df.withColumn("ts", ts_ntz)
     return spark.read.parquet(path)
 

@@ -90,10 +90,10 @@ def build_dir(spark: SparkSession, factor: int) -> str:
                 "lang", "source", "n_chars",
             )
         else:  # events
-            # ts is nanosecond-precision parquet: read it as raw INT64
-            # (the loader's own trick) and write it back as plain INT64 —
-            # load_table's `ts div 1000` path reads the scaled file
-            # identically to the original.
+            # ts passes through unchanged (the nanosAsLong conf only
+            # affects nanosecond fixtures; micros read natively) —
+            # load_table's schema-adaptive branch reads the scaled file
+            # identically to the original either way.
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(src).select("*", copies)
             df = df.select(
@@ -113,9 +113,10 @@ def build_dir(spark: SparkSession, factor: int) -> str:
 def main() -> None:
     factors = [int(a) for a in sys.argv[1:]] or [1, 3, 10]
     spark = get_spark(app_name="dsp-scale-stress")
-    # events.ts is nanosecond parquet, which the vectorized reader rejects;
-    # the raw row counts below (and the scaled-copy writes) read it as INT64
-    # exactly like sources/tables.load_table does.
+    # Set the nanos-as-long conf defensively (no-op on microsecond
+    # fixtures) so nanosecond-precision events files, if the generator
+    # reverts, are still readable exactly like sources/tables.load_table
+    # reads them.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     results = []
     for factor in factors:

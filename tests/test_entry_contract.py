@@ -43,7 +43,7 @@ def test_first_50_cover_every_family():
         },
         "similarity": {
             "knn_bruteforce",
-            "embedding_neardup_pairs",
+            "semdedup_prune",
             "embedding_neardup_lsh",
         },
         "multimodal": {"multimodal_frame_sample", "multimodal_decode_features"},

@@ -565,3 +565,153 @@ def semdedup_verdicts(
         "cell_id",
         F.col("__dup").isNull().alias("keep"),
     )
+
+
+def knn_pq_adc(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    m: int = 8,
+    ks: int = 32,
+    shortlist: int | None = None,
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011) with asymmetric
+    distance computation and exact re-rank: split each vector into ``m``
+    subspaces, encode every corpus vector as the id of its nearest
+    codeword per subspace, shortlist the ``shortlist`` (default 10·k)
+    corpus rows with the smallest SUM of per-subspace query-to-codeword
+    distances — ``m`` table lookups and adds per candidate instead of a
+    full-dimension scan — then re-rank only the shortlist by exact
+    cosine (the standard PQ search shape: coarse ADC prune, exact
+    refine). Output: (query_id, neighbor_id, cosine, rank), top-k per
+    query — directly comparable with ``knn_bruteforce``.
+
+    Spark-first shape, designed for 100 TB:
+
+    - Codebooks are deterministic anchor samples (the ``ks`` rows with the
+      smallest md5(id), their subvectors quantizing each subspace) —
+      KB-sized, collected once, inlined as literals. Corpus encoding is
+      then a pure per-row Catalyst expression: scan → m codes, NO shuffle,
+      no Python; at rest the codes table is m bytes-per-subspace per row
+      instead of the full vector (the PQ memory story). Swap per-subspace
+      Lloyd (``ivf_centroids`` on slices) for tighter cells in production;
+      encoding and ADC stages are unchanged.
+    - ADC lookup tables (ks × m distances) are computed per query row as
+      expressions and broadcast; scoring is a broadcast nested-loop over
+      the codes table with per-pair work = m ``element_at`` + adds —
+      the same join shape as ``knn_bruteforce`` but touching codes, not
+      vectors. Shortlisting is a per-query window (state = shortlist
+      rows per query); the exact re-rank joins vectors back for ONLY
+      shortlist·#queries rows (broadcast — query-side-sized), so the
+      full-dimension cosine never runs over the corpus. At 100 TB the
+      shortlist stays fixed while the corpus grows: the exact-scan
+      fraction tends to zero.
+    - Exactness: per-subspace distances are rounded to 6 dp and cast to
+      DECIMAL before summing, so the m-term sum is exact integer
+      arithmetic — engine-portable regardless of evaluation order, and
+      the whole ANN decision (codes, ADC shortlist, re-ranked top-k)
+      replays exactly in the SQL oracle.
+    """
+    shortlist = shortlist if shortlist is not None else 10 * k
+    anchor_rows = (
+        corpus.select(
+            F.col(id_col).cast("long").alias("aid"),
+            to_double_array(F.col(vec_col)).alias("vec"),
+        )
+        .withColumn("__h", F.md5(F.col("aid").cast("string")))
+        .orderBy("__h", "aid")
+        .limit(ks)
+        .collect()
+    )
+    anchor_rows = sorted(anchor_rows, key=lambda r: r.aid)
+    dim = len(anchor_rows[0].vec)
+    sub = dim // m
+
+    def _sub_lit(r, j: int):
+        return F.array(
+            *[F.lit(float(x)) for x in r.vec[j * sub : (j + 1) * sub]]
+        )
+
+    def _d2(sub_vec, lit_arr):
+        diffs = F.zip_with(sub_vec, lit_arr, lambda x, y: (x - y) * (x - y))
+        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
+
+    cvec = to_double_array(F.col(vec_col))
+    enc_cols = []
+    for j in range(m):
+        sv = F.slice(cvec, j * sub + 1, sub)
+        cand = F.array(
+            *[
+                F.struct(
+                    _d2(sv, _sub_lit(r, j)).alias("d"),
+                    F.lit(p + 1).alias("pos"),
+                )
+                for p, r in enumerate(anchor_rows)
+            ]
+        )
+        enc_cols.append(F.array_min(cand)["pos"].alias(f"c{j}"))
+    codes = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"), *enc_cols
+    )
+
+    qvec = to_double_array(F.col(vec_col))
+    adc_cols = []
+    for j in range(m):
+        sv = F.slice(qvec, j * sub + 1, sub)
+        adc_cols.append(
+            F.array(
+                *[
+                    F.round(_d2(sv, _sub_lit(r, j)), 6).cast("decimal(20,6)")
+                    for r in anchor_rows
+                ]
+            ).alias(f"adc{j}")
+        )
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+        *adc_cols,
+    )
+
+    adc = F.element_at(F.col("adc0"), F.col("c0"))
+    for j in range(1, m):
+        adc = adc + F.element_at(F.col(f"adc{j}"), F.col(f"c{j}"))
+    scored = (
+        codes.join(F.broadcast(q))
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .withColumn("adc_dist", adc.cast("double"))
+    )
+    w_sl = W.partitionBy("query_id").orderBy(
+        F.asc("adc_dist"), F.asc("neighbor_id")
+    )
+    sl = (
+        scored.withColumn("slrank", F.row_number().over(w_sl))
+        .filter(F.col("slrank") <= shortlist)
+        .select("query_id", "neighbor_id", "q_vec", "q_norm")
+    )
+    cvecs = corpus.select(
+        F.col(id_col).cast("long").alias("neighbor_id"),
+        to_double_array(F.col(vec_col)).alias("c_vec"),
+        l2_norm(F.col(vec_col)).alias("c_norm"),
+    )
+    rer = cvecs.join(F.broadcast(sl), "neighbor_id").withColumn(
+        "cosine",
+        dot_double(F.col("q_vec"), F.col("c_vec"))
+        / F.col("q_norm")
+        / F.col("c_norm"),
+    )
+    w_k = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        rer.withColumn("rank", F.row_number().over(w_k))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

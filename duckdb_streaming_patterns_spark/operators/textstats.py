@@ -214,3 +214,116 @@ def tfidf_top_terms(
             F.col("rn").cast("bigint").alias("rank"),
         )
     )
+
+
+def unigram_surprisal(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    lang_col: str = "lang",
+) -> DataFrame:
+    """Model-based quality score: mean per-token surprisal (negative ln
+    probability) under a per-language unigram LM trained on the corpus
+    itself — the shape of CCNet/KenLM perplexity filtering with the
+    n-gram order dropped to 1 so the "model" is a pure aggregation.
+    High surprisal = rare-token-heavy (gibberish, OCR noise); low =
+    boilerplate. Output: (id, lang, n_tokens, surprisal_nats).
+
+    Scale shape (100 TB): one explode pass feeds both the LM "training"
+    aggregation (per-(lang, token) counts — vocabulary-sized, partial-agg
+    shuffle of narrow rows) and the per-doc term counts; scoring joins
+    doc-distinct terms to the vocabulary on (lang, token) — a plain
+    equi-join against a vocabulary-sized side (do NOT broadcast a 100 TB
+    corpus's vocabulary); per-language totals ARE broadcast (rows =
+    #languages). No text ever shuffles after the explode.
+
+    Exactness: the per-token ln(c/T) is rounded to 6 dp and cast to
+    DECIMAL before the per-doc sum, so the aggregation is exact integer
+    arithmetic — partial-sum order (Spark) vs sequential order (DuckDB)
+    cannot change the result, the same trick the TPC-H Q11 threshold uses.
+    """
+    toks = F.transform(tokens(F.col(text_col)), F.lower)
+    exploded = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(lang_col).alias("__lang"),
+        F.explode(toks).alias("tok"),
+    )
+    doc_terms = exploded.groupBy("__id", "__lang", "tok").agg(
+        F.count("*").alias("cnt")
+    )
+    vocab = exploded.groupBy("__lang", "tok").agg(F.count("*").alias("c"))
+    totals = exploded.groupBy("__lang").agg(F.count("*").alias("t_all"))
+    lp = F.round(F.log(F.col("c") / F.col("t_all")), 6).cast("decimal(20,6)")
+    scored = (
+        doc_terms.join(vocab, ["__lang", "tok"])
+        .join(F.broadcast(totals), "__lang")
+        .withColumn("lp", lp)
+    )
+    return (
+        scored.groupBy("__id", "__lang")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.sum(F.col("cnt") * F.col("lp")).alias("slp"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("__lang").alias(lang_col),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.round(
+                -(F.col("slp").cast("double")) / F.col("n_tokens"), 4
+            ).alias("surprisal_nats"),
+        )
+    )
+
+
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """Substring-level duplication profile (the signal behind exact
+    substring dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    Language Models Better"): slide a word n-gram window over each
+    document, hash every window, and report per document how many of its
+    windows also occur elsewhere in the corpus (or again in the same
+    doc). Output: (id, n_grams, n_dup_grams, dup_fraction) for every doc
+    with >= n tokens — the per-doc evidence a span-removal pass acts on.
+
+    Scale shape (100 TB): windows are built JVM-side (transform over a
+    token-index sequence — no Python, no self-join) and explode to
+    (doc_id, gram_hash) rows; the global occurrence count is a
+    partial-agg shuffle on the 32-char hash, then one equi-join back on
+    that key, then a per-doc partial agg. Nothing wider than
+    (id, hash, count) ever shuffles — the suffix-array approach this
+    approximates cannot be expressed as a join, while this form is three
+    narrow exchanges. md5 keeps the hash oracle-portable; swap
+    ``xxhash64`` (8-byte keys) for production.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.md5(F.array_join(F.slice(toks, i, n), " ")),
+    )
+    g = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("__id"), F.explode(grams).alias("gram"))
+    )
+    counts = g.groupBy("gram").agg(F.count("*").alias("gc"))
+    dup = (F.col("gc") >= 2).cast("long")
+    return (
+        g.join(counts, "gram")
+        .groupBy("__id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(dup).alias("n_dup_grams"),
+        )
+        .select(
+            F.col("__id").alias(id_col),
+            F.col("n_grams").cast("bigint").alias("n_grams"),
+            F.col("n_dup_grams").cast("bigint").alias("n_dup_grams"),
+            F.round(F.col("n_dup_grams") / F.col("n_grams"), 4).alias(
+                "dup_fraction"
+            ),
+        )
+    )

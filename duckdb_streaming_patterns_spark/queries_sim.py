@@ -233,3 +233,87 @@ def q_semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.semdedup_verdicts(
         emb, n_cells=_SD_N_CELLS, threshold=_SD_THR
     )
+
+
+_PQ_M, _PQ_KS = 8, 32
+_PQ_SUB = _DIM // _PQ_M
+_PQ_SHORTLIST = 100
+
+
+def _pq_d2(vec: str, off: str) -> str:
+    """Squared L2 between 16-dim subvectors of {vec} and anchor a_vec at
+    1-based offset expression {off} — sequential fold, matching Spark's
+    F.aggregate order."""
+    t = (
+        f"(CAST({vec}[{off} + i] AS DOUBLE)"
+        f" - CAST(a.a_vec[{off} + i] AS DOUBLE))"
+    )
+    return (
+        f"list_sum(list_transform(range(1, {_PQ_SUB + 1}),"
+        f" i -> {t} * {t}))"
+    )
+
+
+_PQ_ORACLE = f"""
+    WITH a0 AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+                FROM embeddings
+                ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+                LIMIT {_PQ_KS}),
+         a AS (SELECT aid, a_vec,
+                      row_number() OVER (ORDER BY aid) AS pos
+               FROM a0),
+         subs AS (SELECT unnest(range(0, {_PQ_M})) AS j),
+         enc0 AS (SELECT e.vec_id, s.j, a.pos,
+                         {_pq_d2("e.embedding", f"s.j * {_PQ_SUB}")} AS d
+                  FROM embeddings e CROSS JOIN a CROSS JOIN subs s),
+         enc AS (SELECT vec_id, j, pos FROM (
+                   SELECT vec_id, j, pos,
+                          row_number() OVER (PARTITION BY vec_id, j
+                                             ORDER BY d, pos) AS rnk
+                   FROM enc0) WHERE rnk = 1),
+         qd AS (SELECT q.vec_id AS query_id, s.j, a.pos,
+                       CAST(round({_pq_d2("q.embedding", f"s.j * {_PQ_SUB}")},
+                                  6) AS DECIMAL(20,6)) AS d
+                FROM embeddings q CROSS JOIN a CROSS JOIN subs s
+                WHERE q.vec_id < 5),
+         scored AS (SELECT qd.query_id, enc.vec_id AS neighbor_id,
+                           CAST(sum(qd.d) AS DOUBLE) AS adc_dist
+                    FROM enc JOIN qd ON enc.j = qd.j AND enc.pos = qd.pos
+                    WHERE enc.vec_id != qd.query_id
+                    GROUP BY qd.query_id, enc.vec_id),
+         sl AS (SELECT query_id, neighbor_id FROM (
+                  SELECT *, row_number() OVER (PARTITION BY query_id
+                                               ORDER BY adc_dist,
+                                                        neighbor_id) AS slr
+                  FROM scored) WHERE slr <= {_PQ_SHORTLIST}),
+         rer AS (SELECT sl.query_id, sl.neighbor_id,
+                        {duckdb_cosine("q.embedding", "c.embedding")}
+                          AS cosine
+                 FROM sl
+                 JOIN embeddings q ON q.vec_id = sl.query_id
+                 JOIN embeddings c ON c.vec_id = sl.neighbor_id)
+    SELECT query_id, neighbor_id, round(cosine, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM rer)
+    WHERE rank <= 10
+"""
+
+
+@register("knn_pq_adc", _PQ_ORACLE)
+def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (8 subspaces x 32 codewords, asymmetric
+    distance, 100-candidate shortlist + exact cosine re-rank) for the
+    same 5 query vectors the other k-NN variants use. The md5-anchor
+    codebooks and decimal-exact ADC sums make the entire index + search
+    decision hash-exact against the SQL oracle — the third ANN strategy
+    (brute force = baseline, LSH/IVF = recall-pinned, PQ = memory-bound
+    scale path). See operators/similarity.knn_pq_adc."""
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    return similarity.knn_pq_adc(
+        emb, queries, k=10, m=_PQ_M, ks=_PQ_KS, shortlist=_PQ_SHORTLIST
+    )

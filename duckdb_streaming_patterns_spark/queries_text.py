@@ -668,3 +668,69 @@ _FUNNEL_ORACLE = f"""
     FROM qs
 """
 _Q["quality_filter_funnel"] = (_Q["quality_filter_funnel"][0], _FUNNEL_ORACLE)
+
+
+@register(
+    "text_unigram_surprisal",
+    r"""
+    WITH toks AS (
+      SELECT doc_id, lang, lower(t.tok) AS tok
+      FROM (SELECT doc_id, lang,
+                   unnest(string_split_regex(trim(text), '\s+')) AS tok
+            FROM documents) t
+    ),
+    vocab AS (SELECT lang, tok, count(*) AS c FROM toks GROUP BY lang, tok),
+    totals AS (SELECT lang, count(*) AS t_all FROM toks GROUP BY lang),
+    doc_terms AS (SELECT doc_id, lang, tok, count(*) AS cnt
+                  FROM toks GROUP BY doc_id, lang, tok),
+    scored AS (
+      SELECT d.doc_id, d.lang, d.cnt,
+             CAST(round(ln(v.c * 1.0 / tt.t_all), 6) AS DECIMAL(20,6)) AS lp
+      FROM doc_terms d
+      JOIN vocab v ON d.lang = v.lang AND d.tok = v.tok
+      JOIN totals tt ON d.lang = tt.lang
+    )
+    SELECT doc_id, lang,
+           CAST(sum(cnt) AS BIGINT) AS n_tokens,
+           ROUND(-CAST(sum(cnt * lp) AS DOUBLE) / sum(cnt), 4)
+             AS surprisal_nats
+    FROM scored GROUP BY doc_id, lang
+    """,
+)
+def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean per-token surprisal under a corpus-trained per-language
+    unigram LM — the aggregation-only core of CCNet/KenLM perplexity
+    filtering. See operators/textstats.unigram_surprisal for the
+    scale-shape contract (vocabulary-sized joins, decimal-exact sums)."""
+    return textstats.unigram_surprisal(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", "lang"
+    )
+
+
+@register(
+    "text_duplicated_spans",
+    r"""
+    WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    g AS (SELECT doc_id, md5(array_to_string(t[u.i : u.i + 7], ' ')) AS gram
+          FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8),
+    c AS (SELECT gram, count(*) AS gc FROM g GROUP BY gram)
+    SELECT g.doc_id,
+           CAST(count(*) AS BIGINT) AS n_grams,
+           CAST(sum(CASE WHEN c.gc >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dup_grams,
+           ROUND(sum(CASE WHEN c.gc >= 2 THEN 1 ELSE 0 END) * 1.0
+                 / count(*), 4) AS dup_fraction
+    FROM g JOIN c USING (gram)
+    GROUP BY g.doc_id
+    """,
+)
+def q_text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated word-8-gram profile — the substring-level
+    dedup signal (Lee et al. 2022). See operators/textstats.
+    duplicated_spans for the scale-shape contract (hash-keyed exchanges
+    only, no self-join)."""
+    return textstats.duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=8
+    )

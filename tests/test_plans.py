@@ -62,7 +62,15 @@ def test_shipdate_range_pushdown(spark, sf_small):
 
 @pytest.mark.parametrize(
     "name",
-    ["dedup_minhash_lsh", "knn_bruteforce", "embedding_neardup_pairs"],
+    [
+        "dedup_minhash_lsh",
+        "knn_bruteforce",
+        "embedding_neardup_pairs",
+        "knn_pq_adc",
+        "semdedup_prune",
+        "text_unigram_surprisal",
+        "text_duplicated_spans",
+    ],
 )
 def test_extended_ops_no_cartesian(spark, sf_small, name):
     """Candidate generation must stay join-shaped: LSH pairs join on band

@@ -85,6 +85,7 @@ HEADLINE = [
     "pattern_streaming_sessionization",
     "pattern_stream_stream_join",
     "sessionization_session_window",
+    "pattern_streaming_corpus_dedup",
     "bonus_stateless_view_topk",
 ]
 

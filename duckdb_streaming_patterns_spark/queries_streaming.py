@@ -278,3 +278,29 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6 as a registered query: the table as of snapshot 2 (time travel —
     DuckLake reads any snapshot; same pruned scan shape as table_changes)."""
     return _cdf_table(spark, sf_dir).read_as_of(2)
+
+
+@register(
+    "pattern_streaming_corpus_dedup",
+    """
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           (doc_id = min(doc_id) OVER (PARTITION BY md5(text))) AS keep
+    FROM documents
+    """,
+)
+def q_pattern_streaming_corpus_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: the documents corpus replayed as
+    micro-batches, each batch checked against the accumulated content-hash
+    state (UpsertLog), every row getting a durable (canonical_id, keep)
+    verdict. The oracle is the batch first-occurrence-wins window — so the
+    driver gate proves streaming ≡ batch for the dedup decision itself,
+    the same equivalence property the event patterns pin (SURVEY §5.2).
+    See streaming/patterns.pattern_corpus_ingest_dedup."""
+    run = staging.new_run_dir("pcorpus")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_corpus_ingest_dedup(
+        spark, chunks, run, state_partitions=4
+    )

@@ -660,3 +660,83 @@ def bonus_stateless_views(
         LIMIT {k}
         """
     )
+
+
+def pattern_corpus_ingest_dedup(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Continuous-ingestion exact dedup: the corpus arrives as micro-
+    batches (a crawl dump landing batch by batch); each batch's documents
+    are checked against the accumulated content-hash state and every row
+    gets a durable verdict — (doc_id, canonical_id, keep), where
+    canonical_id is the first-ever doc with the same content and
+    keep = (this row IS that first doc). This is the streaming form of
+    `dedup_incremental_verdicts`, closing the batch→continuous loop a
+    training-data pipeline runs in production.
+
+    Shape, per batch (designed for a 100 TB firehose):
+    - hash each doc to md5(text) — 16-byte keys; the TEXT never shuffles.
+    - batch-local first-wins (groupBy hash → min doc_id), then one
+      left-anti equi-join against the seen-hash state. State is an
+      UpsertLog keyed by hash: appends are O(new hashes), retries are
+      idempotent (per-batch dirs), and periodic ``compact()`` folds the
+      log — the LSM trade, same as sessionization's state.
+    - verdicts join the batch to (seen ∪ batch-new) canonicals on the
+      hash — equi-join on 16-byte keys, output O(batch).
+    Exactly-once: both logs are per-batch-directory idempotent; a
+    re-delivered batch rewrites its own dirs bit-identically (min/join
+    are deterministic), so crash-retry changes nothing.
+    """
+    import glob as _glob
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    seen_log = UpsertLog(spark, os.path.join(run_dir, "seen"), keys=["__h"])
+    verdict_log = UpsertLog(
+        spark, os.path.join(run_dir, "verdicts"), keys=["doc_id"]
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        b = batch.withColumn("__h", F.md5(F.col("text"))).select(
+            "doc_id", "__h"
+        )
+        firsts = b.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
+        have_state = bool(
+            _glob.glob(os.path.join(seen_log.root, "__batch_id=*"))
+        )
+        if have_state:
+            seen = seen_log.read_latest()
+            new_firsts = firsts.join(
+                seen.select("__h"), "__h", "left_anti"
+            )
+            canon = seen.unionByName(new_firsts)
+        else:
+            new_firsts = firsts
+            canon = firsts
+        # resolve verdicts BEFORE appending, so a retry that re-runs the
+        # join sees the same pre-batch state it saw the first time
+        verdicts = (
+            b.join(canon, "__h")
+            .select(
+                "doc_id",
+                "canonical_id",
+                (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        seen_log.append(new_firsts, batch_id)
+        verdict_log.append(verdicts, batch_id)
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_document_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return verdict_log.read_latest().select("doc_id", "canonical_id", "keep")

@@ -184,3 +184,51 @@ def read_json_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
         )
         .drop("timestamp")
     )
+
+
+DOC_SCHEMA = (
+    "doc_id long, text string, lang string, source string, n_chars long"
+)
+
+
+def stage_document_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 5,
+) -> str:
+    """Split `documents` into n_chunks single-file parquet chunks in
+    doc_id order; chunk k is micro-batch k on replay — the corpus
+    arriving as a stream (a crawl dump landing batch by batch), the
+    input shape of continuous-ingestion dedup."""
+    key = ("documents", sf_dir, n_chunks)
+    cached = _STAGE_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    rows = docs.count()
+    per = (rows + n_chunks - 1) // n_chunks
+    # doc_id is dense from 0 — arithmetic chunking keeps chunks monotone
+    # in doc_id, the property the first-occurrence oracle relies on
+    chunk = (F.col("doc_id") / F.lit(per)).cast("int").alias("__chunk")
+    chunks_dir = os.path.join(out_dir, "chunks")
+    (
+        docs.select("*", chunk)
+        .repartition("__chunk")
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(chunks_dir)
+    )
+    _stamp_chunk_order(chunks_dir)
+    _STAGE_CACHE[key] = chunks_dir
+    return chunks_dir
+
+
+def read_document_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
+    """File-source micro-batch stream of staged document chunks."""
+    return (
+        spark.readStream.schema(DOC_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunks_dir)
+    )

@@ -554,3 +554,67 @@ def test_session_window_exact_gap_extends_session(spark):
         by_user.setdefault(r["user_id"], []).append(r["count"])
     assert sorted(by_user[1]) == [2]
     assert sorted(by_user[2]) == [1, 1]
+
+
+def test_corpus_ingest_dedup_flags_cross_batch_duplicates(spark, tmp_path):
+    """The fixture corpus has no exact duplicates, so the driver oracle
+    only proves the all-keep path. This exercises the real decision:
+    duplicates WITHIN one micro-batch (doc 1 == doc 3, same chunk) and
+    ACROSS batches (doc 0 duplicated in chunks 1 and 2) must both resolve
+    to the earliest doc_id, and verdicts must equal the batch
+    first-occurrence-wins window exactly."""
+    import os
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.streaming import patterns, staging
+
+    texts = {
+        0: "alpha beta gamma",
+        1: "dup text one",
+        2: "unique two",
+        3: "dup text one",       # within-batch dup of 1 (chunk 0)
+        4: "alpha beta gamma",   # cross-batch dup of 0 (chunk 1)
+        5: "unique five",
+        6: "unique six",
+        7: "alpha beta gamma",   # cross-batch dup of 0 again (chunk 1)
+        8: "dup text one",       # cross-batch dup of 1 (chunk 2)
+        9: "unique nine",
+        10: "unique ten",
+        11: "unique eleven",
+    }
+    docs = spark.createDataFrame(
+        [(i, t, "en", "test", len(t)) for i, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src, exist_ok=True)
+    docs.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(src, "documents.parquet")
+    )
+    run = os.path.join(str(tmp_path), "run")
+    os.makedirs(run, exist_ok=True)
+    chunks = staging.stage_document_chunks(spark, src, run, n_chunks=3)
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["keep"])
+        for r in patterns.pattern_corpus_ingest_dedup(
+            spark, chunks, run, state_partitions=2
+        ).collect()
+    }
+    expect = (
+        docs.withColumn("__h", F.md5("text"))
+        .withColumn(
+            "canonical_id", F.min("doc_id").over(W.partitionBy("__h"))
+        )
+        .collect()
+    )
+    assert len(got) == len(texts)
+    for r in expect:
+        canon, keep = got[r["doc_id"]]
+        assert canon == r["canonical_id"], (r["doc_id"], canon, r["canonical_id"])
+        assert keep == (r["doc_id"] == r["canonical_id"])
+    # the dup sets resolved as intended
+    assert got[4] == (0, False) and got[7] == (0, False)
+    assert got[3] == (1, False) and got[8] == (1, False)
+    assert got[0] == (0, True) and got[1] == (1, True)

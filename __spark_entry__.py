@@ -46,6 +46,21 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 # locally) swapped for semdedup_prune, the SemDeDup keep/drop verdict — a
 # distinct published dedup family (embedding-cluster prune) and the
 # decision a training pipeline actually ships.
+# Second round-3 rotation — four redundant slots swapped for this round's
+# four new hash-exact families (every displaced query stays exact-checked
+# by the local oracle suite):
+#   dedup_token_jaccard (blocked exact-Jaccard join — the same verify step
+#     minhash-LSH runs on its candidates) → text_duplicated_spans, the
+#     substring-level dedup signal (Lee et al. 2022);
+#   dedup_exact_hash (batch md5 groupBy — the same decision
+#     pattern_streaming_corpus_dedup now proves streaming ≡ batch) →
+#     pattern_streaming_corpus_dedup;
+#   multimodal_frame_sample (same mapInPandas batch shape as
+#     multimodal_decode_features, which stays) → knn_pq_adc, the
+#     product-quantization ANN (third index type, hash-exact);
+#   text_token_count (token counts re-emitted by text_quality_scores'
+#     n_tokens on the same tokenization) → text_unigram_surprisal, the
+#     model-based quality family (unigram-LM perplexity proxy).
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -70,8 +85,8 @@ _PRIORITY = [
     "bonus_stateless_view_topk",
     "sessionization_session_window",
     # deduplication + fingerprinting (§2.11)
-    "dedup_exact_hash",
-    "dedup_token_jaccard",
+    "pattern_streaming_corpus_dedup",
+    "text_duplicated_spans",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_minhash_clusters",
@@ -84,10 +99,10 @@ _PRIORITY = [
     "embedding_neardup_lsh",
     "knn_lsh_ann",
     # multimodal (§2.11)
-    "multimodal_frame_sample",
+    "knn_pq_adc",
     "multimodal_decode_features",
     # text analysis (§2.11)
-    "text_token_count",
+    "text_unigram_surprisal",
     "text_quality_scores",
     "text_language_id",
     # corpus pipeline (§2.11)

@@ -516,21 +516,24 @@ def semdedup_verdicts(
             s += x * x
         return math.sqrt(s)
 
-    cands = F.array(
-        *[
-            F.struct(
-                (
-                    dot_double(
-                        F.col("__v"),
-                        F.array(*[F.lit(float(x)) for x in r.a_vec]),
-                    )
-                    / F.col("__nrm")
-                    / F.lit(_seq_norm(r.a_vec))
-                ).alias("cos"),
-                F.lit(-int(r.anchor_id)).cast("long").alias("neg_id"),
-            )
-            for r in anchor_rows
-        ]
+    # SQL-string construction, one server-side parse: Column-object
+    # composition costs a py4j round-trip per node, which dominates at
+    # production n_cells (same fix as knn_pq_adc — measured 21 s of
+    # driver-side plan building for ~50k nodes). Same dot/fold semantics,
+    # so the oracle match is unaffected.
+    def _anchor_struct(r) -> str:
+        lits = "array(" + ", ".join(f"{float(x)!r}D" for x in r.a_vec) + ")"
+        dot = (
+            f"aggregate(zip_with(__v, {lits}, (x, y) -> x * y),"
+            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+        return (
+            f"named_struct('cos', {dot} / __nrm / {_seq_norm(r.a_vec)!r}D,"
+            f" 'neg_id', CAST({-int(r.anchor_id)} AS BIGINT))"
+        )
+
+    cands = F.expr(
+        "array(" + ", ".join(_anchor_struct(r) for r in anchor_rows) + ")"
     )
     cells = (
         df.select(
@@ -629,45 +632,48 @@ def knn_pq_adc(
     dim = len(anchor_rows[0].vec)
     sub = dim // m
 
-    def _sub_lit(r, j: int):
-        return F.array(
-            *[F.lit(float(x)) for x in r.vec[j * sub : (j + 1) * sub]]
+    # The per-subspace expressions are built as SQL strings and parsed
+    # server-side with ONE F.expr per output column: composing them from
+    # Column objects costs a py4j round-trip per node (~50k for
+    # m=8/ks=32 — measured 21 s of pure driver-side plan construction vs
+    # <1 s for the string form). Semantics are identical: same slice /
+    # zip_with / sequential-fold aggregate, so the oracle match is
+    # unaffected. repr() round-trips IEEE-754 doubles exactly.
+    dvec = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
+
+    def _lit_arr(vals) -> str:
+        return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
+
+    def _d2_sql(j: int, vals) -> str:
+        sv = f"slice({dvec}, {j * sub + 1}, {sub})"
+        return (
+            f"aggregate(zip_with({sv}, {_lit_arr(vals)},"
+            f" (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),"
+            f" (acc, x) -> acc + x)"
         )
 
-    def _d2(sub_vec, lit_arr):
-        diffs = F.zip_with(sub_vec, lit_arr, lambda x, y: (x - y) * (x - y))
-        return F.aggregate(diffs, F.lit(0.0), lambda acc, x: acc + x)
-
-    cvec = to_double_array(F.col(vec_col))
     enc_cols = []
     for j in range(m):
-        sv = F.slice(cvec, j * sub + 1, sub)
-        cand = F.array(
-            *[
-                F.struct(
-                    _d2(sv, _sub_lit(r, j)).alias("d"),
-                    F.lit(p + 1).alias("pos"),
-                )
-                for p, r in enumerate(anchor_rows)
-            ]
+        structs = ", ".join(
+            f"named_struct('d',"
+            f" {_d2_sql(j, r.vec[j * sub:(j + 1) * sub])}, 'pos', {p + 1})"
+            for p, r in enumerate(anchor_rows)
         )
-        enc_cols.append(F.array_min(cand)["pos"].alias(f"c{j}"))
+        enc_cols.append(
+            F.expr(f"array_min(array({structs}))['pos']").alias(f"c{j}")
+        )
     codes = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"), *enc_cols
     )
 
-    qvec = to_double_array(F.col(vec_col))
     adc_cols = []
     for j in range(m):
-        sv = F.slice(qvec, j * sub + 1, sub)
-        adc_cols.append(
-            F.array(
-                *[
-                    F.round(_d2(sv, _sub_lit(r, j)), 6).cast("decimal(20,6)")
-                    for r in anchor_rows
-                ]
-            ).alias(f"adc{j}")
+        dists = ", ".join(
+            f"CAST(round({_d2_sql(j, r.vec[j * sub:(j + 1) * sub])}, 6)"
+            f" AS DECIMAL(20,6))"
+            for r in anchor_rows
         )
+        adc_cols.append(F.expr(f"array({dists})").alias(f"adc{j}"))
     q = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         to_double_array(F.col(vec_col)).alias("q_vec"),

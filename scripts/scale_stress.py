@@ -47,6 +47,17 @@ HEAVY = [
     "dedup_minhash_clusters",
     "pattern_streaming_sessionization",
     "pattern_stream_stream_join",
+    # round-3 additions
+    "text_unigram_surprisal",
+    "text_duplicated_spans",
+    "pattern_streaming_corpus_dedup",
+    "knn_pq_adc",
+    # semdedup_prune is stressed specially (see run loop): its registered
+    # form fixes n_cells=16, so a 10x corpus makes cells 10x fatter and
+    # the intra-cell pair join ~100x — measuring parameterization, not
+    # engine curvature. Production scales n_cells with the corpus (cell
+    # size ~constant); the stress run does the same (n_cells = 16*factor).
+    "semdedup_prune",
 ]
 
 TABLES = [
@@ -63,7 +74,7 @@ def build_dir(spark: SparkSession, factor: int) -> str:
     for t in TABLES:
         src = os.path.join(SRC_SF, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
-        if factor == 1 or t not in ("documents", "events"):
+        if factor == 1 or t not in ("documents", "events", "embeddings"):
             if not os.path.exists(dst):
                 os.symlink(src, dst)
             continue
@@ -88,6 +99,27 @@ def build_dir(spark: SparkSession, factor: int) -> str:
                 (F.col("doc_id") + F.col("__c") * F.lit(10_000_000)).alias("doc_id"),
                 salted.alias("text"),
                 "lang", "source", "n_chars",
+            )
+        elif t == "embeddings":
+            # copy c gets its coordinates cyclically shifted by c: an
+            # orthogonal transform, so every intra-copy cosine (and thus
+            # each copy's near-dup/cell structure) is preserved exactly
+            # while cross-copy vectors decorrelate — pair work replicates
+            # per copy instead of exploding quadratically, same principle
+            # as the token salt above.
+            df = spark.read.parquet(src).select("*", copies)
+            dim = 64
+            shift = F.col("__c") % F.lit(dim)
+            shifted = F.concat(
+                F.slice(F.col("embedding"), shift + 1, F.lit(dim) - shift),
+                F.slice(F.col("embedding"), F.lit(1), shift),
+            )
+            df = df.select(
+                (F.col("vec_id") + F.col("__c") * F.lit(10_000_000)).alias(
+                    "vec_id"
+                ),
+                shifted.alias("embedding"),
+                "label",
             )
         else:  # events
             # ts passes through unchanged (the nanosAsLong conf only
@@ -124,14 +156,31 @@ def main() -> None:
         n_docs = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
         n_events = spark.read.parquet(os.path.join(d, "events.parquet")).count()
         for name in HEAVY:
-            fn, _ = QUERIES[name]
             t0 = time.perf_counter()
-            rows_out = fn(spark, d).count()
+            if name == "semdedup_prune":
+                # scale the quantizer with the corpus (cell size constant)
+                from duckdb_streaming_patterns_spark.operators import (
+                    similarity,
+                )
+                from duckdb_streaming_patterns_spark.sources.tables import (
+                    load_table,
+                )
+
+                emb = load_table(spark, d, "embeddings")
+                rows_out = similarity.semdedup_verdicts(
+                    emb, n_cells=16 * factor, threshold=0.3
+                ).count()
+            else:
+                fn, _ = QUERIES[name]
+                rows_out = fn(spark, d).count()
             sec = round(time.perf_counter() - t0, 3)
             rec = {
                 "factor": factor,
                 "query": name,
-                "rows_in": n_events if name.startswith("pattern") else n_docs,
+                "rows_in": n_events
+                if name.startswith("pattern")
+                and name != "pattern_streaming_corpus_dedup"
+                else n_docs,
                 "rows_out": rows_out,
                 "sec": sec,
             }

@@ -34,7 +34,8 @@ def test_first_50_cover_every_family():
             "bonus_stateless_view_topk",
         },
         "dedup": {
-            "dedup_exact_hash",
+            "pattern_streaming_corpus_dedup",
+            "text_duplicated_spans",
             "dedup_minhash_lsh",
             "dedup_simhash",
             "dedup_minhash_clusters",
@@ -43,11 +44,12 @@ def test_first_50_cover_every_family():
         },
         "similarity": {
             "knn_bruteforce",
+            "knn_pq_adc",
             "semdedup_prune",
             "embedding_neardup_lsh",
         },
-        "multimodal": {"multimodal_frame_sample", "multimodal_decode_features"},
-        "text": {"text_token_count", "text_language_id"},
+        "multimodal": {"multimodal_decode_features"},
+        "text": {"text_unigram_surprisal", "text_language_id"},
         "pipeline": {
             "pack_token_bins",
             "contamination_ngram_overlap",

@@ -712,7 +712,7 @@ def q_text_unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     r"""
     WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t
                   FROM documents),
-    g AS (SELECT doc_id, md5(array_to_string(t[u.i : u.i + 7], ' ')) AS gram
+    g AS (SELECT doc_id, array_to_string(t[u.i : u.i + 7], ' ') AS gram
           FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
           WHERE len(t) >= 8),
     c AS (SELECT gram, count(*) AS gc FROM g GROUP BY gram)

@@ -75,6 +75,7 @@ HEADLINE = [
     # physical layout
     "bucketed_join_revenue",
     "partition_pruned_daily_clicks",
+    "dpp_pruned_daily_clicks",
     "cdf_table_changes",
     "asof_join_last_click",
     "range_join_price_bands",

@@ -157,3 +157,33 @@ def pruned_daily_clicks(
         .agg(F.count("*").alias("n_clicks"))
         .select(F.col("event_date").cast("string").alias("event_date"), "n_clicks")
     )
+
+
+def dpp_daily_clicks(
+    spark: SparkSession, sf_dir: str, days_of_month: tuple[int, ...]
+) -> DataFrame:
+    """Clicks per day for the days selected by a DIMENSION filter — the
+    dynamic-partition-pruning shape: the fact scan's partition filter is
+    not known until the (broadcast) dim side is evaluated at runtime, so
+    Catalyst inserts a dynamicpruningexpression into PartitionFilters
+    (plan-asserted). This is the optimizer surface every star-schema scan
+    over a partitioned 100 TB fact table lives on: the date predicate
+    arrives via a join, not a literal, and still only the matching
+    day-directories are read."""
+    path = partitioned_events(spark, sf_dir)
+    ev = spark.read.parquet(path)
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .select(F.col("ts").cast("date").alias("event_date"))
+        .distinct()
+        .filter(F.dayofmonth("event_date").isin(*days_of_month))
+    )
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .join(F.broadcast(dim), "event_date")
+        .groupBy("event_date")
+        .agg(F.count("*").alias("n_clicks"))
+        .select(
+            F.col("event_date").cast("string").alias("event_date"), "n_clicks"
+        )
+    )

@@ -570,3 +570,25 @@ def q_sessionization_session_window(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .select("user_id", "n_events", "session_start", "session_end")
     )
+
+
+@register(
+    "dpp_pruned_daily_clicks",
+    """
+    SELECT CAST(CAST(ts AS DATE) AS VARCHAR) AS event_date,
+           count(*) AS n_clicks
+    FROM events
+    WHERE day(CAST(ts AS DATE)) IN (5, 15, 25)
+      AND event_type = 'click'
+    GROUP BY 1
+    """,
+)
+def q_dpp_pruned_daily_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic partition pruning over the date-partitioned layout: the
+    day filter lives on a broadcast dimension, so the fact scan's
+    partition list is resolved at RUNTIME (dynamicpruningexpression in
+    PartitionFilters, plan-asserted) — the star-schema complement of the
+    static-literal pruning `partition_pruned_daily_clicks` proves."""
+    from duckdb_streaming_patterns_spark.operators import layout
+
+    return layout.dpp_daily_clicks(spark, sf_dir, (5, 15, 25))

@@ -304,3 +304,13 @@ def test_incremental_dedup_corpus_never_shuffled(spark, sf_small):
     p = plan_of(spark, sf_small, "dedup_incremental_verdicts")
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_dpp_join_prunes_partitions_at_runtime(spark, sf_small):
+    """The dim-filtered join over the date-partitioned layout must plan
+    runtime partition pruning: PartitionFilters carries a
+    dynamicpruningexpression (NOT a static literal list), the mechanism a
+    partitioned 100 TB fact table relies on for star-schema scans."""
+    p = plan_of(spark, sf_small, "dpp_pruned_daily_clicks")
+    assert "dynamicpruning" in p.lower()
+    assert "BroadcastHashJoin" in p

@@ -217,3 +217,79 @@ def test_connected_components_chain_exceeding_round_limit(spark):
         for r in connected_components_star(nodes, edges).collect()
     }
     assert got_star == want
+
+
+@settings(**_SETTINGS)
+@given(_docs)
+def test_duplicated_spans_match_python_reference(spark, texts):
+    """duplicated_spans (word n-grams, global occurrence >= 2) against a
+    plain-Python reference on arbitrary corpora — covers within-doc
+    repeats, cross-doc duplicates, and sub-n-token docs (excluded)."""
+    import re as _re
+    from collections import Counter
+
+    from duckdb_streaming_patterns_spark.operators.textstats import (
+        duplicated_spans,
+    )
+
+    n = 3
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_dup_grams"])
+        for r in duplicated_spans(df, "doc_id", "text", n=n).collect()
+    }
+    grams_by_doc = {}
+    counts = Counter()
+    for i, t in enumerate(texts):
+        toks = _re.split(r"\s+", t.strip())
+        if len(toks) < n:
+            continue
+        g = [" ".join(toks[j : j + n]) for j in range(len(toks) - n + 1)]
+        grams_by_doc[i] = g
+        counts.update(g)
+    assert set(got) == set(grams_by_doc)
+    for i, g in grams_by_doc.items():
+        expect = (len(g), sum(1 for x in g if counts[x] >= 2))
+        assert got[i] == expect, (texts[i], got[i], expect)
+
+
+@settings(**_SETTINGS)
+@given(_docs)
+def test_unigram_surprisal_matches_python_reference(spark, texts):
+    """unigram_surprisal against a plain-Python reference computing the
+    same decimal-exact pipeline (6-dp-rounded ln(c/T), count-weighted
+    mean, 4-dp round) — proves the Spark aggregation order cannot leak
+    into results on arbitrary corpora."""
+    import math as _math
+    import re as _re
+    from collections import Counter
+    from decimal import Decimal
+
+    from duckdb_streaming_patterns_spark.operators.textstats import (
+        unigram_surprisal,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t, "xx") for i, t in enumerate(texts)],
+        "doc_id long, text string, lang string",
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["surprisal_nats"])
+        for r in unigram_surprisal(df, "doc_id", "text", "lang").collect()
+    }
+    toks_by_doc = {
+        i: [w.lower() for w in _re.split(r"\s+", t.strip())]
+        for i, t in enumerate(texts)
+    }
+    vocab = Counter(w for toks in toks_by_doc.values() for w in toks)
+    total = sum(vocab.values())
+    for i, toks in toks_by_doc.items():
+        slp = sum(
+            Decimal(str(round(_math.log(vocab[w] / total), 6)))
+            for w in toks
+        )
+        expect = round(-float(slp) / len(toks), 4)
+        assert got[i][0] == len(toks)
+        assert abs(got[i][1] - expect) < 1e-9, (texts[i], got[i], expect)

@@ -55,6 +55,7 @@ HEADLINE = [
     "knn_pq_adc",
     "embedding_neardup_pairs",
     "embedding_neardup_lsh",
+    "embedding_neardup_clusters",
     "semdedup_prune",
     "text_quality_scores",
     "text_language_id",

@@ -317,3 +317,52 @@ def q_knn_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_pq_adc(
         emb, queries, k=10, m=_PQ_M, ks=_PQ_KS, shortlist=_PQ_SHORTLIST
     )
+
+
+_EMB_CLUSTER_ORACLE = f"""
+    WITH RECURSIVE
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM embeddings a
+      JOIN embeddings b ON a.vec_id < b.vec_id AND a.label = b.label
+      WHERE {duckdb_cosine("a.embedding", "b.embedding")} >= 0.35
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION ALL
+      SELECT id_b, id_a FROM pairs
+    ),
+    walk(id, lbl) AS (
+      SELECT vec_id, vec_id FROM embeddings
+      UNION
+      SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.id
+    )
+    SELECT CAST(id AS BIGINT) AS vec_id,
+           CAST(min(lbl) AS BIGINT) AS cluster_id
+    FROM walk GROUP BY id
+"""
+
+
+@register("embedding_neardup_clusters", _EMB_CLUSTER_ORACLE)
+def q_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup CLUSTERS: the label-blocked cosine pair graph
+    (>= 0.35) fed through connected components, every vector labeled with
+    the min vec_id of its component — the graph-clustering counterpart of
+    semdedup_prune's cell-local verdicts, completing the embedding-dedup
+    family the same way dedup_minhash_clusters completes MinHash. The
+    oracle re-derives the exact pair set AND replays the propagation with
+    a recursive CTE."""
+    from duckdb_streaming_patterns_spark.operators import dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = similarity.cosine_neardup_pairs(
+        emb, id_col="vec_id", vec_col="embedding",
+        threshold=0.35, block_col="label",
+    )
+    labels = dedup.connected_components(
+        emb.select("vec_id"), pairs.select("id_a", "id_b"), id_col="vec_id"
+    )
+    return labels.select(
+        F.col("id").cast("long").alias("vec_id"),
+        F.col("cluster").cast("long").alias("cluster_id"),
+    )

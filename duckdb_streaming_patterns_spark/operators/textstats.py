@@ -229,13 +229,16 @@ def unigram_surprisal(
     High surprisal = rare-token-heavy (gibberish, OCR noise); low =
     boilerplate. Output: (id, lang, n_tokens, surprisal_nats).
 
-    Scale shape (100 TB): one explode pass feeds both the LM "training"
-    aggregation (per-(lang, token) counts — vocabulary-sized, partial-agg
-    shuffle of narrow rows) and the per-doc term counts; scoring joins
-    doc-distinct terms to the vocabulary on (lang, token) — a plain
-    equi-join against a vocabulary-sized side (do NOT broadcast a 100 TB
-    corpus's vocabulary); per-language totals ARE broadcast (rows =
-    #languages). No text ever shuffles after the explode.
+    Scale shape (100 TB): ONE explode pass over the corpus produces the
+    per-doc term counts; the LM "training" aggregation (per-(lang, token)
+    counts) and per-language totals both derive from THAT aggregate —
+    sum of per-doc counts — so the text is scanned and tokenized exactly
+    once (three independent aggregations off the raw explode would plan
+    three corpus scans). Scoring joins doc-distinct terms to the
+    vocabulary on (lang, token) — a plain equi-join against a
+    vocabulary-sized side (do NOT broadcast a 100 TB corpus's
+    vocabulary); per-language totals ARE broadcast (rows = #languages).
+    No text ever shuffles after the explode.
 
     Exactness: the per-token ln(c/T) is rounded to 6 dp and cast to
     DECIMAL before the per-doc sum, so the aggregation is exact integer
@@ -251,8 +254,10 @@ def unigram_surprisal(
     doc_terms = exploded.groupBy("__id", "__lang", "tok").agg(
         F.count("*").alias("cnt")
     )
-    vocab = exploded.groupBy("__lang", "tok").agg(F.count("*").alias("c"))
-    totals = exploded.groupBy("__lang").agg(F.count("*").alias("t_all"))
+    vocab = doc_terms.groupBy("__lang", "tok").agg(
+        F.sum("cnt").alias("c")
+    )
+    totals = vocab.groupBy("__lang").agg(F.sum("c").alias("t_all"))
     lp = F.round(F.log(F.col("c") / F.col("t_all")), 6).cast("decimal(20,6)")
     scored = (
         doc_terms.join(vocab, ["__lang", "tok"])

@@ -307,6 +307,15 @@ def duplicated_spans(
     xxhash64 (measured 2.3× over md5 at sf0.1, and 4× narrower shuffle
     keys) while the oracle groups on the raw gram string — results agree
     unless xxhash64 collides (~1e-7 at 25M grams, 0 in fixtures).
+
+    The count agg and the join-back each scan the corpus once (their
+    exchange subtrees differ, so ReusedExchange can't fire). Measured
+    locally that beats both single-scan forms — window-count (sort cost)
+    and per-(gram, doc) pre-agg (extra shuffle) — because the gram table
+    outweighs the corpus re-scan. If the corpus read ever dominates
+    (very wide rows, remote storage), switch to the pre-agg form:
+    dg = g.groupBy(gram, id).count, totals from dg, join dg↔totals —
+    exchange-reuse then reads the text exactly once.
     """
     toks = tokens(F.col(text_col))
     grams = F.transform(

@@ -639,18 +639,26 @@ def knn_pq_adc(
     # <1 s for the string form). Semantics are identical: same slice /
     # zip_with / sequential-fold aggregate, so the oracle match is
     # unaffected. repr() round-trips IEEE-754 doubles exactly.
+    # The cast+slice runs in its OWN projection so it evaluates once per
+    # row: interpreted HOFs get no common-subexpression elimination, and
+    # inlining the slice into each of the ks per-anchor folds re-cast the
+    # full vector ks times (measured 2.1× end-to-end on the encode).
     dvec = f"transform({vec_col}, x -> CAST(x AS DOUBLE))"
 
     def _lit_arr(vals) -> str:
         return "array(" + ", ".join(f"{float(x)!r}D" for x in vals) + ")"
 
     def _d2_sql(j: int, vals) -> str:
-        sv = f"slice({dvec}, {j * sub + 1}, {sub})"
         return (
-            f"aggregate(zip_with({sv}, {_lit_arr(vals)},"
+            f"aggregate(zip_with(__s{j}, {_lit_arr(vals)},"
             f" (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE),"
             f" (acc, x) -> acc + x)"
         )
+
+    slice_cols = [
+        F.expr(f"slice({dvec}, {j * sub + 1}, {sub})").alias(f"__s{j}")
+        for j in range(m)
+    ]
 
     enc_cols = []
     for j in range(m):
@@ -663,8 +671,8 @@ def knn_pq_adc(
             F.expr(f"array_min(array({structs}))['pos']").alias(f"c{j}")
         )
     codes = corpus.select(
-        F.col(id_col).cast("long").alias("neighbor_id"), *enc_cols
-    )
+        F.col(id_col).cast("long").alias("neighbor_id"), *slice_cols
+    ).select("neighbor_id", *enc_cols)
 
     adc_cols = []
     for j in range(m):
@@ -678,8 +686,8 @@ def knn_pq_adc(
         F.col(id_col).cast("long").alias("query_id"),
         to_double_array(F.col(vec_col)).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
-        *adc_cols,
-    )
+        *slice_cols,
+    ).select("query_id", "q_vec", "q_norm", *adc_cols)
 
     adc = F.element_at(F.col("adc0"), F.col("c0"))
     for j in range(1, m):

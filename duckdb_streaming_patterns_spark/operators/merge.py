@@ -120,10 +120,18 @@ class UpsertLog:
             os.path.join(self.root, f"__batch_id={batch_id}")
         )
 
-    def read_latest(self) -> DataFrame:
+    def read_latest(self, before_batch: int | None = None) -> DataFrame:
+        """Resolved last-writer-wins state. ``before_batch`` scopes the
+        read to batches strictly below that id — what a foreachBatch
+        RETRY of batch N must read: resolving against the full log would
+        include batch N's own (pre-crash) rows, change the recomputation,
+        and let the idempotent overwrite of ``__batch_id=N`` diverge from
+        what the first attempt wrote."""
         from pyspark.sql import Window as W
 
         log = self.spark.read.parquet(self.root)  # partition col __batch_id
+        if before_batch is not None:
+            log = log.filter(F.col("__batch_id") < before_batch)
         w = W.partitionBy(*self.keys).orderBy(F.col("__batch_id").desc())
         return (
             log.withColumn("__rn", F.row_number().over(w))

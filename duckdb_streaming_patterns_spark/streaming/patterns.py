@@ -687,11 +687,16 @@ def pattern_corpus_ingest_dedup(
     - verdicts join the batch to (seen ∪ batch-new) canonicals on the
       hash — equi-join on 16-byte keys, output O(batch).
     Exactly-once: both logs are per-batch-directory idempotent; a
-    re-delivered batch rewrites its own dirs bit-identically (min/join
-    are deterministic), so crash-retry changes nothing.
+    re-delivered batch rewrites its own dirs bit-identically: the state
+    read is SCOPED to batches below the current id
+    (``read_latest(before_batch=batch_id)``), so a retry recomputes from
+    exactly the pre-batch state even when the first attempt's own append
+    survived the crash. (Resolving against the full log would make the
+    retry see its own hashes, emit an EMPTY new-firsts frame, and the
+    idempotent overwrite would erase the batch's state — a duplicate
+    arriving later would then wrongly pass as new. Covered by
+    test_corpus_ingest_dedup_retry_is_idempotent.)
     """
-    import glob as _glob
-
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
 
     seen_log = UpsertLog(spark, os.path.join(run_dir, "seen"), keys=["__h"])
@@ -700,35 +705,7 @@ def pattern_corpus_ingest_dedup(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        b = batch.withColumn("__h", F.md5(F.col("text"))).select(
-            "doc_id", "__h"
-        )
-        firsts = b.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
-        have_state = bool(
-            _glob.glob(os.path.join(seen_log.root, "__batch_id=*"))
-        )
-        if have_state:
-            seen = seen_log.read_latest()
-            new_firsts = firsts.join(
-                seen.select("__h"), "__h", "left_anti"
-            )
-            canon = seen.unionByName(new_firsts)
-        else:
-            new_firsts = firsts
-            canon = firsts
-        # resolve verdicts BEFORE appending, so a retry that re-runs the
-        # join sees the same pre-batch state it saw the first time
-        verdicts = (
-            b.join(canon, "__h")
-            .select(
-                "doc_id",
-                "canonical_id",
-                (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
-            )
-            .localCheckpoint(eager=True)
-        )
-        seen_log.append(new_firsts, batch_id)
-        verdict_log.append(verdicts, batch_id)
+        corpus_dedup_batch(seen_log, verdict_log, batch, batch_id)
 
     with _state_partitions(spark, state_partitions):
         q = (
@@ -740,3 +717,37 @@ def pattern_corpus_ingest_dedup(
         )
         q.awaitTermination()
     return verdict_log.read_latest().select("doc_id", "canonical_id", "keep")
+
+
+def corpus_dedup_batch(seen_log, verdict_log, batch: DataFrame, batch_id: int) -> None:
+    """One micro-batch of continuous-ingestion dedup — module-level so the
+    retry-idempotence test can re-deliver a batch exactly like a crashed
+    foreachBatch would. See pattern_corpus_ingest_dedup for the contract."""
+    import glob as _glob
+
+    b = batch.withColumn("__h", F.md5(F.col("text"))).select("doc_id", "__h")
+    firsts = b.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
+    have_state = any(
+        int(d.rsplit("=", 1)[1]) < batch_id
+        for d in _glob.glob(os.path.join(seen_log.root, "__batch_id=*"))
+    )
+    if have_state:
+        # scope to batches BELOW this one: a retry must resolve against
+        # the pre-batch state, not its own first attempt's rows
+        seen = seen_log.read_latest(before_batch=batch_id)
+        new_firsts = firsts.join(seen.select("__h"), "__h", "left_anti")
+        canon = seen.unionByName(new_firsts)
+    else:
+        new_firsts = firsts
+        canon = firsts
+    verdicts = (
+        b.join(canon, "__h")
+        .select(
+            "doc_id",
+            "canonical_id",
+            (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    seen_log.append(new_firsts, batch_id)
+    verdict_log.append(verdicts, batch_id)

@@ -618,3 +618,69 @@ def test_corpus_ingest_dedup_flags_cross_batch_duplicates(spark, tmp_path):
     assert got[4] == (0, False) and got[7] == (0, False)
     assert got[3] == (1, False) and got[8] == (1, False)
     assert got[0] == (0, True) and got[1] == (1, True)
+
+
+def test_corpus_ingest_dedup_retry_is_idempotent(spark, tmp_path):
+    """A foreachBatch retry re-delivers a batch whose first attempt may
+    have already appended to the seen log before crashing. The batch
+    computation must resolve against the PRE-batch state (scoped
+    read_latest) — resolving against the full log would make the retry
+    see its own hashes, write an empty new-firsts frame over the batch
+    dir, and erase the state (a later duplicate would then pass as new).
+    Every crash window: re-delivery must leave both logs bit-identical."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        corpus_dedup_batch,
+    )
+
+    def mk(i):
+        return spark.createDataFrame(
+            [(j, t) for j, t in i], "doc_id long, text string"
+        )
+
+    b0 = mk([(0, "aaa"), (1, "bbb"), (2, "aaa")])
+    b1 = mk([(3, "bbb"), (4, "ccc")])
+    b2 = mk([(5, "aaa"), (6, "ddd")])
+
+    def snapshot(log):
+        return {
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(log.root).collect()
+        }
+
+    for crash_after_seen_append in (False, True):
+        root = os.path.join(
+            str(tmp_path), f"retry_{int(crash_after_seen_append)}"
+        )
+        seen = UpsertLog(spark, os.path.join(root, "seen"), keys=["__h"])
+        verd = UpsertLog(spark, os.path.join(root, "verdicts"), keys=["doc_id"])
+        corpus_dedup_batch(seen, verd, b0, 0)
+        # first attempt of batch 1 — optionally "crash" after the seen
+        # append by wiping only the verdict dir it wrote
+        corpus_dedup_batch(seen, verd, b1, 1)
+        if crash_after_seen_append:
+            import shutil
+
+            shutil.rmtree(os.path.join(verd.root, "__batch_id=1"))
+        pre_seen = snapshot(seen)
+        # retry (re-delivery of the same batch)
+        corpus_dedup_batch(seen, verd, b1, 1)
+        assert snapshot(seen) == pre_seen, "retry altered the seen log"
+        corpus_dedup_batch(seen, verd, b2, 2)
+        got = {
+            r["doc_id"]: (r["canonical_id"], r["keep"])
+            for r in verd.read_latest().collect()
+        }
+        assert got == {
+            0: (0, True),
+            1: (1, True),
+            2: (0, False),
+            3: (1, False),
+            4: (4, True),
+            5: (0, False),
+            6: (6, True),
+        }, got

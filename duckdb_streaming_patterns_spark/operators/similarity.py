@@ -222,6 +222,97 @@ def knn_lsh(
     )
 
 
+def md5_anchor_rows(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n: int = 16,
+) -> list:
+    """The ``n`` rows with the smallest md5(id) — the deterministic,
+    engine-portable anchor sample the quantized operators (semdedup, exact
+    IVF, PQ) use as their coarse codebook. KB-sized: the only driver-side
+    collect in those operators. Returned sorted by anchor id so positional
+    argmax ties resolve to the smallest id (the oracle's ``ORDER BY cos
+    DESC, anchor_id`` tie-break)."""
+    rows = (
+        df.select(
+            F.col(id_col).cast("long").alias("aid"),
+            to_double_array(F.col(vec_col)).alias("vec"),
+        )
+        .withColumn("__h", F.md5(F.col("aid").cast("string")))
+        .orderBy("__h", "aid")
+        .limit(n)
+        .collect()
+    )
+    if not rows:
+        raise ValueError("md5_anchor_rows: input corpus is empty")
+    return sorted(rows, key=lambda r: r.aid)
+
+
+def anchor_cell_udf(anchor_rows: list, n_probe: int = 1):
+    """Arrow-batched nearest-anchor (cosine) assignment against a
+    closure-captured anchor matrix — the scale-safe cell assignment: one
+    vectorized pass per batch, O(rows × n_anchors) flops at numpy memory
+    bandwidth instead of interpreted per-row Catalyst HOF folds (which die
+    when n_cells grows with the corpus — measured curvature 24 at x10).
+    Returns a pandas UDF: vec → array of the ``n_probe`` nearest anchor
+    ids, ranked by (cos DESC, anchor_id ASC) exactly like the oracle's
+    row_number.
+
+    Exactness: dots and norms are accumulated SEQUENTIALLY over dimensions
+    (acc += x_i·a_i, vectorized across rows×anchors but ordered over i) —
+    bit-identical to a left-to-right double fold, i.e. to Spark's
+    F.aggregate and DuckDB's list_sum(list_transform(...)); division runs
+    in duckdb_cosine's ``dot / row_norm / anchor_norm`` order. A BLAS
+    matmul would use pairwise/SIMD summation whose last-ulp differences
+    could flip an argmax at a cell boundary and make the assignment
+    engine-specific (same contract as _lsh_keys). The closure is
+    self-contained (only numpy/pandas references + captured arrays): a
+    reference to a module-level helper would pickle by module name and
+    crash Python workers that don't have the repo on sys.path."""
+    amat = np.asarray([list(r.vec) for r in anchor_rows], dtype=np.float64)
+    aids = np.asarray([int(r.aid) for r in anchor_rows], dtype=np.int64)
+    a_sq = np.zeros(amat.shape[0])
+    for i in range(amat.shape[1]):
+        a_sq = a_sq + amat[:, i] * amat[:, i]
+    a_norm = np.sqrt(a_sq)
+
+    @F.pandas_udf("array<long>")
+    def nearest(vecs: pd.Series) -> pd.Series:
+        if len(vecs) == 0:
+            return pd.Series([], dtype=object)
+        mat = np.asarray(
+            [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
+        )
+        acc = np.zeros((mat.shape[0], amat.shape[0]))
+        r_sq = np.zeros(mat.shape[0])
+        for i in range(mat.shape[1]):
+            acc = acc + mat[:, i : i + 1] * amat[None, :, i]
+            r_sq = r_sq + mat[:, i] * mat[:, i]
+        cos = acc / np.sqrt(r_sq)[:, None] / a_norm[None, :]
+        # anchors are aid-sorted and stable argsort keeps that order for
+        # exact cosine ties → (cos DESC, aid ASC), the oracle's tie-break
+        order = np.argsort(-cos, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(aids[order]))
+
+    return nearest
+
+
+def anchor_cells(
+    df: DataFrame,
+    anchor_rows: list,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cell_id) nearest-anchor assignment — narrow projection, no
+    shuffle, no driver data beyond the KB-sized anchors."""
+    nearest = anchor_cell_udf(anchor_rows, n_probe=1)
+    return df.select(
+        F.col(id_col).cast("long").alias("vec_id"),
+        F.element_at(nearest(F.col(vec_col)), 1).alias("cell_id"),
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids: np.ndarray,
@@ -303,13 +394,28 @@ def knn_ivf(
     n_centroids: int = 16,
     n_probe: int = 4,
     iters: int = 2,
+    probe_margin: float | None = 0.15,
 ) -> DataFrame:
     """IVF-style ANN top-k: coarse-quantize the corpus into centroid cells,
-    probe only the ``n_probe`` nearest cells per query, exact cosine on the
-    surviving candidates.
+    probe the nearest cells per query, exact cosine on the surviving
+    candidates.
+
+    Multi-probe: beyond the ``n_probe`` nearest cells, every cell whose
+    centroid cosine is within ``probe_margin`` of the best cell is probed
+    too (the distance-margin analogue of LSH's Hamming-1 probes — a true
+    neighbor lands in a non-nearest cell exactly when its query sits near
+    a cell boundary, i.e. when two centroid cosines are close). Only the
+    (tiny, broadcast) QUERY side fans out; the corpus scan is unchanged.
+    Measured on the fixtures: mean recall@10 is 0.84 at n_probe=4 (0.74 at
+    n_probe=1) with the margin DORMANT — the fixture corpus is strongly
+    label-clustered, so queries sit deep inside their cell (best centroid
+    cos ≈ 0.75, runner-up ≈ 0.15; no query within 0.15 of a boundary) and
+    the remaining misses are corpus rows assigned to overlapping cells,
+    which more probes recover. The margin is the guard for the boundary
+    case a real (less separable) corpus hits constantly.
 
     At 100 TB the corpus is written partitioned by cell, so each query
-    batch reads n_probe/n_centroids of the data (partition pruning); the
+    batch reads probed/n_centroids of the data (partition pruning); the
     probe→cell map is an equi-join, and queries broadcast.
     """
     centroids = ivf_centroids(corpus, id_col, vec_col, n_centroids, iters)
@@ -329,8 +435,20 @@ def knn_ivf(
             [np.asarray(v, dtype=np.float64) for v in vecs], dtype=np.float64
         )
         mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
-        order = np.argsort(-(mat @ cn.T), axis=1)[:, :n_probe]
-        return pd.Series(list(order.astype("int32")))
+        cos = mat @ cn.T
+        order = np.argsort(-cos, axis=1)
+        out = []
+        for r in range(len(vecs)):
+            probes = list(order[r, :n_probe])
+            if probe_margin is not None:
+                floor = cos[r, order[r, 0]] - probe_margin
+                probes = [
+                    c
+                    for rank, c in enumerate(order[r])
+                    if rank < n_probe or cos[r, c] >= floor
+                ]
+            out.append(np.asarray(probes, dtype="int32"))
+        return pd.Series(out)
 
     q = queries.select(
         F.col(id_col).alias("query_id"),
@@ -340,6 +458,69 @@ def knn_ivf(
     )
     scored = (
         cells.join(F.broadcast(q), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot_double(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+def knn_ivf_exact(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 6,
+) -> DataFrame:
+    """IVF ANN with a fully deterministic, oracle-replayable index: the
+    coarse quantizer is the md5-anchor sample (md5_anchor_rows) instead of
+    Lloyd iterations, so cell assignment, probe selection, and therefore
+    the whole ANN decision replay exactly in SQL — the same technique that
+    made knn_pq_adc hash-exact. Search shape is identical to ``knn_ivf``
+    (cell-partitioned corpus at rest, probes prune partitions, queries
+    broadcast); swap ``ivf_centroids`` back in when index quality matters
+    more than replayability.
+
+    Exactness: assignment and probe ranking run in the sequential-fold
+    assignment UDF (anchor_cell_udf — bit-identical cosines to DuckDB's
+    list_sum, ties to the smallest anchor id); the candidate scoring is
+    the same dot_double expression the oracle mirrors. Output:
+    (query_id, neighbor_id, cosine, rank) like every other knn_* variant.
+    """
+    anchor_rows = md5_anchor_rows(corpus, id_col, vec_col, n_cells)
+    cells = anchor_cells(corpus, anchor_rows, id_col, vec_col).join(
+        corpus.select(
+            F.col(id_col).cast("long").alias("vec_id"),
+            to_double_array(F.col(vec_col)).alias("c_vec"),
+            l2_norm(F.col(vec_col)).alias("c_norm"),
+        ),
+        "vec_id",
+    ).select(F.col("vec_id").alias("neighbor_id"), "cell_id", "c_vec", "c_norm")
+    probe = anchor_cell_udf(anchor_rows, n_probe=n_probe)
+    q = queries.select(
+        F.col(id_col).cast("long").alias("query_id"),
+        to_double_array(F.col(vec_col)).alias("q_vec"),
+        l2_norm(F.col(vec_col)).alias("q_norm"),
+        F.explode(probe(F.col(vec_col))).alias("cell_id"),
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell_id")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .withColumn(
             "cosine",
@@ -480,72 +661,29 @@ def semdedup_verdicts(
 
     - The coarse quantizer is a deterministic anchor sample: the n_cells
       rows with the smallest md5(id) (engine-portable "random" — the same
-      family the corpus split uses). The anchors are KB-sized, so they are
-      collected once and inlined as expression literals; cell assignment is
-      then pure per-row Catalyst compute — NO shuffle, no Python — and,
-      unlike Lloyd centroids, exactly replayable in the DuckDB oracle. At
-      production scale, ``ivf_centroids`` (distributed Lloyd) can be
-      swapped in for tighter cells; the pruning stage is unchanged.
-    - Tie-breaks mirror the oracle's ``row_number() ORDER BY cos DESC,
-      anchor_id``: the per-row argmax takes the max of (cosine, -anchor_id)
-      structs, so equal cosines resolve to the smallest anchor id.
+      family the corpus split uses; md5_anchor_rows). The anchors are
+      KB-sized, collected once, and closure-captured by an Arrow-batched
+      assignment UDF (anchor_cell_udf): one vectorized numpy pass per
+      batch — NO shuffle, and O(rows × n_cells) flops at memory bandwidth.
+      Real SemDeDup keeps CELL SIZE constant as the corpus grows (n_cells
+      ∝ corpus), so the assignment must stay vectorized: the previous
+      expression-literal form (one interpreted HOF fold per anchor per
+      row) measured curvature 24 at x10 when n_cells scales; this form is
+      linear. At production scale ``ivf_centroids`` (distributed Lloyd)
+      swaps in for tighter cells; the pruning stage is unchanged.
+    - Exactness: the UDF accumulates dots SEQUENTIALLY over dimensions and
+      divides in duckdb_cosine's order, so cosines are bit-identical to
+      the oracle's list_sum folds; ties argmax to the smallest anchor id,
+      mirroring ``row_number() ORDER BY cos DESC, anchor_id``.
     - The only wide shuffle carries (id, cell) plus one vector copy into
       the intra-cell self-join; pair blow-up is bounded by cell size (IVF
       discipline), never all-pairs. The narrow (id, cell) assignment is
-      localCheckpoint'ed so the anchor expressions evaluate once and no
-      cache handle leaks.
+      localCheckpoint'ed so the assignment evaluates once and no cache
+      handle leaks.
     """
-    import math
-
-    anchor_rows = (
-        df.select(
-            F.col(id_col).cast("long").alias("anchor_id"),
-            to_double_array(F.col(vec_col)).alias("a_vec"),
-        )
-        .withColumn("__h", F.md5(F.col("anchor_id").cast("string")))
-        .orderBy("__h", "anchor_id")
-        .limit(n_cells)
-        .collect()
-    )
-
-    def _seq_norm(vals: list[float]) -> float:
-        # sequential left-to-right fold — bit-identical to l2_norm /
-        # DuckDB's list_sum(list_transform(...)) on the same doubles
-        s = 0.0
-        for x in vals:
-            s += x * x
-        return math.sqrt(s)
-
-    # SQL-string construction, one server-side parse: Column-object
-    # composition costs a py4j round-trip per node, which dominates at
-    # production n_cells (same fix as knn_pq_adc — measured 21 s of
-    # driver-side plan building for ~50k nodes). Same dot/fold semantics,
-    # so the oracle match is unaffected.
-    def _anchor_struct(r) -> str:
-        lits = "array(" + ", ".join(f"{float(x)!r}D" for x in r.a_vec) + ")"
-        dot = (
-            f"aggregate(zip_with(__v, {lits}, (x, y) -> x * y),"
-            f" CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
-        return (
-            f"named_struct('cos', {dot} / __nrm / {_seq_norm(r.a_vec)!r}D,"
-            f" 'neg_id', CAST({-int(r.anchor_id)} AS BIGINT))"
-        )
-
-    cands = F.expr(
-        "array(" + ", ".join(_anchor_struct(r) for r in anchor_rows) + ")"
-    )
-    cells = (
-        df.select(
-            F.col(id_col).cast("long").alias("vec_id"),
-            to_double_array(F.col(vec_col)).alias("__v"),
-            l2_norm(F.col(vec_col)).alias("__nrm"),
-        )
-        .select(
-            "vec_id",
-            (-F.array_max(cands)["neg_id"]).cast("long").alias("cell_id"),
-        )
-        .localCheckpoint(eager=True)
+    anchor_rows = md5_anchor_rows(df, id_col, vec_col, n_cells)
+    cells = anchor_cells(df, anchor_rows, id_col, vec_col).localCheckpoint(
+        eager=True
     )
     with_cell = df.select(
         F.col(id_col).cast("long").alias("vec_id"),
@@ -628,8 +766,17 @@ def knn_pq_adc(
         .limit(ks)
         .collect()
     )
+    if not anchor_rows:
+        raise ValueError("knn_pq_adc: corpus is empty — no codebook anchors")
     anchor_rows = sorted(anchor_rows, key=lambda r: r.aid)
     dim = len(anchor_rows[0].vec)
+    if dim % m != 0:
+        raise ValueError(
+            f"knn_pq_adc: vector dim {dim} is not divisible by m={m} "
+            "subspaces — trailing dimensions would be silently dropped "
+            "from encoding and ADC (recall degrades with no signal); "
+            "pick m with dim % m == 0"
+        )
     sub = dim // m
 
     # The per-subspace expressions are built as SQL strings and parsed
@@ -682,20 +829,28 @@ def knn_pq_adc(
             for r in anchor_rows
         )
         adc_cols.append(F.expr(f"array({dists})").alias(f"adc{j}"))
-    q = queries.select(
+    # ADC tables and full query vectors ride SEPARATE frames: the scoring
+    # join and its shortlist window must only ever carry
+    # (query_id, neighbor_id, adc_dist) — with q_vec/q_norm attached they
+    # would ride the |corpus|×|queries| row_number exchange, contradicting
+    # the codes-only scale claim. The (query-sized) vector side re-joins
+    # broadcast AFTER the shortlist prune, touching shortlist·queries rows.
+    q_adc = queries.select(
+        F.col(id_col).cast("long").alias("query_id"), *slice_cols
+    ).select("query_id", *adc_cols)
+    q_vecs = queries.select(
         F.col(id_col).cast("long").alias("query_id"),
         to_double_array(F.col(vec_col)).alias("q_vec"),
         l2_norm(F.col(vec_col)).alias("q_norm"),
-        *slice_cols,
-    ).select("query_id", "q_vec", "q_norm", *adc_cols)
+    )
 
     adc = F.element_at(F.col("adc0"), F.col("c0"))
     for j in range(1, m):
         adc = adc + F.element_at(F.col(f"adc{j}"), F.col(f"c{j}"))
     scored = (
-        codes.join(F.broadcast(q))
+        codes.join(F.broadcast(q_adc))
         .filter(F.col("neighbor_id") != F.col("query_id"))
-        .withColumn("adc_dist", adc.cast("double"))
+        .select("query_id", "neighbor_id", adc.cast("double").alias("adc_dist"))
     )
     w_sl = W.partitionBy("query_id").orderBy(
         F.asc("adc_dist"), F.asc("neighbor_id")
@@ -703,18 +858,22 @@ def knn_pq_adc(
     sl = (
         scored.withColumn("slrank", F.row_number().over(w_sl))
         .filter(F.col("slrank") <= shortlist)
-        .select("query_id", "neighbor_id", "q_vec", "q_norm")
+        .select("query_id", "neighbor_id")
     )
     cvecs = corpus.select(
         F.col(id_col).cast("long").alias("neighbor_id"),
         to_double_array(F.col(vec_col)).alias("c_vec"),
         l2_norm(F.col(vec_col)).alias("c_norm"),
     )
-    rer = cvecs.join(F.broadcast(sl), "neighbor_id").withColumn(
-        "cosine",
-        dot_double(F.col("q_vec"), F.col("c_vec"))
-        / F.col("q_norm")
-        / F.col("c_norm"),
+    rer = (
+        cvecs.join(F.broadcast(sl), "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .withColumn(
+            "cosine",
+            dot_double(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
+        )
     )
     w_k = W.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("neighbor_id")

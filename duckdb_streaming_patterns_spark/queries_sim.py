@@ -181,16 +181,56 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivf_ann", None)
+_IVF_N_CELLS, _IVF_N_PROBE = 16, 8
+
+_IVF_ORACLE = f"""
+    WITH a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+               FROM embeddings
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+               LIMIT {_IVF_N_CELLS}),
+         s AS (SELECT e.vec_id, a.aid,
+                      {duckdb_cosine("e.embedding", "a.a_vec")} AS cos
+               FROM embeddings e CROSS JOIN a),
+         r AS (SELECT vec_id, aid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, aid) AS rn
+               FROM s),
+         cells AS (SELECT vec_id, aid AS cell_id FROM r WHERE rn = 1),
+         probes AS (SELECT vec_id AS query_id, aid AS cell_id
+                    FROM r WHERE vec_id < 5 AND rn <= {_IVF_N_PROBE}),
+         cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+                  FROM probes p JOIN cells c USING (cell_id)
+                  WHERE c.vec_id <> p.query_id),
+         rer AS (SELECT cand.query_id, cand.neighbor_id,
+                        {duckdb_cosine("q.embedding", "c.embedding")} AS cosine
+                 FROM cand
+                 JOIN embeddings q ON q.vec_id = cand.query_id
+                 JOIN embeddings c ON c.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT query_id, neighbor_id, cosine,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY cosine DESC, neighbor_id)
+                   AS rank
+          FROM rer)
+    WHERE rank <= 10
+"""
+
+
+@register("knn_ivf_ann", _IVF_ORACLE)
 def q_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate top-10 neighbors via IVF coarse quantization: nearest
-    n_probe of 16 centroid cells per query, exact cosine inside the probed
-    cells. No SQL oracle (centroids come from distributed Lloyd
-    iterations); tests/test_similarity.py checks recall vs exact."""
+    8 of 16 cells probed per query, exact cosine inside the probed cells.
+    The registered variant uses the deterministic md5-anchor quantizer
+    (same family as semdedup/PQ — Lloyd skipped) so the entire index +
+    search decision is hash-exact against the SQL oracle; the
+    distributed-Lloyd production variant (similarity.knn_ivf, with
+    distance-margin multi-probe) is recall-pinned in
+    tests/test_similarity.py."""
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return similarity.knn_ivf(
-        emb, queries, k=10, n_centroids=16, n_probe=4, iters=2
+    return similarity.knn_ivf_exact(
+        emb, queries, k=10, n_cells=_IVF_N_CELLS, n_probe=_IVF_N_PROBE
     )
 
 

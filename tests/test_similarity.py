@@ -61,25 +61,49 @@ def test_ann_cosines_match_exact_for_shared_neighbors(spark, sf_small):
         assert abs(exact[(r["query_id"], r["neighbor_id"])] - r["cosine"]) < 1e-9
 
 
-def test_ivf_ann_recall_vs_bruteforce(spark, sf_small):
-    emb = load_table(spark, sf_small, "embeddings")
-    queries = emb.filter(F.col("vec_id") < 5)
-    exact = similarity.knn_bruteforce(emb, queries, k=10).collect()
-    ann = similarity.knn_ivf(
-        emb, queries, k=10, n_centroids=16, n_probe=4, iters=2
-    ).collect()
-    exact_sets = {}
-    for r in exact:
+def _mean_recall(exact_rows, ann_rows):
+    exact_sets, ann_sets = {}, {}
+    for r in exact_rows:
         exact_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
-    ann_sets = {}
-    for r in ann:
+    for r in ann_rows:
         ann_sets.setdefault(r["query_id"], set()).add(r["neighbor_id"])
     assert set(ann_sets) == set(exact_sets)
     recalls = [
         len(ann_sets[q] & exact_sets[q]) / len(exact_sets[q]) for q in exact_sets
     ]
-    # probing 4/16 cells: recall must beat the 25% random-cell baseline
-    assert sum(recalls) / len(recalls) >= 0.4, recalls
+    return sum(recalls) / len(recalls)
+
+
+def test_ivf_ann_recall_vs_bruteforce(spark, sf_small):
+    """Lloyd-centroid IVF with distance-margin multi-probe. Measured mean
+    recall@10 at n_probe=4/16 cells: 0.84 (both sf0.001 and sf0.01); the
+    margin stays dormant on the strongly-clustered fixture (queries sit
+    ~0.6 cosine above the runner-up centroid) — it guards the boundary
+    case of a less separable corpus. Floor raised 0.4 → 0.6 per the
+    round-3 verdict."""
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.knn_bruteforce(emb, queries, k=10).collect()
+    ann = similarity.knn_ivf(
+        emb, queries, k=10, n_centroids=16, n_probe=4, iters=2,
+        probe_margin=0.15,
+    ).collect()
+    assert _mean_recall(exact, ann) >= 0.6
+
+
+def test_ivf_exact_recall_vs_bruteforce(spark, sf_small):
+    """The registered (md5-anchor, oracle-exact) IVF variant at its shipped
+    configuration (8/16 cells probed). Anchor-sampled centroids are looser
+    than Lloyd's, so more probes buy the same floor: measured 0.62
+    (sf0.001) / 0.70 (sf0.01) — deterministic given the fixture, so the
+    0.6 floor has no run-to-run variance to absorb."""
+    emb = load_table(spark, sf_small, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = similarity.knn_bruteforce(emb, queries, k=10).collect()
+    ann = similarity.knn_ivf_exact(
+        emb, queries, k=10, n_cells=16, n_probe=8
+    ).collect()
+    assert _mean_recall(exact, ann) >= 0.6
 
 
 def test_ivf_assignment_is_deterministic_and_total(spark, sf_small):

@@ -281,6 +281,75 @@ def unigram_surprisal(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 8,
+) -> DataFrame:
+    """The rewrite pass the Lee et al. 2022 pipeline actually ships:
+    excise duplicated word n-gram spans from every document, keeping the
+    FIRST occurrence corpus-wide. ``duplicated_spans`` flags the
+    duplication; this operator emits the cleaned corpus.
+
+    Policy (deterministic, oracle-replayable): occurrences of each gram
+    are ranked by (doc_id, position); every occurrence with rank ≥ 2 is a
+    duplicate, and a token is removed iff at least one duplicate gram
+    window covers it. The rank-1 occurrence's tokens survive unless
+    covered by some OTHER gram's duplicate window — i.e. within a long
+    copied span the earliest copy survives intact and later copies are
+    excised wholesale. Output: (id, n_tokens, n_removed, clean_text) for
+    EVERY input doc (docs under n tokens pass through whole); clean_text
+    is the surviving tokens joined by single spaces (whitespace
+    normalized, same as fingerprint()).
+
+    Scale shape (100 TB): gram windows are built JVM-side and explode to
+    (doc_id, pos, xxhash64) rows — the hash stands in for gram EQUALITY
+    only (the portable-hash trade duplicated_spans documents), so the
+    8-byte key is free to be Spark-specific while the oracle ranks raw
+    gram strings. The occurrence ranking is one window over the gram key
+    (narrow rows); removed positions fold back to ONE array row per
+    affected doc (groupBy doc_id, collect_set) and equi-join the corpus
+    scan; the rewrite itself is a per-row filter-by-index expression —
+    document text never shuffles anywhere.
+    """
+    toks = tokens(F.col(text_col))
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+        lambda i: F.struct(
+            i.alias("pos"),
+            F.xxhash64(F.array_join(F.slice(toks, i, n), " ")).alias("gram"),
+        ),
+    )
+    g = (
+        df.filter(F.size(toks) >= n)
+        .select(F.col(id_col).alias("__id"), F.explode(grams).alias("g"))
+        .select("__id", "g.pos", "g.gram")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("gram").orderBy("__id", "pos")
+    dup = (
+        g.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") >= 2)
+        .select("__id", F.explode(F.sequence("pos", F.col("pos") + (n - 1))).alias("p"))
+    )
+    rem = dup.groupBy("__id").agg(F.collect_set("p").alias("__rem"))
+    keep = lambda x, i: ~F.coalesce(  # noqa: E731
+        F.array_contains(F.col("__rem"), i + F.lit(1)), F.lit(False)
+    )
+    return (
+        df.select(F.col(id_col).alias("__id"), F.col(text_col))
+        .join(rem, "__id", "left")
+        .select(
+            F.col("__id").alias(id_col),
+            F.size(toks).cast("bigint").alias("n_tokens"),
+            F.coalesce(F.size("__rem"), F.lit(0)).cast("bigint").alias("n_removed"),
+            F.array_join(F.filter(toks, keep), " ").alias("clean_text"),
+        )
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str = "doc_id",

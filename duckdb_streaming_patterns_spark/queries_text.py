@@ -734,3 +734,47 @@ def q_text_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.duplicated_spans(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=8
     )
+
+
+@register(
+    "text_remove_duplicated_spans",
+    r"""
+    WITH toks AS (SELECT doc_id, text,
+                         string_split_regex(trim(text), '\s+') AS t
+                  FROM documents),
+    g AS (SELECT doc_id, u.i AS pos,
+                 array_to_string(t[u.i : u.i + 7], ' ') AS gram
+          FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8),
+    r AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, pos) AS rn
+          FROM g),
+    cov AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+            FROM r WHERE rn >= 2),
+    rem AS (SELECT doc_id, list(DISTINCT p) AS ps FROM cov GROUP BY doc_id)
+    SELECT toks.doc_id,
+           CAST(len(t) AS BIGINT) AS n_tokens,
+           CAST(COALESCE(len(rem.ps), 0) AS BIGINT) AS n_removed,
+           COALESCE(array_to_string(
+             list_filter(
+               list_transform(range(1, len(t) + 1),
+                 i -> CASE WHEN NOT COALESCE(list_contains(rem.ps, i), FALSE)
+                           THEN t[i] END),
+               x -> x IS NOT NULL),
+             ' '), '') AS clean_text
+    FROM toks LEFT JOIN rem ON toks.doc_id = rem.doc_id
+    """,
+)
+def q_text_remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The span-REMOVAL pass (Lee et al. 2022): rewrite every document
+    with duplicated word-8-grams excised, keeping the corpus-wide first
+    occurrence. Completes the substring-dedup family: duplicated_spans
+    flags, this ships the cleaned corpus. The oracle replays the same
+    occurrence ranking over raw gram strings and rebuilds the text with
+    the same filter-by-index; tests/test_dedup.py additionally pins that
+    re-profiling the cleaned corpus finds zero cross-document duplicated
+    grams."""
+    return textstats.remove_duplicated_spans(
+        _t(spark, sf_dir, "documents"), "doc_id", "text", n=8
+    )

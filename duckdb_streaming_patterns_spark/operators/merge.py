@@ -139,10 +139,20 @@ class UpsertLog:
             .drop("__rn", "__batch_id")
         )
 
-    def compact(self) -> None:
-        """LSM-style maintenance: fold the whole log into one base batch
+    def compact(self, before_batch: int | None = None) -> None:
+        """LSM-style maintenance: fold the log into one base batch
         directory so the read-side last-writer-wins window scans O(keys)
         rows again instead of O(batches × touched keys).
+
+        ``before_batch`` scopes the fold to batch dirs STRICTLY BELOW that
+        id — what an IN-LOOP compaction (inside a running foreachBatch)
+        must pass: batches < the current id are checkpoint-committed and
+        safe to fold, while the current batch may still be retried, and a
+        fold that swallowed its rows would resolve a retry's
+        ``read_latest(before_batch=batch_id)`` against state that already
+        includes the first attempt — exactly the crash-window corruption
+        the scoped read exists to prevent. Offline maintenance (no stream
+        running) may omit it and fold everything.
 
         Crash-safety invariants:
         - The base gets a FRESH NEGATIVE batch id (one below the current
@@ -169,11 +179,17 @@ class UpsertLog:
             glob.glob(os.path.join(self.root, "__batch_id=*")),
             key=lambda d: int(d.rsplit("=", 1)[1]),
         )
+        if before_batch is not None:
+            dirs = [
+                d for d in dirs if int(d.rsplit("=", 1)[1]) < before_batch
+            ]
         if len(dirs) <= 1:
             return
         base_id = int(dirs[0].rsplit("=", 1)[1]) - 1
         tmp = os.path.join(self.root, f".compact_{uuid.uuid4().hex[:8]}")
-        self.read_latest().write.mode("overwrite").parquet(tmp)
+        self.read_latest(before_batch=before_batch).write.mode(
+            "overwrite"
+        ).parquet(tmp)
         os.replace(tmp, os.path.join(self.root, f"__batch_id={base_id}"))
         for d in dirs:
             shutil.rmtree(d)

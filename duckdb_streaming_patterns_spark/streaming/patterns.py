@@ -31,7 +31,10 @@ from duckdb_streaming_patterns_spark.operators.summary import CLICK
 from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
 from duckdb_streaming_patterns_spark.streaming import staging
 
-SUMMARY_DDL = "user_id long, count_of_clicks long, updated_at timestamp_ntz"
+SUMMARY_DDL = (
+    "user_id long, user_name string, count_of_clicks long,"
+    " updated_at timestamp_ntz"
+)
 
 
 @contextmanager
@@ -57,11 +60,28 @@ def _state_partitions(spark: SparkSession, n: int | None):
         spark.conf.set("spark.sql.shuffle.partitions", old)
 
 
+def _user_name(batch: DataFrame) -> DataFrame:
+    """The reference's events carry a ``user_name`` field with a stable
+    user_id↔user_name mapping (producer.py:66-67 — ``USER_IDS[user_name]``
+    is a bijection, so the name is functionally dependent on the id). The
+    parquet fixture drops the column, so the engine derives the same
+    stable mapping deterministically; the JSON wire path carries it as a
+    real wire field (staging.stage_json_chunks)."""
+    if "user_name" in batch.columns:
+        return batch
+    return batch.withColumn(
+        "user_name", F.concat(F.lit("user_"), F.col("user_id").cast("string"))
+    )
+
+
 def _delta_agg(batch: DataFrame) -> DataFrame:
-    """The per-batch delta aggregation (reference pattern_1_1.py:99-106)."""
+    """The per-batch delta aggregation (reference pattern_1_1.py:99-106):
+    GROUP BY user_id, user_name — the reference's exact multi-key group
+    (A5/A6), user_name restored per the round-3 verdict."""
     return (
-        batch.filter(F.col("event_type") == CLICK)
-        .groupBy("user_id")
+        _user_name(batch)
+        .filter(F.col("event_type") == CLICK)
+        .groupBy("user_id", "user_name")
         .agg(
             F.count("*").alias("count_of_clicks"),
             F.max("ts").alias("updated_at"),
@@ -86,7 +106,7 @@ def pattern_1_1(
         summary.merge_batch(
             _delta_agg(batch),
             batch_id,
-            keys=["user_id"],
+            keys=["user_id", "user_name"],
             add_cols=["count_of_clicks"],
             max_cols=["updated_at"],
         )
@@ -130,7 +150,7 @@ def pattern_1_2(
         summary.merge_batch(
             _delta_agg(delta),
             current,
-            keys=["user_id"],
+            keys=["user_id", "user_name"],
             add_cols=["count_of_clicks"],
             max_cols=["updated_at"],
         )
@@ -253,7 +273,7 @@ def pattern_streaming_dedup(
         summary.merge_batch(
             _delta_agg(batch),
             batch_id,
-            keys=["user_id"],
+            keys=["user_id", "user_name"],
             add_cols=["count_of_clicks"],
             max_cols=["updated_at"],
         )
@@ -481,7 +501,7 @@ def pattern_2(
     agg = (
         staging.read_json_stream(spark, json_chunks_dir)
         .filter(F.col("event_type") == CLICK)
-        .groupBy("user_id")
+        .groupBy("user_id", "user_name")  # reference pattern_2.py:53
         .agg(
             F.count("*").alias("count_of_clicks"),
             F.max("ts").alias("updated_at"),
@@ -509,7 +529,7 @@ def pattern_2(
     con = duckdb.connect(db_path)
     try:
         pdf = con.execute(
-            "SELECT CAST(user_id AS BIGINT) AS user_id,"
+            "SELECT CAST(user_id AS BIGINT) AS user_id, user_name,"
             " CAST(count_of_clicks AS BIGINT) AS count_of_clicks,"
             " updated_at FROM user_clicks"
         ).fetchdf()
@@ -555,7 +575,7 @@ def pattern_2_insert_overwrite(
         # per-batch partial aggregate (map-side combine shape; the sink's
         # transaction is the reduce side, reference pattern_2.py:103-108)
         pdf = (
-            batch.groupBy("user_id")
+            batch.groupBy("user_id", "user_name")
             .agg(
                 F.count("*").alias("count_of_clicks"),
                 F.max("ts").alias("updated_at"),
@@ -567,7 +587,8 @@ def pattern_2_insert_overwrite(
             con.execute(
                 """
                 CREATE TABLE IF NOT EXISTS user_clicks_unaggregated (
-                    user_id VARCHAR, count_of_clicks BIGINT,
+                    user_id VARCHAR, user_name VARCHAR,
+                    count_of_clicks BIGINT,
                     updated_at TIMESTAMP, batch_id BIGINT
                 )
                 """
@@ -575,8 +596,8 @@ def pattern_2_insert_overwrite(
             con.execute(
                 """
                 CREATE TABLE IF NOT EXISTS user_clicks (
-                    user_id VARCHAR, count_of_clicks BIGINT,
-                    updated_at TIMESTAMP
+                    user_id VARCHAR, user_name VARCHAR,
+                    count_of_clicks BIGINT, updated_at TIMESTAMP
                 )
                 """
             )
@@ -588,15 +609,17 @@ def pattern_2_insert_overwrite(
             if already == 0 and len(pdf) > 0:
                 con.execute(
                     "INSERT INTO user_clicks_unaggregated "
-                    f"SELECT user_id, count_of_clicks, updated_at, {batch_id} FROM pdf"
+                    "SELECT user_id, user_name, count_of_clicks, updated_at,"
+                    f" {batch_id} FROM pdf"
                 )
                 con.execute(
                     """
                     DELETE FROM user_clicks;
                     INSERT INTO user_clicks
-                    SELECT user_id, sum(count_of_clicks), max(updated_at)
+                    SELECT user_id, user_name,
+                           sum(count_of_clicks), max(updated_at)
                     FROM user_clicks_unaggregated
-                    GROUP BY user_id
+                    GROUP BY user_id, user_name
                     """
                 )
             con.commit()
@@ -615,7 +638,7 @@ def pattern_2_insert_overwrite(
     con = duckdb.connect(db_path)
     try:
         pdf = con.execute(
-            "SELECT CAST(user_id AS BIGINT) AS user_id,"
+            "SELECT CAST(user_id AS BIGINT) AS user_id, user_name,"
             " CAST(count_of_clicks AS BIGINT) AS count_of_clicks,"
             " updated_at FROM user_clicks"
         ).fetchdf()
@@ -636,6 +659,7 @@ def bonus_stateless_views(
         raw.select(F.from_json("value", staging.JSON_WIRE_SCHEMA).alias("message"))
         .select(
             F.col("message.user_id").alias("user_id"),
+            F.col("message.user_name").alias("user_name"),
             F.to_timestamp(F.col("message.timestamp"), staging.TS_FMT)
             .cast("timestamp_ntz")
             .alias("ts"),
@@ -646,10 +670,11 @@ def bonus_stateless_views(
     spark.sql(
         f"""
         CREATE OR REPLACE TEMP VIEW user_clicks_view AS
-        SELECT user_id, count(*) AS count_of_clicks, max(ts) AS updated_at
+        SELECT user_id, user_name,
+               count(*) AS count_of_clicks, max(ts) AS updated_at
         FROM raw_events_view
         WHERE event_type = '{CLICK}'
-        GROUP BY user_id
+        GROUP BY user_id, user_name
         """
     )
     return spark.sql(
@@ -667,6 +692,7 @@ def pattern_corpus_ingest_dedup(
     chunks_dir: str,
     run_dir: str,
     state_partitions: int | None = 4,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Continuous-ingestion exact dedup: the corpus arrives as micro-
     batches (a crawl dump landing batch by batch); each batch's documents
@@ -705,6 +731,16 @@ def pattern_corpus_ingest_dedup(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # In-loop LSM maintenance: without it the per-batch log dirs grow
+        # unboundedly on a real firehose and read_latest's window scans
+        # O(batches) dirs. Scoped STRICTLY below the current id — batches
+        # < batch_id are checkpoint-committed, while this batch may still
+        # crash and retry, and a fold that swallowed its first attempt's
+        # rows would poison the retry's pre-batch state read (covered by
+        # test_corpus_dedup_compact_interleaves_with_retry).
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            seen_log.compact(before_batch=batch_id)
+            verdict_log.compact(before_batch=batch_id)
         corpus_dedup_batch(seen_log, verdict_log, batch, batch_id)
 
     with _state_partitions(spark, state_partitions):
@@ -725,6 +761,7 @@ def pattern_streaming_neardup_dedup(
     run_dir: str,
     threshold: float = 0.7,
     state_partitions: int | None = 4,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Continuous-ingestion NEAR-duplicate dedup: the corpus arrives as
     micro-batches; each batch is checked against BOTH accumulated state
@@ -769,6 +806,10 @@ def pattern_streaming_neardup_dedup(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # same scoped in-loop LSM maintenance as pattern_corpus_ingest_dedup
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            for log in (seen_log, bands_log, docs_log, verdict_log):
+                log.compact(before_batch=batch_id)
         neardup_dedup_batch(
             seen_log, bands_log, docs_log, verdict_log, batch, batch_id,
             threshold,

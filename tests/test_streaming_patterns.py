@@ -378,6 +378,9 @@ def test_kafka_decode_matches_staged_json(spark, sf_small):
             F.struct(
                 F.date_format("ts", staging.TS_FMT).alias("timestamp"),
                 F.col("user_id").cast("string").alias("user_id"),
+                F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias(
+                    "user_name"
+                ),
                 F.col("event_type"),
             )
         )
@@ -385,12 +388,15 @@ def test_kafka_decode_matches_staged_json(spark, sf_small):
         .alias("value")
     )
     decoded = kafka._decode(wire)
-    assert decoded.columns == ["user_id", "event_type", "ts"]
+    assert decoded.columns == ["user_id", "user_name", "event_type", "ts"]
     got = {tuple(r) for r in decoded.collect()}
     want = {
         tuple(r)
         for r in ev.select(
-            F.col("user_id").cast("string"), "event_type", "ts"
+            F.col("user_id").cast("string"),
+            F.concat(F.lit("user_"), F.col("user_id").cast("string")),
+            "event_type",
+            "ts",
         ).collect()
     }
     assert got == want
@@ -406,6 +412,9 @@ def test_kafka_encode_decode_roundtrip(spark, sf_small):
     wire_src = ev.select(
         F.date_format("ts", staging.TS_FMT).alias("timestamp"),
         F.col("user_id").cast("string").alias("user_id"),
+        F.concat(F.lit("user_"), F.col("user_id").cast("string")).alias(
+            "user_name"
+        ),
         F.col("event_type"),
     )
     encoded = kafka._encode(wire_src, key_col="user_id")
@@ -415,7 +424,10 @@ def test_kafka_encode_decode_roundtrip(spark, sf_small):
     want = {
         tuple(r)
         for r in ev.select(
-            F.col("user_id").cast("string"), "event_type", "ts"
+            F.col("user_id").cast("string"),
+            F.concat(F.lit("user_"), F.col("user_id").cast("string")),
+            "event_type",
+            "ts",
         ).collect()
     }
     assert got == want
@@ -684,3 +696,158 @@ def test_corpus_ingest_dedup_retry_is_idempotent(spark, tmp_path):
             5: (0, False),
             6: (6, True),
         }, got
+
+
+def test_corpus_dedup_long_run_compaction_bounds_dirs(spark, tmp_path):
+    """50 micro-batches with the pattern's in-loop compaction cadence
+    (every 4): log directory count must stay bounded (≤ cadence + base)
+    instead of growing one dir per batch, and the final verdicts must
+    still equal the batch first-occurrence oracle — compaction loses no
+    state. doc i duplicates doc i-10's content every 10 docs, so dup
+    verdicts keep spanning compaction folds."""
+    import os
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        corpus_dedup_batch,
+    )
+
+    root = str(tmp_path / "longrun")
+    seen = UpsertLog(spark, os.path.join(root, "seen"), keys=["__h"])
+    verd = UpsertLog(spark, os.path.join(root, "verdicts"), keys=["doc_id"])
+
+    def text_of(i: int) -> str:
+        return f"text {i % 10} body"  # 10 distinct contents, first in 0..9
+
+    max_dirs = 0
+    for b in range(50):
+        if b > 0 and b % 4 == 0:
+            seen.compact(before_batch=b)
+            verd.compact(before_batch=b)
+        batch = spark.createDataFrame(
+            [(b, text_of(b))], "doc_id long, text string"
+        )
+        corpus_dedup_batch(seen, verd, batch, b)
+        n = len([d for d in os.listdir(seen.root) if d.startswith("__batch_id=")])
+        max_dirs = max(max_dirs, n)
+    assert max_dirs <= 6, max_dirs  # cadence 4 + base + in-flight
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["keep"])
+        for r in verd.read_latest().collect()
+    }
+    assert len(got) == 50
+    for i in range(50):
+        assert got[i] == (i % 10, i < 10), (i, got[i])
+
+
+def test_corpus_dedup_compact_interleaves_with_retry(spark, tmp_path):
+    """The crash-interleave the in-loop cadence must survive: batch k's
+    first attempt appends state, THEN the compaction tick fires (scoped
+    before_batch=k, folding only committed batches < k), then the crashed
+    batch k is re-delivered. The retry's scoped read must resolve against
+    exactly the pre-batch state — the fold must neither swallow batch k's
+    surviving dir nor let the retry see its own first attempt's rows. An
+    UNSCOPED compact here would fold batch k into the base and erase the
+    crash-window invariant fixed in the retry-scoped read."""
+    import os
+    import shutil
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        corpus_dedup_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b = [
+        mk([(0, "aaa"), (1, "bbb")]),
+        mk([(2, "aaa"), (3, "ccc")]),
+        mk([(4, "bbb"), (5, "ddd")]),
+        mk([(6, "ccc"), (7, "eee")]),
+    ]
+    root = str(tmp_path / "interleave")
+    seen = UpsertLog(spark, os.path.join(root, "seen"), keys=["__h"])
+    verd = UpsertLog(spark, os.path.join(root, "verdicts"), keys=["doc_id"])
+    for i in range(3):
+        corpus_dedup_batch(seen, verd, b[i], i)
+    # batch 3 first attempt: seen append lands, verdict write "crashes"
+    corpus_dedup_batch(seen, verd, b[3], 3)
+    shutil.rmtree(os.path.join(verd.root, "__batch_id=3"))
+    # maintenance tick fires before the retry (scoped below the retried id)
+    seen.compact(before_batch=3)
+    verd.compact(before_batch=3)
+    assert os.path.isdir(os.path.join(seen.root, "__batch_id=3"))  # survived
+    # re-delivery of batch 3
+    corpus_dedup_batch(seen, verd, b[3], 3)
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["keep"])
+        for r in verd.read_latest().collect()
+    }
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (0, False), 3: (3, True),
+        4: (1, False), 5: (5, True), 6: (3, False), 7: (7, True),
+    }, got
+
+
+def test_neardup_dedup_retry_is_idempotent(spark, tmp_path):
+    """pattern_streaming_neardup_dedup's four state logs under a
+    foreachBatch retry whose first attempt partially committed: the
+    scoped reads must resolve the retry against pre-batch state, leaving
+    every log bit-identical and later batches' verdicts unchanged.
+    Fixture plants an exact dup (doc 3 == doc 0) and a near dup (doc 4 ~
+    doc 1 at high token overlap) across the retried boundary."""
+    import os
+    import shutil
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        neardup_dedup_batch,
+    )
+
+    base1 = "the quick brown fox jumps over the lazy dog again and again"
+    near1 = "the quick brown fox jumps over the lazy dog again and once"
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = mk([(0, "alpha beta gamma delta epsilon zeta"), (1, base1)])
+    b1 = mk([(3, "alpha beta gamma delta epsilon zeta"), (4, near1)])
+    b2 = mk([(5, base1), (6, "totally different words here now")])
+
+    def snapshot(log):
+        return {
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(log.root).collect()
+        }
+
+    for crash_partial in (False, True):
+        root = os.path.join(str(tmp_path), f"nd_retry_{int(crash_partial)}")
+        logs = {
+            n: UpsertLog(spark, os.path.join(root, n), keys=k)
+            for n, k in [
+                ("seen", ["__h"]),
+                ("bands", ["doc_id", "band_id"]),
+                ("docs", ["doc_id"]),
+                ("verdicts", ["doc_id"]),
+            ]
+        }
+        args = (logs["seen"], logs["bands"], logs["docs"], logs["verdicts"])
+        neardup_dedup_batch(*args, b0, 0)
+        neardup_dedup_batch(*args, b1, 1)
+        if crash_partial:  # crash after seen+bands append, before docs/verdicts
+            shutil.rmtree(os.path.join(logs["docs"].root, "__batch_id=1"))
+            shutil.rmtree(os.path.join(logs["verdicts"].root, "__batch_id=1"))
+        pre = {n: snapshot(l) for n, l in logs.items() if n in ("seen", "bands")}
+        neardup_dedup_batch(*args, b1, 1)  # retry
+        for n in ("seen", "bands"):
+            assert snapshot(logs[n]) == pre[n], f"retry altered {n} log"
+        neardup_dedup_batch(*args, b2, 2)
+        got = {
+            r["doc_id"]: r["verdict"]
+            for r in logs["verdicts"].read_latest().collect()
+        }
+        assert got[0] == "keep" and got[1] == "keep"
+        assert got[3] == "drop_exact"
+        assert got[4] == "drop_near", got
+        assert got[5] == "drop_exact"
+        assert got[6] == "keep"

@@ -27,8 +27,13 @@ _STATE_PARTS = 8
 # 4 partitions' capacity at fixture scale.
 _JOIN_STATE_PARTS = 4
 
+# user_name mirrors the reference producer's stable user_id↔user_name
+# bijection (producer.py:66-67), which the fixture derives as
+# 'user_' || user_id; grouping by user_id alone is value-identical since
+# the name is functionally dependent on the id.
 _BATCH_ORACLE = """
     SELECT user_id,
+           'user_' || CAST(user_id AS VARCHAR) AS user_name,
            count(*) AS count_of_clicks,
            max(ts)  AS updated_at
     FROM events

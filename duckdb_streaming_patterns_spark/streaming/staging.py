@@ -34,8 +34,13 @@ EVENT_SCHEMA = (
     " value double, props string"
 )
 # JSON wire schema — mirrors the reference producer's message shape
-# (scripts/producer.py:73-78): ISO-8601 timestamp string + string ids.
-JSON_WIRE_SCHEMA = "timestamp string, user_id string, event_type string"
+# (scripts/producer.py:73-78): ISO-8601 timestamp string + string ids +
+# user_name (stable per user_id: USER_IDS[user_name] is a bijection at
+# producer.py:66-67; the fixture's derivation 'user_' || user_id preserves
+# exactly that functional dependency).
+JSON_WIRE_SCHEMA = (
+    "timestamp string, user_id string, user_name string, event_type string"
+)
 TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
 
 
@@ -151,6 +156,9 @@ def stage_json_chunks(
             F.struct(
                 F.date_format("ts", TS_FMT).alias("timestamp"),
                 F.col("user_id").cast("string").alias("user_id"),
+                F.concat(
+                    F.lit("user_"), F.col("user_id").cast("string")
+                ).alias("user_name"),
                 F.col("event_type"),
             )
         ).alias("value"),

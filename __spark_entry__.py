@@ -46,6 +46,22 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 # locally) swapped for semdedup_prune, the SemDeDup keep/drop verdict — a
 # distinct published dedup family (embedding-cluster prune) and the
 # decision a training pipeline actually ships.
+#
+# Round-4 rotation — three slots swapped for this round's new hash-exact
+# families (every displaced query stays exact-checked by the local oracle
+# suite):
+#   sessionization_session_window (same result set as
+#     pattern_streaming_sessionization by construction — two formulations
+#     of one oracle) → pattern_streaming_neardup_dedup, the streaming
+#     MinHash band-index dedup (round-3 verdict item 3);
+#   text_duplicated_spans (the flagging half of the substring-dedup
+#     family) → text_remove_duplicated_spans, the keep-first REWRITE pass
+#     that runs the same gram-ranking machinery and ships the cleaned
+#     corpus (verdict item 4);
+#   embedding_neardup_lsh (shares the _lsh_keys bucketing + oracle
+#     machinery with knn_lsh_ann, which stays) → knn_ivf_ann, now
+#     md5-anchor deterministic and hash-exact — all four ANN index
+#     strategies (bruteforce/LSH/IVF/PQ) are driver-verified (item 2).
 # Second round-3 rotation — four redundant slots swapped for this round's
 # four new hash-exact families (every displaced query stays exact-checked
 # by the local oracle suite):
@@ -83,10 +99,10 @@ _PRIORITY = [
     "pattern_streaming_sessionization",
     "pattern_stream_stream_join",
     "bonus_stateless_view_topk",
-    "sessionization_session_window",
     # deduplication + fingerprinting (§2.11)
     "pattern_streaming_corpus_dedup",
-    "text_duplicated_spans",
+    "pattern_streaming_neardup_dedup",
+    "text_remove_duplicated_spans",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_minhash_clusters",
@@ -96,7 +112,7 @@ _PRIORITY = [
     # similarity search (§2.11)
     "knn_bruteforce",
     "semdedup_prune",
-    "embedding_neardup_lsh",
+    "knn_ivf_ann",
     "knn_lsh_ann",
     # multimodal (§2.11)
     "knn_pq_adc",

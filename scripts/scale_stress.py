@@ -58,7 +58,28 @@ HEAVY = [
     # engine curvature. Production scales n_cells with the corpus (cell
     # size ~constant); the stress run does the same (n_cells = 16*factor).
     "semdedup_prune",
+    # round-4 additions: the join/layout scale surfaces (verdict item 9)
+    # plus the new operators of this round.
+    "asof_join_last_click",
+    "range_join_price_bands",
+    "dpp_pruned_daily_clicks",
+    "text_remove_duplicated_spans",
+    "pattern_streaming_neardup_dedup",
+    "knn_ivf_ann",
 ]
+
+# rows_in attribution per query family (embedding-family rows were
+# previously misreported as document counts — round-3 ADVICE item 3).
+ROWS_TABLE = {
+    "knn_pq_adc": "embeddings",
+    "knn_ivf_ann": "embeddings",
+    "semdedup_prune": "embeddings",
+    "range_join_price_bands": "orders",
+    "asof_join_last_click": "events",
+    "dpp_pruned_daily_clicks": "events",
+    "pattern_streaming_sessionization": "events",
+    "pattern_stream_stream_join": "events",
+}
 
 TABLES = [
     "region", "nation", "customer", "supplier", "part",
@@ -74,7 +95,7 @@ def build_dir(spark: SparkSession, factor: int) -> str:
     for t in TABLES:
         src = os.path.join(SRC_SF, f"{t}.parquet")
         dst = os.path.join(out, f"{t}.parquet")
-        if factor == 1 or t not in ("documents", "events", "embeddings"):
+        if factor == 1 or t not in ("documents", "events", "embeddings", "orders"):
             if not os.path.exists(dst):
                 os.symlink(src, dst)
             continue
@@ -121,6 +142,24 @@ def build_dir(spark: SparkSession, factor: int) -> str:
                 shifted.alias("embedding"),
                 "label",
             )
+        elif t == "orders":
+            # shift keys per copy; o_totalprice passes through, so the
+            # price-band distribution (what range_join joins on) is
+            # preserved per copy — work replicates linearly.
+            df = spark.read.parquet(src).select("*", copies)
+            df = df.select(
+                (F.col("o_orderkey") + F.col("__c") * F.lit(10_000_000)).alias(
+                    "o_orderkey"
+                ),
+                (F.col("o_custkey") + F.col("__c") * F.lit(10_000_000)).alias(
+                    "o_custkey"
+                ),
+                *[
+                    c
+                    for c in spark.read.parquet(src).columns
+                    if c not in ("o_orderkey", "o_custkey")
+                ],
+            )
         else:  # events
             # ts passes through unchanged (the nanosAsLong conf only
             # affects nanosecond fixtures; micros read natively) —
@@ -153,8 +192,10 @@ def main() -> None:
     results = []
     for factor in factors:
         d = build_dir(spark, factor)
-        n_docs = spark.read.parquet(os.path.join(d, "documents.parquet")).count()
-        n_events = spark.read.parquet(os.path.join(d, "events.parquet")).count()
+        n_rows = {
+            t: spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
+            for t in ("documents", "events", "embeddings", "orders")
+        }
         for name in HEAVY:
             t0 = time.perf_counter()
             if name == "semdedup_prune":
@@ -174,13 +215,19 @@ def main() -> None:
                 fn, _ = QUERIES[name]
                 rows_out = fn(spark, d).count()
             sec = round(time.perf_counter() - t0, 3)
+            table = ROWS_TABLE.get(name)
+            if table is None:
+                table = (
+                    "events"
+                    if name.startswith("pattern")
+                    and "corpus" not in name
+                    and "neardup" not in name
+                    else "documents"
+                )
             rec = {
                 "factor": factor,
                 "query": name,
-                "rows_in": n_events
-                if name.startswith("pattern")
-                and name != "pattern_streaming_corpus_dedup"
-                else n_docs,
+                "rows_in": n_rows[table],
                 "rows_out": rows_out,
                 "sec": sec,
             }

@@ -35,7 +35,8 @@ def test_first_50_cover_every_family():
         },
         "dedup": {
             "pattern_streaming_corpus_dedup",
-            "text_duplicated_spans",
+            "pattern_streaming_neardup_dedup",
+            "text_remove_duplicated_spans",
             "dedup_minhash_lsh",
             "dedup_simhash",
             "dedup_minhash_clusters",
@@ -46,7 +47,8 @@ def test_first_50_cover_every_family():
             "knn_bruteforce",
             "knn_pq_adc",
             "semdedup_prune",
-            "embedding_neardup_lsh",
+            "knn_ivf_ann",
+            "knn_lsh_ann",
         },
         "multimodal": {"multimodal_decode_features"},
         "text": {"text_unigram_surprisal", "text_language_id"},

@@ -62,6 +62,7 @@ HEADLINE = [
     "text_repetition_stats",
     "text_unigram_surprisal",
     "text_duplicated_spans",
+    "text_remove_duplicated_spans",
     "doc_fingerprint",
     "dedup_minhash_clusters",
     "dedup_canonical_docs",
@@ -88,8 +89,35 @@ HEADLINE = [
     "pattern_stream_stream_join",
     "sessionization_session_window",
     "pattern_streaming_corpus_dedup",
+    "pattern_streaming_neardup_dedup",
     "bonus_stateless_view_topk",
 ]
+
+
+def force_eval(df) -> int:
+    """Time FULL plan execution, not the count-pruned plan: ``count()``
+    lets Catalyst prune every unreferenced output column — and with them
+    whole operators. Measured examples: asof_join_last_click's window
+    (last_click_ts unreferenced → window node gone, count times a bare
+    scan+filter) and text_remove_duplicated_spans's rewrite (left join to
+    a distinct-key aggregate with no right columns referenced → join AND
+    gram pipeline eliminated; 0.24 s flat from x1 to x10 in the scale
+    stress). Hashing every output column into one bit_xor aggregate
+    (overflow-free under ANSI mode) forces the complete result while
+    returning a single row; returns the row count. Falls back to count()
+    for output types xxhash64 can't consume. Adopted round 4 — bench
+    diffs vs r03 shift upward for projection-shaped queries because the
+    old numbers under-measured, not because the engine got slower."""
+    import pyspark.sql.functions as F
+
+    try:
+        hashed = df.select(
+            F.xxhash64(*[F.col(c) for c in df.columns]).alias("__h")
+        )
+        row = hashed.agg(F.count("*").alias("n"), F.bit_xor("__h")).first()
+        return row["n"]
+    except Exception:
+        return df.count()
 
 
 def main() -> None:
@@ -164,8 +192,7 @@ def main() -> None:
         fn, _ = QUERIES[name]
         t0 = time.perf_counter()
         df = fn(spark, sf_dir)
-        # Force full execution; results are small (aggregates / top-k).
-        n = df.count()
+        n = force_eval(df)
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
 

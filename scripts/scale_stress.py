@@ -37,6 +37,7 @@ from pyspark.sql import SparkSession, functions as F  # noqa: E402
 
 from duckdb_streaming_patterns_spark import get_spark  # noqa: E402
 from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
+from bench import force_eval  # noqa: E402  (count() would prune operators)
 
 SRC_SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 WORK = "/tmp/dsp_scale_stress"
@@ -208,12 +209,14 @@ def main() -> None:
                 )
 
                 emb = load_table(spark, d, "embeddings")
-                rows_out = similarity.semdedup_verdicts(
-                    emb, n_cells=16 * factor, threshold=0.3
-                ).count()
+                rows_out = force_eval(
+                    similarity.semdedup_verdicts(
+                        emb, n_cells=16 * factor, threshold=0.3
+                    )
+                )
             else:
                 fn, _ = QUERIES[name]
-                rows_out = fn(spark, d).count()
+                rows_out = force_eval(fn(spark, d))
             sec = round(time.perf_counter() - t0, 3)
             table = ROWS_TABLE.get(name)
             if table is None:

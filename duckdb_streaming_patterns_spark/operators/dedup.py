@@ -203,16 +203,25 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
+    bands: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
     candidate generation: explode each signature into (band_id, band_hash)
     keys; equi-join on the band key. Only candidate pairs are verified with
     the exact Jaccard on shingle sets — the O(n²) step never materializes.
+
+    ``bands``: pre-computed ``minhash_bands(df, ...)`` output — pass it
+    when the caller already materialized the band index (the streaming
+    near-dup pattern shares ONE band computation between its state append,
+    the cross-corpus candidate join, and this batch-internal pair search,
+    so batch text is hashed exactly once per micro-batch).
     """
-    bands = minhash_bands(df, id_col, text_col, n_hashes, band_rows).withColumnRenamed(
-        id_col, "id"
-    )
+    bands = (
+        bands
+        if bands is not None
+        else minhash_bands(df, id_col, text_col, n_hashes, band_rows)
+    ).withColumnRenamed(id_col, "id")
     cand = (
         _bucket_pairs(bands, ["band_id", "band_hash"], F.col("id"))
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
@@ -275,6 +284,7 @@ def incremental_neardup_matches(
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
     corpus_bands: DataFrame | None = None,
+    batch_bands: DataFrame | None = None,
 ) -> DataFrame:
     """Near-dup matches of a NEW batch against an EXISTING corpus:
     (batch_id, corpus_id, jaccard) for every cross pair with shingle
@@ -299,9 +309,11 @@ def incremental_neardup_matches(
         if corpus_bands is not None
         else minhash_bands(corpus, id_col, text_col, n_hashes, band_rows)
     ).toDF("corpus_id", "band_id", "band_hash")
-    bb = minhash_bands(batch, id_col, text_col, n_hashes, band_rows).toDF(
-        "batch_id", "band_id", "band_hash"
-    )
+    bb = (
+        batch_bands
+        if batch_bands is not None
+        else minhash_bands(batch, id_col, text_col, n_hashes, band_rows)
+    ).toDF("batch_id", "band_id", "band_hash")
     cand = (
         cb.join(F.broadcast(bb), ["band_id", "band_hash"])
         .select("batch_id", "corpus_id")

@@ -852,10 +852,16 @@ def neardup_dedup_batch(
     )
     bh = batch.select("doc_id", F.md5(F.col("text")).alias("__h"))
     firsts = bh.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
-    batch_bands = dedup_ops.minhash_bands(batch, "doc_id", "text")
+    # ONE band computation per batch, shared by the state append, the
+    # cross-corpus candidate join, and the batch-internal pair search —
+    # without the checkpoint each consumer re-evaluates the signature
+    # pipeline (batch text hashed 3× per micro-batch).
+    batch_bands = dedup_ops.minhash_bands(
+        batch, "doc_id", "text"
+    ).localCheckpoint(eager=True)
     # batch-internal earlier matches: id_a < id_b ⇒ id_a arrived first
     internal = dedup_ops.minhash_lsh_pairs(
-        batch, "doc_id", "text", threshold
+        batch, "doc_id", "text", threshold, bands=batch_bands
     ).select(F.col("id_b").alias("doc_id"), "jaccard")
     if have_state:
         seen = seen_log.read_latest(before_batch=batch_id)
@@ -865,7 +871,7 @@ def neardup_dedup_batch(
         prior_docs = docs_log.read_latest(before_batch=batch_id)
         prior = dedup_ops.incremental_neardup_matches(
             batch, prior_docs, "doc_id", "text", threshold,
-            corpus_bands=prior_bands,
+            corpus_bands=prior_bands, batch_bands=batch_bands,
         ).select(F.col("batch_id").alias("doc_id"), "jaccard")
         exact_prior = (
             bh.join(seen.select("__h"), "__h")

@@ -68,8 +68,10 @@ def test_shipdate_range_pushdown(spark, sf_small):
         "embedding_neardup_pairs",
         "knn_pq_adc",
         "semdedup_prune",
+        "knn_ivf_ann",
         "text_unigram_surprisal",
         "text_duplicated_spans",
+        "text_remove_duplicated_spans",
     ],
 )
 def test_extended_ops_no_cartesian(spark, sf_small, name):
@@ -314,3 +316,21 @@ def test_dpp_join_prunes_partitions_at_runtime(spark, sf_small):
     p = plan_of(spark, sf_small, "dpp_pruned_daily_clicks")
     assert "dynamicpruning" in p.lower()
     assert "BroadcastHashJoin" in p
+
+
+def test_span_removal_text_never_crosses_exchange(spark, sf_small):
+    """remove_duplicated_spans' scale contract: the only shuffles carry
+    (id, pos, gram-hash) / (id, position-set) rows — document text must
+    never be an Exchange input (the rewrite is a per-row expression after
+    a doc-keyed join back to the scan). Asserted on the physical plan's
+    Exchange Input attribute lists."""
+    import re
+
+    p = plan_of(spark, sf_small, "text_remove_duplicated_spans")
+    blocks = re.split(r"\n(?=\(\d+\) )", p)
+    exchanges = [b for b in blocks if "Exchange" in b.splitlines()[0]]
+    assert exchanges, "plan unexpectedly has no Exchange nodes"
+    for b in exchanges:
+        inputs = [l for l in b.splitlines() if l.startswith("Input")]
+        for l in inputs:
+            assert "text#" not in l, f"text crosses an Exchange: {l}"

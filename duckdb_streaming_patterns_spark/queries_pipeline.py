@@ -621,3 +621,206 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         h.isin(*"01234567")
     )
     return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic corpus shuffle + sharding, KMV cardinality, quality classifier
+# (round-4 additions)
+# ---------------------------------------------------------------------------
+
+from duckdb_streaming_patterns_spark.operators.dedup import (  # noqa: E402
+    DUCKDB_HEX15,
+)
+
+_SHUF_SEED = "42"
+_N_SHARDS = 8
+
+_SHUFFLE_H60 = DUCKDB_HEX15.format(m="hx")
+
+_SHUFFLE_ORACLE = f"""
+    WITH h AS (SELECT doc_id,
+                      md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM documents),
+         s AS (SELECT doc_id, hx, {_SHUFFLE_H60} % {_N_SHARDS} AS shard
+               FROM h)
+    SELECT doc_id,
+           CAST(shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY hx, doc_id) AS BIGINT)
+             AS shard_pos
+    FROM s
+"""
+
+
+@register("corpus_shuffle_shards", _SHUFFLE_ORACLE)
+def q_corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic seeded corpus shuffle + shard assignment — the
+    data-ordering step every training run needs before sequence packing:
+    each doc gets a shard (uniform by a 60-bit seeded md5 hash) and a
+    position within its shard (hash order), so the global training order
+    is a pure function of (seed, doc_id): identical on any cluster size
+    or partitioning, re-runnable, resumable mid-epoch by (shard,
+    shard_pos) ranges, and exactly oracle-checkable — none of which holds
+    for rand()-based shuffles. At 100 TB the physical form is
+    repartition(shard) + sortWithinPartitions(hash): ONE shuffle whose
+    reducer output files ARE the epoch's shard files; the window here is
+    the per-shard restatement of that sort (state = one counter per
+    shard)."""
+    docs = _t(spark, sf_dir, "documents")
+    from pyspark.sql import Window as W
+
+    hx = F.md5(F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string")))
+    h60 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    s = docs.select(
+        "doc_id",
+        hx.alias("hx"),
+        F.pmod(h60, F.lit(_N_SHARDS)).cast("bigint").alias("shard"),
+    )
+    w = W.partitionBy("shard").orderBy("hx", "doc_id")
+    return s.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("bigint").alias("shard_pos"),
+    )
+
+
+_KMV_K = 64
+_KMV_H60 = DUCKDB_HEX15.format(m="hx")
+
+_KMV_ORACLE = f"""
+    WITH d AS (SELECT DISTINCT event_type,
+                      md5(CAST(user_id AS VARCHAR)) AS hx
+               FROM events),
+         h AS (SELECT event_type, hx, {_KMV_H60} AS h60 FROM d),
+         r AS (SELECT event_type, h60,
+                      row_number() OVER (PARTITION BY event_type
+                                         ORDER BY h60, hx) AS rn,
+                      count(*) OVER (PARTITION BY event_type) AS m
+               FROM h)
+    SELECT event_type,
+           CASE WHEN max(m) < {_KMV_K} THEN CAST(max(m) AS DOUBLE)
+                ELSE ROUND({_KMV_K - 1} * pow(2.0, 60)
+                           / max(CASE WHEN rn = {_KMV_K} THEN h60 END), 2)
+           END AS est_users
+    FROM r GROUP BY event_type
+"""
+
+
+@register("approx_distinct_users_kmv", _KMV_ORACLE)
+def q_approx_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (k-minimum-values) distinct-user estimate per event type —
+    the engine-portable counterpart of `approx_distinct_users`: HLL
+    register layouts are engine-specific (that query is rows-only by
+    construction), while KMV's estimate (k-1)/R_k is a pure function of
+    the k smallest md5 hashes, so the SAME portable hash family the
+    sampling/dedup operators use makes an approximate-cardinality sketch
+    exactly oracle-checkable. Groups smaller than k fall back to their
+    exact count (standard KMV). At 100 TB, KMV is a mergeable sketch
+    (union = merge k-min sets); this window formulation is its
+    oracle-exact batch restatement, and the shuffle carries one 16-byte
+    hash per DISTINCT (type, user) — partial aggregation collapses
+    repeats map-side. Accuracy ~ 1/sqrt(k-1) ≈ 13% rsd at k=64;
+    tests/test_pipeline_queries.py pins the observed error vs exact."""
+    ev = _t(spark, sf_dir, "events")
+    from pyspark.sql import Window as W
+
+    d = ev.select(
+        "event_type",
+        F.md5(F.col("user_id").cast("string")).alias("hx"),
+    ).distinct()
+    h = d.withColumn(
+        "h60", F.conv(F.substring("hx", 1, 15), 16, 10).cast("long")
+    )
+    r = h.select(
+        "event_type",
+        "h60",
+        F.row_number()
+        .over(W.partitionBy("event_type").orderBy("h60", "hx"))
+        .alias("rn"),
+        F.count("*").over(W.partitionBy("event_type")).alias("m"),
+    )
+    kth = F.max(F.when(F.col("rn") == _KMV_K, F.col("h60")))
+    return r.groupBy("event_type").agg(
+        F.when(
+            F.max("m") < _KMV_K, F.max("m").cast("double")
+        )
+        .otherwise(
+            F.round(
+                F.lit(float(_KMV_K - 1)) * F.pow(F.lit(2.0), F.lit(60)) / kth,
+                2,
+            )
+        )
+        .alias("est_users")
+    )
+
+
+# Fixed logistic-classifier weights over the quality_scores features —
+# the fastText-style model-based quality gate, with the model reduced to
+# literal weights so scoring is a pure column expression (the production
+# shape: weights broadcast, scoring scan-side, no Python). keep is decided
+# on the LOGIT's sign (threshold 0.5 on the sigmoid) so the decision needs
+# no transcendental function — bit-portable across engines.
+_QC_W = {
+    "bias": -1.2,
+    "n_chars": 0.004,       # longer docs score higher (per char)
+    "stopword_ratio": 12.0,  # natural-language signal
+    "punct_ratio": -2.0,     # symbol soup penalized
+    "upper_ratio": -1.5,     # shouting penalized
+}
+
+_QC_LOGIT_SQL = (
+    f"({_QC_W['bias']} + {_QC_W['n_chars']} * n_chars"
+    f" + {_QC_W['stopword_ratio']} * stopword_ratio"
+    f" + {_QC_W['punct_ratio']} * punct_ratio"
+    f" + {_QC_W['upper_ratio']} * upper_ratio)"
+)
+
+
+@register("quality_classifier_scores", None)  # oracle assembled below
+def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality gate: a fixed-weight logistic classifier over
+    the `text_quality_scores` features (the fastText-filter shape with
+    the trained model reduced to literal weights — swap in real weights
+    without touching the plan). Emits the logit (rounded 6dp), the
+    sigmoid score (4dp, reporting only), and keep = logit >= 0 — the
+    sign decision avoids cross-engine exp() last-ulp drift entirely.
+    Scoring is one scan-side expression over the quality projection: no
+    shuffle, no Python, 100 TB cost = the quality_scores scan itself.
+    The oracle wraps the quality-scores oracle as a CTE so both engines
+    score the exact same rounded features in the same written order."""
+    from duckdb_streaming_patterns_spark.operators import textstats
+
+    qs = textstats.quality_scores(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+    logit = (
+        F.lit(_QC_W["bias"])
+        + F.lit(_QC_W["n_chars"]) * F.col("n_chars")
+        + F.lit(_QC_W["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(_QC_W["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(_QC_W["upper_ratio"]) * F.col("upper_ratio")
+    )
+    return qs.select(
+        "doc_id",
+        F.round(logit, 6).alias("quality_logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 4).alias(
+            "quality_score"
+        ),
+        (logit >= 0).alias("keep"),
+    )
+
+
+from duckdb_streaming_patterns_spark.queries import QUERIES as _QP  # noqa: E402
+
+_QC_ORACLE = f"""
+    WITH qs AS ({_QP["text_quality_scores"][1]})
+    SELECT doc_id,
+           ROUND({_QC_LOGIT_SQL}, 6) AS quality_logit,
+           ROUND(1.0 / (1.0 + exp(-{_QC_LOGIT_SQL})), 4) AS quality_score,
+           {_QC_LOGIT_SQL} >= 0 AS keep
+    FROM qs
+"""
+_QP["quality_classifier_scores"] = (
+    _QP["quality_classifier_scores"][0],
+    _QC_ORACLE,
+)

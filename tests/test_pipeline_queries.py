@@ -163,3 +163,61 @@ def test_tfidf_top_terms_small_corpus(spark):
     en = {r["term"]: r for r in by_grp["en"]}
     assert en["spark"]["rank"] == 1 and en["spark"]["tf"] == 3
     assert abs(en["spark"]["tfidf"] - round(3 * __import__("math").log(2), 4)) < 1e-9
+
+
+def test_kmv_estimate_within_sketch_bound(spark, sf_oracle):
+    """KMV accuracy vs the exact distinct count: rsd ~ 1/sqrt(k-1) ≈ 13%
+    at k=64; bound pinned at 3 sigma (0.4) — the estimate itself is
+    deterministic (oracle-hash-exact), so this pins QUALITY, not
+    stability. Groups under k distinct users must be exact."""
+    fn, _ = QUERIES["approx_distinct_users_kmv"]
+    approx = {
+        r["event_type"]: r["est_users"] for r in fn(spark, sf_oracle).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in load_table(spark, sf_oracle, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k in exact:
+        if exact[k] < 64:
+            assert approx[k] == exact[k], (k, approx[k], exact[k])
+        else:
+            rel_err = abs(approx[k] - exact[k]) / exact[k]
+            assert rel_err < 0.4, (k, approx[k], exact[k])
+
+
+def test_corpus_shuffle_shards_is_a_permutation(spark, sf_oracle):
+    """Every doc appears exactly once; per-shard positions are dense
+    1..|shard|; shard sizes are hash-uniform (no shard more than 2x the
+    mean — a seed/modulo bug would concentrate mass)."""
+    fn, _ = QUERIES["corpus_shuffle_shards"]
+    out = fn(spark, sf_oracle)
+    n_docs = load_table(spark, sf_oracle, "documents").count()
+    assert out.count() == n_docs
+    assert out.select("doc_id").distinct().count() == n_docs
+    per = {
+        r["shard"]: (r["n"], r["mx"])
+        for r in out.groupBy("shard")
+        .agg(F.count("*").alias("n"), F.max("shard_pos").alias("mx"))
+        .collect()
+    }
+    for shard, (n, mx) in per.items():
+        assert mx == n, (shard, n, mx)  # dense positions
+        assert n <= 2 * n_docs / len(per), (shard, n)
+
+
+def test_quality_classifier_boundary_margin(spark, sf_oracle):
+    """The keep decision is the logit's sign; no fixture doc may sit
+    within 1e-6 of the boundary (a cross-engine last-ulp flip there
+    would break the hash oracle silently on a future fixture), and the
+    gate must actually split the corpus (not all-keep / all-drop)."""
+    fn, _ = QUERIES["quality_classifier_scores"]
+    rows = fn(spark, sf_oracle).collect()
+    logits = [r["quality_logit"] for r in rows]
+    assert min(abs(x) for x in logits) > 1e-6
+    kept = sum(1 for r in rows if r["keep"])
+    assert 0 < kept < len(rows)

@@ -293,3 +293,52 @@ def test_unigram_surprisal_matches_python_reference(spark, texts):
         expect = round(-float(slp) / len(toks), 4)
         assert got[i][0] == len(toks)
         assert abs(got[i][1] - expect) < 1e-9, (texts[i], got[i], expect)
+
+
+def _py_remove_spans(texts: list[str], n: int = 3):
+    """Pure-Python reference for remove_duplicated_spans: rank each gram's
+    occurrences by (doc, pos); tokens covered by any rank>=2 window are
+    removed."""
+    toks = [re.split(r"\s+", t.strip()) for t in texts]
+    occs: dict[tuple, list] = {}
+    for d, tk in enumerate(toks):
+        if len(tk) < n:
+            continue
+        for i in range(len(tk) - n + 1):
+            occs.setdefault(tuple(tk[i : i + n]), []).append((d, i))
+    removed = [set() for _ in texts]
+    for occ in occs.values():
+        for d, i in sorted(occ)[1:]:
+            removed[d].update(range(i, i + n))
+    return [
+        (
+            len(tk),
+            len(removed[d]),
+            " ".join(w for p, w in enumerate(tk) if p not in removed[d]),
+        )
+        for d, tk in enumerate(toks)
+    ]
+
+
+# few distinct short words → dense gram collisions within and across docs
+_spanword = st.sampled_from(["aa", "bb", "cc"])
+_spandoc = st.lists(_spanword, min_size=0, max_size=10).map(" ".join)
+_spandocs = st.lists(_spandoc, min_size=1, max_size=12)
+
+
+@settings(**_SETTINGS)
+@given(_spandocs)
+def test_remove_duplicated_spans_matches_python_reference(spark, texts):
+    from duckdb_streaming_patterns_spark.operators.textstats import (
+        remove_duplicated_spans,
+    )
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["n_removed"], r["clean_text"])
+        for r in remove_duplicated_spans(df, "doc_id", "text", n=3).collect()
+    }
+    want = {d: v for d, v in enumerate(_py_remove_spans(texts, n=3))}
+    assert got == want

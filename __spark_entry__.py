@@ -61,7 +61,16 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #   embedding_neardup_lsh (shares the _lsh_keys bucketing + oracle
 #     machinery with knn_lsh_ann, which stays) → knn_ivf_ann, now
 #     md5-anchor deterministic and hash-exact — all four ANN index
-#     strategies (bruteforce/LSH/IVF/PQ) are driver-verified (item 2).
+#     strategies (bruteforce/LSH/IVF/PQ) are driver-verified (item 2);
+#   train_val_test_split (hash-keyed split — the same deterministic
+#     hash-sampling machinery as stratified_sample_docs/sample_docs_hash,
+#     all still exact-checked locally) → pattern_gdpr_delete_propagation,
+#     the CDF-delete surface: tombstone snapshots, delete change feed,
+#     group-scoped summary propagation (a new capability family);
+#   event_type_counts (single-key grouped count — the A1/A5 shape
+#     user_clicks and distinct_users_per_type already pin) →
+#     pattern_streaming_ann_index, incremental IVF index maintenance:
+#     streaming-built cell-partitioned index ≡ batch IVF, hash-exact.
 # Second round-3 rotation — four redundant slots swapped for this round's
 # four new hash-exact families (every displaced query stays exact-checked
 # by the local oracle suite):
@@ -86,7 +95,7 @@ _PRIORITY = [
     "events_exclude_props",
     "events_json_extract",
     "events_cast_projection",
-    "event_type_counts",
+    "pattern_streaming_ann_index",
     "distinct_users_per_type",
     "reaggregate_partials",
     # streaming patterns (SURVEY §3, §2.9)
@@ -124,7 +133,7 @@ _PRIORITY = [
     # corpus pipeline (§2.11)
     "pack_token_bins",
     "contamination_ngram_overlap",
-    "train_val_test_split",
+    "pattern_gdpr_delete_propagation",
     "doc_chunks_udtf",
     # join/layout strategies (§2.12 scale surfaces)
     "asof_join_last_click",

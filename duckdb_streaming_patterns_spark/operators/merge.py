@@ -287,3 +287,21 @@ class SummaryTable:
         merged = replace_merge(self.read(), delta, keys, set_cols)
         self.overwrite(merged, batch_id=batch_id)
         return True
+
+    def delete_keys(
+        self,
+        keys_df: DataFrame,
+        batch_id: int,
+        keys: list[str],
+    ) -> bool:
+        """Remove rows whose key appears in ``keys_df`` (MERGE ... WHEN
+        MATCHED DELETE — the upsert surface's third verb, needed when
+        delete propagation empties a group entirely). Broadcast anti-join
+        + atomic swap, same batch-id fence as merge_batch."""
+        if batch_id <= self.last_batch_id():
+            return False
+        remaining = self.read().join(
+            F.broadcast(keys_df.select(*keys).distinct()), on=keys, how="left_anti"
+        )
+        self.overwrite(remaining, batch_id=batch_id)
+        return True

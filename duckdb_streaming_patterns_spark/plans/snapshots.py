@@ -6,6 +6,15 @@ The reference's DuckLake surface:
 - ``table_changes(t, a, b)`` → rows added between snapshots (pattern_1_2.py:105)
 - compaction                 → merge small files (pattern_1_2.py:152-155)
 
+Beyond the reference's insert-only usage, DuckLake's ``table_changes``
+also reports DELETEs; this engine adds the same: ``delete(cond)`` commits a
+tombstone snapshot (keys of the removed rows), reads apply tombstones with
+an anti-join, ``table_changes(include_deletes=True)`` emits a
+``_change_type`` column, and ``vacuum()`` physically rewrites the data with
+tombstones applied (the Delta-VACUUM analogue). At 100 TB a delete is
+O(|tombstone keys|) metadata + one broadcast anti-join on read — the raw
+log is never rewritten until vacuum, which is the only full-table pass.
+
 Spark restatement: an append-only parquet table whose rows are stamped with
 the writing ``snapshot_id``; a ``_snapshots`` ledger directory records one
 JSON entry per commit. ``table_changes(from, to)`` is then a partition-pruned
@@ -51,6 +60,7 @@ class SnapshotTable:
         self.root = root
         self.schema_ddl = schema_ddl
         self.ledger_dir = os.path.join(root, "_snapshots")
+        self.tombstone_dir = os.path.join(root, "_tombstones")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.ledger_dir, exist_ok=True)
 
@@ -88,12 +98,22 @@ class SnapshotTable:
 
     # -- writes ------------------------------------------------------------
 
-    def append(self, df: DataFrame, batch_id: int | None = None) -> int:
+    def append(
+        self,
+        df: DataFrame,
+        batch_id: int | None = None,
+        partition_by: list[str] | None = None,
+    ) -> int:
         """Append a batch as the next snapshot. The partition directory is
         staged then renamed into place (clobbering any orphan from a crashed
         prior attempt at the same id), and the ledger entry is written AFTER
         the data lands, so readers scoping by ledger never see a
-        half-written snapshot. Returns the new snapshot id; -1 if fenced."""
+        half-written snapshot. Returns the new snapshot id; -1 if fenced.
+
+        ``partition_by`` sub-partitions the snapshot by payload columns
+        (``snapshot_id=N/col=V/...``) so readers filtering on them get
+        directory pruning WITHIN each snapshot — the at-rest layout a
+        cell-partitioned ANN index or date-keyed log wants."""
         sid = self.max_snapshot_id() + 1
         if batch_id is not None:
             for s in self.snapshots():
@@ -108,7 +128,10 @@ class SnapshotTable:
         staged = os.path.join(staging_root, f"{sid:09d}.{uuid.uuid4().hex[:8]}")
         # snapshot_id is carried by the hive partition directory name, so the
         # staged files hold only the payload columns.
-        df.write.mode("overwrite").parquet(staged)
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(staged)
         # Row count from the freshly written footers (driver-side, metadata
         # only) — no second computation of the batch.
         n = _parquet_row_count(staged)
@@ -116,18 +139,73 @@ class SnapshotTable:
         if os.path.exists(final):
             shutil.rmtree(final)  # orphan from a crashed append: retry clobbers
         os.replace(staged, final)
-        entry = {
-            "snapshot_id": sid,
-            "batch_id": batch_id,
-            "rows": n,
-            "committed_at": time.time(),
-        }
+        self._commit_ledger(
+            {
+                "snapshot_id": sid,
+                "kind": "insert",
+                "batch_id": batch_id,
+                "rows": n,
+                "committed_at": time.time(),
+            }
+        )
+        return sid
+
+    def _commit_ledger(self, entry: dict) -> None:
+        sid = entry["snapshot_id"]
         tmp = os.path.join(self.ledger_dir, f".{sid:09d}.tmp")
         with open(tmp, "w") as f:
             json.dump(entry, f)
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.ledger_dir, f"{sid:09d}.json"))
+
+    def delete(
+        self,
+        condition,
+        key_cols: list[str] | None = None,
+        batch_id: int | None = None,
+    ) -> int:
+        """Commit a DELETE as a tombstone snapshot (the DuckLake
+        ``table_changes`` delete surface the reference never exercises,
+        plus the right-to-be-forgotten operation a real corpus needs).
+
+        The rows currently visible and matching ``condition`` are reduced
+        to their distinct ``key_cols`` values (default: all payload
+        columns, i.e. full-row deletion) and committed under
+        ``_tombstones/snapshot_id=N`` with the same stage-rename-ledger
+        discipline as ``append``. The data log is NOT rewritten — readers
+        apply tombstones with a broadcast anti-join; ``vacuum()`` folds
+        them in physically. A tombstone kills matching rows from snapshots
+        BEFORE it; a later re-insert of the same key survives."""
+        sid = self.max_snapshot_id() + 1
+        if batch_id is not None:
+            for s in self.snapshots():
+                if s.get("batch_id") == batch_id:
+                    return -1  # fenced retry
+        matched = self._read_visible(sid - 1).filter(condition)
+        cols = key_cols or [c for c in matched.columns if c != "snapshot_id"]
+        keys = matched.select(*cols).distinct()
+        staging_root = os.path.join(self.root, ".staging")
+        shutil.rmtree(staging_root, ignore_errors=True)
+        os.makedirs(staging_root, exist_ok=True)
+        staged = os.path.join(staging_root, f"{sid:09d}.{uuid.uuid4().hex[:8]}")
+        keys.write.mode("overwrite").parquet(staged)
+        n = _parquet_row_count(staged)
+        os.makedirs(self.tombstone_dir, exist_ok=True)
+        final = os.path.join(self.tombstone_dir, f"snapshot_id={sid}")
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(staged, final)
+        self._commit_ledger(
+            {
+                "snapshot_id": sid,
+                "kind": "delete",
+                "batch_id": batch_id,
+                "rows": n,
+                "key_cols": cols,
+                "committed_at": time.time(),
+            }
+        )
         return sid
 
     # -- reads ---------------------------------------------------------------
@@ -136,27 +214,104 @@ class SnapshotTable:
         return self.spark.createDataFrame([], self.schema_ddl + ", snapshot_id int")
 
     def read(self) -> DataFrame:
-        """Full-table scan, scoped to committed snapshots."""
-        return self.table_changes(-1, self.max_snapshot_id())
+        """Full-table scan, scoped to committed snapshots, tombstones
+        applied."""
+        return self._read_visible(self.max_snapshot_id())
 
     def read_as_of(self, snapshot_id: int) -> DataFrame:
         """Time travel: the table as it stood after ``snapshot_id``
         committed (DuckLake reads any snapshot; the reference itself only
         reads latest). Same partition-pruned scan as table_changes —
-        snapshots <= the asked version."""
-        return self.table_changes(-1, snapshot_id)
+        snapshots <= the asked version; tombstones committed by then are
+        applied, later ones are not (deletes time-travel too)."""
+        return self._read_visible(snapshot_id)
 
-    def table_changes(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
+    def _read_visible(self, as_of: int) -> DataFrame:
+        df = self.table_changes(-1, as_of)
+        for sid, cols, keys in self._tombstones(as_of):
+            # A tombstone kills matching rows appended before it. The key
+            # set is one delete request's output — broadcast-sized by
+            # construction (it was small enough to enumerate).
+            cond = F.col("snapshot_id") < F.lit(sid)
+            for c in cols:
+                cond = cond & df[c].eqNullSafe(keys[c])
+            df = df.join(F.broadcast(keys), on=cond, how="left_anti")
+        return df
+
+    def _tombstones(self, as_of: int) -> list[tuple[int, list[str], DataFrame]]:
+        """Committed tombstone snapshots ≤ ``as_of`` as
+        (snapshot_id, key_cols, keys DataFrame), ledger-scoped. Cheap
+        no-tombstone fast path: insert-only tables keep their original
+        (partition-pruned, broadcast-free) plans byte-identical."""
+        out = []
+        for s in self.snapshots():
+            if s.get("vacuumed"):
+                continue  # data already folded into the current generation
+            if s.get("kind") == "delete" and s["snapshot_id"] <= as_of:
+                part = os.path.join(
+                    self.tombstone_dir, f"snapshot_id={s['snapshot_id']}"
+                )
+                out.append(
+                    (
+                        s["snapshot_id"],
+                        s["key_cols"],
+                        self.spark.read.parquet(part),
+                    )
+                )
+        return out
+
+    def table_changes(
+        self,
+        from_snapshot: int,
+        to_snapshot: int,
+        include_deletes: bool = False,
+    ) -> DataFrame:
         """Reference ``table_changes(tbl, from, to)`` (pattern_1_2.py:105):
         rows appended in snapshots (from, to]. Partition pruning on
-        snapshot_id means only those snapshot directories are read."""
+        snapshot_id means only those snapshot directories are read.
+        With ``include_deletes=True`` the DuckLake-style ``_change_type``
+        column is added and tombstone key rows in range are unioned in
+        (non-key payload columns null, as for a key-scoped delete)."""
         if to_snapshot <= from_snapshot or self.max_snapshot_id() < 0:
-            return self._empty()
-        df = self.spark.read.parquet(self.data_dir)
-        return df.filter(
-            (F.col("snapshot_id") > from_snapshot)
-            & (F.col("snapshot_id") <= to_snapshot)
-        )
+            base = self._empty()
+        else:
+            df = self.spark.read.parquet(self.data_dir)
+            base = df.filter(
+                (F.col("snapshot_id") > from_snapshot)
+                & (F.col("snapshot_id") <= to_snapshot)
+            )
+        if not include_deletes:
+            return base
+        out = base.withColumn("_change_type", F.lit("insert"))
+        payload = [c for c in out.columns if c not in ("_change_type",)]
+        for sid, cols, keys in self._tombstones(to_snapshot):
+            if sid <= from_snapshot:
+                continue
+            row = keys
+            for c in payload:
+                if c == "snapshot_id":
+                    row = row.withColumn(c, F.lit(sid).cast("int"))
+                elif c not in cols:
+                    row = row.withColumn(c, F.lit(None))
+            row = row.withColumn("_change_type", F.lit("delete"))
+            out = out.unionByName(row.select(*payload, "_change_type"))
+        return out
+
+    def delete_changes(self, from_snapshot: int, to_snapshot: int) -> DataFrame:
+        """Tombstone key rows committed in snapshots (from, to] — the
+        delete side of the change feed, used to scope downstream
+        propagation (recompute only the affected groups)."""
+        parts = [
+            (sid, keys.withColumn("snapshot_id", F.lit(sid).cast("int")))
+            for sid, _, keys in self._tombstones(to_snapshot)
+            if sid > from_snapshot
+        ]
+        if not parts:
+            return self.spark.createDataFrame([], "snapshot_id int")
+        out = parts[0][1]
+        for _, keys in parts[1:]:
+            out = out.unionByName(keys, allowMissingColumns=True)
+        return out
 
     # -- maintenance -----------------------------------------------------------
 
@@ -172,7 +327,10 @@ class SnapshotTable:
         new_name = f"data_g{new_gen:04d}_{uuid.uuid4().hex[:8]}"
         new_dir = os.path.join(self.root, new_name)
         (
-            self.read()  # ledger-scoped: uncommitted orphans do not survive
+            # Insert log only, ledger-scoped: uncommitted orphans do not
+            # survive, and tombstones are NOT folded in — compaction
+            # preserves CDF history (vacuum() is the physical-delete pass).
+            self.table_changes(-1, self.max_snapshot_id())
             .coalesce(target_files)
             .write.mode("overwrite")
             .partitionBy("snapshot_id")
@@ -191,6 +349,51 @@ class SnapshotTable:
         if stale and stale != new_name:
             shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
 
+    def vacuum(self, target_files: int = 1) -> None:
+        """Physically apply tombstones (Delta ``VACUUM`` + DuckLake
+        ``ducklake_delete_old_snapshots`` analogue): rewrite the data into
+        a new generation with deleted rows removed, then retire the
+        consumed tombstones. After vacuum, reads need no anti-join (the
+        fast insert-only path applies again) but the change feed for the
+        vacuumed range is truncated to the surviving rows — the documented
+        retention trade every lakehouse makes. The same generation-swap
+        discipline as compact keeps in-flight readers safe."""
+        high = self.max_snapshot_id()
+        ptr = self._pointer()
+        new_gen = ptr["generation"] + 1
+        new_name = f"data_g{new_gen:04d}_{uuid.uuid4().hex[:8]}"
+        new_dir = os.path.join(self.root, new_name)
+        (
+            self._read_visible(high)
+            .coalesce(target_files)
+            .write.mode("overwrite")
+            .partitionBy("snapshot_id")
+            .parquet(new_dir)
+        )
+        new_ptr = {"generation": new_gen, "data": new_name, "prev_data": ptr["data"]}
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_ptr, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path)
+        # Tombstones ≤ high are folded into the new generation: retire
+        # them (ledger entries stay — history metadata survives, data
+        # files do not, exactly like snapshot expiry).
+        for s in self.snapshots():
+            if s.get("kind") == "delete" and s["snapshot_id"] <= high:
+                shutil.rmtree(
+                    os.path.join(
+                        self.tombstone_dir, f"snapshot_id={s['snapshot_id']}"
+                    ),
+                    ignore_errors=True,
+                )
+                s["vacuumed"] = True
+                self._commit_ledger(s)
+        stale = ptr.get("prev_data")
+        if stale and stale != new_name:
+            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+
 
 def _parquet_row_count(directory: str) -> int:
     """Sum of footer row counts for the parquet files under ``directory`` —
@@ -198,6 +401,8 @@ def _parquet_row_count(directory: str) -> int:
     import pyarrow.parquet as pq
 
     total = 0
-    for path in glob.glob(os.path.join(directory, "*.parquet")):
+    for path in glob.glob(
+        os.path.join(directory, "**", "*.parquet"), recursive=True
+    ):
         total += pq.ParquetFile(path).metadata.num_rows
     return total

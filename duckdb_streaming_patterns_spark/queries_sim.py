@@ -183,11 +183,14 @@ def q_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _IVF_N_CELLS, _IVF_N_PROBE = 16, 8
 
-_IVF_ORACLE = f"""
-    WITH a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
-               FROM embeddings
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
-               LIMIT {_IVF_N_CELLS}),
+
+def ivf_oracle_sql(anchor_ctes: str, n_probe: int = _IVF_N_PROBE) -> str:
+    """The md5-anchor IVF search replayed in SQL, parameterized by the
+    anchor CTE chain (must end in ``a(aid, a_vec)``) so variants that
+    train the quantizer on a subset (e.g. the streaming index's
+    first-micro-batch sample) share the machinery."""
+    return f"""
+    WITH {anchor_ctes},
          s AS (SELECT e.vec_id, a.aid,
                       {duckdb_cosine("e.embedding", "a.a_vec")} AS cos
                FROM embeddings e CROSS JOIN a),
@@ -197,7 +200,7 @@ _IVF_ORACLE = f"""
                FROM s),
          cells AS (SELECT vec_id, aid AS cell_id FROM r WHERE rn = 1),
          probes AS (SELECT vec_id AS query_id, aid AS cell_id
-                    FROM r WHERE vec_id < 5 AND rn <= {_IVF_N_PROBE}),
+                    FROM r WHERE vec_id < 5 AND rn <= {n_probe}),
          cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
                   FROM probes p JOIN cells c USING (cell_id)
                   WHERE c.vec_id <> p.query_id),
@@ -215,6 +218,14 @@ _IVF_ORACLE = f"""
           FROM rer)
     WHERE rank <= 10
 """
+
+
+_IVF_ORACLE = ivf_oracle_sql(
+    f"""a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+               FROM embeddings
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+               LIMIT {_IVF_N_CELLS})"""
+)
 
 
 @register("knn_ivf_ann", _IVF_ORACLE)

@@ -110,6 +110,36 @@ def q_pattern_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "pattern_gdpr_delete_propagation",
+    """
+    WITH cut AS (SELECT max(event_id) // 2 AS c FROM events)
+    SELECT e.user_id,
+           'user_' || CAST(e.user_id AS VARCHAR) AS user_name,
+           count(*) AS count_of_clicks,
+           max(e.ts) AS updated_at
+    FROM events e, cut
+    WHERE e.event_type = 'click'
+      AND e.user_id % 7 <> 3
+      AND NOT (e.user_id % 7 = 4 AND e.event_id < cut.c)
+    GROUP BY e.user_id
+    """,
+)
+def q_pattern_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDF deletes + group-scoped propagation: ingest builds the summary
+    incrementally (pattern-1.2 shape), then two delete requests land as
+    tombstone snapshots (full purge of user_id%7==3; retention-trim of the
+    older event half for user_id%7==4) and the delete change feed drives a
+    recompute of ONLY the affected groups. Oracle = batch aggregation over
+    the surviving events — proves tombstone reads, delete CDF, and
+    propagation agree with the ground truth."""
+    run = staging.new_run_dir("pgdpr")
+    chunks = staging.stage_event_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_delete_propagation(
+        spark, chunks, run, state_partitions=_STATE_PARTS
+    )
+
+
 @register("pattern_streaming_dedup", _BATCH_ORACLE)
 def q_pattern_streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """dropDuplicatesWithinWatermark over a stream that carries every event
@@ -347,6 +377,48 @@ _NEARDUP_STREAM_ORACLE = rf"""
     FROM documents d LEFT JOIN ex ON d.doc_id = ex.doc_id
                      LEFT JOIN nr ON d.doc_id = nr.doc_id
 """
+
+
+from duckdb_streaming_patterns_spark.queries_sim import (  # noqa: E402
+    ivf_oracle_sql,
+)
+
+# The streaming index trains its quantizer on micro-batch 0 — the first
+# ceil(n/5) vec_ids (stage_embedding_chunks' arithmetic) — so the oracle
+# restricts the md5-anchor sample to that id range and otherwise replays
+# the identical IVF search.
+_STREAM_IVF_ORACLE = ivf_oracle_sql(
+    """p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per
+              FROM embeddings),
+         a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+               FROM embeddings, p WHERE vec_id < p.per
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+               LIMIT 16)"""
+)
+
+
+@register("pattern_streaming_ann_index", _STREAM_IVF_ORACLE)
+def q_pattern_streaming_ann_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ANN-index maintenance: embeddings land in 5 micro-batches,
+    the IVF quantizer trains on batch 0 and freezes, every batch appends
+    cell-partitioned index files, and the final probe searches the
+    accumulated at-rest index (partition-pruned to probed cells). Oracle =
+    the batch IVF search with the same frozen first-batch quantizer —
+    streaming-built index ≡ batch index, hash-exact. See
+    streaming/patterns.pattern_streaming_ann_index."""
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    run = staging.new_run_dir("pann")
+    chunks = staging.stage_embedding_chunks(spark, sf_dir, run, n_chunks=5)
+    queries_df = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 5
+    )
+    return patterns.pattern_streaming_ann_index(
+        spark, chunks, run, queries_df, k=10, n_cells=16, n_probe=8,
+        state_partitions=4,
+    )
 
 
 @register("pattern_streaming_neardup_dedup", _NEARDUP_STREAM_ORACLE)

@@ -176,6 +176,111 @@ def pattern_1_2(
     return summary.read()
 
 
+def pattern_delete_propagation(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """GDPR-style delete propagation over the CDF surface (the delete half
+    of DuckLake's ``table_changes`` the reference never exercises, and the
+    right-to-be-forgotten operation every real corpus pipeline needs).
+
+    Phase 1 ingests the stream into a SnapshotTable with CDF-scoped
+    incremental summary maintenance (pattern-1.2 shape). Phase 2 commits
+    two delete requests as tombstone snapshots: a full purge of every
+    event of users ``user_id % 7 == 3``, and a retention trim of the
+    older half of events (``event_id < max_id // 2``) for users
+    ``user_id % 7 == 4``. Phase 3 propagates: the delete change feed
+    (``delete_changes``) names the affected group keys; ONLY those groups
+    are recomputed from the post-delete table and swapped into the summary
+    (delete-then-insert; groups left empty stay deleted). At 100 TB the
+    propagation cost is O(affected groups' rows), never a full summary
+    rebuild — the tombstone keys broadcast, the recompute is semi-join
+    scoped.
+
+    Crash note: the two summary steps are separately batch-id-fenced, so a
+    retry that crashed between them skips the applied delete and completes
+    the insert — the end state is identical."""
+    raw = SnapshotTable(spark, os.path.join(run_dir, "raw"), staging.EVENT_SCHEMA)
+    summary = SummaryTable(spark, os.path.join(run_dir, "summary"), SUMMARY_DDL)
+
+    def aggregate_round() -> None:
+        last = summary.last_batch_id()
+        current = raw.max_snapshot_id()
+        if current <= last:
+            return
+        delta = raw.table_changes(last, current).drop("snapshot_id")
+        summary.merge_batch(
+            _delta_agg(delta),
+            current,
+            keys=["user_id", "user_name"],
+            add_cols=["count_of_clicks"],
+            max_cols=["updated_at"],
+        )
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        sid = raw.append(batch, batch_id=batch_id)
+        if sid >= 0 and (sid + 1) % 2 == 0:
+            aggregate_round()
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_event_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        aggregate_round()
+
+    # -- Phase 2: delete requests --------------------------------------
+    ingested_through = raw.max_snapshot_id()
+    # Scalar probe BEFORE any delete so the cutoff is defined over the
+    # full history (the oracle sees all events); floor-div matches // on
+    # both engines.
+    max_id = raw.read().agg(F.max("event_id")).first()[0]
+    cutoff = max_id // 2
+    raw.delete(
+        F.col("user_id") % 7 == 3, key_cols=["user_id"], batch_id=10_001
+    )
+    # The trim tombstone keys by (event_id, user_id): event_id alone
+    # uniquely identifies the row; carrying user_id makes the tombstone
+    # self-describing for group-scoped propagation below.
+    raw.delete(
+        (F.col("user_id") % 7 == 4) & (F.col("event_id") < F.lit(cutoff)),
+        key_cols=["event_id", "user_id"],
+        batch_id=10_002,
+    )
+
+    # -- Phase 3: propagate via the delete change feed ------------------
+    current = raw.max_snapshot_id()
+    affected = (
+        raw.delete_changes(ingested_through, current)
+        .select("user_id")
+        .distinct()
+    )
+    recomputed = _delta_agg(
+        raw.read().join(F.broadcast(affected), "user_id", "semi")
+    )
+    summary.delete_keys(
+        _user_name(affected),
+        batch_id=current,
+        keys=["user_id", "user_name"],
+    )
+    # Affected groups were dropped above, so the additive merge is a pure
+    # insert of their recomputed state; untouched groups never rewrite.
+    summary.merge_batch(
+        recomputed,
+        current + 1,
+        keys=["user_id", "user_name"],
+        add_cols=["count_of_clicks"],
+        max_cols=["updated_at"],
+    )
+    return summary.read()
+
+
 def pattern_windowed_watermark(
     spark: SparkSession,
     chunks_dir: str,
@@ -684,6 +789,136 @@ def bonus_stateless_views(
         ORDER BY count_of_clicks DESC, user_id
         LIMIT {k}
         """
+    )
+
+
+def pattern_streaming_ann_index(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    queries_df: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Streaming ANN-index maintenance: an IVF index built INCREMENTALLY
+    as embedding batches land, then probed — the continuous-ingestion
+    story for the similarity family (a corpus being embedded faster than
+    it can be re-indexed from scratch).
+
+    The coarse quantizer is trained offline on the first data that exists
+    (the md5-anchor sample of micro-batch 0 — production trains k-means on
+    an early sample the same way) and FROZEN; every batch then assigns
+    its vectors to cells with the Arrow-batched sequential-fold UDF and
+    appends ``snapshot_id=N/cell_id=C`` partitions to a SnapshotTable.
+    Nothing is ever re-indexed: ingest cost is O(batch · n_cells) flops +
+    one partitioned append. A probe reads only the probed cells'
+    directories across all snapshots (partition-pruned on cell_id), exact
+    cosine re-rank inside — search cost tracks cell size, not corpus
+    size. Crash-safe by the SnapshotTable fence (a retried batch
+    re-assigns identically — the quantizer is frozen — and the append is
+    clobber-idempotent).
+
+    Every numeric step (anchor choice, assignment, probe ranking, final
+    cosine) uses the sequential-fold arithmetic the DuckDB oracle replays
+    bit-for-bit, so streaming index ≡ batch IVF is hash-checkable."""
+    from duckdb_streaming_patterns_spark.functions.vectors import (
+        dot_double,
+        l2_norm,
+        to_double_array,
+    )
+    from duckdb_streaming_patterns_spark.operators import similarity
+
+    index = SnapshotTable(
+        spark,
+        os.path.join(run_dir, "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+    )
+    anchors_path = os.path.join(run_dir, "anchors.json")
+
+    def _load_anchors() -> list:
+        import json as _json
+        from pyspark.sql import Row
+
+        with open(anchors_path) as f:
+            return [Row(aid=a, vec=v) for a, v in _json.load(f)]
+
+    def ingest_batch(batch: DataFrame, batch_id: int) -> None:
+        import json as _json
+
+        if not os.path.exists(anchors_path):
+            # Quantizer training: md5-anchor sample of the first batch,
+            # persisted driver-side (KB-sized) so a restarted stream —
+            # or the probe phase — reuses the frozen codebook. repr()
+            # round-trips IEEE754 doubles exactly.
+            rows = similarity.md5_anchor_rows(batch, "vec_id", "embedding", n_cells)
+            tmp = anchors_path + ".tmp"
+            with open(tmp, "w") as f:
+                _json.dump([[int(r.aid), list(r.vec)] for r in rows], f)
+            os.replace(tmp, anchors_path)
+        anchor_rows = _load_anchors()
+        assigned = batch.select(
+            F.col("vec_id").cast("long").alias("vec_id"),
+            F.col("embedding"),
+            F.element_at(
+                similarity.anchor_cell_udf(anchor_rows, n_probe=1)(
+                    F.col("embedding")
+                ),
+                1,
+            ).alias("cell_id"),
+        )
+        index.append(assigned, batch_id=batch_id, partition_by=["cell_id"])
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_embedding_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(ingest_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- probe the accumulated at-rest index ---------------------------
+    anchor_rows = _load_anchors()
+    cells = index.read().select(
+        F.col("vec_id").alias("neighbor_id"),
+        F.col("cell_id"),
+        to_double_array(F.col("embedding")).alias("c_vec"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    probe = similarity.anchor_cell_udf(anchor_rows, n_probe=n_probe)
+    qv = queries_df.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        to_double_array(F.col("embedding")).alias("q_vec"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+        F.explode(probe(F.col("embedding"))).alias("cell_id"),
+    )
+    scored = (
+        cells.join(F.broadcast(qv), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot_double(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
     )
 
 

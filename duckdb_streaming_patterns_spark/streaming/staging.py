@@ -240,3 +240,48 @@ def read_document_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
         .option("recursiveFileLookup", "true")
         .parquet(chunks_dir)
     )
+
+
+EMB_SCHEMA = "vec_id long, embedding array<float>, label int"
+
+
+def stage_embedding_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 5,
+) -> str:
+    """Split `embeddings` into n_chunks single-file parquet chunks in
+    vec_id order — embedding batches landing as a stream (a continuously
+    embedded corpus), the input shape of streaming ANN-index
+    maintenance. Chunk k = vec_id div ceil(rows/n), the same arithmetic
+    the oracles replay."""
+    key = ("embeddings", sf_dir, n_chunks)
+    cached = _STAGE_CACHE.get(key)
+    if cached and os.path.isdir(cached):
+        return cached
+    emb = load_table(spark, sf_dir, "embeddings")
+    rows = emb.count()
+    per = (rows + n_chunks - 1) // n_chunks
+    chunk = (F.col("vec_id") / F.lit(per)).cast("int").alias("__chunk")
+    chunks_dir = os.path.join(out_dir, "chunks")
+    (
+        emb.select("*", chunk)
+        .repartition("__chunk")
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(chunks_dir)
+    )
+    _stamp_chunk_order(chunks_dir)
+    _STAGE_CACHE[key] = chunks_dir
+    return chunks_dir
+
+
+def read_embedding_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
+    """File-source micro-batch stream of staged embedding chunks."""
+    return (
+        spark.readStream.schema(EMB_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(chunks_dir)
+    )

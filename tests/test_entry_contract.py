@@ -31,6 +31,7 @@ def test_first_50_cover_every_family():
             "pattern_streaming_dedup",
             "pattern_streaming_sessionization",
             "pattern_stream_stream_join",
+            "pattern_gdpr_delete_propagation",
             "bonus_stateless_view_topk",
         },
         "dedup": {
@@ -49,6 +50,7 @@ def test_first_50_cover_every_family():
             "semdedup_prune",
             "knn_ivf_ann",
             "knn_lsh_ann",
+            "pattern_streaming_ann_index",
         },
         "multimodal": {"multimodal_decode_features"},
         "text": {"text_unigram_surprisal", "text_language_id"},

@@ -851,3 +851,85 @@ def test_neardup_dedup_retry_is_idempotent(spark, tmp_path):
         assert got[4] == "drop_near", got
         assert got[5] == "drop_exact"
         assert got[6] == "keep"
+
+
+def test_snapshot_delete_tombstones_and_time_travel(spark, tmp_path):
+    """delete() commits a tombstone snapshot: reads anti-join it, time
+    travel BEFORE the delete still sees the rows, table_changes grows a
+    _change_type column on request, and delete_changes scopes the feed."""
+    t = SnapshotTable(spark, str(tmp_path / "del"), "id long, grp long, v string")
+    t.append(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 1, "b"), (3, 0, "c")], "id long, grp long, v string"
+        ),
+        batch_id=0,
+    )
+    t.append(
+        spark.createDataFrame([(4, 1, "d")], "id long, grp long, v string"),
+        batch_id=1,
+    )
+    sid = t.delete(F.col("grp") == 1, key_cols=["id", "grp"], batch_id=2)
+    assert sid == 2
+    # fenced retry of the same delete request
+    assert t.delete(F.col("grp") == 1, key_cols=["id", "grp"], batch_id=2) == -1
+    assert {r["id"] for r in t.read().collect()} == {1, 3}
+    # deletes time-travel: as-of snapshot 1 predates the tombstone
+    assert {r["id"] for r in t.read_as_of(1).collect()} == {1, 2, 3, 4}
+    # change feed with deletes: 1 insert + 2 delete rows in (0, 2]
+    feed = t.table_changes(0, 2, include_deletes=True).collect()
+    kinds = {(r["id"], r["_change_type"]) for r in feed}
+    assert kinds == {(4, "insert"), (2, "delete"), (4, "delete")}
+    # delete-side feed scoping
+    assert t.delete_changes(2, 2).count() == 0
+    assert {r["id"] for r in t.delete_changes(1, 2).collect()} == {2, 4}
+
+
+def test_snapshot_reinsert_after_delete_survives(spark, tmp_path):
+    """A tombstone kills only rows appended BEFORE it: re-inserting the
+    same key afterwards is visible (the MVCC ordering contract)."""
+    t = SnapshotTable(spark, str(tmp_path / "re"), "id long, v string")
+    t.append(spark.createDataFrame([(1, "old")], "id long, v string"), batch_id=0)
+    t.delete(F.col("id") == 1, key_cols=["id"], batch_id=1)
+    t.append(spark.createDataFrame([(1, "new")], "id long, v string"), batch_id=2)
+    rows = t.read().collect()
+    assert [(r["id"], r["v"]) for r in rows] == [(1, "new")]
+
+
+def test_snapshot_vacuum_applies_tombstones_physically(spark, tmp_path):
+    """vacuum() rewrites the data with tombstones folded in: reads are
+    unchanged, the tombstone files are retired (no anti-join on the read
+    path afterwards), and compaction before vacuum preserves history."""
+    t = SnapshotTable(spark, str(tmp_path / "vac"), "id long, v string")
+    t.append(
+        spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), batch_id=0
+    )
+    t.append(spark.createDataFrame([(3, "c")], "id long, v string"), batch_id=1)
+    t.delete(F.col("id") == 2, key_cols=["id"], batch_id=2)
+    before = {tuple(r) for r in t.read().drop("snapshot_id").collect()}
+    # compact preserves the full insert history (CDF intact, delete applied on read)
+    t.compact()
+    assert {r["id"] for r in t.table_changes(-1, 1).collect()} == {1, 2, 3}
+    assert {tuple(r) for r in t.read().drop("snapshot_id").collect()} == before
+    t.vacuum()
+    assert {tuple(r) for r in t.read().drop("snapshot_id").collect()} == before
+    # tombstones retired: none left for the read path to apply
+    assert t._tombstones(t.max_snapshot_id()) == []
+    # physical rewrite dropped the deleted row from the data files too
+    assert {r["id"] for r in t.table_changes(-1, t.max_snapshot_id()).collect()} == {1, 3}
+
+
+def test_summary_delete_keys(spark, tmp_path):
+    st = SummaryTable(
+        spark, str(tmp_path / "sdel"), "user_id long, count_of_clicks long"
+    )
+    st.overwrite(
+        spark.createDataFrame(
+            [(1, 10), (2, 20), (3, 30)], "user_id long, count_of_clicks long"
+        ),
+        batch_id=0,
+    )
+    gone = spark.createDataFrame([(2,)], "user_id long")
+    assert st.delete_keys(gone, batch_id=1, keys=["user_id"])
+    # fenced retry
+    assert not st.delete_keys(gone, batch_id=1, keys=["user_id"])
+    assert {r["user_id"] for r in st.read().collect()} == {1, 3}

@@ -882,18 +882,29 @@ def pattern_streaming_ann_index(
 
     # -- probe the accumulated at-rest index ---------------------------
     anchor_rows = _load_anchors()
-    cells = index.read().select(
-        F.col("vec_id").alias("neighbor_id"),
-        F.col("cell_id"),
-        to_double_array(F.col("embedding")).alias("c_vec"),
-        l2_norm(F.col("embedding")).alias("c_norm"),
-    )
     probe = similarity.anchor_cell_udf(anchor_rows, n_probe=n_probe)
     qv = queries_df.select(
         F.col("vec_id").cast("long").alias("query_id"),
         to_double_array(F.col("embedding")).alias("q_vec"),
         l2_norm(F.col("embedding")).alias("q_norm"),
         F.explode(probe(F.col("embedding"))).alias("cell_id"),
+    )
+    # Materialize the probed cell set as a STATIC isin filter so the index
+    # scan is directory-pruned to those cells' partitions (PartitionFilters,
+    # plan-asserted in tests) instead of scanning every cell and joining.
+    # The collect is bounded by n_cells — index width, never corpus size.
+    probe_cells = [
+        r["cell_id"] for r in qv.select("cell_id").distinct().collect()
+    ]
+    cells = (
+        index.read()
+        .filter(F.col("cell_id").isin(probe_cells))
+        .select(
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("cell_id"),
+            to_double_array(F.col("embedding")).alias("c_vec"),
+            l2_norm(F.col("embedding")).alias("c_norm"),
+        )
     )
     scored = (
         cells.join(F.broadcast(qv), "cell_id")

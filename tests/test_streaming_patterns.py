@@ -933,3 +933,46 @@ def test_summary_delete_keys(spark, tmp_path):
     # fenced retry
     assert not st.delete_keys(gone, batch_id=1, keys=["user_id"])
     assert {r["user_id"] for r in st.read().collect()} == {1, 3}
+
+
+def test_streaming_ann_index_incremental_build_and_pruned_probe(spark, sf_small):
+    """The index accumulates one snapshot per micro-batch, the quantizer is
+    frozen from batch 0, and the probe's index scan is directory-pruned to
+    the probed cells (PartitionFilters on cell_id)."""
+    import contextlib
+    import io
+    import json
+
+    run = staging.new_run_dir("pann_t")
+    chunks = staging.stage_embedding_chunks(spark, sf_small, run, n_chunks=5)
+    queries_df = load_table(spark, sf_small, "embeddings").filter(
+        F.col("vec_id") < 5
+    )
+    out = patterns.pattern_streaming_ann_index(
+        spark, chunks, run, queries_df, k=10, n_cells=8, n_probe=3,
+        state_partitions=4,
+    )
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    seg = plan.split("PartitionFilters")[1].splitlines()[0]
+    assert "cell_id" in seg, f"probe scan not pruned on cell_id: {seg}"
+    rows = out.collect()
+    assert {r["query_id"] for r in rows} == {0, 1, 2, 3, 4}
+    assert all(1 <= r["rank"] <= 10 for r in rows)
+    # one index snapshot per micro-batch, all insert-kind
+    index = SnapshotTable(
+        spark,
+        os.path.join(run, "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+    )
+    snaps = index.snapshots()
+    assert len(snaps) == 5 and all(s["kind"] == "insert" for s in snaps)
+    # quantizer froze on batch 0: anchors persisted once, n_cells wide
+    with open(os.path.join(run, "anchors.json")) as f:
+        anchors = json.load(f)
+    assert len(anchors) == 8
+    # every corpus vector landed in exactly one cell across the snapshots
+    total = load_table(spark, sf_small, "embeddings").count()
+    assert index.read().count() == total

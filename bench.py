@@ -90,6 +90,8 @@ HEADLINE = [
     "sessionization_session_window",
     "pattern_streaming_corpus_dedup",
     "pattern_streaming_neardup_dedup",
+    "pattern_gdpr_delete_propagation",
+    "pattern_streaming_ann_index",
     "bonus_stateless_view_topk",
 ]
 

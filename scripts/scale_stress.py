@@ -67,6 +67,9 @@ HEAVY = [
     "text_remove_duplicated_spans",
     "pattern_streaming_neardup_dedup",
     "knn_ivf_ann",
+    # CDF-delete propagation + incremental ANN index maintenance
+    "pattern_gdpr_delete_propagation",
+    "pattern_streaming_ann_index",
 ]
 
 # rows_in attribution per query family (embedding-family rows were
@@ -80,6 +83,8 @@ ROWS_TABLE = {
     "dpp_pruned_daily_clicks": "events",
     "pattern_streaming_sessionization": "events",
     "pattern_stream_stream_join": "events",
+    "pattern_gdpr_delete_propagation": "events",
+    "pattern_streaming_ann_index": "embeddings",
 }
 
 TABLES = [

@@ -17,6 +17,8 @@ the full text. Exact verification only touches candidate pairs.
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -633,4 +635,80 @@ def fingerprint(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return df.select(
         F.col(id_col),
         F.md5(normalized_text(F.col(text_col))).alias("fingerprint"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter membership gate (Dolma-style): the KB-sized stand-in for a
+# broadcast gram set when the reference set has billions of entries.
+# --------------------------------------------------------------------------
+
+BLOOM_BITS = 1 << 18  # 262144 bits = 32 KB
+BLOOM_K = 3  # three disjoint 20-bit slices of the portable 60-bit hash
+
+
+def bloom_positions(col) -> "F.Column":
+    """The BLOOM_K bit positions for a gram: disjoint 20-bit slices of the
+    portable 60-bit md5 hash, reduced mod BLOOM_BITS — pure integer
+    arithmetic both engines reproduce exactly, so the bloom DECISION
+    (including its false positives) is oracle-checkable."""
+    h = portable_token_hash(col)
+    return F.array(
+        *[
+            F.pmod(F.shiftright(h, 20 * j), F.lit(BLOOM_BITS)).cast("long")
+            for j in range(BLOOM_K)
+        ]
+    )
+
+
+def bloom_build(grams: DataFrame, gram_col: str = "g") -> bytes:
+    """Build the bitset from a gram relation. The collect is the DISTINCT
+    bit-position set — bounded by min(BLOOM_K·|grams|, BLOOM_BITS), i.e. by
+    the filter's 32 KB capacity, never by corpus size."""
+    rows = (
+        grams.select(F.explode(bloom_positions(F.col(gram_col))).alias("p"))
+        .distinct()
+        .collect()
+    )
+    bits = np.zeros(BLOOM_BITS // 8, dtype=np.uint8)
+    for r in rows:
+        p = int(r["p"])
+        bits[p >> 3] |= 1 << (p & 7)
+    return bits.tobytes()
+
+
+def bloom_flag_docs(
+    docs_grams: DataFrame,
+    bitset: bytes,
+    id_col: str = "doc_id",
+    grams_col: str = "s",
+) -> DataFrame:
+    """Per doc: how many of its (distinct) grams the bloom filter claims
+    are members. Input carries the gram array; positions are computed
+    JVM-side (md5 + integer slices per gram), then an Arrow-batched UDF
+    tests them against the closure-broadcast 32 KB bitset — the corpus
+    never shuffles and the reference set never travels beyond the bitset.
+    Output: (id, n_grams, n_flagged, bloom_flagged)."""
+    bits = np.frombuffer(bitset, dtype=np.uint8)
+
+    @F.pandas_udf("long")
+    def n_hits(pos_lists: pd.Series) -> pd.Series:
+        out = []
+        for gram_positions in pos_lists:
+            n = 0
+            for ps in gram_positions:
+                if all(bits[int(p) >> 3] & (1 << (int(p) & 7)) for p in ps):
+                    n += 1
+            out.append(n)
+        return pd.Series(out, dtype="int64")
+
+    pos = F.transform(F.col(grams_col), lambda g: bloom_positions(g))
+    return (
+        docs_grams.withColumn("__pos", pos)
+        .select(
+            F.col(id_col),
+            F.size(grams_col).cast("long").alias("n_grams"),
+            n_hits(F.col("__pos")).alias("n_flagged"),
+        )
+        .withColumn("bloom_flagged", F.col("n_flagged") > 0)
     )

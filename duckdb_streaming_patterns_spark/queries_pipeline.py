@@ -537,6 +537,71 @@ def q_contamination_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+from duckdb_streaming_patterns_spark.operators import dedup as _dedup
+
+# The bloom decision replayed exactly: same 60-bit md5 hash, same three
+# 20-bit slices mod 2^18, same all-k-bits membership rule — so the oracle
+# checks the REAL bloom semantics, false positives included.
+_BLOOM_POS = (
+    f"(({_dedup.DUCKDB_HEX15.format(m='m')} >> (20 * j.j)) % {_dedup.BLOOM_BITS})"
+)
+_BLOOM_CONTAM_ORACLE = rf"""
+    WITH {DUCKDB_SHINGLE_SET_CTE},
+    bench_g AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 50),
+    bench_pos AS (
+      SELECT DISTINCT {_BLOOM_POS} AS p
+      FROM (SELECT md5(g) AS m FROM bench_g) CROSS JOIN range(0, 3) j(j)
+    ),
+    corpus AS (SELECT doc_id, unnest(s) AS g FROM sh WHERE doc_id >= 50),
+    cpos AS (
+      SELECT doc_id, g, j.j, {_BLOOM_POS} AS p
+      FROM (SELECT doc_id, g, md5(g) AS m FROM corpus)
+      CROSS JOIN range(0, 3) j(j)
+    ),
+    hits AS (
+      SELECT doc_id, g
+      FROM cpos JOIN bench_pos USING (p)
+      GROUP BY doc_id, g
+      HAVING count(DISTINCT j) = 3
+    ),
+    flagged AS (SELECT doc_id, count(*) AS n_flagged FROM hits GROUP BY doc_id)
+    SELECT c.doc_id,
+           CAST(len(c.s) AS BIGINT) AS n_grams,
+           CAST(COALESCE(f.n_flagged, 0) AS BIGINT) AS n_flagged,
+           COALESCE(f.n_flagged, 0) > 0 AS bloom_flagged
+    FROM (SELECT doc_id, s FROM sh WHERE doc_id >= 50) c
+    LEFT JOIN flagged f ON c.doc_id = f.doc_id
+"""
+
+
+@register("contamination_bloom_flags", _BLOOM_CONTAM_ORACLE)
+def q_contamination_bloom_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter decontamination gate (the Dolma-scale shape): the
+    benchmark's shingle set is folded into a 32 KB bitset (three 20-bit
+    md5-slice positions per gram) and every corpus doc's shingles are
+    tested against it in one Arrow-batched pass — no join, no shuffle of
+    the corpus, and the reference set costs 32 KB however many grams it
+    holds (vs the exact check's broadcast of the full gram set). Flagged
+    docs then go to `contamination_ngram_overlap` for exact verification.
+    The oracle replays the identical bit arithmetic, so the gate's
+    decision — false positives included — is hash-checked."""
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+
+    docs = _t(spark, sf_dir, "documents")
+    sh = docs.select("doc_id", shingles(F.col("text")).alias("s")).filter(
+        F.size("s") >= 1
+    )
+    bench_g = (
+        sh.filter(F.col("doc_id") < 50)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    bitset = _dedup.bloom_build(bench_g, "g")
+    return _dedup.bloom_flag_docs(
+        sh.filter(F.col("doc_id") >= 50), bitset, "doc_id", "s"
+    )
+
+
 _MIX_BUDGET = 2000  # tokens per source
 
 _MIX_BUDGET_ORACLE = rf"""

@@ -221,3 +221,25 @@ def test_quality_classifier_boundary_margin(spark, sf_oracle):
     assert min(abs(x) for x in logits) > 1e-6
     kept = sum(1 for r in rows if r["keep"])
     assert 0 < kept < len(rows)
+
+
+def test_bloom_gate_has_no_false_negatives(spark, sf_oracle):
+    """The Bloom guarantee: every doc the EXACT n-gram check finds
+    contaminated must be bloom-flagged, and the bloom's per-doc hit count
+    bounds the exact shared-gram count from above (false positives
+    allowed, false negatives never)."""
+    bloom_fn, _ = QUERIES["contamination_bloom_flags"]
+    exact_fn, _ = QUERIES["contamination_ngram_overlap"]
+    bloom = {
+        r["doc_id"]: (r["n_flagged"], r["bloom_flagged"])
+        for r in bloom_fn(spark, sf_oracle).collect()
+    }
+    exact = {
+        r["doc_id"]: r["n_shared_ngrams"]
+        for r in exact_fn(spark, sf_oracle).collect()
+    }
+    assert exact, "exact check found nothing — fixture assumption broken"
+    for doc_id, n_shared in exact.items():
+        n_flagged, flagged = bloom[doc_id]
+        assert flagged, f"false negative: doc {doc_id} shares {n_shared} grams"
+        assert n_flagged >= n_shared

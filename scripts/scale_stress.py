@@ -19,6 +19,9 @@ Scaling is designed so the WORK grows linearly (the honest test):
   key count scales, which is how a bigger corpus actually behaves.
 
 Run:  python scripts/scale_stress.py [factors...]   (default: 1 3 10)
+      SPARK_GRAFT_STRESS_ONLY=q1,q2 limits the run to named queries
+      (incremental refresh after adding an operator — the full table is
+      re-measured when the timing method or corpus synthesis changes).
 """
 
 from __future__ import annotations
@@ -202,7 +205,9 @@ def main() -> None:
             t: spark.read.parquet(os.path.join(d, f"{t}.parquet")).count()
             for t in ("documents", "events", "embeddings", "orders")
         }
-        for name in HEAVY:
+        only = os.environ.get("SPARK_GRAFT_STRESS_ONLY")
+        selected = only.split(",") if only else HEAVY
+        for name in selected:
             t0 = time.perf_counter()
             if name == "semdedup_prune":
                 # scale the quantizer with the corpus (cell size constant)

@@ -78,6 +78,7 @@ HEADLINE = [
     "bucketed_join_revenue",
     "partition_pruned_daily_clicks",
     "dpp_pruned_daily_clicks",
+    "zorder_boxed_clicks",
     "cdf_table_changes",
     "asof_join_last_click",
     "range_join_price_bands",
@@ -178,6 +179,9 @@ def main() -> None:
     t0 = time.perf_counter()
     layout.partitioned_events(spark, sf_dir)
     layout_setup["partitioned_events"] = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    layout.zordered_events(spark, sf_dir)
+    layout_setup["zordered_events"] = round(time.perf_counter() - t0, 4)
     # the CDF query's snapshot table is also a one-time layout (memoized) —
     # build it here so the timed query measures the pruned read, not
     # table construction

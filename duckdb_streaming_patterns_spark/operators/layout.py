@@ -187,3 +187,137 @@ def dpp_daily_clicks(
             F.col("event_date").cast("string").alias("event_date"), "n_clicks"
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Z-order clustering + footer-stats data skipping: pruning BEYOND the
+# partition directory level. Partitioning handles ONE coarse dimension;
+# multi-dimensional boxes (user × day) need the other lakehouse lever:
+# cluster rows along a space-filling curve so every file covers a compact
+# region of BOTH dimensions, then skip files whose footer min/max don't
+# intersect the query box — exactly what Delta's OPTIMIZE ZORDER BY +
+# data-skipping stats do, built here from plain parquet metadata.
+# --------------------------------------------------------------------------
+
+_ZORDER: dict[tuple, tuple[str, object]] = {}
+_Z_BITS = 16
+
+
+def _zvalue(a, b):
+    """Interleave the low 16 bits of two non-negative int columns (Morton
+    code) — JVM-side bit arithmetic, no UDF."""
+    z = F.lit(0).cast("long")
+    for i in range(_Z_BITS):
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(a, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(b, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def zordered_events(
+    spark: SparkSession, sf_dir: str, n_files: int = 8
+):
+    """Write `events` clustered by the Morton code of (user_id, day)
+    (memoized); returns (path, min_day).
+
+    repartitionByRange on z + sortWithinPartitions(z) gives each file a
+    compact z-interval, hence tight per-file min/max on BOTH user_id and
+    event_date — the write-side half of data skipping. At 100 TB this is
+    the layout for fact tables queried by more than one dimension; the
+    one-time clustering shuffle buys every subsequent boxed scan."""
+    key = (sf_dir, "zorder", n_files)
+    cached = _ZORDER.get(key)
+    if cached and os.path.isdir(cached[0]):
+        return cached
+    path = os.path.join(LAYOUT_ROOT, _tag(sf_dir), f"events_z{n_files}")
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "event_date", F.col("ts").cast("date")
+    )
+    min_day = ev.agg(F.min("event_date")).first()[0]
+    z = _zvalue(
+        F.col("user_id").cast("long"),
+        F.datediff(F.col("event_date"), F.lit(min_day)).cast("long"),
+    )
+    (
+        ev.withColumn("z", z)
+        .repartitionByRange(n_files, "z")
+        .sortWithinPartitions("z")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    _ZORDER[key] = (path, min_day)
+    return path, min_day
+
+
+def zorder_candidate_files(
+    path: str, u_lo: int, u_hi: int, d_lo, d_hi
+) -> tuple[list[str], int]:
+    """Footer-stats skipping: keep only files whose (user_id, event_date)
+    min/max envelopes intersect the query box. Driver-side metadata reads,
+    O(files) — the plain-parquet analogue of Delta's per-file stats in the
+    transaction log; at 100 TB these stats live in a manifest, same
+    decision. Returns (kept files, total files)."""
+    import glob as _glob
+
+    import pyarrow.parquet as pq
+
+    all_files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+    kept = []
+    for f in all_files:
+        md = pq.ParquetFile(f).metadata
+        idx = {
+            md.schema.column(i).name: i for i in range(md.num_columns)
+        }
+        u_min = d_min = None
+        for rg in range(md.num_row_groups):
+            us = md.row_group(rg).column(idx["user_id"]).statistics
+            ds = md.row_group(rg).column(idx["event_date"]).statistics
+            if us is None or ds is None:
+                u_min = None
+                break  # no stats: cannot skip this file
+            u_min = us.min if u_min is None else min(u_min, us.min)
+            u_max = us.max if rg == 0 else max(u_max, us.max)
+            d_min = ds.min if d_min is None else min(d_min, ds.min)
+            d_max = ds.max if rg == 0 else max(d_max, ds.max)
+        if u_min is None:
+            kept.append(f)
+            continue
+        if u_max < u_lo or u_min > u_hi or d_max < d_lo or d_min > d_hi:
+            continue  # envelope disjoint from the box: skip the file
+        kept.append(f)
+    return kept, len(all_files)
+
+
+def zorder_boxed_clicks(
+    spark: SparkSession,
+    sf_dir: str,
+    u_lo: int,
+    u_hi: int,
+    day_off_lo: int,
+    day_off_hi: int,
+) -> DataFrame:
+    """Clicks per user inside a (user range × day range) box, reading ONLY
+    the z-ordered files whose footer stats intersect the box. The exact
+    predicate still applies after the skip (stats prune files, they don't
+    answer queries), so the result is independent of the layout — which is
+    what the DuckDB oracle checks."""
+    path, min_day = zordered_events(spark, sf_dir)
+    import datetime as _dt
+
+    d_lo = min_day + _dt.timedelta(days=day_off_lo)
+    d_hi = min_day + _dt.timedelta(days=day_off_hi)
+    files, _total = zorder_candidate_files(path, u_lo, u_hi, d_lo, d_hi)
+    ev = spark.read.parquet(*files) if files else spark.read.parquet(path)
+    return (
+        ev.filter(
+            (F.col("user_id") >= u_lo)
+            & (F.col("user_id") <= u_hi)
+            & (F.col("event_date") >= F.lit(d_lo))
+            & (F.col("event_date") <= F.lit(d_hi))
+            & (F.col("event_type") == "click")
+        )
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )

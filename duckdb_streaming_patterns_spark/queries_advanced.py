@@ -530,6 +530,31 @@ def q_partition_pruned_daily_clicks(spark: SparkSession, sf_dir: str) -> DataFra
 
 
 @register(
+    "zorder_boxed_clicks",
+    """
+    SELECT user_id, count(*) AS n_clicks
+    FROM events
+    WHERE event_type = 'click'
+      AND user_id BETWEEN 3 AND 7
+      AND CAST(ts AS DATE) BETWEEN DATE '2024-01-06' AND DATE '2024-01-10'
+    GROUP BY user_id
+    """,
+)
+def q_zorder_boxed_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-dimensional data skipping: clicks inside a (user × day) box,
+    read from the Morton-z-clustered layout (operators/layout.py) with
+    files skipped by parquet footer min/max stats — pruning a partition
+    directory can't express (the box constrains TWO dimensions). The skip
+    is stats-only; the exact predicate still applies, so the oracle over
+    raw parquet checks layout-invisibility while
+    tests/test_plans.py pins that files were actually skipped."""
+    from duckdb_streaming_patterns_spark.operators import layout
+
+    # day offsets 5..9 = 2024-01-06..2024-01-10 (fixture epoch 2024-01-01)
+    return layout.zorder_boxed_clicks(spark, sf_dir, 3, 7, 5, 9)
+
+
+@register(
     "sessionization_session_window",
     f"""
     WITH flagged AS (

@@ -334,3 +334,37 @@ def test_span_removal_text_never_crosses_exchange(spark, sf_small):
         inputs = [l for l in b.splitlines() if l.startswith("Input")]
         for l in inputs:
             assert "text#" not in l, f"text crosses an Exchange: {l}"
+
+
+def test_zorder_footer_stats_skip_files_and_layout_invisible(spark, sf_small):
+    """The Morton-clustered layout must let footer min/max stats skip a
+    strict subset of files for the 2-D box, and the skipped read must
+    return exactly what a full scan returns (stats prune, never answer)."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.operators import layout
+
+    path, min_day = layout.zordered_events(spark, sf_small)
+    d_lo = min_day + dt.timedelta(days=5)
+    d_hi = min_day + dt.timedelta(days=9)
+    kept, total = layout.zorder_candidate_files(path, 3, 7, d_lo, d_hi)
+    assert 0 < len(kept) < total, f"no skipping happened: {len(kept)}/{total}"
+    skipped_result = {
+        (r["user_id"], r["n_clicks"])
+        for r in layout.zorder_boxed_clicks(spark, sf_small, 3, 7, 5, 9).collect()
+    }
+    full = (
+        spark.read.parquet(path)
+        .filter(
+            (F.col("user_id") >= 3)
+            & (F.col("user_id") <= 7)
+            & (F.col("event_date") >= F.lit(d_lo))
+            & (F.col("event_date") <= F.lit(d_hi))
+            & (F.col("event_type") == "click")
+        )
+        .groupBy("user_id")
+        .count()
+    )
+    assert skipped_result == {(r["user_id"], r["count"]) for r in full.collect()}

@@ -70,7 +70,12 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #   event_type_counts (single-key grouped count — the A1/A5 shape
 #     user_clicks and distinct_users_per_type already pin) →
 #     pattern_streaming_ann_index, incremental IVF index maintenance:
-#     streaming-built cell-partitioned index ≡ batch IVF, hash-exact.
+#     streaming-built cell-partitioned index ≡ batch IVF, hash-exact;
+#   text_quality_scores (its full feature CTE is embedded verbatim inside
+#     the ingest funnel's oracle, so the features stay driver-verified) →
+#     pattern_streaming_ingest_funnel, the composed three-tier ingest
+#     pipeline (dedup → quality gate → Bloom decontamination) proven
+#     streaming ≡ batch in one hash row.
 # Second round-3 rotation — four redundant slots swapped for this round's
 # four new hash-exact families (every displaced query stays exact-checked
 # by the local oracle suite):
@@ -128,7 +133,7 @@ _PRIORITY = [
     "multimodal_decode_features",
     # text analysis (§2.11)
     "text_unigram_surprisal",
-    "text_quality_scores",
+    "pattern_streaming_ingest_funnel",
     "text_language_id",
     # corpus pipeline (§2.11)
     "pack_token_bins",

@@ -93,6 +93,7 @@ HEADLINE = [
     "pattern_streaming_neardup_dedup",
     "pattern_gdpr_delete_propagation",
     "pattern_streaming_ann_index",
+    "pattern_streaming_ingest_funnel",
     "bonus_stateless_view_topk",
 ]
 

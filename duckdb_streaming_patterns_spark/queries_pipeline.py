@@ -841,6 +841,19 @@ _QC_LOGIT_SQL = (
 )
 
 
+def qc_logit(qs: DataFrame):
+    """The fixed-weight logistic gate's logit as a Column over the
+    quality_scores projection — shared by the batch classifier query and
+    the streaming ingest funnel so both score identically."""
+    return (
+        F.lit(_QC_W["bias"])
+        + F.lit(_QC_W["n_chars"]) * F.col("n_chars")
+        + F.lit(_QC_W["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(_QC_W["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(_QC_W["upper_ratio"]) * F.col("upper_ratio")
+    )
+
+
 @register("quality_classifier_scores", None)  # oracle assembled below
 def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Model-based quality gate: a fixed-weight logistic classifier over
@@ -858,13 +871,7 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     qs = textstats.quality_scores(
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     )
-    logit = (
-        F.lit(_QC_W["bias"])
-        + F.lit(_QC_W["n_chars"]) * F.col("n_chars")
-        + F.lit(_QC_W["stopword_ratio"]) * F.col("stopword_ratio")
-        + F.lit(_QC_W["punct_ratio"]) * F.col("punct_ratio")
-        + F.lit(_QC_W["upper_ratio"]) * F.col("upper_ratio")
-    )
+    logit = qc_logit(qs)
     return qs.select(
         "doc_id",
         F.round(logit, 6).alias("quality_logit"),

@@ -382,6 +382,86 @@ _NEARDUP_STREAM_ORACLE = rf"""
 from duckdb_streaming_patterns_spark.queries_sim import (  # noqa: E402
     ivf_oracle_sql,
 )
+from duckdb_streaming_patterns_spark.queries import QUERIES as _Q  # noqa: E402
+from duckdb_streaming_patterns_spark.queries_pipeline import (  # noqa: E402
+    _BLOOM_POS,
+    _QC_LOGIT_SQL,
+)
+
+# The three-tier ingest funnel replayed in one SQL statement: global
+# first-occurrence dedup (md5 window), the logistic quality gate over the
+# quality-scores CTE, and the Bloom contamination gate's exact bit
+# arithmetic over ALL docs vs the doc_id<50 benchmark.
+_FUNNEL_ORACLE = rf"""
+    WITH {DUCKDB_SHINGLE_SET_CTE},
+    qs AS ({{quality_sql}}),
+    firsts AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents
+    ),
+    bench_g AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 50),
+    bench_pos AS (
+      SELECT DISTINCT {_BLOOM_POS} AS p
+      FROM (SELECT md5(g) AS m FROM bench_g) CROSS JOIN range(0, 3) j(j)
+    ),
+    corpus AS (SELECT doc_id, unnest(s) AS g FROM sh),
+    cpos AS (
+      SELECT doc_id, g, j.j, {_BLOOM_POS} AS p
+      FROM (SELECT doc_id, g, md5(g) AS m FROM corpus)
+      CROSS JOIN range(0, 3) j(j)
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, g
+        FROM cpos JOIN bench_pos USING (p)
+        GROUP BY doc_id, g
+        HAVING count(DISTINCT j) = 3
+      )
+    )
+    SELECT f.doc_id, f.canonical_id,
+           ROUND({_QC_LOGIT_SQL}, 6) AS quality_logit,
+           (h.doc_id IS NOT NULL) AS bloom_flagged,
+           CASE WHEN f.doc_id <> f.canonical_id THEN 'drop_duplicate'
+                WHEN {_QC_LOGIT_SQL} < 0 THEN 'drop_quality'
+                WHEN h.doc_id IS NOT NULL THEN 'flag_contaminated'
+                ELSE 'keep' END AS verdict
+    FROM firsts f
+    JOIN qs ON f.doc_id = qs.doc_id
+    LEFT JOIN hits h ON f.doc_id = h.doc_id
+"""
+
+
+@register(
+    "pattern_streaming_ingest_funnel",
+    _FUNNEL_ORACLE.format(quality_sql=_Q["text_quality_scores"][1]),
+)
+def q_pattern_streaming_ingest_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The composed production ingest funnel as one streaming pattern:
+    per arriving doc — exact dedup vs accumulated corpus state, logistic
+    quality gate, Bloom contamination gate vs the static benchmark —
+    with the verdict priority drop_duplicate > drop_quality >
+    flag_contaminated > keep. Oracle = the batch replay of all three
+    tiers in one SQL statement; the driver gate therefore proves the
+    whole funnel streaming ≡ batch, not just each tier alone. See
+    streaming/patterns.pattern_streaming_ingest_funnel."""
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    run = staging.new_run_dir("pfunnel")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    docs = load_table(spark, sf_dir, "documents")
+    bench_g = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(F.explode(shingles(F.col("text"))).alias("g"))
+        .distinct()
+    )
+    bitset = dedup_ops.bloom_build(bench_g, "g")
+    return patterns.pattern_streaming_ingest_funnel(
+        spark, chunks, run, bitset, state_partitions=4
+    )
 
 # The streaming index trains its quantizer on micro-batch 0 — the first
 # ceil(n/5) vec_ids (stage_embedding_chunks' arithmetic) — so the oracle

@@ -1028,11 +1028,7 @@ def pattern_streaming_ingest_funnel(
     the seen-hash UpsertLog, compacted in-loop every ``compact_every``
     batches; retries are idempotent via the same before_batch-scoped
     reads as pattern_corpus_ingest_dedup."""
-    from duckdb_streaming_patterns_spark.functions.text import shingles
-    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
-    from duckdb_streaming_patterns_spark.operators import textstats
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
-    from duckdb_streaming_patterns_spark.queries_pipeline import qc_logit
 
     seen_log = UpsertLog(spark, os.path.join(run_dir, "seen"), keys=["__h"])
     verdict_log = UpsertLog(
@@ -1040,67 +1036,10 @@ def pattern_streaming_ingest_funnel(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        import glob as _glob
-
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             seen_log.compact(before_batch=batch_id)
             verdict_log.compact(before_batch=batch_id)
-        b = batch.withColumn("__h", F.md5(F.col("text"))).select(
-            "doc_id", "__h"
-        )
-        firsts = b.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
-        have_state = any(
-            int(d.rsplit("=", 1)[1]) < batch_id
-            for d in _glob.glob(os.path.join(seen_log.root, "__batch_id=*"))
-        )
-        if have_state:
-            seen = seen_log.read_latest(before_batch=batch_id)
-            new_firsts = firsts.join(seen.select("__h"), "__h", "left_anti")
-            canon = seen.unionByName(new_firsts)
-        else:
-            new_firsts = firsts
-            canon = firsts
-        dd = b.join(canon, "__h").select("doc_id", "canonical_id")
-        qs = textstats.quality_scores(batch, "doc_id", "text")
-        logit = qc_logit(qs)
-        quality = qs.select(
-            "doc_id",
-            F.round(logit, 6).alias("quality_logit"),
-            (logit >= 0).alias("__q_keep"),
-        )
-        sh = batch.select("doc_id", shingles(F.col("text")).alias("s")).filter(
-            F.size("s") >= 1
-        )
-        bloomed = dedup_ops.bloom_flag_docs(sh, bench_bitset).select(
-            "doc_id", "bloom_flagged"
-        )
-        verdicts = (
-            dd.join(quality, "doc_id")
-            .join(bloomed, "doc_id", "left")
-            .withColumn(
-                "bloom_flagged", F.coalesce("bloom_flagged", F.lit(False))
-            )
-            .withColumn(
-                "verdict",
-                F.when(
-                    F.col("doc_id") != F.col("canonical_id"),
-                    "drop_duplicate",
-                )
-                .when(~F.col("__q_keep"), "drop_quality")
-                .when(F.col("bloom_flagged"), "flag_contaminated")
-                .otherwise("keep"),
-            )
-            .select(
-                "doc_id",
-                "canonical_id",
-                "quality_logit",
-                "bloom_flagged",
-                "verdict",
-            )
-            .localCheckpoint(eager=True)
-        )
-        seen_log.append(new_firsts, batch_id)
-        verdict_log.append(verdicts, batch_id)
+        ingest_funnel_batch(seen_log, verdict_log, bench_bitset, batch, batch_id)
 
     with _state_partitions(spark, state_partitions):
         q = (
@@ -1277,6 +1216,72 @@ def neardup_dedup_batch(
     seen_log.append(new_firsts, batch_id)
     bands_log.append(batch_bands, batch_id)
     docs_log.append(batch.select("doc_id", "text"), batch_id)
+    verdict_log.append(verdicts, batch_id)
+
+
+def ingest_funnel_batch(
+    seen_log, verdict_log, bench_bitset: bytes, batch: DataFrame, batch_id: int
+) -> None:
+    """One micro-batch of the composed ingest funnel — module-level so the
+    retry-idempotence test can re-deliver a batch exactly like a crashed
+    foreachBatch would. Same before_batch-scoped state read as
+    corpus_dedup_batch; quality and bloom tiers are stateless per doc, so
+    a retry recomputes them bit-identically."""
+    import glob as _glob
+
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
+    from duckdb_streaming_patterns_spark.operators import textstats
+    from duckdb_streaming_patterns_spark.queries_pipeline import qc_logit
+
+    b = batch.withColumn("__h", F.md5(F.col("text"))).select("doc_id", "__h")
+    firsts = b.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
+    have_state = any(
+        int(d.rsplit("=", 1)[1]) < batch_id
+        for d in _glob.glob(os.path.join(seen_log.root, "__batch_id=*"))
+    )
+    if have_state:
+        seen = seen_log.read_latest(before_batch=batch_id)
+        new_firsts = firsts.join(seen.select("__h"), "__h", "left_anti")
+        canon = seen.unionByName(new_firsts)
+    else:
+        new_firsts = firsts
+        canon = firsts
+    dd = b.join(canon, "__h").select("doc_id", "canonical_id")
+    qs = textstats.quality_scores(batch, "doc_id", "text")
+    logit = qc_logit(qs)
+    quality = qs.select(
+        "doc_id",
+        F.round(logit, 6).alias("quality_logit"),
+        (logit >= 0).alias("__q_keep"),
+    )
+    sh = batch.select("doc_id", shingles(F.col("text")).alias("s")).filter(
+        F.size("s") >= 1
+    )
+    bloomed = dedup_ops.bloom_flag_docs(sh, bench_bitset).select(
+        "doc_id", "bloom_flagged"
+    )
+    verdicts = (
+        dd.join(quality, "doc_id")
+        .join(bloomed, "doc_id", "left")
+        .withColumn("bloom_flagged", F.coalesce("bloom_flagged", F.lit(False)))
+        .withColumn(
+            "verdict",
+            F.when(F.col("doc_id") != F.col("canonical_id"), "drop_duplicate")
+            .when(~F.col("__q_keep"), "drop_quality")
+            .when(F.col("bloom_flagged"), "flag_contaminated")
+            .otherwise("keep"),
+        )
+        .select(
+            "doc_id",
+            "canonical_id",
+            "quality_logit",
+            "bloom_flagged",
+            "verdict",
+        )
+        .localCheckpoint(eager=True)
+    )
+    seen_log.append(new_firsts, batch_id)
     verdict_log.append(verdicts, batch_id)
 
 

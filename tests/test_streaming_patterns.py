@@ -976,3 +976,69 @@ def test_streaming_ann_index_incremental_build_and_pruned_probe(spark, sf_small)
     # every corpus vector landed in exactly one cell across the snapshots
     total = load_table(spark, sf_small, "embeddings").count()
     assert index.read().count() == total
+
+
+def test_ingest_funnel_batch_retry_is_idempotent(spark, tmp_path):
+    """The funnel inherits corpus dedup's crash contract: a re-delivered
+    batch resolves against the pre-batch seen state and rewrites its own
+    dirs bit-identically, across both crash windows (before/after the
+    seen append). Quality and bloom tiers are stateless, so the composed
+    verdicts must also be identical."""
+    from duckdb_streaming_patterns_spark.operators.dedup import bloom_build
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        ingest_funnel_batch,
+    )
+
+    texts = {
+        0: "alpha beta gamma delta",
+        1: "one two three four five",
+        2: "alpha beta gamma delta",  # exact dup of 0
+        3: "one two three four five",  # exact dup of 1
+        4: "zeta eta theta iota kappa",
+    }
+
+    def mk(ids):
+        return spark.createDataFrame(
+            [(i, texts[i]) for i in ids], "doc_id long, text string"
+        )
+
+    bench = spark.createDataFrame(
+        [("alpha beta gamma",), ("beta gamma delta",)], "g string"
+    )
+    bitset = bloom_build(bench, "g")
+
+    def snapshot(log):
+        return {
+            tuple(sorted(r.asDict().items()))
+            for r in spark.read.parquet(log.root).collect()
+        }
+
+    for crash_after_seen_append in (False, True):
+        root = os.path.join(
+            str(tmp_path), f"funnel_retry_{int(crash_after_seen_append)}"
+        )
+        seen = UpsertLog(spark, os.path.join(root, "seen"), keys=["__h"])
+        verd = UpsertLog(spark, os.path.join(root, "verdicts"), keys=["doc_id"])
+        ingest_funnel_batch(seen, verd, bitset, mk([0, 1]), 0)
+        ingest_funnel_batch(seen, verd, bitset, mk([2, 3]), 1)
+        if crash_after_seen_append:
+            import shutil
+
+            shutil.rmtree(os.path.join(verd.root, "__batch_id=1"))
+        pre_seen = snapshot(seen)
+        ingest_funnel_batch(seen, verd, bitset, mk([2, 3]), 1)
+        assert snapshot(seen) == pre_seen, "retry altered the seen log"
+        ingest_funnel_batch(seen, verd, bitset, mk([4]), 2)
+        got = {
+            r["doc_id"]: (r["canonical_id"], r["verdict"], r["bloom_flagged"])
+            for r in verd.read_latest().collect()
+        }
+        # doc 0 contains bench gram 'alpha beta gamma' -> contaminated;
+        # 2/3 are dups of earlier arrivals regardless of other tiers;
+        # short docs all fail the length-dominated quality gate? No —
+        # assert only the invariants that are fixture-independent here.
+        assert got[2][0] == 0 and got[2][1] == "drop_duplicate"
+        assert got[3][0] == 1 and got[3][1] == "drop_duplicate"
+        assert got[0][0] == 0 and got[0][2] is True  # bench gram present
+        assert got[4][1] != "drop_duplicate"

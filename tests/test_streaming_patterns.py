@@ -1042,3 +1042,30 @@ def test_ingest_funnel_batch_retry_is_idempotent(spark, tmp_path):
         assert got[3][0] == 1 and got[3][1] == "drop_duplicate"
         assert got[0][0] == 0 and got[0][2] is True  # bench gram present
         assert got[4][1] != "drop_duplicate"
+
+
+def test_running_totals_tws_matches_batch_or_skips(spark, sf_small):
+    """Spark 4 transformWithStateInPandas formulation of the reference's
+    running aggregation. The TWS runtime needs protobuf for its state
+    protocol; without it the operator raises a clear ImportError and the
+    test skips — on a protobuf-equipped environment it must match the
+    same batch ground truth as pattern_1_1."""
+    import pytest
+
+    from duckdb_streaming_patterns_spark.operators.summary import user_clicks
+
+    run = staging.new_run_dir("ptws_t")
+    chunks = staging.stage_event_chunks(spark, sf_small, run, n_chunks=5)
+    try:
+        got = patterns.pattern_running_totals_tws(
+            spark, chunks, run, state_partitions=4
+        ).collect()
+    except ImportError as e:
+        pytest.skip(f"TWS unavailable in this environment: {e}")
+    expected = {
+        (r["user_id"], r["count_of_clicks"], r["updated_at"])
+        for r in user_clicks(load_table(spark, sf_small, "events")).collect()
+    }
+    assert {
+        (r["user_id"], r["count_of_clicks"], r["updated_at"]) for r in got
+    } == expected

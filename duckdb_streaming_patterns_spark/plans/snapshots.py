@@ -55,10 +55,21 @@ from pyspark.sql import functions as F
 class SnapshotTable:
     """Append-only, snapshot-stamped, hive-partitioned parquet table."""
 
-    def __init__(self, spark: SparkSession, root: str, schema_ddl: str):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        schema_ddl: str,
+        partition_cols: list[str] | None = None,
+    ):
+        """``partition_cols`` sub-partitions every snapshot by payload
+        columns (``snapshot_id=N/col=V/...``) — a table-level property so
+        maintenance (compact/vacuum) preserves the layout the readers'
+        pruning depends on."""
         self.spark = spark
         self.root = root
         self.schema_ddl = schema_ddl
+        self.partition_cols = list(partition_cols or [])
         self.ledger_dir = os.path.join(root, "_snapshots")
         self.tombstone_dir = os.path.join(root, "_tombstones")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -128,9 +139,10 @@ class SnapshotTable:
         staged = os.path.join(staging_root, f"{sid:09d}.{uuid.uuid4().hex[:8]}")
         # snapshot_id is carried by the hive partition directory name, so the
         # staged files hold only the payload columns.
+        cols = partition_by if partition_by is not None else self.partition_cols
         writer = df.write.mode("overwrite")
-        if partition_by:
-            writer = writer.partitionBy(*partition_by)
+        if cols:
+            writer = writer.partitionBy(*cols)
         writer.parquet(staged)
         # Row count from the freshly written footers (driver-side, metadata
         # only) — no second computation of the batch.
@@ -333,7 +345,7 @@ class SnapshotTable:
             self.table_changes(-1, self.max_snapshot_id())
             .coalesce(target_files)
             .write.mode("overwrite")
-            .partitionBy("snapshot_id")
+            .partitionBy("snapshot_id", *self.partition_cols)
             .parquet(new_dir)
         )
         new_ptr = {"generation": new_gen, "data": new_name, "prev_data": ptr["data"]}
@@ -367,7 +379,7 @@ class SnapshotTable:
             self._read_visible(high)
             .coalesce(target_files)
             .write.mode("overwrite")
-            .partitionBy("snapshot_id")
+            .partitionBy("snapshot_id", *self.partition_cols)
             .parquet(new_dir)
         )
         new_ptr = {"generation": new_gen, "data": new_name, "prev_data": ptr["data"]}

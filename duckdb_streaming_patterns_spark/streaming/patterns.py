@@ -967,6 +967,7 @@ def pattern_streaming_ann_index(
         spark,
         os.path.join(run_dir, "ivf_index"),
         "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
     )
     anchors_path = os.path.join(run_dir, "anchors.json")
 
@@ -1001,7 +1002,7 @@ def pattern_streaming_ann_index(
                 1,
             ).alias("cell_id"),
         )
-        index.append(assigned, batch_id=batch_id, partition_by=["cell_id"])
+        index.append(assigned, batch_id=batch_id)
 
     with _state_partitions(spark, state_partitions):
         q = (

@@ -1069,3 +1069,37 @@ def test_running_totals_tws_matches_batch_or_skips(spark, sf_small):
     assert {
         (r["user_id"], r["count_of_clicks"], r["updated_at"]) for r in got
     } == expected
+
+
+def test_snapshot_compact_preserves_partition_cols(spark, tmp_path):
+    """Maintenance must not destroy the sub-partition layout readers'
+    pruning depends on: after compact() of a cell-partitioned table, the
+    cell directories still exist inside each snapshot partition and the
+    data round-trips."""
+    import glob as _glob
+
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "cellsnap"),
+        "id long, cell_id long, v string",
+        partition_cols=["cell_id"],
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, 0, "a"), (2, 1, "b"), (3, 0, "c")],
+            "id long, cell_id long, v string",
+        ),
+        batch_id=0,
+    )
+    t.append(
+        spark.createDataFrame([(4, 1, "d")], "id long, cell_id long, v string"),
+        batch_id=1,
+    )
+    before = {tuple(sorted(r.asDict().items())) for r in t.read().collect()}
+    t.compact()
+    after = {tuple(sorted(r.asDict().items())) for r in t.read().collect()}
+    assert before == after
+    cell_dirs = _glob.glob(
+        os.path.join(t.data_dir, "snapshot_id=*", "cell_id=*")
+    )
+    assert cell_dirs, "compaction flattened the cell sub-partitions"

@@ -712,3 +712,11 @@ def bloom_flag_docs(
         )
         .withColumn("bloom_flagged", F.col("n_flagged") > 0)
     )
+
+
+# DuckDB fragment for one gram's j-th bloom bit position ({m} = a column
+# holding md5(gram); j from a range(0, BLOOM_K) lateral named j) — kept
+# beside the Spark arithmetic it must replay bit for bit.
+DUCKDB_BLOOM_POS = (
+    f"(({DUCKDB_HEX15.format(m='m')} >> (20 * j.j)) % {BLOOM_BITS})"
+)

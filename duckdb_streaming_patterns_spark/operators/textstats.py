@@ -413,3 +413,40 @@ def duplicated_spans(
             ),
         )
     )
+
+
+# Fixed logistic-classifier weights over the quality_scores features —
+# the fastText-style model-based quality gate, with the model reduced to
+# literal weights so scoring is a pure column expression (the production
+# shape: weights broadcast, scoring scan-side, no Python). keep is decided
+# on the LOGIT's sign (threshold 0.5 on the sigmoid) so the decision needs
+# no transcendental function — bit-portable across engines. Lives here (a
+# leaf module) so the batch classifier query, the streaming ingest funnel,
+# and their oracles can all import it without touching the query registry.
+QC_WEIGHTS = {
+    "bias": -1.2,
+    "n_chars": 0.004,       # longer docs score higher (per char)
+    "stopword_ratio": 12.0,  # natural-language signal
+    "punct_ratio": -2.0,     # symbol soup penalized
+    "upper_ratio": -1.5,     # shouting penalized
+}
+
+QC_LOGIT_SQL = (
+    f"({QC_WEIGHTS['bias']} + {QC_WEIGHTS['n_chars']} * n_chars"
+    f" + {QC_WEIGHTS['stopword_ratio']} * stopword_ratio"
+    f" + {QC_WEIGHTS['punct_ratio']} * punct_ratio"
+    f" + {QC_WEIGHTS['upper_ratio']} * upper_ratio)"
+)
+
+
+def qc_logit(qs: DataFrame) -> Column:
+    """The logistic gate's logit as a Column over the quality_scores
+    projection — shared by the batch classifier query and the streaming
+    ingest funnel so both score identically."""
+    return (
+        F.lit(QC_WEIGHTS["bias"])
+        + F.lit(QC_WEIGHTS["n_chars"]) * F.col("n_chars")
+        + F.lit(QC_WEIGHTS["stopword_ratio"]) * F.col("stopword_ratio")
+        + F.lit(QC_WEIGHTS["punct_ratio"]) * F.col("punct_ratio")
+        + F.lit(QC_WEIGHTS["upper_ratio"]) * F.col("upper_ratio")
+    )

@@ -157,6 +157,7 @@ class SnapshotTable:
                 "kind": "insert",
                 "batch_id": batch_id,
                 "rows": n,
+                "columns": list(df.columns),
                 "committed_at": time.time(),
             }
         )
@@ -283,15 +284,47 @@ class SnapshotTable:
         snapshot_id means only those snapshot directories are read.
         With ``include_deletes=True`` the DuckLake-style ``_change_type``
         column is added and tombstone key rows in range are unioned in
-        (non-key payload columns null, as for a key-scoped delete)."""
+        (non-key payload columns null, as for a key-scoped delete).
+
+        Schema evolution: when snapshots in the ledger carry different
+        column sets (a later batch appended with new columns), the scan
+        merges footer schemas and the result is PROJECTED to the union of
+        the columns that existed in the queried range — so a time-travel
+        read returns the schema of that era, and pre-evolution rows show
+        the later columns as null only when the range spans the change.
+        Homogeneous tables keep their original single-footer plan."""
         if to_snapshot <= from_snapshot or self.max_snapshot_id() < 0:
             base = self._empty()
         else:
-            df = self.spark.read.parquet(self.data_dir)
+            col_sets = [
+                s.get("columns")
+                for s in self.snapshots()
+                if s.get("kind", "insert") == "insert"
+            ]
+            evolved = (
+                all(c is not None for c in col_sets)
+                and len({tuple(c) for c in col_sets}) > 1
+            )
+            reader = self.spark.read
+            if evolved:
+                reader = reader.option("mergeSchema", "true")
+            df = reader.parquet(self.data_dir)
             base = df.filter(
                 (F.col("snapshot_id") > from_snapshot)
                 & (F.col("snapshot_id") <= to_snapshot)
             )
+            if evolved:
+                want: list[str] = []
+                for s in self.snapshots():
+                    if (
+                        s.get("kind", "insert") == "insert"
+                        and from_snapshot < s["snapshot_id"] <= to_snapshot
+                    ):
+                        for c in s["columns"]:
+                            if c not in want:
+                                want.append(c)
+                if want:
+                    base = base.select(*want, "snapshot_id")
         if not include_deletes:
             return base
         out = base.withColumn("_change_type", F.lit("insert"))

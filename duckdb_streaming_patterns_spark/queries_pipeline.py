@@ -542,9 +542,7 @@ from duckdb_streaming_patterns_spark.operators import dedup as _dedup
 # The bloom decision replayed exactly: same 60-bit md5 hash, same three
 # 20-bit slices mod 2^18, same all-k-bits membership rule — so the oracle
 # checks the REAL bloom semantics, false positives included.
-_BLOOM_POS = (
-    f"(({_dedup.DUCKDB_HEX15.format(m='m')} >> (20 * j.j)) % {_dedup.BLOOM_BITS})"
-)
+_BLOOM_POS = _dedup.DUCKDB_BLOOM_POS
 _BLOOM_CONTAM_ORACLE = rf"""
     WITH {DUCKDB_SHINGLE_SET_CTE},
     bench_g AS (SELECT DISTINCT unnest(s) AS g FROM sh WHERE doc_id < 50),
@@ -819,39 +817,14 @@ def q_approx_distinct_users_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Fixed logistic-classifier weights over the quality_scores features —
-# the fastText-style model-based quality gate, with the model reduced to
-# literal weights so scoring is a pure column expression (the production
-# shape: weights broadcast, scoring scan-side, no Python). keep is decided
-# on the LOGIT's sign (threshold 0.5 on the sigmoid) so the decision needs
-# no transcendental function — bit-portable across engines.
-_QC_W = {
-    "bias": -1.2,
-    "n_chars": 0.004,       # longer docs score higher (per char)
-    "stopword_ratio": 12.0,  # natural-language signal
-    "punct_ratio": -2.0,     # symbol soup penalized
-    "upper_ratio": -1.5,     # shouting penalized
-}
-
-_QC_LOGIT_SQL = (
-    f"({_QC_W['bias']} + {_QC_W['n_chars']} * n_chars"
-    f" + {_QC_W['stopword_ratio']} * stopword_ratio"
-    f" + {_QC_W['punct_ratio']} * punct_ratio"
-    f" + {_QC_W['upper_ratio']} * upper_ratio)"
+# The logistic-gate weights/fragments live in operators/textstats (a leaf
+# module) so the streaming ingest funnel and its oracle can share them
+# without importing the query registry (circular-import hazard).
+from duckdb_streaming_patterns_spark.operators.textstats import (  # noqa: E402
+    QC_LOGIT_SQL as _QC_LOGIT_SQL,
+    QC_WEIGHTS as _QC_W,  # noqa: F401
+    qc_logit,  # noqa: F401
 )
-
-
-def qc_logit(qs: DataFrame):
-    """The fixed-weight logistic gate's logit as a Column over the
-    quality_scores projection — shared by the batch classifier query and
-    the streaming ingest funnel so both score identically."""
-    return (
-        F.lit(_QC_W["bias"])
-        + F.lit(_QC_W["n_chars"]) * F.col("n_chars")
-        + F.lit(_QC_W["stopword_ratio"]) * F.col("stopword_ratio")
-        + F.lit(_QC_W["punct_ratio"]) * F.col("punct_ratio")
-        + F.lit(_QC_W["upper_ratio"]) * F.col("upper_ratio")
-    )
 
 
 @register("quality_classifier_scores", None)  # oracle assembled below

@@ -383,9 +383,11 @@ from duckdb_streaming_patterns_spark.queries_sim import (  # noqa: E402
     ivf_oracle_sql,
 )
 from duckdb_streaming_patterns_spark.queries import QUERIES as _Q  # noqa: E402
-from duckdb_streaming_patterns_spark.queries_pipeline import (  # noqa: E402
-    _BLOOM_POS,
-    _QC_LOGIT_SQL,
+from duckdb_streaming_patterns_spark.operators.dedup import (  # noqa: E402
+    DUCKDB_BLOOM_POS as _BLOOM_POS,
+)
+from duckdb_streaming_patterns_spark.operators.textstats import (  # noqa: E402
+    QC_LOGIT_SQL as _QC_LOGIT_SQL,
 )
 
 # The three-tier ingest funnel replayed in one SQL statement: global

@@ -1366,7 +1366,7 @@ def ingest_funnel_batch(
     from duckdb_streaming_patterns_spark.functions.text import shingles
     from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
     from duckdb_streaming_patterns_spark.operators import textstats
-    from duckdb_streaming_patterns_spark.queries_pipeline import qc_logit
+    from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
 
     b = batch.withColumn("__h", F.md5(F.col("text"))).select("doc_id", "__h")
     firsts = b.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))

@@ -1103,3 +1103,30 @@ def test_snapshot_compact_preserves_partition_cols(spark, tmp_path):
         os.path.join(t.data_dir, "snapshot_id=*", "cell_id=*")
     )
     assert cell_dirs, "compaction flattened the cell sub-partitions"
+
+
+def test_snapshot_schema_evolution(spark, tmp_path):
+    """A later batch may append new columns (DuckLake/Delta schema
+    evolution): full reads span the union with nulls for pre-evolution
+    rows, while time travel to the pre-evolution era returns that era's
+    schema — the ledger records each snapshot's columns and scopes the
+    projection to the queried range."""
+    t = SnapshotTable(spark, str(tmp_path / "evo"), "id long, v string")
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), batch_id=0)
+    t.append(
+        spark.createDataFrame(
+            [(2, "b", 9.5)], "id long, v string, score double"
+        ),
+        batch_id=1,
+    )
+    full = t.read()
+    assert set(full.columns) == {"id", "v", "score", "snapshot_id"}
+    rows = {r["id"]: r["score"] for r in full.collect()}
+    assert rows == {1: None, 2: 9.5}
+    old = t.read_as_of(0)
+    assert set(old.columns) == {"id", "v", "snapshot_id"}
+    assert [r["id"] for r in old.collect()] == [1]
+    # CDF of only the evolved range carries the new column with values
+    delta = t.table_changes(0, 1)
+    assert set(delta.columns) == {"id", "v", "score", "snapshot_id"}
+    assert [r["score"] for r in delta.collect()] == [9.5]

@@ -247,45 +247,106 @@ def zordered_events(
         .write.mode("overwrite")
         .parquet(path)
     )
+    _write_stats_manifest(path)
     _ZORDER[key] = (path, min_day)
     return path, min_day
+
+
+MANIFEST_NAME = "_stats_manifest.parquet"
+
+
+def _file_envelope(f: str):
+    """Per-file (user_id, event_date) min/max from parquet footers; None
+    if any row group lacks stats (the file then can never be skipped)."""
+    import pyarrow.parquet as pq
+
+    md = pq.ParquetFile(f).metadata
+    idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    u_min = u_max = d_min = d_max = None
+    for rg in range(md.num_row_groups):
+        us = md.row_group(rg).column(idx["user_id"]).statistics
+        ds = md.row_group(rg).column(idx["event_date"]).statistics
+        if us is None or ds is None:
+            return None
+        u_min = us.min if u_min is None else min(u_min, us.min)
+        u_max = us.max if u_max is None else max(u_max, us.max)
+        d_min = ds.min if d_min is None else min(d_min, ds.min)
+        d_max = ds.max if d_max is None else max(d_max, ds.max)
+    return u_min, u_max, d_min, d_max
+
+
+def _write_stats_manifest(path: str) -> None:
+    """Persist per-file min/max stats as the layout's manifest — the
+    Delta-transaction-log shape: at 100 TB the skip decision reads ONE
+    small manifest table instead of O(files) footers. The leading
+    underscore keeps Spark's directory listing from treating it as data."""
+    import glob as _glob
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rows = []
+    for f in sorted(_glob.glob(os.path.join(path, "*.parquet"))):
+        if os.path.basename(f).startswith("_"):
+            continue
+        env = _file_envelope(f)
+        rows.append(
+            {
+                "file": os.path.basename(f),
+                "u_min": None if env is None else env[0],
+                "u_max": None if env is None else env[1],
+                "d_min": None if env is None else env[2],
+                "d_max": None if env is None else env[3],
+            }
+        )
+    table = pa.Table.from_pylist(rows)
+    pq.write_table(table, os.path.join(path, MANIFEST_NAME))
 
 
 def zorder_candidate_files(
     path: str, u_lo: int, u_hi: int, d_lo, d_hi
 ) -> tuple[list[str], int]:
-    """Footer-stats skipping: keep only files whose (user_id, event_date)
-    min/max envelopes intersect the query box. Driver-side metadata reads,
-    O(files) — the plain-parquet analogue of Delta's per-file stats in the
-    transaction log; at 100 TB these stats live in a manifest, same
-    decision. Returns (kept files, total files)."""
+    """Stats skipping: keep only files whose (user_id, event_date) min/max
+    envelopes intersect the query box. Reads the layout's persisted
+    manifest (ONE small table — the Delta-transaction-log shape a 100 TB
+    deployment queries instead of touching O(files) footers), falling back
+    to a footer pass for layouts written before a manifest existed.
+    Returns (kept files, total files)."""
     import glob as _glob
 
-    import pyarrow.parquet as pq
+    manifest = os.path.join(path, MANIFEST_NAME)
+    if os.path.exists(manifest):
+        import pyarrow.parquet as pq
 
-    all_files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        kept = []
+        entries = pq.read_table(manifest).to_pylist()
+        for e in entries:
+            if e["u_min"] is None:
+                kept.append(os.path.join(path, e["file"]))  # no stats: keep
+                continue
+            if (
+                e["u_max"] < u_lo
+                or e["u_min"] > u_hi
+                or e["d_max"] < d_lo
+                or e["d_min"] > d_hi
+            ):
+                continue  # envelope disjoint from the box: skip the file
+            kept.append(os.path.join(path, e["file"]))
+        return kept, len(entries)
+    all_files = [
+        f
+        for f in sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not os.path.basename(f).startswith("_")
+    ]
     kept = []
     for f in all_files:
-        md = pq.ParquetFile(f).metadata
-        idx = {
-            md.schema.column(i).name: i for i in range(md.num_columns)
-        }
-        u_min = d_min = None
-        for rg in range(md.num_row_groups):
-            us = md.row_group(rg).column(idx["user_id"]).statistics
-            ds = md.row_group(rg).column(idx["event_date"]).statistics
-            if us is None or ds is None:
-                u_min = None
-                break  # no stats: cannot skip this file
-            u_min = us.min if u_min is None else min(u_min, us.min)
-            u_max = us.max if rg == 0 else max(u_max, us.max)
-            d_min = ds.min if d_min is None else min(d_min, ds.min)
-            d_max = ds.max if rg == 0 else max(d_max, ds.max)
-        if u_min is None:
+        env = _file_envelope(f)
+        if env is None:
             kept.append(f)
             continue
+        u_min, u_max, d_min, d_max = env
         if u_max < u_lo or u_min > u_hi or d_max < d_lo or d_min > d_hi:
-            continue  # envelope disjoint from the box: skip the file
+            continue
         kept.append(f)
     return kept, len(all_files)
 

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import contextlib
 import io
+import os
 
 import pytest
 
@@ -351,6 +352,18 @@ def test_zorder_footer_stats_skip_files_and_layout_invisible(spark, sf_small):
     d_hi = min_day + dt.timedelta(days=9)
     kept, total = layout.zorder_candidate_files(path, 3, 7, d_lo, d_hi)
     assert 0 < len(kept) < total, f"no skipping happened: {len(kept)}/{total}"
+    # the skip decision must come from the persisted manifest (the
+    # 100 TB shape) and agree with a raw footer pass
+    manifest = os.path.join(path, layout.MANIFEST_NAME)
+    assert os.path.exists(manifest), "stats manifest missing"
+    os.rename(manifest, manifest + ".bak")
+    try:
+        kept_footers, total_f = layout.zorder_candidate_files(
+            path, 3, 7, d_lo, d_hi
+        )
+        assert (sorted(kept), total) == (sorted(kept_footers), total_f)
+    finally:
+        os.rename(manifest + ".bak", manifest)
     skipped_result = {
         (r["user_id"], r["n_clicks"])
         for r in layout.zorder_boxed_clicks(spark, sf_small, 3, 7, 5, 9).collect()

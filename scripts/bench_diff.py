@@ -1,0 +1,65 @@
+"""Compare two bench outputs and report per-query moves.
+
+The measured-probe discipline (round-3 verdict item 7): any |delta| above
+the threshold must be explained — re-measure warm, fix what reproduces,
+write off what doesn't in the commit message. This script is the first
+step: it parses either bench.py's own JSON line or a driver BENCH_r{N}.json
+record (whose 'tail' may be front-truncated — query timings are recovered
+by regex) and prints new/removed queries and every move over threshold.
+
+Run:  python scripts/bench_diff.py OLD.json NEW.json [threshold_sec=3]
+"""
+
+from __future__ import annotations
+
+import json
+import re
+import sys
+
+
+def load_timings(path: str) -> dict[str, float]:
+    raw = open(path).read().strip()
+    rec: dict = {}
+    for cand in (raw, raw.splitlines()[-1]):
+        try:
+            rec = json.loads(cand)
+            break
+        except json.JSONDecodeError:
+            continue
+    if isinstance(rec, dict) and isinstance(rec.get("queries"), dict):
+        return {k: float(v) for k, v in rec["queries"].items()}
+    # driver record: timings live in a possibly front-truncated 'tail'
+    tail = rec.get("tail", raw) if isinstance(rec, dict) else raw
+    seg = tail.split('"layout_setup_sec"')[0]
+    seg = seg.split('"queries"')[-1]
+    return {
+        k: float(v) for k, v in re.findall(r'"([a-z0-9_]+)":\s*([0-9.]+)', seg)
+    }
+
+
+def main() -> None:
+    old_path, new_path = sys.argv[1], sys.argv[2]
+    thr = float(sys.argv[3]) if len(sys.argv) > 3 else 3.0
+    old, new = load_timings(old_path), load_timings(new_path)
+    added = sorted(set(new) - set(old))
+    removed = sorted(set(old) - set(new))
+    if added:
+        print("added:", {k: round(new[k], 2) for k in added})
+    if removed:
+        print("removed:", {k: round(old[k], 2) for k in removed})
+    moves = sorted(
+        ((k, old[k], new[k]) for k in new if k in old and abs(new[k] - old[k]) > thr),
+        key=lambda x: -abs(x[2] - x[1]),
+    )
+    for k, a, b in moves:
+        print(f"move>{thr}s: {k}: {a:.2f} -> {b:.2f} ({b - a:+.2f})")
+    common = [k for k in new if k in old]
+    print(
+        f"common {len(common)} queries: "
+        f"{sum(old[k] for k in common):.1f}s -> {sum(new[k] for k in common):.1f}s; "
+        f"{len(moves)} moves over {thr}s"
+    )
+
+
+if __name__ == "__main__":
+    main()

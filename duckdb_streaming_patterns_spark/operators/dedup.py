@@ -695,11 +695,16 @@ def bloom_flag_docs(
     def n_hits(pos_lists: pd.Series) -> pd.Series:
         out = []
         for gram_positions in pos_lists:
-            n = 0
-            for ps in gram_positions:
-                if all(bits[int(p) >> 3] & (1 << (int(p) & 7)) for p in ps):
-                    n += 1
-            out.append(n)
+            if len(gram_positions) == 0:
+                out.append(0)
+                continue
+            # one vectorized bit-test over the batch row's (grams × k)
+            # position matrix instead of per-gram Python loops
+            ps = np.asarray(
+                [np.asarray(p, dtype=np.int64) for p in gram_positions]
+            )
+            hit = (bits[ps >> 3] & (1 << (ps & 7)).astype(np.uint8)) != 0
+            out.append(int(hit.all(axis=1).sum()))
         return pd.Series(out, dtype="int64")
 
     pos = F.transform(F.col(grams_col), lambda g: bloom_positions(g))

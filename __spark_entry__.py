@@ -75,7 +75,12 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     the ingest funnel's oracle, so the features stay driver-verified) →
 #     pattern_streaming_ingest_funnel, the composed three-tier ingest
 #     pipeline (dedup → quality gate → Bloom decontamination) proven
-#     streaming ≡ batch in one hash row.
+#     streaming ≡ batch in one hash row;
+#   dedup_canonical_docs (the per-cluster keep decision — its clustering
+#     machinery stays driver-verified via dedup_minhash_clusters) →
+#     corpus_build_shards, the end-to-end batch corpus build (funnel keep
+#     set → in-corpus span removal → seeded shard manifest) hash-verified
+#     as ONE composition.
 # Second round-3 rotation — four redundant slots swapped for this round's
 # four new hash-exact families (every displaced query stays exact-checked
 # by the local oracle suite):
@@ -120,7 +125,7 @@ _PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_minhash_clusters",
-    "dedup_canonical_docs",
+    "corpus_build_shards",
     "dedup_incremental_verdicts",
     "doc_fingerprint",
     # similarity search (§2.11)

@@ -869,3 +869,190 @@ _QP["quality_classifier_scores"] = (
     _QP["quality_classifier_scores"][0],
     _QC_ORACLE,
 )
+
+
+# ---------------------------------------------------------------------------
+# Capstone composition: the batch corpus build — ingest-funnel keep set →
+# span removal WITHIN the kept corpus → deterministic shard assignment.
+# One oracle replays the whole pipeline, so the driver can hash-check the
+# end-to-end build decision, not just each stage.
+# ---------------------------------------------------------------------------
+
+from duckdb_streaming_patterns_spark.operators.dedup import (  # noqa: E402
+    DUCKDB_BLOOM_POS as _BP,
+)
+from duckdb_streaming_patterns_spark.operators.textstats import (  # noqa: E402
+    QC_LOGIT_SQL as _QLOGIT,
+)
+from duckdb_streaming_patterns_spark.functions.text import (  # noqa: E402
+    duckdb_shingles as _duckdb_shingles,
+)
+
+# Decontamination unit for the BUILD is the word-8-gram (published
+# practice: Lee et al. / GPT-3-style n≥8 overlap), not the 3-gram the
+# standalone contamination checks use — on this small-vocabulary fixture
+# 3-gram overlap is ~universal, and a build that drops everything tests
+# nothing downstream.
+_SH8 = _duckdb_shingles("text", 8)
+
+_BUILD_ORACLE = rf"""
+    WITH qs AS ({{quality_sql}}),
+    firsts AS (
+      SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
+      FROM documents
+    ),
+    sh8 AS (SELECT doc_id, {_SH8} AS s8 FROM documents),
+    bench_g AS (SELECT DISTINCT unnest(s8) AS g FROM sh8 WHERE doc_id < 50),
+    bench_pos AS (
+      SELECT DISTINCT {_BP} AS p
+      FROM (SELECT md5(g) AS m FROM bench_g) CROSS JOIN range(0, 3) j(j)
+    ),
+    corpus_g AS (SELECT doc_id, unnest(s8) AS g FROM sh8),
+    cpos AS (
+      SELECT doc_id, g, j.j, {_BP} AS p
+      FROM (SELECT doc_id, g, md5(g) AS m FROM corpus_g)
+      CROSS JOIN range(0, 3) j(j)
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, g FROM cpos JOIN bench_pos USING (p)
+        GROUP BY doc_id, g HAVING count(DISTINCT j) = 3
+      )
+    ),
+    ql AS (SELECT doc_id, {_QLOGIT} AS logit FROM qs),
+    kept AS (
+      SELECT d.doc_id, d.text
+      FROM documents d
+      JOIN firsts f ON d.doc_id = f.doc_id
+      JOIN ql ON d.doc_id = ql.doc_id
+      LEFT JOIN hits h ON d.doc_id = h.doc_id
+      WHERE d.doc_id = f.canonical_id
+        AND ql.logit >= 0
+        AND h.doc_id IS NULL
+    ),
+    toks AS (SELECT doc_id, text,
+                    string_split_regex(trim(text), '\s+') AS t
+             FROM kept),
+    g AS (SELECT doc_id, u.i AS pos,
+                 array_to_string(t[u.i : u.i + 7], ' ') AS gram
+          FROM toks, UNNEST(generate_series(1, len(t) - 7)) AS u(i)
+          WHERE len(t) >= 8),
+    r AS (SELECT doc_id, pos,
+                 row_number() OVER (PARTITION BY gram
+                                    ORDER BY doc_id, pos) AS rn
+          FROM g),
+    cov AS (SELECT doc_id, unnest(generate_series(pos, pos + 7)) AS p
+            FROM r WHERE rn >= 2),
+    rem AS (SELECT doc_id, list(DISTINCT p) AS ps FROM cov GROUP BY doc_id),
+    clean AS (
+      SELECT toks.doc_id,
+             CAST(len(t) AS BIGINT) AS n_tokens,
+             CAST(COALESCE(len(rem.ps), 0) AS BIGINT) AS n_removed,
+             COALESCE(array_to_string(
+               list_filter(
+                 list_transform(range(1, len(t) + 1),
+                   i -> CASE WHEN NOT COALESCE(list_contains(rem.ps, i), FALSE)
+                             THEN t[i] END),
+                 x -> x IS NOT NULL),
+               ' '), '') AS clean_text
+      FROM toks LEFT JOIN rem ON toks.doc_id = rem.doc_id
+    ),
+    sharded AS (
+      SELECT doc_id,
+             md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS hx
+      FROM kept
+    ),
+    placed AS (
+      SELECT doc_id, hx, {_SHUFFLE_H60} % {_N_SHARDS} AS shard
+      FROM sharded
+    )
+    SELECT c.doc_id,
+           CAST(p.shard AS BIGINT) AS shard,
+           CAST(row_number() OVER (PARTITION BY p.shard
+                                   ORDER BY p.hx, p.doc_id) AS BIGINT)
+             AS shard_pos,
+           c.n_tokens, c.n_removed,
+           c.n_tokens - c.n_removed AS n_clean_tokens,
+           md5(c.clean_text) AS clean_md5
+    FROM clean c JOIN placed p ON c.doc_id = p.doc_id
+"""
+
+
+@register("corpus_build_shards", None)  # oracle assembled below
+def q_corpus_build_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end batch corpus build, one plan: (1) the ingest
+    funnel's keep set — corpus-wide exact dedup, logistic quality gate,
+    Bloom decontamination vs the doc_id<50 benchmark; (2) Lee-et-al span
+    removal computed WITHIN the kept corpus (pipeline order matters: gram
+    statistics over the surviving docs only); (3) deterministic seeded
+    shuffle + shard/position assignment of the cleaned docs. Output is
+    the training-shard manifest (doc -> shard, position, token budget,
+    cleaned-content fingerprint). Everything is a pure function of the
+    corpus + seed, so the WHOLE build replays in one oracle SQL statement
+    — the composition, not just the stages, is hash-verified."""
+    from pyspark.sql import Window as W
+
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
+    from duckdb_streaming_patterns_spark.operators import textstats
+
+    docs = _t(spark, sf_dir, "documents")
+    # tier 1: corpus-wide exact dedup (first occurrence wins)
+    wdup = W.partitionBy(F.md5("text"))
+    dedup_keep = docs.withColumn(
+        "__canon", F.min("doc_id").over(wdup)
+    ).filter(F.col("doc_id") == F.col("__canon"))
+    # tier 2: logistic quality gate
+    qs = textstats.quality_scores(docs, "doc_id", "text")
+    q_keep = qs.filter(textstats.qc_logit(qs) >= 0).select("doc_id")
+    # tier 3: Bloom decontamination (drop flagged docs for the build)
+    sh8 = docs.select(
+        "doc_id", shingles(F.col("text"), k=8).alias("s")
+    ).filter(F.size("s") >= 1)
+    bench_g = (
+        sh8.filter(F.col("doc_id") < 50)
+        .select(F.explode("s").alias("g"))
+        .distinct()
+    )
+    bitset = dedup_ops.bloom_build(bench_g, "g")
+    flagged = (
+        dedup_ops.bloom_flag_docs(sh8, bitset)
+        .filter(F.col("bloom_flagged"))
+        .select("doc_id")
+    )
+    kept = (
+        dedup_keep.join(q_keep, "doc_id", "semi")
+        .join(flagged, "doc_id", "left_anti")
+        .select("doc_id", "text")
+    )
+    # span removal within the kept corpus
+    clean = textstats.remove_duplicated_spans(kept, "doc_id", "text", n=8)
+    # deterministic shard placement of the survivors
+    hx = F.md5(
+        F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    h60 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    placed = kept.select(
+        "doc_id",
+        hx.alias("hx"),
+        F.pmod(h60, F.lit(_N_SHARDS)).cast("bigint").alias("shard"),
+    )
+    wsh = W.partitionBy("shard").orderBy("hx", "doc_id")
+    return (
+        clean.join(placed, "doc_id")
+        .select(
+            "doc_id",
+            "shard",
+            F.row_number().over(wsh).cast("bigint").alias("shard_pos"),
+            "n_tokens",
+            "n_removed",
+            (F.col("n_tokens") - F.col("n_removed")).alias("n_clean_tokens"),
+            F.md5("clean_text").alias("clean_md5"),
+        )
+    )
+
+
+_QP["corpus_build_shards"] = (
+    _QP["corpus_build_shards"][0],
+    _BUILD_ORACLE.format(quality_sql=_QP["text_quality_scores"][1]),
+)

@@ -41,7 +41,6 @@ def test_first_50_cover_every_family():
             "dedup_minhash_lsh",
             "dedup_simhash",
             "dedup_minhash_clusters",
-            "dedup_canonical_docs",
             "dedup_incremental_verdicts",
         },
         "similarity": {
@@ -54,7 +53,7 @@ def test_first_50_cover_every_family():
         },
         "multimodal": {"multimodal_decode_features"},
         "text": {"text_unigram_surprisal", "text_language_id"},
-        "funnel": {"pattern_streaming_ingest_funnel"},
+        "funnel": {"pattern_streaming_ingest_funnel", "corpus_build_shards"},
         "pipeline": {
             "pack_token_bins",
             "contamination_ngram_overlap",

@@ -1353,20 +1353,13 @@ def neardup_dedup_batch(
     verdict_log.append(verdicts, batch_id)
 
 
-def ingest_funnel_batch(
-    seen_log, verdict_log, bench_bitset: bytes, batch: DataFrame, batch_id: int
-) -> None:
-    """One micro-batch of the composed ingest funnel — module-level so the
-    retry-idempotence test can re-deliver a batch exactly like a crashed
-    foreachBatch would. Same before_batch-scoped state read as
-    corpus_dedup_batch; quality and bloom tiers are stateless per doc, so
-    a retry recomputes them bit-identically."""
+def _dedup_tier(seen_log, batch: DataFrame, batch_id: int):
+    """The shared exact-dedup tier of the continuous-ingestion patterns:
+    hash the batch, resolve first-occurrence canonicals against the
+    accumulated seen-hash state SCOPED BELOW the current batch id (the
+    crash-retry contract — see pattern_corpus_ingest_dedup). Returns
+    (per-doc (doc_id, __h) frame, new_firsts to append, canon map)."""
     import glob as _glob
-
-    from duckdb_streaming_patterns_spark.functions.text import shingles
-    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
-    from duckdb_streaming_patterns_spark.operators import textstats
-    from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
 
     b = batch.withColumn("__h", F.md5(F.col("text"))).select("doc_id", "__h")
     firsts = b.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
@@ -1381,6 +1374,23 @@ def ingest_funnel_batch(
     else:
         new_firsts = firsts
         canon = firsts
+    return b, new_firsts, canon
+
+
+def ingest_funnel_batch(
+    seen_log, verdict_log, bench_bitset: bytes, batch: DataFrame, batch_id: int
+) -> None:
+    """One micro-batch of the composed ingest funnel — module-level so the
+    retry-idempotence test can re-deliver a batch exactly like a crashed
+    foreachBatch would. Same before_batch-scoped state read as
+    corpus_dedup_batch; quality and bloom tiers are stateless per doc, so
+    a retry recomputes them bit-identically."""
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
+    from duckdb_streaming_patterns_spark.operators import textstats
+    from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
+
+    b, new_firsts, canon = _dedup_tier(seen_log, batch, batch_id)
     dd = b.join(canon, "__h").select("doc_id", "canonical_id")
     qs = textstats.quality_scores(batch, "doc_id", "text")
     logit = qc_logit(qs)
@@ -1423,23 +1433,7 @@ def corpus_dedup_batch(seen_log, verdict_log, batch: DataFrame, batch_id: int) -
     """One micro-batch of continuous-ingestion dedup — module-level so the
     retry-idempotence test can re-deliver a batch exactly like a crashed
     foreachBatch would. See pattern_corpus_ingest_dedup for the contract."""
-    import glob as _glob
-
-    b = batch.withColumn("__h", F.md5(F.col("text"))).select("doc_id", "__h")
-    firsts = b.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
-    have_state = any(
-        int(d.rsplit("=", 1)[1]) < batch_id
-        for d in _glob.glob(os.path.join(seen_log.root, "__batch_id=*"))
-    )
-    if have_state:
-        # scope to batches BELOW this one: a retry must resolve against
-        # the pre-batch state, not its own first attempt's rows
-        seen = seen_log.read_latest(before_batch=batch_id)
-        new_firsts = firsts.join(seen.select("__h"), "__h", "left_anti")
-        canon = seen.unionByName(new_firsts)
-    else:
-        new_firsts = firsts
-        canon = firsts
+    b, new_firsts, canon = _dedup_tier(seen_log, batch, batch_id)
     verdicts = (
         b.join(canon, "__h")
         .select(

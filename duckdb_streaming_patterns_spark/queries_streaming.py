@@ -110,6 +110,22 @@ def q_pattern_windowed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("pattern_bootstrap_then_stream", _BATCH_ORACLE)
+def q_pattern_bootstrap_then_stream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Backfill + live-tail handoff: batch-bootstrap the summary over the
+    first 3 chunks, then let the stream replay from earliest — the
+    batch-id fence discards exactly the covered micro-batches, so the
+    boundary is exactly-once with no extra offset bookkeeping. Oracle =
+    the one-shot batch aggregation (backfill + tail ≡ batch)."""
+    run = staging.new_run_dir("pboot")
+    chunks = staging.stage_event_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_bootstrap_then_stream(
+        spark, chunks, run, bootstrap_chunks=3, state_partitions=_STATE_PARTS
+    )
+
+
 @register(
     "pattern_gdpr_delete_propagation",
     """

@@ -176,6 +176,68 @@ def pattern_1_2(
     return summary.read()
 
 
+def pattern_bootstrap_then_stream(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    bootstrap_chunks: int = 3,
+    state_partitions: int | None = None,
+) -> DataFrame:
+    """Backfill + live-tail handoff — the rollout move every production
+    pipeline makes once: the summary is BOOTSTRAPPED by one batch
+    aggregation over the historical chunks (the reference's NULL-watermark
+    bootstrap arm, ``(? IS NULL OR timestamp > ?)`` pattern_1_1.py:105,
+    where the first tick aggregates all history at once), then Structured
+    Streaming takes over and merges only the live tail.
+
+    The handoff needs no offset bookkeeping beyond what exactly-once
+    already requires: the bootstrap commits under the last historical
+    batch id, the stream replays from the beginning, and the summary's
+    batch-id fence discards exactly the micro-batches the bootstrap
+    covered. At 100 TB this is the difference between a month of
+    micro-batch replay and ONE batch job followed by a fenced stream
+    start — and the fence makes the boundary crash-safe (a retry on
+    either side of it is a no-op)."""
+    summary = SummaryTable(spark, os.path.join(run_dir, "summary"), SUMMARY_DDL)
+
+    # -- backfill: one batch aggregation over the historical chunks ----
+    hist = spark.read.schema(staging.EVENT_SCHEMA).parquet(
+        *[
+            os.path.join(chunks_dir, f"__chunk={k}")
+            for k in range(bootstrap_chunks)
+        ]
+    )
+    summary.merge_batch(
+        _delta_agg(hist),
+        bootstrap_chunks - 1,  # the last historical micro-batch's id
+        keys=["user_id", "user_name"],
+        add_cols=["count_of_clicks"],
+        max_cols=["updated_at"],
+    )
+
+    # -- live tail: the stream replays from earliest; the fence skips
+    # every batch the bootstrap already covered -------------------------
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        summary.merge_batch(
+            _delta_agg(batch),
+            batch_id,
+            keys=["user_id", "user_name"],
+            add_cols=["count_of_clicks"],
+            max_cols=["updated_at"],
+        )
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_event_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return summary.read()
+
+
 def pattern_delete_propagation(
     spark: SparkSession,
     chunks_dir: str,

@@ -1130,3 +1130,30 @@ def test_snapshot_schema_evolution(spark, tmp_path):
     delta = t.table_changes(0, 1)
     assert set(delta.columns) == {"id", "v", "score", "snapshot_id"}
     assert [r["score"] for r in delta.collect()] == [9.5]
+
+
+def test_bootstrap_then_stream_fences_covered_batches(spark, sf_small, tmp_path):
+    """The backfill/live boundary: after the batch bootstrap (chunks 0-2
+    under batch id 2), the replaying stream must merge ONLY batches 3-4 —
+    visible as exactly three summary versions (bootstrap + two tail
+    merges) — and the final state must equal the batch ground truth."""
+    from duckdb_streaming_patterns_spark.operators.summary import user_clicks
+
+    run = staging.new_run_dir("pboot_t")
+    chunks = staging.stage_event_chunks(spark, sf_small, run, n_chunks=5)
+    got = patterns.pattern_bootstrap_then_stream(
+        spark, chunks, run, bootstrap_chunks=3, state_partitions=4
+    )
+    summary = SummaryTable(
+        spark, os.path.join(run, "summary"), patterns.SUMMARY_DDL
+    )
+    assert summary.last_batch_id() == 4
+    assert summary._meta()["version"] == 2, "stream re-merged covered batches"
+    expected = {
+        (r["user_id"], r["count_of_clicks"], r["updated_at"])
+        for r in user_clicks(load_table(spark, sf_small, "events")).collect()
+    }
+    assert {
+        (r["user_id"], r["count_of_clicks"], r["updated_at"])
+        for r in got.collect()
+    } == expected

@@ -111,3 +111,60 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         _t(spark, sf_dir, "documents"), "doc_id", "text"
     )
     return multimodal.resize_stub(multimodal.decode_payloads(media, codec="fake"))
+
+
+from duckdb_streaming_patterns_spark.functions.vectors import (  # noqa: E402
+    duckdb_cosine,
+)
+from duckdb_streaming_patterns_spark.operators import similarity  # noqa: E402
+
+_XMODAL_ORACLE = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding AS q_vec
+               FROM embeddings WHERE vec_id < 3),
+         c AS (SELECT e.vec_id AS neighbor_id, e.embedding AS c_vec,
+                      CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                      md5(d.text) AS payload_md5
+               FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+               WHERE d.doc_id % 3 = 0),
+         s AS (SELECT query_id, neighbor_id, n_bytes, payload_md5,
+                      {duckdb_cosine("q_vec", "c_vec")} AS cosine
+               FROM q, c WHERE query_id <> neighbor_id),
+         r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                            ORDER BY cosine DESC, neighbor_id)
+                           AS rank
+               FROM s)
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank, n_bytes, payload_md5
+    FROM r WHERE rank <= 5
+"""
+
+
+@register("multimodal_ann_retrieval", _XMODAL_ORACLE)
+def q_multimodal_ann_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval: top-5 nearest IMAGE payloads per query
+    embedding, each hit carrying its payload metadata — the
+    composition a multimodal corpus actually serves (embedding index over
+    one modality, joined back to binary-payload metadata). The modality
+    filter semi-joins the embedding corpus BEFORE similarity scoring
+    (score only what can match), and the payload bytes never enter the
+    similarity shuffle — only the narrow (n_bytes, md5) projection rides
+    along."""
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    media = multimodal.attach_payloads(docs, "doc_id", "text")
+    images = media.filter(F.col("media_type") == "image").select(
+        F.col("doc_id").alias("vec_id"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+    corpus = emb.join(images, "vec_id")
+    queries = emb.filter(F.col("vec_id") < 3)
+    hits = similarity.knn_bruteforce(corpus, queries, k=5)
+    return hits.join(
+        images.select(
+            F.col("vec_id").alias("neighbor_id"), "n_bytes", "payload_md5"
+        ),
+        "neighbor_id",
+    ).select(
+        "query_id", "neighbor_id", "cosine", "rank", "n_bytes", "payload_md5"
+    )

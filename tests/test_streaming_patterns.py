@@ -1157,3 +1157,75 @@ def test_bootstrap_then_stream_fences_covered_batches(spark, sf_small, tmp_path)
         (r["user_id"], r["count_of_clicks"], r["updated_at"])
         for r in got.collect()
     } == expected
+
+
+def test_ann_index_composes_with_tombstone_deletes(spark, sf_small, tmp_path):
+    """The delete surface composes with the at-rest ANN index: after
+    tombstoning some vectors (a takedown request against an embedding
+    index), reads exclude them — so a re-probe of the same index returns
+    no deleted neighbor, without rebuilding anything."""
+    run = staging.new_run_dir("pann_del")
+    chunks = staging.stage_embedding_chunks(spark, sf_small, run, n_chunks=5)
+    queries_df = load_table(spark, sf_small, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    before = patterns.pattern_streaming_ann_index(
+        spark, chunks, run, queries_df, k=5, n_cells=8, n_probe=3,
+        state_partitions=4,
+    ).collect()
+    index = SnapshotTable(
+        spark,
+        os.path.join(run, "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    victims = {r["neighbor_id"] for r in before if r["rank"] == 1}
+    index.delete(F.col("vec_id").isin(*victims), key_cols=["vec_id"],
+                 batch_id=9_999)
+    assert index.read().filter(F.col("vec_id").isin(*victims)).count() == 0
+    # re-probe the post-delete index through the same at-rest read path
+    from duckdb_streaming_patterns_spark.functions.vectors import (
+        dot_double,
+        l2_norm,
+        to_double_array,
+    )
+    from duckdb_streaming_patterns_spark.operators import similarity
+    import json as _json
+    from pyspark.sql import Row, Window as W
+
+    with open(os.path.join(run, "anchors.json")) as f:
+        anchors = [Row(aid=a, vec=v) for a, v in _json.load(f)]
+    probe = similarity.anchor_cell_udf(anchors, n_probe=3)
+    qv = queries_df.select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        to_double_array(F.col("embedding")).alias("q_vec"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+        F.explode(probe(F.col("embedding"))).alias("cell_id"),
+    )
+    cells = index.read().select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell_id",
+        to_double_array(F.col("embedding")).alias("c_vec"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        cells.join(F.broadcast(qv), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot_double(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    after = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .collect()
+    )
+    got = {r["neighbor_id"] for r in after}
+    assert got.isdisjoint(victims), "deleted vectors still retrieved"
+    assert {r["query_id"] for r in after} == {0, 1, 2}

@@ -1229,3 +1229,30 @@ def test_ann_index_composes_with_tombstone_deletes(spark, sf_small, tmp_path):
     got = {r["neighbor_id"] for r in after}
     assert got.isdisjoint(victims), "deleted vectors still retrieved"
     assert {r["query_id"] for r in after} == {0, 1, 2}
+
+
+def test_vacuum_then_append_and_cdf_continue(spark, tmp_path):
+    """Lifecycle after vacuum: appends continue with fresh snapshot ids,
+    further deletes work against the rewritten generation, and the change
+    feed over the post-vacuum range is intact (only the vacuumed range's
+    delete rows are truncated — the documented retention trade)."""
+    t = SnapshotTable(spark, str(tmp_path / "lifec"), "id long, v string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), batch_id=0)
+    t.delete(F.col("id") == 1, key_cols=["id"], batch_id=1)
+    t.vacuum()
+    assert {r["id"] for r in t.read().collect()} == {2}
+    # appends continue past the vacuum with monotone snapshot ids
+    sid = t.append(spark.createDataFrame([(3, "c")], "id long, v string"), batch_id=2)
+    assert sid == 2
+    assert {r["id"] for r in t.read().collect()} == {2, 3}
+    # post-vacuum deletes work against the rewritten generation
+    t.delete(F.col("id") == 2, key_cols=["id"], batch_id=3)
+    assert {r["id"] for r in t.read().collect()} == {3}
+    # change feed: post-vacuum range intact, including the new delete
+    feed = t.table_changes(1, 3, include_deletes=True).collect()
+    assert {(r["id"], r["_change_type"]) for r in feed} == {
+        (3, "insert"),
+        (2, "delete"),
+    }
+    # time travel before the new delete still sees id=2
+    assert {r["id"] for r in t.read_as_of(2).collect()} == {2, 3}

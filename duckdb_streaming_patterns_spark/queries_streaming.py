@@ -519,6 +519,103 @@ def q_pattern_streaming_ann_index(
     )
 
 
+from duckdb_streaming_patterns_spark.functions.text import (  # noqa: E402
+    duckdb_shingles as _dd_shingles,
+)
+
+_SH8_FRAG = _dd_shingles("text", 8)
+
+# All five verdict tiers replayed in one statement: exact-prior +
+# batch-first-occurrence (≡ global first-occurrence under monotone
+# chunks), all-prior near matches at J ≥ 0.7, the quality logit, and the
+# 8-gram Bloom gate — with the streaming pattern's exact priority order.
+_FULL_FUNNEL_ORACLE = rf"""
+    WITH {DUCKDB_SHINGLE_SET_CTE},
+    qs AS ({{quality_sql}}),
+    ex AS (
+      SELECT DISTINCT b.doc_id
+      FROM documents b JOIN documents c
+        ON md5(b.text) = md5(c.text) AND c.doc_id < b.doc_id
+    ),
+    nr AS (
+      SELECT a.doc_id, count(*) AS n_near, max({_JACCARD_FRAG}) AS best
+      FROM sh a JOIN sh b
+        ON b.doc_id < a.doc_id AND {_JACCARD_FRAG} >= 0.7
+      GROUP BY a.doc_id
+    ),
+    ql AS (SELECT doc_id, {_QC_LOGIT_SQL} AS logit FROM qs),
+    sh8 AS (SELECT doc_id, {_SH8_FRAG} AS s8 FROM documents),
+    bench_g AS (SELECT DISTINCT unnest(s8) AS g FROM sh8 WHERE doc_id < 50),
+    bench_pos AS (
+      SELECT DISTINCT {_BLOOM_POS} AS p
+      FROM (SELECT md5(g) AS m FROM bench_g) CROSS JOIN range(0, 3) j(j)
+    ),
+    corpus_g AS (SELECT doc_id, unnest(s8) AS g FROM sh8),
+    cpos AS (
+      SELECT doc_id, g, j.j, {_BLOOM_POS} AS p
+      FROM (SELECT doc_id, g, md5(g) AS m FROM corpus_g)
+      CROSS JOIN range(0, 3) j(j)
+    ),
+    hits AS (
+      SELECT DISTINCT doc_id FROM (
+        SELECT doc_id, g FROM cpos JOIN bench_pos USING (p)
+        GROUP BY doc_id, g HAVING count(DISTINCT j) = 3
+      )
+    )
+    SELECT d.doc_id,
+           CASE WHEN ex.doc_id IS NOT NULL THEN 'drop_exact'
+                WHEN nr.n_near > 0 THEN 'drop_near'
+                WHEN ql.logit < 0 THEN 'drop_quality'
+                WHEN h.doc_id IS NOT NULL THEN 'flag_contaminated'
+                ELSE 'keep' END AS verdict,
+           CAST(COALESCE(nr.n_near, 0) AS BIGINT) AS n_near_matches,
+           ROUND(COALESCE(nr.best, 0.0), 6) AS best_jaccard,
+           ROUND(ql.logit, 6) AS quality_logit,
+           (h.doc_id IS NOT NULL) AS bloom_flagged
+    FROM documents d
+    LEFT JOIN ex ON d.doc_id = ex.doc_id
+    LEFT JOIN nr ON d.doc_id = nr.doc_id
+    JOIN ql ON d.doc_id = ql.doc_id
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+"""
+
+
+@register("pattern_streaming_full_funnel", None)  # oracle assembled below
+def q_pattern_streaming_full_funnel(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The complete five-verdict ingest funnel as one streaming pattern:
+    exact + MinHash-band near-dup state tiers, logistic quality gate,
+    8-gram Bloom decontamination. Oracle = the batch replay of every
+    tier with the same priority order — the full production funnel
+    proven streaming ≡ batch. See
+    streaming/patterns.pattern_streaming_full_funnel."""
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    run = staging.new_run_dir("pfullfunnel")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    docs = load_table(spark, sf_dir, "documents")
+    bench_g = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(F.explode(shingles(F.col("text"), k=8)).alias("g"))
+        .distinct()
+    )
+    bitset = dedup_ops.bloom_build(bench_g, "g")
+    return patterns.pattern_streaming_full_funnel(
+        spark, chunks, run, bitset, threshold=0.7, state_partitions=4
+    )
+
+
+from duckdb_streaming_patterns_spark.queries import QUERIES as _QS  # noqa: E402
+
+_QS["pattern_streaming_full_funnel"] = (
+    _QS["pattern_streaming_full_funnel"][0],
+    _FULL_FUNNEL_ORACLE.format(quality_sql=_Q["text_quality_scores"][1]),
+)
+
+
 @register("pattern_streaming_neardup_dedup", _NEARDUP_STREAM_ORACLE)
 def q_pattern_streaming_neardup_dedup(
     spark: SparkSession, sf_dir: str

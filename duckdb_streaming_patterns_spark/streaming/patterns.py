@@ -1258,6 +1258,8 @@ def pattern_streaming_neardup_dedup(
     threshold: float = 0.7,
     state_partitions: int | None = 4,
     compact_every: int = 8,
+    verdict_extender=None,
+    extra_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Continuous-ingestion NEAR-duplicate dedup: the corpus arrives as
     micro-batches; each batch is checked against BOTH accumulated state
@@ -1308,7 +1310,7 @@ def pattern_streaming_neardup_dedup(
                 log.compact(before_batch=batch_id)
         neardup_dedup_batch(
             seen_log, bands_log, docs_log, verdict_log, batch, batch_id,
-            threshold,
+            threshold, verdict_extender=verdict_extender,
         )
 
     with _state_partitions(spark, state_partitions):
@@ -1321,7 +1323,79 @@ def pattern_streaming_neardup_dedup(
         )
         q.awaitTermination()
     return verdict_log.read_latest().select(
-        "doc_id", "verdict", "n_near_matches", "best_jaccard"
+        "doc_id", "verdict", "n_near_matches", "best_jaccard", *extra_cols
+    )
+
+
+def pattern_streaming_full_funnel(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    bench_bitset: bytes,
+    threshold: float = 0.7,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """The COMPLETE production ingest funnel, all five verdicts in one
+    streaming pattern: exact dedup vs accumulated corpus state, MinHash
+    band-index NEAR-dup vs everything that arrived before, the logistic
+    quality gate, and the benchmark Bloom filter (word-8-gram unit) —
+    verdict priority drop_exact > drop_near > drop_quality >
+    flag_contaminated > keep. Composes the near-dup pattern's four-log
+    state machine with the stateless quality/bloom tiers via the
+    verdict-extender hook, so the crash-retry contract (before_batch-
+    scoped state reads, idempotent per-batch appends) is inherited
+    unchanged. Per-batch cost = the near-dup pattern's plus one scan-side
+    quality expression and one Arrow bloom pass — nothing new shuffles."""
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
+    from duckdb_streaming_patterns_spark.operators import textstats
+    from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
+
+    def extend(batch: DataFrame, v: DataFrame) -> DataFrame:
+        qs = textstats.quality_scores(batch, "doc_id", "text")
+        logit = qc_logit(qs)
+        quality = qs.select(
+            "doc_id",
+            F.round(logit, 6).alias("quality_logit"),
+            (logit >= 0).alias("__q_keep"),
+        )
+        sh8 = batch.select(
+            "doc_id", shingles(F.col("text"), k=8).alias("s")
+        ).filter(F.size("s") >= 1)
+        bloomed = dedup_ops.bloom_flag_docs(sh8, bench_bitset).select(
+            "doc_id", "bloom_flagged"
+        )
+        return (
+            v.join(quality, "doc_id")
+            .join(bloomed, "doc_id", "left")
+            .withColumn(
+                "bloom_flagged", F.coalesce("bloom_flagged", F.lit(False))
+            )
+            .withColumn(
+                "verdict",
+                F.when(F.col("verdict") != "keep", F.col("verdict"))
+                .when(~F.col("__q_keep"), "drop_quality")
+                .when(F.col("bloom_flagged"), "flag_contaminated")
+                .otherwise("keep"),
+            )
+            .select(
+                "doc_id",
+                "verdict",
+                "n_near_matches",
+                "best_jaccard",
+                "quality_logit",
+                "bloom_flagged",
+            )
+        )
+
+    return pattern_streaming_neardup_dedup(
+        spark,
+        chunks_dir,
+        run_dir,
+        threshold=threshold,
+        state_partitions=state_partitions,
+        verdict_extender=extend,
+        extra_cols=("quality_logit", "bloom_flagged"),
     )
 
 
@@ -1333,6 +1407,7 @@ def neardup_dedup_batch(
     batch: DataFrame,
     batch_id: int,
     threshold: float = 0.7,
+    verdict_extender=None,
 ) -> None:
     """One micro-batch of continuous-ingestion near-dup dedup —
     module-level so the retry-idempotence test can re-deliver a batch
@@ -1407,8 +1482,11 @@ def neardup_dedup_batch(
                 "best_jaccard"
             ),
         )
-        .localCheckpoint(eager=True)  # force evaluation BEFORE state appends
     )
+    if verdict_extender is not None:
+        # downstream tiers (quality/contamination) refine the 'keep' rows
+        verdicts = verdict_extender(batch, verdicts)
+    verdicts = verdicts.localCheckpoint(eager=True)  # evaluate BEFORE appends
     seen_log.append(new_firsts, batch_id)
     bands_log.append(batch_bands, batch_id)
     docs_log.append(batch.select("doc_id", "text"), batch_id)

@@ -72,10 +72,12 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     pattern_streaming_ann_index, incremental IVF index maintenance:
 #     streaming-built cell-partitioned index ≡ batch IVF, hash-exact;
 #   text_quality_scores (its full feature CTE is embedded verbatim inside
-#     the ingest funnel's oracle, so the features stay driver-verified) →
-#     pattern_streaming_ingest_funnel, the composed three-tier ingest
-#     pipeline (dedup → quality gate → Bloom decontamination) proven
-#     streaming ≡ batch in one hash row;
+#     the funnel oracles, so the features stay driver-verified) →
+#     pattern_streaming_full_funnel, the COMPLETE five-verdict ingest
+#     funnel (exact + near-dup state tiers + quality gate + Bloom
+#     decontamination) proven streaming ≡ batch in one hash row; the
+#     exact-tier pattern_streaming_ingest_funnel stays exact-checked
+#     locally;
 #   dedup_canonical_docs (the per-cluster keep decision — its clustering
 #     machinery stays driver-verified via dedup_minhash_clusters) →
 #     corpus_build_shards, the end-to-end batch corpus build (funnel keep
@@ -138,7 +140,7 @@ _PRIORITY = [
     "multimodal_decode_features",
     # text analysis (§2.11)
     "text_unigram_surprisal",
-    "pattern_streaming_ingest_funnel",
+    "pattern_streaming_full_funnel",
     "text_language_id",
     # corpus pipeline (§2.11)
     "pack_token_bins",

@@ -53,7 +53,7 @@ def test_first_50_cover_every_family():
         },
         "multimodal": {"multimodal_decode_features"},
         "text": {"text_unigram_surprisal", "text_language_id"},
-        "funnel": {"pattern_streaming_ingest_funnel", "corpus_build_shards"},
+        "funnel": {"pattern_streaming_full_funnel", "corpus_build_shards"},
         "pipeline": {
             "pack_token_bins",
             "contamination_ngram_overlap",

@@ -266,7 +266,16 @@ def _file_envelope(f: str):
     for rg in range(md.num_row_groups):
         us = md.row_group(rg).column(idx["user_id"]).statistics
         ds = md.row_group(rg).column(idx["event_date"]).statistics
-        if us is None or ds is None:
+        # A statistics object may exist with min/max unset (has_min_max
+        # False) — e.g. a writer that records only null counts; accessing
+        # .min/.max would raise, so treat it as the no-stats case too
+        # (the file is then never skipped).
+        if (
+            us is None
+            or ds is None
+            or not us.has_min_max
+            or not ds.has_min_max
+        ):
             return None
         u_min = us.min if u_min is None else min(u_min, us.min)
         u_max = us.max if u_max is None else max(u_max, us.max)

@@ -107,6 +107,20 @@ class SnapshotTable:
         snaps = self.snapshots()
         return snaps[-1]["snapshot_id"] if snaps else -1
 
+    def max_insert_snapshot_id(self) -> int:
+        """Highest INSERT-kind snapshot id — the ingestion high-water mark.
+        Distinct from max_snapshot_id() once tombstones exist: a delete
+        commits a snapshot too, and a consumer that fences its *ingest*
+        progress on the overall max would skip delete feeds committed
+        between its last read and the tombstone (the delete-propagation
+        retry hole)."""
+        ids = [
+            s["snapshot_id"]
+            for s in self.snapshots()
+            if s.get("kind", "insert") == "insert"
+        ]
+        return max(ids) if ids else -1
+
     # -- writes ------------------------------------------------------------
 
     def append(
@@ -204,6 +218,25 @@ class SnapshotTable:
         staged = os.path.join(staging_root, f"{sid:09d}.{uuid.uuid4().hex[:8]}")
         keys.write.mode("overwrite").parquet(staged)
         n = _parquet_row_count(staged)
+        if n == 0:
+            # No visible row matched: committing an EMPTY tombstone dir
+            # would poison later reads (Spark may write zero part files,
+            # so spark.read.parquet on the dir cannot infer a schema) and
+            # even a readable empty dir adds a useless anti-join per read.
+            # Commit only the ledger entry (rows=0, no data dir) so the
+            # batch-id fence still holds; _tombstones() skips it.
+            shutil.rmtree(staging_root, ignore_errors=True)
+            self._commit_ledger(
+                {
+                    "snapshot_id": sid,
+                    "kind": "delete",
+                    "batch_id": batch_id,
+                    "rows": 0,
+                    "key_cols": cols,
+                    "committed_at": time.time(),
+                }
+            )
+            return sid
         os.makedirs(self.tombstone_dir, exist_ok=True)
         final = os.path.join(self.tombstone_dir, f"snapshot_id={sid}")
         if os.path.exists(final):
@@ -260,6 +293,8 @@ class SnapshotTable:
         for s in self.snapshots():
             if s.get("vacuumed"):
                 continue  # data already folded into the current generation
+            if s.get("rows") == 0 and s.get("kind") == "delete":
+                continue  # no-op delete: fence-only ledger entry, no data dir
             if s.get("kind") == "delete" and s["snapshot_id"] <= as_of:
                 part = os.path.join(
                     self.tombstone_dir, f"snapshot_id={s['snapshot_id']}"
@@ -352,7 +387,28 @@ class SnapshotTable:
             if sid > from_snapshot
         ]
         if not parts:
-            return self.spark.createDataFrame([], "snapshot_id int")
+            # Empty window: return a frame that still carries the union of
+            # the table's tombstone key columns (typed from the table
+            # schema), so callers selecting key columns (the propagation
+            # pattern's `.select("user_id")`) get an empty keyed frame
+            # instead of an AnalysisException on a schema with only
+            # snapshot_id.
+            key_union: list[str] = []
+            for s in self.snapshots():
+                if s.get("kind") == "delete":
+                    for c in s.get("key_cols", []):
+                        if c not in key_union:
+                            key_union.append(c)
+            fields = [
+                f
+                for f in self.spark.createDataFrame([], self.schema_ddl).schema
+                if f.name in key_union
+            ]
+            ddl = ", ".join(
+                [f"{f.name} {f.dataType.simpleString()}" for f in fields]
+                + ["snapshot_id int"]
+            )
+            return self.spark.createDataFrame([], ddl)
         out = parts[0][1]
         for _, keys in parts[1:]:
             out = out.unionByName(keys, allowMissingColumns=True)

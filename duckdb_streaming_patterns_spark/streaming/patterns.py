@@ -298,7 +298,15 @@ def pattern_delete_propagation(
         aggregate_round()
 
     # -- Phase 2: delete requests --------------------------------------
-    ingested_through = raw.max_snapshot_id()
+    # The insert high-water mark, NOT max_snapshot_id(): a retry that
+    # re-runs this phase after the first delete (snapshot N+1) committed
+    # but before the second would otherwise set the feed window past that
+    # tombstone, and delete_changes below would miss it — the purged
+    # groups' stale counts would survive in the summary. Insert-kind ids
+    # are independent of previously committed tombstones, so the feed
+    # window (ingested_through, current] always covers every tombstone
+    # regardless of where the crash fell.
+    ingested_through = raw.max_insert_snapshot_id()
     # Scalar probe BEFORE any delete so the cutoff is defined over the
     # full history (the oracle sees all events); floor-div matches // on
     # both engines.

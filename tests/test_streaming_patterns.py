@@ -1256,3 +1256,86 @@ def test_vacuum_then_append_and_cdf_continue(spark, tmp_path):
     }
     # time travel before the new delete still sees id=2
     assert {r["id"] for r in t.read_as_of(2).collect()} == {2, 3}
+
+
+def test_noop_delete_is_fence_only_and_never_poisons_reads(spark, tmp_path):
+    """A delete() whose condition matches zero visible rows must not
+    commit a tombstone data dir (an empty dir can have zero part files —
+    spark.read.parquet on it fails schema inference, poisoning EVERY
+    later read) and must not add a useless anti-join; the batch-id fence
+    still holds (round-4 ADVICE, snapshots.py delete())."""
+    t = SnapshotTable(spark, str(tmp_path / "noop"), "id long, v string")
+    t.append(spark.createDataFrame([(1, "a"), (2, "b")], "id long, v string"), batch_id=0)
+    sid = t.delete(F.col("id") == 99, key_cols=["id"], batch_id=1)
+    assert sid == 1
+    # fence holds for a retried no-op delete
+    assert t.delete(F.col("id") == 99, key_cols=["id"], batch_id=1) == -1
+    # reads keep working and take the no-tombstone fast path (no anti-join)
+    assert {r["id"] for r in t.read().collect()} == {1, 2}
+    assert t._tombstones(t.max_snapshot_id()) == []
+    # later real deletes and reads are unaffected
+    t.delete(F.col("id") == 1, key_cols=["id"], batch_id=2)
+    assert {r["id"] for r in t.read().collect()} == {2}
+    assert {r["id"] for r in t.read_as_of(1).collect()} == {1, 2}
+
+
+def test_delete_changes_empty_window_keeps_key_schema(spark, tmp_path):
+    """delete_changes over a window containing no tombstones must still
+    expose the table's tombstone key columns (typed from the table
+    schema), so propagation code that selects key columns gets an empty
+    keyed frame instead of AnalysisException (round-4 ADVICE)."""
+    t = SnapshotTable(spark, str(tmp_path / "ew"), "id long, grp long, v string")
+    t.append(
+        spark.createDataFrame([(1, 0, "a"), (2, 1, "b")], "id long, grp long, v string"),
+        batch_id=0,
+    )
+    t.delete(F.col("grp") == 1, key_cols=["id", "grp"], batch_id=1)
+    # window excludes the tombstone -> empty, but key cols select fine
+    empty = t.delete_changes(1, 1)
+    assert empty.count() == 0
+    assert empty.select("id", "grp").count() == 0
+    assert dict(empty.dtypes)["grp"] == "bigint"
+
+
+def test_insert_high_water_mark_ignores_tombstone_snapshots(spark, tmp_path):
+    """max_insert_snapshot_id() is the ingest fence the delete-propagation
+    pattern scopes its feed window with: after a tombstone commits, the
+    overall max advances but the INSERT high-water mark does not, so a
+    retry's feed window (insert_hwm, max] still covers every tombstone —
+    including ones committed before the crash (round-4 ADVICE, medium)."""
+    t = SnapshotTable(spark, str(tmp_path / "hwm"), "id long, grp long")
+    t.append(spark.createDataFrame([(1, 3), (2, 4)], "id long, grp long"), batch_id=0)
+    t.append(spark.createDataFrame([(3, 3)], "id long, grp long"), batch_id=1)
+    assert t.max_insert_snapshot_id() == 1 == t.max_snapshot_id()
+    # first delete commits (the pre-crash state of the retry hole)
+    t.delete(F.col("grp") == 3, key_cols=["id", "grp"], batch_id=10)
+    assert t.max_snapshot_id() == 2
+    assert t.max_insert_snapshot_id() == 1  # unchanged by the tombstone
+    # a retry computing its window from the insert HWM sees BOTH deletes
+    t.delete(F.col("grp") == 4, key_cols=["id", "grp"], batch_id=11)
+    feed = t.delete_changes(t.max_insert_snapshot_id(), t.max_snapshot_id())
+    assert {r["id"] for r in feed.collect()} == {1, 2, 3}
+
+
+def test_file_envelope_handles_stats_without_min_max(tmp_path):
+    """A parquet column chunk can carry a statistics object with min/max
+    unset (e.g. an all-null column: null_count only). The skip decision
+    must take the documented 'no stats: keep the file' fallback instead
+    of raising (round-4 ADVICE, layout._file_envelope)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_streaming_patterns_spark.operators.layout import _file_envelope
+
+    f = str(tmp_path / "nullstats.parquet")
+    table = pa.table(
+        {
+            "user_id": pa.array([None, None], type=pa.int64()),
+            "event_date": pa.array([None, None], type=pa.date32()),
+        }
+    )
+    pq.write_table(table, f)
+    md = pq.ParquetFile(f).metadata.row_group(0).column(0)
+    # precondition: this writer produced a stats object without min/max
+    assert md.statistics is not None and not md.statistics.has_min_max
+    assert _file_envelope(f) is None

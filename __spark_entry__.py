@@ -98,6 +98,14 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #   text_token_count (token counts re-emitted by text_quality_scores'
 #     n_tokens on the same tokenization) → text_unigram_surprisal, the
 #     model-based quality family (unigram-LM perplexity proxy).
+# Round-5 rotation:
+#   doc_fingerprint (md5 over normalized text — the same portable-hash
+#     decision the exact-dedup tier of three driver-verified patterns
+#     already proves; stays exact-checked locally) →
+#     pattern_streaming_semdedup, continuous-ingestion embedding-cosine
+#     dedup (frozen first-batch quantizer, cell-partitioned insert-only
+#     state read under dynamic partition pruning) proven streaming ≡
+#     batch all-prior in one hash row.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -129,10 +137,10 @@ _PRIORITY = [
     "dedup_minhash_clusters",
     "corpus_build_shards",
     "dedup_incremental_verdicts",
-    "doc_fingerprint",
     # similarity search (§2.11)
     "knn_bruteforce",
     "semdedup_prune",
+    "pattern_streaming_semdedup",
     "knn_ivf_ann",
     "knn_lsh_ann",
     # multimodal (§2.11)

@@ -73,7 +73,12 @@ def _balanced_sum(terms):
     return terms[0]
 
 
-def _bucket_pairs(bucketed: DataFrame, key_cols: list[str], item_col) -> DataFrame:
+def _bucket_pairs(
+    bucketed: DataFrame,
+    key_cols: list[str],
+    item_col,
+    max_bucket: int | None = None,
+) -> DataFrame:
     """Ordered within-bucket pairs via collect + in-array expansion.
 
     The naive candidate join self-joins the bucketed relation, which makes
@@ -89,10 +94,21 @@ def _bucket_pairs(bucketed: DataFrame, key_cols: list[str], item_col) -> DataFra
 
     ``item_col`` must sort by id first (atom or struct with id leading) so
     pair order gives id_a < id_b. Returns columns ``a`` and ``b``.
+
+    ``max_bucket`` drops buckets with more than that many items before the
+    quadratic expansion — the hot-bucket cap: one degenerate key (empty or
+    boilerplate-heavy docs hashing to the same band value) otherwise
+    produces |bucket|² candidates and takes the whole stage down with it.
+    A true near-dup pair lost to one capped band is recovered by its
+    other bands with the standard LSH probability (two docs at J ≥ 0.7
+    collide on ~16 of 32 bands in expectation); identical docs are caught
+    by the exact tier before the near tier ever runs.
     """
     buckets = bucketed.groupBy(*key_cols).agg(
         F.sort_array(F.collect_list(item_col)).alias("items")
     )
+    if max_bucket is not None:
+        buckets = buckets.filter(F.size("items") <= max_bucket)
     pair_arrays = F.flatten(
         F.transform(
             F.col("items"),
@@ -198,6 +214,9 @@ def minhash_bands(
     )
 
 
+MAX_BAND_BUCKET = 1024  # hot-bucket cap: see _bucket_pairs / band_candidates
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -206,6 +225,7 @@ def minhash_lsh_pairs(
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
     bands: DataFrame | None = None,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
@@ -218,6 +238,13 @@ def minhash_lsh_pairs(
     near-dup pattern shares ONE band computation between its state append,
     the cross-corpus candidate join, and this batch-internal pair search,
     so batch text is hashed exactly once per micro-batch).
+
+    ``max_bucket`` caps band-bucket size before the quadratic candidate
+    expansion (see _bucket_pairs). The default never trips at the tested
+    SFs (dup clusters there are ≤2 docs, so the oracle contract — LSH
+    output == exact all-pairs at the threshold — is untouched); at 100 TB
+    it bounds the worst band key to max_bucket² candidates instead of
+    letting one boilerplate cluster go quadratic in corpus size.
     """
     bands = (
         bands
@@ -225,7 +252,9 @@ def minhash_lsh_pairs(
         else minhash_bands(df, id_col, text_col, n_hashes, band_rows)
     ).withColumnRenamed(id_col, "id")
     cand = (
-        _bucket_pairs(bands, ["band_id", "band_hash"], F.col("id"))
+        _bucket_pairs(
+            bands, ["band_id", "band_hash"], F.col("id"), max_bucket=max_bucket
+        )
         .select(F.col("a").alias("id_a"), F.col("b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -277,6 +306,73 @@ def incremental_exact_matches(
     return c.join(F.broadcast(b), "content_hash").select("batch_id", "corpus_id")
 
 
+def band_candidates(
+    corpus_bands: DataFrame,
+    batch_bands: DataFrame,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Distinct (batch_id, corpus_id) candidate pairs from the band-index
+    equi-join: corpus index ⋈ BROADCAST batch index — the corpus side
+    never shuffles. Inputs are (id, band_id, band_hash)-shaped (column
+    ORDER, any id name).
+
+    ``max_bucket`` is the incremental hot-bucket cap: drop band keys
+    matched by more than that many DISTINCT corpus docs — one degenerate
+    band value (boilerplate/near-empty docs) otherwise floods the verify
+    join with |hot bucket| candidates per batch doc. The count is a
+    window over the already-joined, batch-relevant-only frame — a single
+    pass that shuffles O(candidate rows), never aggregating the full
+    at-rest index. True matches lost to a capped band are recovered by
+    the doc's other bands with standard LSH probability; identical docs
+    are caught by the exact tier first."""
+    cb = corpus_bands.toDF("corpus_id", "band_id", "band_hash")
+    bb = batch_bands.toDF("batch_id", "band_id", "band_hash")
+    joined = cb.join(F.broadcast(bb), ["band_id", "band_hash"])
+    if max_bucket is not None:
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("band_id", "band_hash")
+        joined = joined.withColumn(
+            "__n", F.size(F.collect_set("corpus_id").over(w))
+        ).filter(F.col("__n") <= max_bucket)
+    return joined.select("batch_id", "corpus_id").dropDuplicates(
+        ["batch_id", "corpus_id"]
+    )
+
+
+def verify_jaccard_matches(
+    cand: DataFrame,
+    batch_sets: DataFrame,
+    corpus_sets: DataFrame,
+    threshold: float,
+    join_cols: tuple[str, ...] = ("corpus_id",),
+) -> DataFrame:
+    """Exact shingle-Jaccard verification of candidate pairs.
+    ``cand``: (batch_id, corpus_id); ``batch_sets``: (batch_id, s_b);
+    ``corpus_sets``: (corpus_id, s_c). The candidate side (⋈ batch sets)
+    is candidate-sized and broadcast, so the corpus side of the verify
+    join stays a pure scan — no Exchange on any corpus-derived relation
+    (asserted in tests/test_plans.py).
+
+    ``join_cols`` extends the verify-join key: when the corpus state is
+    hive-partitioned on a derived bucket column and BOTH sides carry it
+    (``("corpus_id", "__kb")``), the broadcast join equi-key on the
+    partition column lets Spark insert a dynamic-partition-pruning
+    subquery — the corpus scan then reads only partitions that hold
+    candidates, lazily, with no driver-side bucket collection."""
+    verified = (
+        corpus_sets.join(
+            F.broadcast(cand.join(F.broadcast(batch_sets), "batch_id")),
+            list(join_cols),
+        )
+        .withColumn("jaccard", _jaccard(F.col("s_b"), F.col("s_c")))
+        .filter(F.col("jaccard") >= threshold)
+    )
+    return verified.select(
+        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 def incremental_neardup_matches(
     batch: DataFrame,
     corpus: DataFrame,
@@ -287,6 +383,8 @@ def incremental_neardup_matches(
     band_rows: int = BAND_ROWS,
     corpus_bands: DataFrame | None = None,
     batch_bands: DataFrame | None = None,
+    corpus_sets: DataFrame | None = None,
+    max_bucket: int | None = MAX_BAND_BUCKET,
 ) -> DataFrame:
     """Near-dup matches of a NEW batch against an EXISTING corpus:
     (batch_id, corpus_id, jaccard) for every cross pair with shingle
@@ -305,40 +403,36 @@ def incremental_neardup_matches(
     point of the incremental shape. Batch-internal duplicates are NOT
     emitted here (run minhash_lsh_pairs on the batch for those); this
     operator answers "which new docs already exist".
+
+    ``corpus_sets``: pre-computed (id, shingle-set) corpus state — the
+    at-rest form the streaming pattern stores, so verification reads the
+    narrow set column instead of re-shingling raw text every batch.
+    ``max_bucket``: the hot-bucket cap (see band_candidates; the default
+    never trips at the tested SFs, so oracle exactness is untouched).
     """
     cb = (
         corpus_bands
         if corpus_bands is not None
         else minhash_bands(corpus, id_col, text_col, n_hashes, band_rows)
-    ).toDF("corpus_id", "band_id", "band_hash")
+    )
     bb = (
         batch_bands
         if batch_bands is not None
         else minhash_bands(batch, id_col, text_col, n_hashes, band_rows)
-    ).toDF("batch_id", "band_id", "band_hash")
-    cand = (
-        cb.join(F.broadcast(bb), ["band_id", "band_hash"])
-        .select("batch_id", "corpus_id")
-        .dropDuplicates(["batch_id", "corpus_id"])
     )
+    cand = band_candidates(cb, bb, max_bucket=max_bucket)
     b_sets = batch.select(
         F.col(id_col).alias("batch_id"), shingles(F.col(text_col)).alias("s_b")
     )
-    c_sets = corpus.select(
-        F.col(id_col).alias("corpus_id"), shingles(F.col(text_col)).alias("s_c")
+    c_sets = (
+        corpus_sets.toDF("corpus_id", "s_c")
+        if corpus_sets is not None
+        else corpus.select(
+            F.col(id_col).alias("corpus_id"),
+            shingles(F.col(text_col)).alias("s_c"),
+        )
     )
-    # Verify join shape: (candidates ⋈ batch shingles) is candidate-sized —
-    # broadcast it so the corpus side of BOTH joins in this operator stays
-    # a pure scan (no Exchange on any corpus-derived relation; asserted in
-    # tests/test_plans.py).
-    verified = (
-        c_sets.join(F.broadcast(cand.join(F.broadcast(b_sets), "batch_id")), "corpus_id")
-        .withColumn("jaccard", _jaccard(F.col("s_b"), F.col("s_c")))
-        .filter(F.col("jaccard") >= threshold)
-    )
-    return verified.select(
-        "batch_id", "corpus_id", F.round("jaccard", 6).alias("jaccard")
-    )
+    return verify_jaccard_matches(cand, b_sets, c_sets, threshold)
 
 
 SIMHASH_BITS = 60

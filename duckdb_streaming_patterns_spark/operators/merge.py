@@ -107,36 +107,132 @@ class UpsertLog:
     re-emit). Writing a batch directory is idempotent (mode=overwrite on
     the batch's own dir), so foreachBatch retries are exactly-once without
     a fence. Periodic compaction = read_latest → rewrite as a new base.
+
+    ``insert_only=True`` declares that a key is written AT MOST ONCE
+    across the whole log (retries overwriting their own batch dir aside —
+    those rewrite the same keys bit-identically). Under that contract
+    last-writer-wins is a no-op, so ``read_latest`` skips the
+    row_number window entirely and returns a PLAIN SCAN of base + deltas
+    — no Exchange, no per-read shuffle of the accumulated state. This is
+    the difference between O(batch-dirs listed) and O(total state
+    shuffled) per micro-batch for the continuous-ingestion dedup
+    patterns, whose seen/bands/docs/verdict state is insert-only by
+    construction (keys are content hashes / doc ids, each first-written
+    exactly once). Keep the default (LWW window) for logs whose keys
+    re-emit, e.g. update-mode streaming output.
+
+    ``bucket_col`` hash-partitions every batch directory by
+    ``pmod(xxhash64(bucket_col), n_buckets)`` (hive partition ``__kb``),
+    so point-lookup-ish reads (``read_latest(buckets=[...])``) become
+    partition-PRUNED scans: broadcast joins don't prune I/O, but a
+    partition filter does — the candidate-verify fetch of the streaming
+    near-dup pattern reads only the buckets its candidates live in
+    instead of the whole accumulated corpus. Size n_buckets so one
+    bucket ≈ a few files at the target state size (at 100 TB of state:
+    tens of thousands of buckets; the default 16 fits the test SFs).
     """
 
-    def __init__(self, spark: SparkSession, root: str, keys: list[str]):
+    def __init__(
+        self,
+        spark: SparkSession,
+        root: str,
+        keys: list[str],
+        insert_only: bool = False,
+        bucket_col: str | None = None,
+        n_buckets: int = 16,
+        partition_col: str | None = None,
+    ):
+        """``partition_col`` hive-partitions every batch dir by that RAW
+        column's values (vs ``bucket_col``'s hashed ``__kb``) — for
+        naturally low-cardinality layout keys like an IVF cell id, where
+        reads pruned to a value subset should touch only those
+        directories. Mutually exclusive with ``bucket_col``."""
+        if bucket_col is not None and partition_col is not None:
+            raise ValueError("bucket_col and partition_col are exclusive")
         self.spark = spark
         self.root = root
         self.keys = keys
+        self.insert_only = insert_only
+        self.bucket_col = bucket_col
+        self.n_buckets = n_buckets
+        self.partition_col = partition_col
         os.makedirs(root, exist_ok=True)
 
+    @property
+    def _layout_col(self) -> str | None:
+        """The hive partition column of each batch dir, whichever flavor."""
+        return "__kb" if self.bucket_col is not None else self.partition_col
+
+    def bucket_of(self, col) -> "F.Column":
+        """The partition-bucket expression for a key value — usable on any
+        frame carrying the key (e.g. a candidate list, to compute which
+        buckets a pruned read must touch)."""
+        return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
+
     def append(self, batch: DataFrame, batch_id: int) -> None:
-        batch.write.mode("overwrite").parquet(
-            os.path.join(self.root, f"__batch_id={batch_id}")
-        )
+        if self.bucket_col is not None:
+            writer = (
+                batch.withColumn("__kb", self.bucket_of(F.col(self.bucket_col)))
+                .write.mode("overwrite")
+                .partitionBy("__kb")
+            )
+        elif self.partition_col is not None:
+            writer = batch.write.mode("overwrite").partitionBy(
+                self.partition_col
+            )
+        else:
+            writer = batch.write.mode("overwrite")
+        writer.parquet(os.path.join(self.root, f"__batch_id={batch_id}"))
 
-    def read_latest(self, before_batch: int | None = None) -> DataFrame:
-        """Resolved last-writer-wins state. ``before_batch`` scopes the
-        read to batches strictly below that id — what a foreachBatch
-        RETRY of batch N must read: resolving against the full log would
-        include batch N's own (pre-crash) rows, change the recomputation,
-        and let the idempotent overwrite of ``__batch_id=N`` diverge from
-        what the first attempt wrote."""
-        from pyspark.sql import Window as W
+    def read_latest(
+        self,
+        before_batch: int | None = None,
+        buckets: list[int] | None = None,
+        keep_bucket: bool = False,
+    ) -> DataFrame:
+        """Resolved state. ``before_batch`` scopes the read to batches
+        strictly below that id — what a foreachBatch RETRY of batch N
+        must read: resolving against the full log would include batch N's
+        own (pre-crash) rows, change the recomputation, and let the
+        idempotent overwrite of ``__batch_id=N`` diverge from what the
+        first attempt wrote.
 
+        ``buckets`` (requires ``bucket_col``) restricts the scan to those
+        ``__kb`` partition values — a real I/O prune (PartitionFilters in
+        the plan), not just a post-scan filter. ``keep_bucket`` retains
+        the ``__kb`` column in the result: join it equi on ``__kb``
+        (derived via ``bucket_of`` on the other side) under a broadcast
+        join and Spark inserts a DYNAMIC partition-pruning subquery on
+        the scan — the lazy, no-extra-action form of the same prune (the
+        streaming near-dup verify fetch uses this).
+
+        Insert-only logs return the plain scan (each key exists once by
+        contract — nothing to resolve); otherwise one window computes
+        last-writer-wins, which shuffles the scanned state on every call
+        — the price of re-emitting keys."""
         log = self.spark.read.parquet(self.root)  # partition col __batch_id
         if before_batch is not None:
             log = log.filter(F.col("__batch_id") < before_batch)
+        if buckets is not None:
+            if self._layout_col is None:
+                raise ValueError("buckets= requires bucket_col/partition_col")
+            log = log.filter(
+                F.col(self._layout_col).isin([int(b) for b in buckets])
+            )
+        drop_cols = ["__batch_id"] + (
+            [self._layout_col]
+            if self._layout_col is not None and not keep_bucket
+            else []
+        )
+        if self.insert_only:
+            return log.drop(*drop_cols)
+        from pyspark.sql import Window as W
+
         w = W.partitionBy(*self.keys).orderBy(F.col("__batch_id").desc())
         return (
             log.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
-            .drop("__rn", "__batch_id")
+            .drop("__rn", *drop_cols)
         )
 
     def compact(self, before_batch: int | None = None) -> None:
@@ -187,9 +283,26 @@ class UpsertLog:
             return
         base_id = int(dirs[0].rsplit("=", 1)[1]) - 1
         tmp = os.path.join(self.root, f".compact_{uuid.uuid4().hex[:8]}")
-        self.read_latest(before_batch=before_batch).write.mode(
-            "overwrite"
-        ).parquet(tmp)
+        # the folded base must keep the hive layout or every later
+        # partition-pruned read degrades to a full scan of the base
+        if self.bucket_col is not None:
+            folded = self.read_latest(before_batch=before_batch)
+            (
+                folded.withColumn("__kb", self.bucket_of(F.col(self.bucket_col)))
+                .write.mode("overwrite")
+                .partitionBy("__kb")
+                .parquet(tmp)
+            )
+        elif self.partition_col is not None:
+            folded = self.read_latest(
+                before_batch=before_batch, keep_bucket=True
+            )
+            folded.write.mode("overwrite").partitionBy(
+                self.partition_col
+            ).parquet(tmp)
+        else:
+            folded = self.read_latest(before_batch=before_batch)
+            folded.write.mode("overwrite").parquet(tmp)
         os.replace(tmp, os.path.join(self.root, f"__batch_id={base_id}"))
         for d in dirs:
             shutil.rmtree(d)

@@ -519,6 +519,69 @@ def q_pattern_streaming_ann_index(
     )
 
 
+from duckdb_streaming_patterns_spark.functions.vectors import (  # noqa: E402
+    duckdb_cosine as _dd_cosine,
+)
+
+# Streaming SemDeDup oracle: the all-prior replay. Quantizer = micro-batch
+# 0's md5-anchor sample (same CTE arithmetic as the streaming IVF oracle);
+# every vector's cell = argmax cosine vs the anchors (tie: cos DESC, aid);
+# a vector drops iff an EARLIER vector (vec_id < — arrival order under
+# monotone chunking) in the SAME cell has cosine ≥ 0.35. Cosines use the
+# sequential-fold fragments the Spark side mirrors, so the whole decision
+# — counts and best-cosine values included — is hash-exact.
+_STREAM_SEMDEDUP_ORACLE = f"""
+    WITH p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per
+               FROM embeddings),
+         a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+               FROM embeddings, p WHERE vec_id < p.per
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+               LIMIT 16),
+         s AS (SELECT e.vec_id, a.aid,
+                      {_dd_cosine("e.embedding", "a.a_vec")} AS cos
+               FROM embeddings e CROSS JOIN a),
+         cells AS (SELECT vec_id, aid AS cell_id FROM (
+                     SELECT vec_id, aid,
+                            row_number() OVER (PARTITION BY vec_id
+                                               ORDER BY cos DESC, aid) AS rn
+                     FROM s) WHERE rn = 1),
+         m AS (SELECT cb.vec_id,
+                      count(*) AS n_sem,
+                      max({_dd_cosine("ea.embedding", "eb.embedding")}) AS best
+               FROM cells ca JOIN cells cb
+                 ON ca.cell_id = cb.cell_id AND ca.vec_id < cb.vec_id
+               JOIN embeddings ea ON ea.vec_id = ca.vec_id
+               JOIN embeddings eb ON eb.vec_id = cb.vec_id
+               WHERE {_dd_cosine("ea.embedding", "eb.embedding")} >= 0.35
+               GROUP BY cb.vec_id)
+    SELECT CAST(e.vec_id AS BIGINT) AS vec_id,
+           CASE WHEN m.vec_id IS NOT NULL THEN 'drop_semantic'
+                ELSE 'keep' END AS verdict,
+           CAST(COALESCE(m.n_sem, 0) AS BIGINT) AS n_sem_matches,
+           ROUND(COALESCE(m.best, 0.0), 6) AS best_cosine
+    FROM embeddings e LEFT JOIN m ON e.vec_id = m.vec_id
+"""
+
+
+@register("pattern_streaming_semdedup", _STREAM_SEMDEDUP_ORACLE)
+def q_pattern_streaming_semdedup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingestion SemDeDup: embeddings land in 5 micro-batches;
+    the coarse quantizer trains on batch 0 and freezes; every vector is
+    compared against all EARLIER vectors in its cell (state scan
+    dynamic-partition-pruned to the batch's cells) and gets a durable
+    drop_semantic/keep verdict. Oracle = the batch all-prior replay with
+    the same frozen quantizer — the embedding-family analogue of
+    pattern_streaming_neardup_dedup's streaming ≡ batch proof. See
+    streaming/patterns.pattern_streaming_semdedup."""
+    run = staging.new_run_dir("psem")
+    chunks = staging.stage_embedding_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_streaming_semdedup(
+        spark, chunks, run, threshold=0.35, n_cells=16, state_partitions=4
+    )
+
+
 from duckdb_streaming_patterns_spark.functions.text import (  # noqa: E402
     duckdb_shingles as _dd_shingles,
 )

@@ -606,6 +606,10 @@ def pattern_stream_stream_join(
         spark,
         os.path.join(run_dir, "pairs"),
         keys=["click_id", "view_id"],
+        # a watermarked inner stream-stream join emits each matched pair
+        # exactly once → insert-only: the end-of-run aggregation reads a
+        # plain scan, no LWW window over the whole pair log
+        insert_only=True,
     )
 
     src = staging.read_event_stream(spark, chunks_dir).withColumn(
@@ -1137,6 +1141,202 @@ def pattern_streaming_ann_index(
     )
 
 
+def pattern_streaming_semdedup(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    threshold: float = 0.35,
+    n_cells: int = 16,
+    state_partitions: int | None = None,
+    compact_every: int = 8,
+) -> DataFrame:
+    """Continuous-ingestion SemDeDup (embedding-cosine near-dup): vectors
+    arrive as micro-batches; each batch is compared against every
+    EARLIER vector in its coarse cell and gets a durable verdict —
+    (vec_id, verdict ∈ {drop_semantic, keep}, n_sem_matches,
+    best_cosine). The streaming form of ``semdedup_prune``, closing the
+    batch→continuous loop for the embedding family the way
+    pattern_streaming_neardup_dedup does for text.
+
+    Shape (designed for a 100 TB embedding firehose):
+    - the coarse quantizer trains ONCE on micro-batch 0's md5-anchor
+      sample and freezes (same contract as pattern_streaming_ann_index;
+      a retried batch re-assigns identically);
+    - state is ONE insert-only UpsertLog of (vec_id, embedding),
+      hive-partitioned by ``cell_id`` — scan-shaped reads (no LWW
+      window), and the per-batch comparison joins state ⋈ BROADCAST
+      batch on cell_id, so Spark dynamic-partition-prunes the state scan
+      to exactly the batch's cells: per-batch I/O is O(batch's cell
+      sizes), never O(corpus), and nothing state-sized ever shuffles;
+    - comparisons use the sequential-fold cosine arithmetic every other
+      quantized operator uses, so the DuckDB oracle replays the whole
+      all-prior decision bit-for-bit.
+
+    Exactly-once: the state read is scoped
+    ``read_latest(before_batch=batch_id)`` and appends are per-batch-dir
+    idempotent — the same crash-retry contract as the text patterns."""
+    vecs_log, verdict_log = semdedup_state_logs(spark, run_dir)
+    anchors_path = os.path.join(run_dir, "anchors.json")
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            vecs_log.compact(before_batch=batch_id)
+            verdict_log.compact(before_batch=batch_id)
+        semdedup_stream_batch(
+            vecs_log, verdict_log, anchors_path, batch, batch_id,
+            threshold, n_cells,
+        )
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_embedding_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return verdict_log.read_latest().select(
+        "vec_id", "verdict", "n_sem_matches", "best_cosine"
+    )
+
+
+def semdedup_state_logs(spark: SparkSession, run_dir: str):
+    """The streaming-SemDeDup state logs — shared by the pattern and its
+    retry tests (flags in lockstep). Both insert-only; the vector state
+    is hive-partitioned by its IVF ``cell_id`` so per-batch comparison
+    scans are dynamic-partition-pruned to the batch's cells."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    return (
+        UpsertLog(
+            spark,
+            os.path.join(run_dir, "vecs"),
+            keys=["vec_id"],
+            insert_only=True,
+            partition_col="cell_id",
+        ),
+        UpsertLog(
+            spark,
+            os.path.join(run_dir, "verdicts"),
+            keys=["vec_id"],
+            insert_only=True,
+        ),
+    )
+
+
+def semdedup_stream_batch(
+    vecs_log,
+    verdict_log,
+    anchors_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    threshold: float,
+    n_cells: int,
+) -> None:
+    """One micro-batch of continuous SemDeDup — module-level so the
+    retry-idempotence test can re-deliver a batch exactly like a crashed
+    foreachBatch would. See pattern_streaming_semdedup for the
+    contract."""
+    import glob as _glob
+    import json as _json
+
+    from duckdb_streaming_patterns_spark.functions.vectors import (
+        dot_double,
+        l2_norm,
+        to_double_array,
+    )
+    from duckdb_streaming_patterns_spark.operators import similarity
+
+    if not os.path.exists(anchors_path):
+        # frozen quantizer: md5-anchor sample of the first batch,
+        # persisted driver-side (KB-sized); repr() round-trips IEEE754
+        rows = similarity.md5_anchor_rows(batch, "vec_id", "embedding", n_cells)
+        tmp = anchors_path + ".tmp"
+        with open(tmp, "w") as f:
+            _json.dump([[int(r.aid), list(r.vec)] for r in rows], f)
+        os.replace(tmp, anchors_path)
+    with open(anchors_path) as f:
+        from pyspark.sql import Row
+
+        anchor_rows = [Row(aid=a, vec=v) for a, v in _json.load(f)]
+    assign = similarity.anchor_cell_udf(anchor_rows, n_probe=1)
+    assigned = batch.select(
+        F.col("vec_id").cast("long").alias("vec_id"),
+        F.col("embedding"),
+        # int cell ids: the state's hive-partition column reads back as
+        # int, and the DPP join key must be cast-free on the scan side
+        F.element_at(assign(F.col("embedding")), 1)
+        .cast("int")
+        .alias("cell_id"),
+    ).localCheckpoint(eager=True)  # one UDF pass shared by all consumers
+    # norm > 0 guards the cosine division AND is the selective predicate
+    # Spark's DPP planner requires on the broadcast side
+    b = assigned.select(
+        "vec_id",
+        "cell_id",
+        to_double_array(F.col("embedding")).alias("b_vec"),
+        l2_norm(F.col("embedding")).alias("b_norm"),
+    ).filter(F.col("b_norm") > 0)
+    # batch-internal earlier matches: p_id < vec_id ⇒ p arrived first
+    p_int = b.select(
+        F.col("vec_id").alias("p_id"),
+        "cell_id",
+        F.col("b_vec").alias("p_vec"),
+        F.col("b_norm").alias("p_norm"),
+    )
+    internal = p_int.join(F.broadcast(b), "cell_id").filter(
+        F.col("p_id") < F.col("vec_id")
+    )
+    have_state = any(
+        int(d.rsplit("=", 1)[1]) < batch_id
+        for d in _glob.glob(os.path.join(vecs_log.root, "__batch_id=*"))
+    )
+    if have_state:
+        prior = vecs_log.read_latest(
+            before_batch=batch_id, keep_bucket=True
+        ).select(
+            F.col("vec_id").alias("p_id"),
+            F.col("cell_id"),
+            to_double_array(F.col("embedding")).alias("p_vec"),
+            l2_norm(F.col("embedding")).alias("p_norm"),
+        )
+        cross = prior.join(F.broadcast(b), "cell_id").filter(
+            F.col("p_id") < F.col("vec_id")
+        )
+        pairs = internal.unionByName(cross)
+    else:
+        pairs = internal
+    matches = pairs.withColumn(
+        "cosine",
+        dot_double(F.col("p_vec"), F.col("b_vec"))
+        / F.col("p_norm")
+        / F.col("b_norm"),
+    ).filter(F.col("cosine") >= threshold)
+    agg = matches.groupBy("vec_id").agg(
+        F.count("*").alias("__n"), F.max("cosine").alias("__best")
+    )
+    verdicts = (
+        assigned.select("vec_id")
+        .join(agg, "vec_id", "left")
+        .select(
+            "vec_id",
+            F.when(F.col("__n") > 0, F.lit("drop_semantic"))
+            .otherwise(F.lit("keep"))
+            .alias("verdict"),
+            F.coalesce(F.col("__n"), F.lit(0))
+            .cast("bigint")
+            .alias("n_sem_matches"),
+            F.round(F.coalesce(F.col("__best"), F.lit(0.0)), 6).alias(
+                "best_cosine"
+            ),
+        )
+        .localCheckpoint(eager=True)  # evaluate BEFORE appends
+    )
+    vecs_log.append(assigned, batch_id)
+    verdict_log.append(verdicts, batch_id)
+
+
 def pattern_corpus_ingest_dedup(
     spark: SparkSession,
     chunks_dir: str,
@@ -1175,9 +1375,20 @@ def pattern_corpus_ingest_dedup(
     """
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
 
-    seen_log = UpsertLog(spark, os.path.join(run_dir, "seen"), keys=["__h"])
+    # Both logs are INSERT-ONLY by construction — a content hash is
+    # appended only the first time it's seen, a doc id gets exactly one
+    # verdict — so reads are plain scans of base + deltas: no
+    # last-writer-wins window, no per-batch Exchange of the accumulated
+    # state (the round-4 scale defect: the LWW window shuffled the FULL
+    # state every micro-batch).
+    seen_log = UpsertLog(
+        spark, os.path.join(run_dir, "seen"), keys=["__h"], insert_only=True
+    )
     verdict_log = UpsertLog(
-        spark, os.path.join(run_dir, "verdicts"), keys=["doc_id"]
+        spark,
+        os.path.join(run_dir, "verdicts"),
+        keys=["doc_id"],
+        insert_only=True,
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
@@ -1234,9 +1445,15 @@ def pattern_streaming_ingest_funnel(
     reads as pattern_corpus_ingest_dedup."""
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
 
-    seen_log = UpsertLog(spark, os.path.join(run_dir, "seen"), keys=["__h"])
+    # insert-only state: scan-shaped reads, no per-batch LWW shuffle
+    seen_log = UpsertLog(
+        spark, os.path.join(run_dir, "seen"), keys=["__h"], insert_only=True
+    )
     verdict_log = UpsertLog(
-        spark, os.path.join(run_dir, "verdicts"), keys=["doc_id"]
+        spark,
+        os.path.join(run_dir, "verdicts"),
+        keys=["doc_id"],
+        insert_only=True,
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
@@ -1279,20 +1496,27 @@ def pattern_streaming_neardup_dedup(
     at-rest band index (`operators/dedup.minhash_bands`) — the last gap
     between the batch dedup stack and the continuous-ingestion story.
 
-    State, per tier (designed for a 100 TB firehose):
+    State, per tier (designed for a 100 TB firehose) — every log is
+    INSERT-ONLY (each key written exactly once), so every state read is a
+    plain scan of base + deltas: no last-writer-wins window, no per-batch
+    Exchange of accumulated state (the round-4 scale defect):
     - ``seen``: (content md5 → first doc) — 16-byte keys, O(new) appends.
     - ``bands``: the (doc_id, band_id, band_hash) index — the narrow
       at-rest form (n_bands × ~24 B per doc) new batches equi-join
       against; corpus TEXT is never re-hashed.
-    - ``docs``: the corpus at rest — read ONLY through the candidate
-      verify join (the equi-join prunes it to candidate rows), exactly
-      like `incremental_neardup_matches`'s corpus argument.
+    - ``docs``: the verify-time corpus state, stored as (doc_id,
+      shingle-set) — NOT raw text (nothing re-shingles at verify time)
+      — hash-bucketed by doc_id (``bucket_col``): the per-batch
+      candidate fetch reads ONLY the ``__kb`` partitions its candidate
+      doc_ids live in (a real PartitionFilters I/O prune — a broadcast
+      join alone never prunes what the scan reads).
     Per batch: batch-internal pairs come from `minhash_lsh_pairs` on the
     (small) batch; cross-corpus candidates from the band index joined
-    with the BROADCAST batch bands; both verified with exact shingle
-    Jaccard. A doc's matches are every EARLIER doc (prior batch, or
-    smaller id in its own batch) at Jaccard ≥ threshold — the all-prior
-    semantics the batch oracle can replay in SQL.
+    with the BROADCAST batch bands (hot band keys capped — see
+    dedup.band_candidates); both verified with exact shingle Jaccard. A
+    doc's matches are every EARLIER doc (prior batch, or smaller id in
+    its own batch) at Jaccard ≥ threshold — the all-prior semantics the
+    batch oracle can replay in SQL.
 
     Exactly-once: every state read is scoped
     ``read_latest(before_batch=batch_id)`` so a foreachBatch retry
@@ -1300,15 +1524,8 @@ def pattern_streaming_neardup_dedup(
     appends survived the crash (same invariant as
     pattern_corpus_ingest_dedup; covered by
     test_neardup_dedup_retry_is_idempotent)."""
-    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
-
-    seen_log = UpsertLog(spark, os.path.join(run_dir, "seen"), keys=["__h"])
-    bands_log = UpsertLog(
-        spark, os.path.join(run_dir, "bands"), keys=["doc_id", "band_id"]
-    )
-    docs_log = UpsertLog(spark, os.path.join(run_dir, "docs"), keys=["doc_id"])
-    verdict_log = UpsertLog(
-        spark, os.path.join(run_dir, "verdicts"), keys=["doc_id"]
+    seen_log, bands_log, docs_log, verdict_log = neardup_state_logs(
+        spark, run_dir
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
@@ -1407,6 +1624,88 @@ def pattern_streaming_full_funnel(
     )
 
 
+def neardup_state_logs(spark: SparkSession, run_dir: str):
+    """The near-dup pattern's four state logs — one constructor shared by
+    the pattern and its retry tests so flags stay in lockstep. All four
+    are INSERT-ONLY (each key written exactly once ⇒ reads are plain
+    scans, no per-batch LWW shuffle of accumulated state); the docs log
+    additionally hash-buckets by doc_id so the candidate-verify fetch is
+    a partition-pruned scan."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    return (
+        UpsertLog(
+            spark, os.path.join(run_dir, "seen"), keys=["__h"], insert_only=True
+        ),
+        UpsertLog(
+            spark,
+            os.path.join(run_dir, "bands"),
+            keys=["doc_id", "band_id"],
+            insert_only=True,
+        ),
+        UpsertLog(
+            spark,
+            os.path.join(run_dir, "docs"),
+            keys=["doc_id"],
+            insert_only=True,
+            bucket_col="doc_id",
+        ),
+        UpsertLog(
+            spark,
+            os.path.join(run_dir, "verdicts"),
+            keys=["doc_id"],
+            insert_only=True,
+        ),
+    )
+
+
+def neardup_prior_matches(
+    docs_log,
+    bands_log,
+    batch: DataFrame,
+    batch_bands: DataFrame,
+    batch_id: int,
+    threshold: float,
+) -> DataFrame:
+    """Cross-corpus near-dup matches of one micro-batch against the
+    accumulated state: (doc_id, jaccard), one row per (batch doc ×
+    matching prior doc). Entirely LAZY — one plan, no extra per-batch
+    driver actions — with the 100 TB shape:
+
+    - candidates: at-rest band index ⋈ BROADCAST batch bands, hot band
+      keys capped (dedup.band_candidates) — the index side never
+      shuffles;
+    - verify fetch: the shingle-set docs state is hive-partitioned on
+      ``__kb`` (bucket of doc_id); the verify join keys on
+      (corpus_id, __kb) with __kb derived on the broadcast candidate
+      side, so Spark inserts a DYNAMIC-partition-pruning subquery on the
+      state scan: only partitions holding candidate docs are read
+      (asserted in tests/test_plans.py). Broadcast joins alone never
+      prune scan I/O — the partition-column equi-key is what turns the
+      state fetch from O(corpus) to O(candidate buckets) bytes."""
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
+
+    prior_bands = bands_log.read_latest(before_batch=batch_id).select(
+        "doc_id", "band_id", "band_hash"
+    )
+    cand = dedup_ops.band_candidates(
+        prior_bands, batch_bands, max_bucket=dedup_ops.MAX_BAND_BUCKET
+    ).withColumn("__kb", docs_log.bucket_of(F.col("corpus_id")))
+    prior_sets = docs_log.read_latest(
+        before_batch=batch_id, keep_bucket=True
+    ).select(
+        F.col("doc_id").alias("corpus_id"), F.col("s").alias("s_c"), "__kb"
+    )
+    b_sets = batch.select(
+        F.col("doc_id").alias("batch_id"),
+        shingles(F.col("text")).alias("s_b"),
+    )
+    return dedup_ops.verify_jaccard_matches(
+        cand, b_sets, prior_sets, threshold, join_cols=("corpus_id", "__kb")
+    ).select(F.col("batch_id").alias("doc_id"), "jaccard")
+
+
 def neardup_dedup_batch(
     seen_log,
     bands_log,
@@ -1423,6 +1722,7 @@ def neardup_dedup_batch(
     pattern_streaming_neardup_dedup for the contract."""
     import glob as _glob
 
+    from duckdb_streaming_patterns_spark.functions.text import shingles
     from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
 
     have_state = any(
@@ -1444,14 +1744,9 @@ def neardup_dedup_batch(
     ).select(F.col("id_b").alias("doc_id"), "jaccard")
     if have_state:
         seen = seen_log.read_latest(before_batch=batch_id)
-        prior_bands = bands_log.read_latest(before_batch=batch_id).select(
-            "doc_id", "band_id", "band_hash"
+        prior = neardup_prior_matches(
+            docs_log, bands_log, batch, batch_bands, batch_id, threshold
         )
-        prior_docs = docs_log.read_latest(before_batch=batch_id)
-        prior = dedup_ops.incremental_neardup_matches(
-            batch, prior_docs, "doc_id", "text", threshold,
-            corpus_bands=prior_bands, batch_bands=batch_bands,
-        ).select(F.col("batch_id").alias("doc_id"), "jaccard")
         exact_prior = (
             bh.join(seen.select("__h"), "__h")
             .select("doc_id")
@@ -1497,7 +1792,12 @@ def neardup_dedup_batch(
     verdicts = verdicts.localCheckpoint(eager=True)  # evaluate BEFORE appends
     seen_log.append(new_firsts, batch_id)
     bands_log.append(batch_bands, batch_id)
-    docs_log.append(batch.select("doc_id", "text"), batch_id)
+    # the verify-time state is the SHINGLE SET, not raw text: nothing
+    # re-shingles at verify time, and the at-rest scan is the narrow
+    # array column
+    docs_log.append(
+        batch.select("doc_id", shingles(F.col("text")).alias("s")), batch_id
+    )
     verdict_log.append(verdicts, batch_id)
 
 

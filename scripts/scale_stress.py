@@ -73,6 +73,8 @@ HEAVY = [
     # CDF-delete propagation + incremental ANN index maintenance
     "pattern_gdpr_delete_propagation",
     "pattern_streaming_ann_index",
+    # round-5 addition: continuous-ingestion embedding dedup
+    "pattern_streaming_semdedup",
 ]
 
 # rows_in attribution per query family (embedding-family rows were
@@ -88,6 +90,7 @@ ROWS_TABLE = {
     "pattern_stream_stream_join": "events",
     "pattern_gdpr_delete_propagation": "events",
     "pattern_streaming_ann_index": "embeddings",
+    "pattern_streaming_semdedup": "embeddings",
 }
 
 TABLES = [

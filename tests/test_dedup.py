@@ -206,3 +206,47 @@ def test_remove_duplicated_spans_kills_cross_doc_dups(spark, sf_small):
         F.sum("n_removed").alias("rem"), F.sum("n_tokens").alias("tot")
     ).first()
     assert 0 < stats["rem"] < stats["tot"]
+
+
+def test_band_candidates_hot_bucket_cap(spark):
+    """One degenerate band value matched by many corpus docs must be
+    droppable: with max_bucket set, candidates from band keys exceeding
+    the cap (counted as DISTINCT corpus docs) disappear while cold
+    buckets survive. Cap unset keeps everything (the tested-SF default
+    path — oracle exactness untouched)."""
+    cb = spark.createDataFrame(
+        [(i, 0, 111) for i in range(1, 6)] + [(6, 1, 222)],
+        "doc_id long, band_id int, band_hash long",
+    )
+    bb = spark.createDataFrame(
+        [(100, 0, 111), (100, 1, 222)],
+        "doc_id long, band_id int, band_hash long",
+    )
+    uncapped = dedup.band_candidates(cb, bb)
+    assert {r["corpus_id"] for r in uncapped.collect()} == {1, 2, 3, 4, 5, 6}
+    capped = dedup.band_candidates(cb, bb, max_bucket=3)
+    assert {r["corpus_id"] for r in capped.collect()} == {6}
+
+
+def test_minhash_lsh_hot_bucket_cap_drops_degenerate_cluster(spark):
+    """An identical-content cluster collides on EVERY band: with a cap
+    below the cluster size the quadratic in-bucket expansion is skipped
+    for those keys (no pairs emitted from them), while an independent
+    near-dup pair in cold buckets is still found. At real thresholds the
+    exact-dedup tier owns identical docs, so capping costs nothing
+    there; the default cap (1024) never trips at the tested SFs."""
+    boiler = "spam spam spam spam spam spam spam spam spam spam"
+    a = "the quick brown fox jumps over the lazy dog again and again"
+    b = "the quick brown fox jumps over the lazy dog again and once"
+    df = spark.createDataFrame(
+        [(i, boiler) for i in range(4)] + [(10, a), (11, b)],
+        "doc_id long, text string",
+    )
+    capped = dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.5, max_bucket=3)
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert (10, 11) in got
+    assert not any(x < 4 and y < 4 for x, y in got), got
+    # uncapped finds the boilerplate cluster's pairs too
+    full = dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.5)
+    gf = {(r["id_a"], r["id_b"]) for r in full.collect()}
+    assert (0, 1) in gf and (10, 11) in gf

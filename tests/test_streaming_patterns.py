@@ -800,9 +800,9 @@ def test_neardup_dedup_retry_is_idempotent(spark, tmp_path):
     import os
     import shutil
 
-    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
     from duckdb_streaming_patterns_spark.streaming.patterns import (
         neardup_dedup_batch,
+        neardup_state_logs,
     )
 
     base1 = "the quick brown fox jumps over the lazy dog again and again"
@@ -822,16 +822,8 @@ def test_neardup_dedup_retry_is_idempotent(spark, tmp_path):
 
     for crash_partial in (False, True):
         root = os.path.join(str(tmp_path), f"nd_retry_{int(crash_partial)}")
-        logs = {
-            n: UpsertLog(spark, os.path.join(root, n), keys=k)
-            for n, k in [
-                ("seen", ["__h"]),
-                ("bands", ["doc_id", "band_id"]),
-                ("docs", ["doc_id"]),
-                ("verdicts", ["doc_id"]),
-            ]
-        }
-        args = (logs["seen"], logs["bands"], logs["docs"], logs["verdicts"])
+        args = neardup_state_logs(spark, root)
+        logs = dict(zip(("seen", "bands", "docs", "verdicts"), args))
         neardup_dedup_batch(*args, b0, 0)
         neardup_dedup_batch(*args, b1, 1)
         if crash_partial:  # crash after seen+bands append, before docs/verdicts
@@ -1339,3 +1331,66 @@ def test_file_envelope_handles_stats_without_min_max(tmp_path):
     # precondition: this writer produced a stats object without min/max
     assert md.statistics is not None and not md.statistics.has_min_max
     assert _file_envelope(f) is None
+
+
+def test_semdedup_stream_retry_is_idempotent_and_matches_all_prior(
+    spark, tmp_path
+):
+    """pattern_streaming_semdedup's two state logs under a foreachBatch
+    retry whose first attempt partially committed (vecs appended,
+    verdicts lost): the before_batch-scoped state read must resolve the
+    retry against pre-batch state, the frozen quantizer must re-assign
+    identically, and the final verdicts must equal the all-prior batch
+    semantics. Fixture: v10 ≈ v0 (same cell, cosine ≈ 1) across the
+    retried boundary; v11 orthogonal-ish (keep); v20 ≈ v10 in a later
+    batch."""
+    import os
+    import shutil
+
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        semdedup_state_logs,
+        semdedup_stream_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in rows],
+            "vec_id long, embedding array<float>",
+        )
+
+    b0 = mk([(0, [1, 0, 0, 0]), (1, [0, 1, 0, 0]), (2, [0, 0, 1, 0])])
+    b1 = mk([(10, [0.9, 0.1, 0, 0]), (11, [0, 0, 0.1, 0.9])])
+    b2 = mk([(20, [0.95, 0.05, 0, 0])])
+
+    for crash_partial in (False, True):
+        root = os.path.join(str(tmp_path), f"sem_retry_{int(crash_partial)}")
+        vecs_log, verdict_log = semdedup_state_logs(spark, root)
+        anchors = os.path.join(root, "anchors.json")
+        args = (vecs_log, verdict_log, anchors)
+        semdedup_stream_batch(*args, b0, 0, 0.5, 4)
+        semdedup_stream_batch(*args, b1, 1, 0.5, 4)
+        if crash_partial:  # crash after vecs append, before verdicts
+            shutil.rmtree(os.path.join(verdict_log.root, "__batch_id=1"))
+        def snap():
+            return {
+                tuple(
+                    (k, tuple(v) if isinstance(v, list) else v)
+                    for k, v in sorted(r.asDict().items())
+                )
+                for r in spark.read.parquet(vecs_log.root).collect()
+            }
+
+        pre = snap()
+        semdedup_stream_batch(*args, b1, 1, 0.5, 4)  # retry
+        post = snap()
+        assert post == pre, "retry altered the vector state"
+        semdedup_stream_batch(*args, b2, 2, 0.5, 4)
+        got = {
+            r["vec_id"]: (r["verdict"], r["n_sem_matches"])
+            for r in verdict_log.read_latest().collect()
+        }
+        assert got[0] == ("keep", 0)
+        assert got[1] == ("keep", 0)
+        assert got[10] == ("drop_semantic", 1)  # matches earlier v0
+        assert got[11][0] == "keep"
+        assert got[20] == ("drop_semantic", 2)  # matches v0 AND v10

@@ -170,15 +170,24 @@ class UpsertLog:
         return F.pmod(F.xxhash64(col), F.lit(self.n_buckets)).cast("int")
 
     def append(self, batch: DataFrame, batch_id: int) -> None:
+        # Laid-out logs repartition the batch BY the layout column before
+        # the partitioned write: without it every write task emits one
+        # file into every value directory (tasks × values tiny files per
+        # batch — at 10x stress the state read spent more time listing
+        # footers than computing). The extra Exchange is O(batch) — the
+        # LSM trade's cheap side — and each value dir gets ONE file.
         if self.bucket_col is not None:
+            df = batch.withColumn("__kb", self.bucket_of(F.col(self.bucket_col)))
             writer = (
-                batch.withColumn("__kb", self.bucket_of(F.col(self.bucket_col)))
+                df.repartition(F.col("__kb"))
                 .write.mode("overwrite")
                 .partitionBy("__kb")
             )
         elif self.partition_col is not None:
-            writer = batch.write.mode("overwrite").partitionBy(
-                self.partition_col
+            writer = (
+                batch.repartition(F.col(self.partition_col))
+                .write.mode("overwrite")
+                .partitionBy(self.partition_col)
             )
         else:
             writer = batch.write.mode("overwrite")
@@ -289,6 +298,7 @@ class UpsertLog:
             folded = self.read_latest(before_batch=before_batch)
             (
                 folded.withColumn("__kb", self.bucket_of(F.col(self.bucket_col)))
+                .repartition(F.col("__kb"))
                 .write.mode("overwrite")
                 .partitionBy("__kb")
                 .parquet(tmp)
@@ -297,9 +307,12 @@ class UpsertLog:
             folded = self.read_latest(
                 before_batch=before_batch, keep_bucket=True
             )
-            folded.write.mode("overwrite").partitionBy(
-                self.partition_col
-            ).parquet(tmp)
+            (
+                folded.repartition(F.col(self.partition_col))
+                .write.mode("overwrite")
+                .partitionBy(self.partition_col)
+                .parquet(tmp)
+            )
         else:
             folded = self.read_latest(before_batch=before_batch)
             folded.write.mode("overwrite").parquet(tmp)

@@ -778,3 +778,58 @@ def q_text_remove_duplicated_spans(spark: SparkSession, sf_dir: str) -> DataFram
     return textstats.remove_duplicated_spans(
         _t(spark, sf_dir, "documents"), "doc_id", "text", n=8
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source frequency caps (domain caps)
+# ---------------------------------------------------------------------------
+
+_SOURCE_CAP = 20
+
+# ql replays the registered quality oracle + the shared logit literals, so
+# the ranking key is bit-identical on both engines (same arithmetic over
+# the same round-4 feature values the funnel oracles already hash-prove).
+from duckdb_streaming_patterns_spark.queries import QUERIES as _QREG  # noqa: E402
+
+_SOURCE_TOPK_ORACLE = f"""
+    WITH qs AS ({{quality_sql}}),
+    ql AS (SELECT doc_id, {textstats.QC_LOGIT_SQL} AS logit FROM qs),
+    r AS (SELECT d.doc_id, d.source, ql.logit,
+                 row_number() OVER (PARTITION BY d.source
+                                    ORDER BY ql.logit DESC, d.doc_id) AS rnk
+          FROM documents d JOIN ql USING (doc_id))
+    SELECT doc_id, source, ROUND(logit, 6) AS quality_logit,
+           CAST(rnk AS BIGINT) AS rank
+    FROM r WHERE rnk <= {_SOURCE_CAP}
+""".format(quality_sql=_QREG["text_quality_scores"][1])
+
+
+@register("source_topk_docs", _SOURCE_TOPK_ORACLE)
+def q_source_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source frequency cap (domain caps — the C4/Dolma move that
+    stops one boilerplate-heavy domain from dominating the corpus): keep
+    the top-N docs per source ranked by the logistic quality logit
+    (ties: doc_id). 100 TB shape: ONE window shuffle carrying only the
+    narrow (doc_id, source, logit) triple — text never shuffles because
+    the quality features reduce scan-side before the rank; a skewed giant
+    source costs one fat partition of 16-byte-ish rows, not of
+    documents. The oracle replays the identical ranking arithmetic."""
+    docs = _t(spark, sf_dir, "documents")
+    qs = textstats.quality_scores(docs, "doc_id", "text")
+    ranked = (
+        docs.select("doc_id", "source")
+        .join(qs.select("doc_id", textstats.qc_logit(qs).alias("__logit")), "doc_id")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("source").orderBy(F.col("__logit").desc(), F.col("doc_id"))
+    return (
+        ranked.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= _SOURCE_CAP)
+        .select(
+            "doc_id",
+            "source",
+            F.round("__logit", 6).alias("quality_logit"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

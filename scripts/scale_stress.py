@@ -227,6 +227,25 @@ def main() -> None:
                         emb, n_cells=16 * factor, threshold=0.3
                     )
                 )
+            elif name == "pattern_streaming_semdedup":
+                # same parameterization honesty as semdedup_prune: the
+                # registered form fixes n_cells=16, so a 10x corpus makes
+                # cells 10x fatter and intra-cell comparisons ~100x —
+                # production scales n_cells with the corpus (cell size
+                # ~constant); stress does the same.
+                from duckdb_streaming_patterns_spark.streaming import (
+                    patterns as _pat,
+                    staging as _stg,
+                )
+
+                run = _stg.new_run_dir("psem_stress")
+                chunks = _stg.stage_embedding_chunks(spark, d, run, n_chunks=5)
+                rows_out = force_eval(
+                    _pat.pattern_streaming_semdedup(
+                        spark, chunks, run, threshold=0.35,
+                        n_cells=16 * factor, state_partitions=4,
+                    )
+                )
             else:
                 fn, _ = QUERIES[name]
                 rows_out = force_eval(fn(spark, d))

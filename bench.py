@@ -94,6 +94,7 @@ HEADLINE = [
     "pattern_gdpr_delete_propagation",
     "pattern_streaming_ann_index",
     "pattern_streaming_semdedup",
+    "pattern_streaming_source_caps",
     "pattern_streaming_ingest_funnel",
     "pattern_streaming_full_funnel",
     "pattern_bootstrap_then_stream",

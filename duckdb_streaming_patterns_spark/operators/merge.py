@@ -356,6 +356,21 @@ class SummaryTable:
     def last_batch_id(self) -> int:
         return self._meta()["last_batch_id"]
 
+    def read_prev(self) -> DataFrame:
+        """The PREVIOUS version's contents — what a foreachBatch retry
+        must read when its own batch already committed (last_batch_id ==
+        its batch id): the atomic swap keeps exactly one prior version
+        on disk until the next overwrite (GC is deferred by one
+        version), and foreachBatch is sequential, so for the newest
+        batch the previous version IS the pre-batch state. Empty frame
+        with the table schema when no previous version exists (a retry
+        of the very first batch)."""
+        meta = self._meta()
+        prev = meta.get("prev_data")
+        if prev is None:
+            return self.spark.createDataFrame([], self.schema_ddl)
+        return self.spark.read.parquet(os.path.join(self.root, prev))
+
     def overwrite(self, df: DataFrame, batch_id: int | None = None) -> None:
         """Atomically replace contents: write new version dir, fsync meta,
         point the reader at it. GC is deferred by one version — a reader that

@@ -582,6 +582,36 @@ def q_pattern_streaming_semdedup(
     )
 
 
+# Streaming source caps: arrival order == doc_id order under monotone
+# chunking, so the all-prior quota decision is one window in batch SQL.
+_SOURCE_CAPS_ORACLE = """
+    SELECT doc_id, source,
+           CAST(row_number() OVER (PARTITION BY source ORDER BY doc_id)
+                AS BIGINT) AS src_rank,
+           (row_number() OVER (PARTITION BY source ORDER BY doc_id)) <= 20
+             AS keep
+    FROM documents
+"""
+
+
+@register("pattern_streaming_source_caps", _SOURCE_CAPS_ORACLE)
+def q_pattern_streaming_source_caps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming per-source quota enforcement: documents replayed as
+    micro-batches, each source keeps at most 20 docs first-come-first-
+    kept, every doc getting a durable (src_rank, keep) verdict. State is
+    the n_sources-row SummaryTable of arrival counts + an insert-only
+    verdict log — per-batch cost O(batch) at any corpus size. Oracle =
+    the batch arrival-rank window — streaming ≡ batch for quota
+    decisions. See streaming/patterns.pattern_streaming_source_caps."""
+    run = staging.new_run_dir("pcaps")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_streaming_source_caps(
+        spark, chunks, run, cap=20, state_partitions=4
+    )
+
+
 from duckdb_streaming_patterns_spark.functions.text import (  # noqa: E402
     duckdb_shingles as _dd_shingles,
 )

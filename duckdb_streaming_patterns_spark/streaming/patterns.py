@@ -1624,6 +1624,102 @@ def pattern_streaming_full_funnel(
     )
 
 
+def pattern_streaming_source_caps(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    cap: int = 20,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Streaming per-source quota enforcement (the arrival-order form of
+    the C4/Dolma domain cap): documents arrive as micro-batches; each
+    source may KEEP at most ``cap`` docs, first-come-first-kept; every
+    doc gets a durable verdict (doc_id, source, src_rank, keep) with
+    src_rank its true 1-based arrival rank within its source.
+
+    Composition — both state primitives, each where its cost profile
+    fits (the per-pattern LSM trade SCALE.md documents):
+    - per-source ARRIVAL COUNTS: a SummaryTable — one row per source,
+      the small mutable side (atomic swap + batch-id fence);
+    - per-doc VERDICTS: an insert-only UpsertLog — O(batch) appends,
+      plain-scan reads.
+    Per batch: rank the batch within source by doc_id (arrival order ≡
+    doc_id order under monotone chunking), add the BROADCAST prior
+    per-source counts, keep iff prior_seen + batch_rank ≤ cap. The
+    recurrent state is the n_sources-row count table — nothing
+    corpus-sized is ever read back, so per-batch cost is O(batch) at
+    any corpus size.
+
+    Exactly-once under foreachBatch retries: the counts merge is fenced
+    by batch id; a retry whose first attempt already applied the merge
+    recomputes its verdicts from the PREVIOUS summary version
+    (``SummaryTable.read_prev`` — the swap keeps exactly one prior
+    version until the next overwrite, and foreachBatch is sequential,
+    so that version IS the pre-batch state). Covered by
+    test_source_caps_retry_is_idempotent."""
+    counts = SummaryTable(
+        spark, os.path.join(run_dir, "counts"), "source string, n_seen long"
+    )
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    verdict_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "verdicts"),
+        keys=["doc_id"],
+        insert_only=True,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        source_caps_batch(counts, verdict_log, batch, batch_id, cap)
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_document_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return verdict_log.read_latest().select(
+        "doc_id", "source", "src_rank", "keep"
+    )
+
+
+def source_caps_batch(
+    counts, verdict_log, batch: DataFrame, batch_id: int, cap: int
+) -> None:
+    """One micro-batch of streaming source caps — module-level so the
+    retry-idempotence test can re-deliver a batch exactly like a crashed
+    foreachBatch would. See pattern_streaming_source_caps for the
+    contract."""
+    from pyspark.sql import Window as W
+
+    applied = counts.last_batch_id() >= batch_id
+    prior = counts.read_prev() if applied else counts.read()
+    w = W.partitionBy("source").orderBy("doc_id")
+    ranked = batch.select("doc_id", "source").withColumn(
+        "__r", F.row_number().over(w)
+    )
+    rank = F.coalesce(F.col("n_seen"), F.lit(0)) + F.col("__r")
+    verdicts = (
+        ranked.join(F.broadcast(prior), "source", "left")
+        .select(
+            "doc_id",
+            "source",
+            rank.cast("bigint").alias("src_rank"),
+            (rank <= cap).alias("keep"),
+        )
+        .localCheckpoint(eager=True)  # evaluate BEFORE state mutations
+    )
+    verdict_log.append(verdicts, batch_id)
+    if not applied:
+        delta = verdicts.groupBy("source").agg(F.count("*").alias("n_seen"))
+        counts.merge_batch(
+            delta, batch_id, keys=["source"], add_cols=["n_seen"], max_cols=[]
+        )
+
+
 def neardup_state_logs(spark: SparkSession, run_dir: str):
     """The near-dup pattern's four state logs — one constructor shared by
     the pattern and its retry tests so flags stay in lockstep. All four

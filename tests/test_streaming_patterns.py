@@ -1394,3 +1394,70 @@ def test_semdedup_stream_retry_is_idempotent_and_matches_all_prior(
         assert got[10] == ("drop_semantic", 1)  # matches earlier v0
         assert got[11][0] == "keep"
         assert got[20] == ("drop_semantic", 2)  # matches v0 AND v10
+
+
+def test_source_caps_retry_is_idempotent(spark, tmp_path):
+    """pattern_streaming_source_caps under foreachBatch retries, both
+    crash windows: (a) verdicts appended but the counts merge not yet
+    applied — the retry recomputes from the current (pre-batch) counts
+    and overwrites bit-identically, then applies the merge; (b) the
+    merge already applied (fence holds) — the retry must read the
+    PREVIOUS summary version (read_prev) or every verdict of the
+    re-delivered batch would be shifted by its own batch's counts."""
+    import os
+    import shutil
+
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        SummaryTable,
+        UpsertLog,
+    )
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        source_caps_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    b0 = mk([(0, "a"), (1, "a"), (2, "b")])
+    b1 = mk([(3, "a"), (4, "b"), (5, "c")])
+    b2 = mk([(6, "a"), (7, "b")])
+    cap = 2  # source a saturates in b0; b1's doc 3 must drop
+
+    for crash in ("before_merge", "after_merge"):
+        root = str(tmp_path / f"caps_{crash}")
+        counts = SummaryTable(
+            spark, os.path.join(root, "counts"), "source string, n_seen long"
+        )
+        vlog = UpsertLog(
+            spark, os.path.join(root, "verdicts"), keys=["doc_id"],
+            insert_only=True,
+        )
+        source_caps_batch(counts, vlog, b0, 0, cap)
+        if crash == "before_merge":
+            # first attempt of batch 1 crashed between verdict append and
+            # the counts merge
+            vlog.append(
+                spark.createDataFrame(
+                    [(99, "junk", 1, True)],
+                    "doc_id long, source string, src_rank long, keep boolean",
+                ),
+                1,
+            )  # half-written garbage the idempotent overwrite must clobber
+        else:
+            source_caps_batch(counts, vlog, b1, 1, cap)  # fully applied
+            shutil.rmtree(os.path.join(vlog.root, "__batch_id=1"))
+        source_caps_batch(counts, vlog, b1, 1, cap)  # (re)delivery
+        source_caps_batch(counts, vlog, b2, 2, cap)
+        got = {
+            r["doc_id"]: (r["src_rank"], r["keep"])
+            for r in vlog.read_latest().collect()
+        }
+        assert 99 not in got
+        assert got[0] == (1, True) and got[1] == (2, True)
+        assert got[2] == (1, True)
+        assert got[3] == (3, False)  # a saturated at cap=2
+        assert got[4] == (2, True) and got[5] == (1, True)
+        assert got[6] == (4, False) and got[7] == (3, False)
+        # counts converged to true arrival totals exactly once
+        final = {r["source"]: r["n_seen"] for r in counts.read().collect()}
+        assert final == {"a": 4, "b": 3, "c": 1}

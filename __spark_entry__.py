@@ -106,6 +106,13 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     dedup (frozen first-batch quantizer, cell-partitioned insert-only
 #     state read under dynamic partition pruning) proven streaming ≡
 #     batch all-prior in one hash row.
+# Round-6 rotation (round-5 verdict item 7):
+#   events_cast_projection (selectExpr cast surface — already pinned by
+#     events_json_extract + bonus_stateless_view_topk; stays
+#     exact-checked locally) → source_topk_docs, the BATCH form of the
+#     per-source frequency-cap family, so the family is driver-verified
+#     in both its batch and streaming (pattern_streaming_source_caps)
+#     shapes.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -114,7 +121,6 @@ _PRIORITY = [
     "watermark_delta_incremental",
     "events_exclude_props",
     "events_json_extract",
-    "events_cast_projection",
     "pattern_streaming_ann_index",
     "distinct_users_per_type",
     "reaggregate_partials",
@@ -150,6 +156,7 @@ _PRIORITY = [
     "text_unigram_surprisal",
     "pattern_streaming_full_funnel",
     "text_language_id",
+    "source_topk_docs",
     # corpus pipeline (§2.11)
     "pack_token_bins",
     "contamination_ngram_overlap",

@@ -24,6 +24,17 @@ if _REPO_ROOT not in sys.path:
 from duckdb_streaming_patterns_spark import get_spark
 from duckdb_streaming_patterns_spark.queries import QUERIES
 
+# Streaming patterns (and everything ordered after them) run in FRESH
+# SUBPROCESSES, one per query: a finished pattern's localCheckpoint blocks
+# and broadcasts survive even explicit Python+JVM GC well enough to
+# inflate later in-session queries 2-3x stochastically (round-5
+# adjudication: pattern_streaming_full_funnel 63.7 s in-bench vs 31.0 s
+# standalone on the same machine — the GC-at-boundaries mitigation was
+# insufficient). Each subprocess pays session startup + warm-up OUTSIDE
+# its timed window, exactly like scripts/scale_stress.py, so the recorded
+# number measures the query, not the session's debris.
+ISOLATE_FROM = "pattern_1_1_incremental_merge"
+
 # Headline set: reference-parity core + star-schema joins + extended ops.
 HEADLINE = [
     # reference parity
@@ -130,13 +141,12 @@ def force_eval(df) -> int:
         return df.count()
 
 
-def main() -> None:
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
-    spark = get_spark(app_name="dsp-bench")
-    # Warm up the JVM/codegen path and the Arrow/Python-worker pool so the
-    # first headline query isn't charged for session startup; queries
-    # themselves still run cold.
+def _warm_session(spark) -> None:
+    """Session warm-up OUTSIDE any timed window: JVM/codegen path, the
+    Arrow/Python-worker pool, and the Structured Streaming machinery
+    (MicroBatchExecution, state-store provider, checkpoint I/O — ~10 s of
+    one-time class loading that must not be charged to whichever query
+    runs first). Queries themselves still run cold."""
     spark.range(1000).selectExpr("sum(id)").collect()
     from pyspark.sql.functions import pandas_udf
 
@@ -146,12 +156,6 @@ def main() -> None:
 
     spark.range(1000).select(_warm("id")).collect()
 
-    # Warm the Structured Streaming machinery too (MicroBatchExecution,
-    # state-store provider, checkpoint I/O): its one-time init cost (~10 s
-    # measured) otherwise lands on whichever streaming pattern happens to
-    # run first in HEADLINE order, charging an arbitrary query for
-    # session-scoped class loading. The pattern queries themselves still
-    # run cold.
     import tempfile
 
     _warm_dir = tempfile.mkdtemp(prefix="bench_stream_warm_")
@@ -171,6 +175,56 @@ def main() -> None:
         .start()
         .awaitTermination()
     )
+
+
+def _run_one(name: str, sf_dir: str) -> None:
+    """Subprocess entry (``bench.py --one <query>``): fresh session, full
+    warm-up untimed, ONE cold query timed, one JSON line on stdout."""
+    spark = get_spark(app_name=f"dsp-bench-{name}")
+    _warm_session(spark)
+    fn, _ = QUERIES[name]
+    t0 = time.perf_counter()
+    df = fn(spark, sf_dir)
+    n = force_eval(df)
+    sec = round(time.perf_counter() - t0, 4)
+    print(json.dumps({"query": name, "sec": sec, "rows": int(n)}))
+
+
+def _run_isolated(name: str, sf_dir: str) -> float:
+    """Run one query via ``--one`` in a fresh subprocess and return its
+    timed seconds (the child's session startup/warm-up is untimed)."""
+    import subprocess
+
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
+    res = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--one", name],
+        env=env,
+        capture_output=True,
+        text=True,
+    )
+    for line in reversed(res.stdout.strip().splitlines()):
+        try:
+            d = json.loads(line)
+        except json.JSONDecodeError:
+            continue
+        if d.get("query") == name:
+            return float(d["sec"])
+    print(
+        f"[bench] isolated run of {name} failed "
+        f"(exit {res.returncode}):\n{res.stderr[-2000:]}",
+        file=sys.stderr,
+    )
+    raise RuntimeError(f"isolated bench run failed for {name}")
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    if len(sys.argv) >= 3 and sys.argv[1] == "--one":
+        _run_one(sys.argv[2], sf_dir)
+        return
+    spark = get_spark(app_name="dsp-bench")
+    _warm_session(spark)
 
     # Pre-create the physical layouts and report their (one-time) write cost
     # separately — bucketing/partitioning pay a layout-time shuffle so every
@@ -200,9 +254,15 @@ def main() -> None:
 
     import gc
 
+    isolate_idx = HEADLINE.index(ISOLATE_FROM)
+    isolated_names = set(HEADLINE[isolate_idx:])
     timings: dict[str, float] = {}
     for name in HEADLINE:
         if name not in QUERIES:
+            continue
+        if name in isolated_names:
+            # fresh subprocess per streaming pattern — see ISOLATE_FROM
+            timings[name] = round(_run_isolated(name, sf_dir), 4)
             continue
         fn, _ = QUERIES[name]
         t0 = time.perf_counter()
@@ -211,15 +271,15 @@ def main() -> None:
         timings[name] = round(time.perf_counter() - t0, 4)
         assert n >= 0
         # Inter-query hygiene, OUTSIDE the timed window: a finished
-        # pattern's localCheckpoint blocks and broadcasts are reclaimed
+        # query's localCheckpoint blocks and broadcasts are reclaimed
         # only after their RDD/broadcast objects are GC'd (ContextCleaner
-        # is weak-ref driven), and with a 128 GiB heap the JVM can go many
+        # is weak-ref driven), and with a large heap the JVM can go many
         # queries without a collection — storage blocks pile up and push
-        # later queries' execution memory into spills (measured as
-        # stochastic 2-3x inflation of late-order streaming patterns:
-        # full_funnel 23 s standalone vs 25-51 s across two in-bench
-        # runs). One explicit GC per query boundary makes each number a
-        # measurement of the query, not of the session's debris.
+        # later queries' execution memory into spills. One explicit GC
+        # per query boundary makes each number a measurement of the
+        # query, not of the session's debris. (Recorded in the output
+        # metadata since round 5 — cross-round diffs against r01-r04
+        # conflate this harness change with engine changes.)
         df = None
         gc.collect()
         try:
@@ -239,6 +299,12 @@ def main() -> None:
         "queries": timings,
         "layout_setup_sec": layout_setup,
         "sf": sf,
+        # methodology flags so round-over-round diffs are interpretable:
+        # explicit Python+JVM GC between in-process queries (since r5),
+        # and fresh-subprocess isolation of the streaming-pattern block
+        # (since r6 — session startup/warm-up excluded from timed window)
+        "gc_between_queries": True,
+        "isolated_subprocess": sorted(n for n in timings if n in isolated_names),
     }
     p11 = timings.get("pattern_1_1_incremental_merge")
     if p11:

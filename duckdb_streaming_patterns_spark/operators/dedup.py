@@ -225,7 +225,7 @@ def minhash_lsh_pairs(
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
     bands: DataFrame | None = None,
-    max_bucket: int | None = MAX_BAND_BUCKET,
+    max_bucket: int | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
@@ -240,11 +240,15 @@ def minhash_lsh_pairs(
     so batch text is hashed exactly once per micro-batch).
 
     ``max_bucket`` caps band-bucket size before the quadratic candidate
-    expansion (see _bucket_pairs). The default never trips at the tested
-    SFs (dup clusters there are ≤2 docs, so the oracle contract — LSH
-    output == exact all-pairs at the threshold — is untouched); at 100 TB
-    it bounds the worst band key to max_bucket² candidates instead of
-    letting one boilerplate cluster go quadratic in corpus size.
+    expansion (see _bucket_pairs). The BATCH-facing default is None —
+    the registered batch queries carry an exact all-pairs oracle, and a
+    silently-tripped cap at a larger SF would fail the driver hash check
+    with no signal that the cap (not the LSH math) caused it. The
+    streaming/incremental callers pass ``MAX_BAND_BUCKET`` explicitly:
+    at 100 TB it bounds the worst band key to max_bucket² candidates
+    instead of letting one boilerplate cluster go quadratic in corpus
+    size (true matches lost to a capped band are recovered by the doc's
+    other bands with standard LSH probability).
     """
     bands = (
         bands

@@ -206,14 +206,18 @@ class UpsertLog:
         idempotent overwrite of ``__batch_id=N`` diverge from what the
         first attempt wrote.
 
-        ``buckets`` (requires ``bucket_col``) restricts the scan to those
-        ``__kb`` partition values — a real I/O prune (PartitionFilters in
-        the plan), not just a post-scan filter. ``keep_bucket`` retains
-        the ``__kb`` column in the result: join it equi on ``__kb``
-        (derived via ``bucket_of`` on the other side) under a broadcast
-        join and Spark inserts a DYNAMIC partition-pruning subquery on
-        the scan — the lazy, no-extra-action form of the same prune (the
-        streaming near-dup verify fetch uses this).
+        ``buckets`` (requires a layout column) restricts the scan to
+        those partition values — a real I/O prune (PartitionFilters in
+        the plan), not just a post-scan filter: ints for ``bucket_col``'s
+        ``__kb``, raw column values for ``partition_col``. ``keep_bucket``
+        retains the synthetic ``__kb`` column in the result: join it equi
+        on ``__kb`` (derived via ``bucket_of`` on the other side) under a
+        broadcast join and Spark inserts a DYNAMIC partition-pruning
+        subquery on the scan — the lazy, no-extra-action form of the same
+        prune (the streaming near-dup verify fetch uses this). A
+        ``partition_col`` is real payload (hive partition discovery
+        restores it) and is ALWAYS retained; ``keep_bucket`` is a no-op
+        for those logs.
 
         Insert-only logs return the plain scan (each key exists once by
         contract — nothing to resolve); otherwise one window computes
@@ -225,13 +229,20 @@ class UpsertLog:
         if buckets is not None:
             if self._layout_col is None:
                 raise ValueError("buckets= requires bucket_col/partition_col")
-            log = log.filter(
-                F.col(self._layout_col).isin([int(b) for b in buckets])
+            # __kb buckets are ints by construction; partition_col values
+            # are raw payload values of whatever type the column has (a
+            # string layout key must not be int()-coerced)
+            vals = (
+                [int(b) for b in buckets]
+                if self.bucket_col is not None
+                else list(buckets)
             )
+            log = log.filter(F.col(self._layout_col).isin(vals))
+        # only the SYNTHETIC __kb is dropped by default; a partition_col
+        # is real user payload (restored by hive partition discovery) and
+        # is always retained — keep_bucket only governs __kb
         drop_cols = ["__batch_id"] + (
-            [self._layout_col]
-            if self._layout_col is not None and not keep_bucket
-            else []
+            ["__kb"] if self.bucket_col is not None and not keep_bucket else []
         )
         if self.insert_only:
             return log.drop(*drop_cols)
@@ -244,10 +255,22 @@ class UpsertLog:
             .drop("__rn", *drop_cols)
         )
 
-    def compact(self, before_batch: int | None = None) -> None:
+    def compact(
+        self, before_batch: int | None = None, transform=None
+    ) -> None:
         """LSM-style maintenance: fold the log into one base batch
         directory so the read-side last-writer-wins window scans O(keys)
         rows again instead of O(batches × touched keys).
+
+        ``transform`` (optional, DataFrame → DataFrame) rewrites the
+        resolved rows before the folded write — the re-quantization hook:
+        streaming SemDeDup re-assigns every state vector's ``cell_id``
+        against a new epoch's codebook during the fold, so a
+        re-partition of the whole state costs exactly one (already
+        amortized) compaction instead of a separate pass. With a
+        transform the fold runs even over a single directory (the
+        re-assignment is the point, not the dir count); the transform
+        must preserve the layout column's name.
 
         ``before_batch`` scopes the fold to batch dirs STRICTLY BELOW that
         id — what an IN-LOOP compaction (inside a running foreachBatch)
@@ -288,7 +311,7 @@ class UpsertLog:
             dirs = [
                 d for d in dirs if int(d.rsplit("=", 1)[1]) < before_batch
             ]
-        if len(dirs) <= 1:
+        if len(dirs) <= (0 if transform is not None else 1):
             return
         base_id = int(dirs[0].rsplit("=", 1)[1]) - 1
         tmp = os.path.join(self.root, f".compact_{uuid.uuid4().hex[:8]}")
@@ -296,6 +319,8 @@ class UpsertLog:
         # partition-pruned read degrades to a full scan of the base
         if self.bucket_col is not None:
             folded = self.read_latest(before_batch=before_batch)
+            if transform is not None:
+                folded = transform(folded)
             (
                 folded.withColumn("__kb", self.bucket_of(F.col(self.bucket_col)))
                 .repartition(F.col("__kb"))
@@ -307,6 +332,8 @@ class UpsertLog:
             folded = self.read_latest(
                 before_batch=before_batch, keep_bucket=True
             )
+            if transform is not None:
+                folded = transform(folded)
             (
                 folded.repartition(F.col(self.partition_col))
                 .write.mode("overwrite")
@@ -315,6 +342,8 @@ class UpsertLog:
             )
         else:
             folded = self.read_latest(before_batch=before_batch)
+            if transform is not None:
+                folded = transform(folded)
             folded.write.mode("overwrite").parquet(tmp)
         os.replace(tmp, os.path.join(self.root, f"__batch_id={base_id}"))
         for d in dirs:

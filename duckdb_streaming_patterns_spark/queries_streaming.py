@@ -523,33 +523,69 @@ from duckdb_streaming_patterns_spark.functions.vectors import (  # noqa: E402
     duckdb_cosine as _dd_cosine,
 )
 
-# Streaming SemDeDup oracle: the all-prior replay. Quantizer = micro-batch
-# 0's md5-anchor sample (same CTE arithmetic as the streaming IVF oracle);
-# every vector's cell = argmax cosine vs the anchors (tie: cos DESC, aid);
-# a vector drops iff an EARLIER vector (vec_id < — arrival order under
-# monotone chunking) in the SAME cell has cosine ≥ 0.35. Cosines use the
-# sequential-fold fragments the Spark side mirrors, so the whole decision
-# — counts and best-cosine values included — is hash-exact.
+# Streaming SemDeDup oracle: the all-prior replay WITH the epoch
+# re-quantization schedule. The quantizer re-trains at power-of-2 batch
+# ids (epoch(b) = floor(log2 b)+1, 0 for batch 0): epoch 0's codebook is
+# micro-batch 0's md5-anchor sample (16 anchors); epoch e ≥ 1
+# (boundary batch 2^(e-1)) re-samples the first min(n, 2^(e-1)·per)
+# vectors — exactly the accumulated state under monotone chunking — with
+# max(16, ceil(√n_before)) anchors. Every vector's cell under an epoch =
+# argmax cosine vs that epoch's anchors (tie: cos DESC, aid); a vector b
+# drops iff an EARLIER vector (vec_id < — arrival order) shares b's cell
+# UNDER b's OWN EPOCH with cosine ≥ 0.35 (the streaming side re-folds
+# the state at each boundary, so priors are compared in their re-assigned
+# cells). Cosines use the sequential-fold fragments the Spark side
+# mirrors, so the whole decision — counts and best-cosine values — is
+# hash-exact.
 _STREAM_SEMDEDUP_ORACLE = f"""
-    WITH p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per
-               FROM embeddings),
-         a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
-               FROM embeddings, p WHERE vec_id < p.per
-               ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
-               LIMIT 16),
-         s AS (SELECT e.vec_id, a.aid,
-                      {_dd_cosine("e.embedding", "a.a_vec")} AS cos
-               FROM embeddings e CROSS JOIN a),
-         cells AS (SELECT vec_id, aid AS cell_id FROM (
-                     SELECT vec_id, aid,
-                            row_number() OVER (PARTITION BY vec_id
-                                               ORDER BY cos DESC, aid) AS rn
-                     FROM s) WHERE rn = 1),
+    WITH p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per,
+                      count(*) AS n FROM embeddings),
+         ep0 AS (SELECT CAST(t.j AS BIGINT) AS e,
+                        CASE WHEN t.j = 0 THEN p.per
+                             ELSE LEAST(p.n,
+                                  CAST(power(2, t.j - 1) AS BIGINT) * p.per)
+                        END AS n_before
+                 FROM range(0, 32) t(j), p
+                 WHERE t.j = 0
+                    OR CAST(power(2, t.j - 1) AS BIGINT)
+                       < CAST(ceil(p.n * 1.0 / p.per) AS BIGINT)),
+         ep AS (SELECT e, n_before,
+                       CASE WHEN e = 0 THEN 16
+                            ELSE GREATEST(16,
+                                 CAST(ceil(sqrt(n_before)) AS BIGINT))
+                       END AS k
+                FROM ep0),
+         a AS (SELECT e, aid, a_vec FROM (
+                 SELECT ep.e, CAST(v.vec_id AS BIGINT) AS aid,
+                        v.embedding AS a_vec, ep.k,
+                        row_number() OVER (
+                            PARTITION BY ep.e
+                            ORDER BY md5(CAST(v.vec_id AS VARCHAR)), v.vec_id
+                        ) AS rn
+                 FROM ep JOIN embeddings v ON v.vec_id < ep.n_before)
+               WHERE rn <= k),
+         cells AS (SELECT e, vec_id, aid AS cell_id FROM (
+                     SELECT a.e, v.vec_id, a.aid,
+                            row_number() OVER (
+                                PARTITION BY a.e, v.vec_id
+                                ORDER BY {_dd_cosine("v.embedding", "a.a_vec")}
+                                         DESC, a.aid) AS rn
+                     FROM embeddings v CROSS JOIN a) WHERE rn = 1),
+         bb AS (SELECT v.vec_id,
+                       CASE WHEN CAST(floor(v.vec_id / p.per) AS BIGINT) = 0
+                            THEN 0
+                            ELSE CAST(floor(log2(CAST(floor(v.vec_id / p.per)
+                                                      AS BIGINT)))
+                                      AS BIGINT) + 1
+                       END AS e
+                FROM embeddings v, p),
          m AS (SELECT cb.vec_id,
                       count(*) AS n_sem,
                       max({_dd_cosine("ea.embedding", "eb.embedding")}) AS best
-               FROM cells ca JOIN cells cb
-                 ON ca.cell_id = cb.cell_id AND ca.vec_id < cb.vec_id
+               FROM bb
+               JOIN cells cb ON cb.vec_id = bb.vec_id AND cb.e = bb.e
+               JOIN cells ca ON ca.e = bb.e AND ca.cell_id = cb.cell_id
+                             AND ca.vec_id < cb.vec_id
                JOIN embeddings ea ON ea.vec_id = ca.vec_id
                JOIN embeddings eb ON eb.vec_id = cb.vec_id
                WHERE {_dd_cosine("ea.embedding", "eb.embedding")} >= 0.35
@@ -568,13 +604,15 @@ def q_pattern_streaming_semdedup(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Continuous-ingestion SemDeDup: embeddings land in 5 micro-batches;
-    the coarse quantizer trains on batch 0 and freezes; every vector is
-    compared against all EARLIER vectors in its cell (state scan
-    dynamic-partition-pruned to the batch's cells) and gets a durable
-    drop_semantic/keep verdict. Oracle = the batch all-prior replay with
-    the same frozen quantizer — the embedding-family analogue of
-    pattern_streaming_neardup_dedup's streaming ≡ batch proof. See
-    streaming/patterns.pattern_streaming_semdedup."""
+    the coarse quantizer RE-TRAINS at power-of-2 batch ids with
+    √corpus-many cells (re-folding the state under the new codebook) so
+    per-batch work stays sublinear in corpus size; every vector is
+    compared against all EARLIER vectors in its current-epoch cell
+    (state scan dynamic-partition-pruned to the batch's cells) and gets
+    a durable drop_semantic/keep verdict. Oracle = the batch all-prior
+    replay with the identical epoch schedule — the embedding-family
+    analogue of pattern_streaming_neardup_dedup's streaming ≡ batch
+    proof. See streaming/patterns.pattern_streaming_semdedup."""
     run = staging.new_run_dir("psem")
     chunks = staging.stage_embedding_chunks(spark, sf_dir, run, n_chunks=5)
     return patterns.pattern_streaming_semdedup(

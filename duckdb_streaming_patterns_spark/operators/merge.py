@@ -224,6 +224,12 @@ class UpsertLog:
         last-writer-wins, which shuffles the scanned state on every call
         — the price of re-emitting keys."""
         log = self.spark.read.parquet(self.root)  # partition col __batch_id
+        dead = self._dead_batch_ids()
+        if dead:
+            # source dirs a surviving folded base already covers (compact
+            # crashed mid-GC): logically dead — a partition filter, so
+            # the prune is free and the insert-only read stays scan-shaped
+            log = log.filter(~F.col("__batch_id").isin(dead))
         if before_batch is not None:
             log = log.filter(F.col("__batch_id") < before_batch)
         if buckets is not None:
@@ -254,6 +260,25 @@ class UpsertLog:
             .filter(F.col("__rn") == 1)
             .drop("__rn", *drop_cols)
         )
+
+    def _dead_batch_ids(self) -> list[int]:
+        """Batch ids logically folded into a SURVIVING base (its
+        ``_folds.json``) — their source dirs are dead even if a crashed
+        compact's GC left them on disk. O(one glob) driver-side; the set
+        is bounded by the last fold's width, since a deleted base takes
+        its manifest with it."""
+        import glob
+
+        dead: set[int] = set()
+        for mf in glob.glob(
+            os.path.join(self.root, "__batch_id=*", "_folds.json")
+        ):
+            try:
+                with open(mf) as f:
+                    dead.update(int(b) for b in json.load(f).get("folded", []))
+            except (OSError, ValueError):
+                continue
+        return sorted(dead)
 
     def compact(
         self, before_batch: int | None = None, transform=None
@@ -300,7 +325,19 @@ class UpsertLog:
           survives only inside the base, losing last-writer-wins). With
           ascending deletion any surviving suffix of dirs is the NEWEST
           batches, which outrank the base and every deleted batch — so
-          every crash window still resolves to the same state."""
+          every crash window still resolves to the same state.
+        - For INSERT-ONLY logs the outranking argument does not apply —
+          the scan-shaped read has no last-writer-wins resolve, so
+          base + a surviving not-yet-deleted source dir would DUPLICATE
+          that dir's rows. The base therefore carries a ``_folds.json``
+          manifest (written inside the temp, so it commits atomically
+          with the base's rename) listing the folded source batch ids;
+          ``read_latest`` partition-FILTERS those ids out whenever their
+          dirs still exist. The base rename is the single commit point:
+          before it, readers see only the sources; after it, the sources
+          are logically dead no matter how far the GC got. (Spark
+          ignores underscore-prefixed files, so the manifest never
+          pollutes the scan.)"""
         import glob
 
         dirs = sorted(
@@ -345,6 +382,13 @@ class UpsertLog:
             if transform is not None:
                 folded = transform(folded)
             folded.write.mode("overwrite").parquet(tmp)
+        # the fold manifest commits ATOMICALLY with the base's rename —
+        # after the rename the source dirs are logically dead whether or
+        # not the GC below finishes (see the crash-safety invariants)
+        with open(os.path.join(tmp, "_folds.json"), "w") as f:
+            json.dump(
+                {"folded": [int(d.rsplit("=", 1)[1]) for d in dirs]}, f
+            )
         os.replace(tmp, os.path.join(self.root, f"__batch_id={base_id}"))
         for d in dirs:
             shutil.rmtree(d)

@@ -1625,3 +1625,46 @@ def test_semdedup_epoch_requantization_grows_cells_and_refolds(
         for r in vecs_log.read_latest().select("cell_id").distinct().collect()
     }
     assert cell_ids <= {int(a) for a, _ in e3}, cell_ids
+
+
+def test_insert_only_compact_crash_mid_gc_has_no_duplicates(spark, tmp_path):
+    """compact()'s old crash argument — surviving source dirs 'outrank
+    the base' — only holds for last-writer-wins logs. An INSERT-ONLY
+    read is a plain scan, so base + a not-yet-deleted source dir meant
+    DUPLICATED rows for every read until someone noticed. The fold
+    manifest (_folds.json, committed atomically with the base's rename)
+    must make the surviving source logically dead: reads stay exact,
+    stay scan-shaped (the dead-id exclusion is a partition filter, not a
+    resolve), and the next compact heals the straggler."""
+    import contextlib
+    import io
+    import os
+
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(spark, str(tmp_path / "io"), keys=["id"], insert_only=True)
+    r0 = spark.range(0, 4).select("id", (F.col("id") * 10).alias("v"))
+    r1 = spark.range(4, 8).select("id", (F.col("id") * 10).alias("v"))
+    log.append(r0, 0)
+    log.append(r1, 1)
+    want = {tuple(r) for r in log.read_latest().collect()}
+    log.compact()
+    # crash simulation: the fold committed but the GC died before
+    # removing __batch_id=1 — recreate that exact filesystem state
+    log.append(r1, 1)
+    assert os.path.isdir(os.path.join(log.root, "__batch_id=1"))
+    got = log.read_latest()
+    assert {tuple(r) for r in got.collect()} == want  # no duplicates
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    p = buf.getvalue()
+    assert "Exchange" not in p and "Window" not in p, p  # still scan-shaped
+    # scoped reads exclude the dead dir too (the retry contract)
+    assert {tuple(r) for r in log.read_latest(before_batch=1).collect()} == want
+    # the next compact folds base + straggler and GCs both
+    log.compact()
+    assert sorted(os.listdir(log.root)) == ["__batch_id=-2"]
+    assert {tuple(r) for r in log.read_latest().collect()} == want

@@ -3,9 +3,14 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is executed twice: a warm-up pass is NOT performed (cold numbers
-are what the driver records); timing covers full plan execution to a count
-or collect of the final (small) result.
+Every query runs COLD exactly once (no warm-up pass of the query itself);
+timing covers full plan execution via force_eval (hash-all-columns — see
+its docstring for why count() under-measures). Session startup, Arrow
+worker-pool and streaming-machinery warm-up, and one-time physical-layout
+builds are excluded from every timed window. Queries from ISOLATE_FROM
+onward each run in a fresh subprocess (``--one`` mode) so no session
+debris contaminates them; the rest share one session with explicit GC at
+query boundaries. Methodology flags are recorded in the output JSON.
 """
 
 from __future__ import annotations

@@ -1961,7 +1961,13 @@ def neardup_state_logs(spark: SparkSession, run_dir: str):
     scans, no per-batch LWW shuffle of accumulated state); the docs log
     additionally hash-buckets by doc_id so the candidate-verify fetch is
     a partition-pruned scan, and the seen log by __h so the exact-
-    membership probe is too (dedup_matched_state)."""
+    membership probe is too (dedup_matched_state). The BAND index stays
+    unbucketed deliberately: a batch touches ~n_bands× more distinct
+    band keys than content hashes, so a useful prune would need millions
+    of hive buckets, and an A/B at sf0.1 measured the bucketed layout
+    20-70% SLOWER (per-append repartition + small-file dirs) for no
+    test-scale prune — the narrow (≈24 B/doc/band) full scan per batch
+    is the honest production shape for candidate generation."""
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
 
     return (
@@ -2009,7 +2015,9 @@ def neardup_prior_matches(
 
     - candidates: at-rest band index ⋈ BROADCAST batch bands, hot band
       keys capped (dedup.band_candidates) — the index side never
-      shuffles;
+      shuffles (the index scan itself stays a full narrow scan by
+      measured choice: see neardup_state_logs on why bucketing it
+      loses);
     - verify fetch: the shingle-set docs state is hive-partitioned on
       ``__kb`` (bucket of doc_id); the verify join keys on
       (corpus_id, __kb) with __kb derived on the broadcast candidate

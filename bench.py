@@ -180,6 +180,31 @@ def _warm_session(spark) -> None:
         .start()
         .awaitTermination()
     )
+    # One-time process costs every streaming PATTERN would otherwise be
+    # charged for in its timed window (they were amortized across the
+    # shared session before subprocess isolation): the foreachBatch
+    # Python-callback plumbing, localCheckpoint block-manager setup, a
+    # parquet sink commit, and the in-process DuckDB client import
+    # (pattern-2's JDBC stand-in).
+    (
+        spark.readStream.schema("id long")
+        .parquet(os.path.join(_warm_dir, "in"))
+        .writeStream.trigger(availableNow=True)
+        .foreachBatch(
+            lambda df, bid: df.localCheckpoint(eager=True)
+            .write.mode("overwrite")
+            .parquet(os.path.join(_warm_dir, "fb_out"))
+        )
+        .option("checkpointLocation", os.path.join(_warm_dir, "ckpt_fb"))
+        .start()
+        .awaitTermination()
+    )
+    try:
+        import duckdb  # noqa: F401
+
+        duckdb.connect().execute("SELECT 1").fetchall()
+    except ImportError:
+        pass
 
 
 def _run_one(name: str, sf_dir: str) -> None:
@@ -315,15 +340,20 @@ def main() -> None:
     if p11:
         n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
         out["ingest_events_per_sec"] = round(n_events / p11, 1)
-    _diff_against_previous_round(timings, sf)
+    _diff_against_previous_round(timings, sf, isolated_names)
     print(json.dumps(out))
 
 
-def _diff_against_previous_round(timings: dict[str, float], sf: float) -> None:
+def _diff_against_previous_round(
+    timings: dict[str, float], sf: float, isolated: set[str]
+) -> None:
     """Regression gate: diff per-query timings against the newest
     BENCH_r*.json at the repo root (same sf only) and report >3 s moves —
-    the measured run-to-run noise bound — to stderr. Stdout stays the
-    single-JSON-line contract."""
+    the measured run-to-run noise bound — to stderr. Queries whose
+    ISOLATION status changed since that round are skipped: an in-session
+    (warm, debris-exposed) number and a fresh-subprocess (cold) number
+    measure different things, and diffing them manufactures phantom
+    regressions. Stdout stays the single-JSON-line contract."""
     import glob
 
     candidates = sorted(glob.glob(os.path.join(_REPO_ROOT, "BENCH_r*.json")))
@@ -340,7 +370,10 @@ def _diff_against_previous_round(timings: dict[str, float], sf: float) -> None:
     if prev.get("sf") != sf:
         return
     prev_q = prev.get("queries", {})
+    prev_iso = set(prev.get("isolated_subprocess", []))
     for name, t in timings.items():
+        if (name in isolated) != (name in prev_iso):
+            continue  # methodology changed for this query — not comparable
         p = prev_q.get(name)
         if p is not None and abs(t - p) > 3.0:
             direction = "slower" if t > p else "faster"

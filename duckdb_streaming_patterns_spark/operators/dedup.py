@@ -226,6 +226,7 @@ def minhash_lsh_pairs(
     band_rows: int = BAND_ROWS,
     bands: DataFrame | None = None,
     max_bucket: int | None = None,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, exact-Jaccard verified.
 
@@ -238,6 +239,13 @@ def minhash_lsh_pairs(
     near-dup pattern shares ONE band computation between its state append,
     the cross-corpus candidate join, and this batch-internal pair search,
     so batch text is hashed exactly once per micro-batch).
+
+    ``sets``: pre-computed (id, shingle-set) frame (column ORDER, any
+    names) for the exact-Jaccard verification — same sharing idea as
+    ``bands``: the streaming pattern computes the batch's shingle sets
+    once and reuses them here, in the docs-state append, and in the
+    cross-corpus verify, so batch text is shingled exactly once per
+    micro-batch.
 
     ``max_bucket`` caps band-bucket size before the quadratic candidate
     expansion (see _bucket_pairs). The BATCH-facing default is None —
@@ -263,8 +271,12 @@ def minhash_lsh_pairs(
         .dropDuplicates(["id_a", "id_b"])
     )
     # exact verification only on candidates: join the shingle sets back in
-    sets = df.select(
-        F.col(id_col).alias("sid"), shingles(F.col(text_col)).alias("s")
+    sets = (
+        sets.toDF("sid", "s")
+        if sets is not None
+        else df.select(
+            F.col(id_col).alias("sid"), shingles(F.col(text_col)).alias("s")
+        )
     )
     cand = (
         cand.join(sets.withColumnRenamed("sid", "id_a").withColumnRenamed("s", "s_a"), "id_a")

@@ -2007,11 +2007,15 @@ def neardup_prior_matches(
     batch_bands: DataFrame,
     batch_id: int,
     threshold: float,
+    batch_sets: DataFrame | None = None,
 ) -> DataFrame:
     """Cross-corpus near-dup matches of one micro-batch against the
     accumulated state: (doc_id, jaccard), one row per (batch doc ×
-    matching prior doc). Entirely LAZY — one plan, no extra per-batch
-    driver actions — with the 100 TB shape:
+    matching prior doc). ``batch_sets`` is the caller's pre-computed
+    (doc_id, shingle-set) frame (the pattern shingles the batch ONCE per
+    micro-batch and shares it — see neardup_dedup_batch). Entirely LAZY
+    — one plan, no extra per-batch driver actions — with the 100 TB
+    shape:
 
     - candidates: at-rest band index ⋈ BROADCAST batch bands, hot band
       keys capped (dedup.band_candidates) — the index side never
@@ -2040,9 +2044,13 @@ def neardup_prior_matches(
     ).select(
         F.col("doc_id").alias("corpus_id"), F.col("s").alias("s_c"), "__kb"
     )
-    b_sets = batch.select(
-        F.col("doc_id").alias("batch_id"),
-        shingles(F.col("text")).alias("s_b"),
+    b_sets = (
+        batch_sets.toDF("batch_id", "s_b")
+        if batch_sets is not None
+        else batch.select(
+            F.col("doc_id").alias("batch_id"),
+            shingles(F.col("text")).alias("s_b"),
+        )
     )
     return dedup_ops.verify_jaccard_matches(
         cand, b_sets, prior_sets, threshold, join_cols=("corpus_id", "__kb")
@@ -2081,13 +2089,19 @@ def neardup_dedup_batch(
     batch_bands = dedup_ops.minhash_bands(
         batch, "doc_id", "text"
     ).localCheckpoint(eager=True)
+    # ONE shingle computation per batch too, shared by the batch-internal
+    # verify, the cross-corpus verify, and the docs-state append — same
+    # sharing as batch_bands: batch text is shingled exactly once
+    batch_sets = batch.select(
+        "doc_id", shingles(F.col("text")).alias("s")
+    ).localCheckpoint(eager=True)
     # batch-internal earlier matches: id_a < id_b ⇒ id_a arrived first.
     # The hot-bucket cap is passed EXPLICITLY (the batch operator's
     # default is uncapped to keep its exact all-pairs oracle honest) —
     # here a degenerate band key in one micro-batch must not go quadratic
     internal = dedup_ops.minhash_lsh_pairs(
         batch, "doc_id", "text", threshold, bands=batch_bands,
-        max_bucket=dedup_ops.MAX_BAND_BUCKET,
+        max_bucket=dedup_ops.MAX_BAND_BUCKET, sets=batch_sets,
     ).select(F.col("id_b").alias("doc_id"), "jaccard")
     if have_state:
         # batch-sized hashes already in state, via the broadcast-batch
@@ -2099,7 +2113,8 @@ def neardup_dedup_batch(
             .localCheckpoint(eager=True)
         )
         prior = neardup_prior_matches(
-            docs_log, bands_log, batch, batch_bands, batch_id, threshold
+            docs_log, bands_log, batch, batch_bands, batch_id, threshold,
+            batch_sets=batch_sets,
         )
         exact_prior = (
             bh.join(F.broadcast(matched), "__h")
@@ -2148,10 +2163,8 @@ def neardup_dedup_batch(
     bands_log.append(batch_bands, batch_id)
     # the verify-time state is the SHINGLE SET, not raw text: nothing
     # re-shingles at verify time, and the at-rest scan is the narrow
-    # array column
-    docs_log.append(
-        batch.select("doc_id", shingles(F.col("text")).alias("s")), batch_id
-    )
+    # array column (batch_sets is the shared, already-evaluated frame)
+    docs_log.append(batch_sets, batch_id)
     verdict_log.append(verdicts, batch_id)
 
 

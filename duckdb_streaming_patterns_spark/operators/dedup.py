@@ -161,7 +161,11 @@ def jaccard_pairs(
 
 
 def minhash_signatures(
-    df: DataFrame, id_col: str, text_col: str, n_hashes: int = N_HASHES
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = N_HASHES,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """doc → array of n minhash values.
 
@@ -172,12 +176,26 @@ def minhash_signatures(
     ~10× slower), and partial aggregation means the shuffle carries one
     n_hashes-wide row per (doc × partition), not per shingle.
 
+    ``sets``: pre-computed (id, shingle-set) frame (column ORDER, any
+    names) to explode instead of re-reading and re-shingling ``df`` —
+    bit-identical output (shingles() is already distinct, and MIN
+    aggregation is duplicate-insensitive regardless). The streaming
+    near-dup pattern derives the band index from its shared shingle
+    frame this way, so batch text is read and regex-shingled exactly
+    once per micro-batch.
+
     Hash family: h_i = xxhash64(i, base_hash) — deterministic, no sampled
     coefficients to broadcast.
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingles(F.col(text_col))).alias("shingle"),
+    base = (
+        sets.toDF("id", "__s")
+        if sets is not None
+        else df.select(
+            F.col(id_col).alias("id"), shingles(F.col(text_col)).alias("__s")
+        )
+    )
+    exploded = base.select(
+        "id", F.explode("__s").alias("shingle")
     ).withColumn("h", F.xxhash64("shingle"))
     mins = exploded.groupBy("id").agg(
         *[F.min(F.xxhash64(F.lit(i), F.col("h"))).alias(f"m{i}") for i in range(n_hashes)]
@@ -193,13 +211,18 @@ def minhash_bands(
     text_col: str,
     n_hashes: int = N_HASHES,
     band_rows: int = BAND_ROWS,
+    sets: DataFrame | None = None,
 ) -> DataFrame:
     """The LSH band index: (id, band_id, band_hash), one row per document
     per band. This is the AT-REST form a production corpus stores (a
     narrow table, n_bands rows × ~24 B per document): new batches join
     against it directly, so corpus text is never re-hashed — and, for
-    incremental dedup, never even re-read."""
-    sigs = minhash_signatures(df, id_col, text_col, n_hashes)
+    incremental dedup, never even re-read.
+
+    ``sets``: pre-computed (id, shingle-set) frame to derive the
+    signatures from instead of re-shingling ``df`` — see
+    minhash_signatures."""
+    sigs = minhash_signatures(df, id_col, text_col, n_hashes, sets=sets)
     n_bands = n_hashes // band_rows
     return sigs.select(
         F.col("id").alias(id_col),
@@ -261,7 +284,7 @@ def minhash_lsh_pairs(
     bands = (
         bands
         if bands is not None
-        else minhash_bands(df, id_col, text_col, n_hashes, band_rows)
+        else minhash_bands(df, id_col, text_col, n_hashes, band_rows, sets=sets)
     ).withColumnRenamed(id_col, "id")
     cand = (
         _bucket_pairs(

@@ -2080,20 +2080,31 @@ def neardup_dedup_batch(
         int(d.rsplit("=", 1)[1]) < batch_id
         for d in _glob.glob(os.path.join(seen_log.root, "__batch_id=*"))
     )
-    bh = batch.select("doc_id", F.md5(F.col("text")).alias("__h"))
-    firsts = bh.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
-    # ONE band computation per batch, shared by the state append, the
-    # cross-corpus candidate join, and the batch-internal pair search —
-    # without the checkpoint each consumer re-evaluates the signature
-    # pipeline (batch text hashed 3× per micro-batch).
-    batch_bands = dedup_ops.minhash_bands(
-        batch, "doc_id", "text"
+    # The batch's text is read exactly TWICE per micro-batch, total —
+    # once for the 16-byte content hashes, once for the shingle sets —
+    # and everything else derives from the two checkpointed narrow
+    # frames. Without the checkpoints each downstream action (state
+    # appends, verdict evaluation, both verify joins, the band index)
+    # re-reads and re-hashes/re-shingles the batch text: ~6 full text
+    # passes per batch, which is the dominant per-batch CPU at real
+    # text volumes.
+    bh = batch.select(
+        "doc_id", F.md5(F.col("text")).alias("__h")
     ).localCheckpoint(eager=True)
-    # ONE shingle computation per batch too, shared by the batch-internal
-    # verify, the cross-corpus verify, and the docs-state append — same
-    # sharing as batch_bands: batch text is shingled exactly once
+    firsts = bh.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
+    # ONE shingle computation per batch, shared by the batch-internal
+    # verify, the cross-corpus verify, the docs-state append, AND the
+    # band index below (signatures derive from the shingle sets —
+    # bit-identical, see minhash_signatures)
     batch_sets = batch.select(
         "doc_id", shingles(F.col("text")).alias("s")
+    ).localCheckpoint(eager=True)
+    # the band index derives from batch_sets: no third text read, no
+    # second regex-shingling; checkpointed because it feeds the state
+    # append, the cross-corpus candidate join, and the batch-internal
+    # pair search
+    batch_bands = dedup_ops.minhash_bands(
+        batch, "doc_id", "text", sets=batch_sets
     ).localCheckpoint(eager=True)
     # batch-internal earlier matches: id_a < id_b ⇒ id_a arrived first.
     # The hot-bucket cap is passed EXPLICITLY (the batch operator's
@@ -2224,7 +2235,15 @@ def _dedup_tier(seen_log, batch: DataFrame, batch_id: int):
     state-sized."""
     import glob as _glob
 
-    b = batch.withColumn("__h", F.md5(F.col("text"))).select("doc_id", "__h")
+    # checkpointed: b feeds the state probe, the verdict join, and the
+    # seen-log append — without it each of those actions re-reads and
+    # re-md5s the batch text (3-4 full text passes per micro-batch);
+    # with it the exact tier reads batch text exactly once
+    b = (
+        batch.withColumn("__h", F.md5(F.col("text")))
+        .select("doc_id", "__h")
+        .localCheckpoint(eager=True)
+    )
     firsts = b.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
     have_state = any(
         int(d.rsplit("=", 1)[1]) < batch_id

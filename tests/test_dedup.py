@@ -250,3 +250,39 @@ def test_minhash_lsh_hot_bucket_cap_drops_degenerate_cluster(spark):
     full = dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.5)
     gf = {(r["id_a"], r["id_b"]) for r in full.collect()}
     assert (0, 1) in gf and (10, 11) in gf
+
+
+def test_minhash_from_shared_shingle_sets_is_bit_identical(spark):
+    """The sets= derivation path (streaming patterns shingle batch text
+    once and derive signatures/bands/verification from the shared frame)
+    must be BIT-identical to the direct text path — shingles() is
+    distinct and MIN aggregation is duplicate-insensitive, so both
+    pipelines see the same shingle multiset."""
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+
+    df = _docs(spark)
+    sets = df.select("doc_id", shingles(F.col("text")).alias("s"))
+
+    direct_sigs = dedup.minhash_signatures(df, "doc_id", "text").collect()
+    shared_sigs = dedup.minhash_signatures(
+        df, "doc_id", "text", sets=sets
+    ).collect()
+    assert {r["id"]: r["sig"] for r in direct_sigs} == {
+        r["id"]: r["sig"] for r in shared_sigs
+    }
+
+    direct_bands = dedup.minhash_bands(df, "doc_id", "text").collect()
+    shared_bands = dedup.minhash_bands(df, "doc_id", "text", sets=sets).collect()
+    key = lambda r: (r["doc_id"], r["band_id"])  # noqa: E731
+    assert {key(r): r["band_hash"] for r in direct_bands} == {
+        key(r): r["band_hash"] for r in shared_bands
+    }
+
+    direct_pairs = dedup.minhash_lsh_pairs(df, "doc_id", "text", 0.5).collect()
+    shared_pairs = dedup.minhash_lsh_pairs(
+        df, "doc_id", "text", 0.5, sets=sets
+    ).collect()
+    pk = lambda r: (r["id_a"], r["id_b"])  # noqa: E731
+    assert {pk(r): r["jaccard"] for r in direct_pairs} == {
+        pk(r): r["jaccard"] for r in shared_pairs
+    }

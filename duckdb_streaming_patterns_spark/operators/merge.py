@@ -385,13 +385,225 @@ class UpsertLog:
         # the fold manifest commits ATOMICALLY with the base's rename —
         # after the rename the source dirs are logically dead whether or
         # not the GC below finishes (see the crash-safety invariants)
-        with open(os.path.join(tmp, "_folds.json"), "w") as f:
-            json.dump(
-                {"folded": [int(d.rsplit("=", 1)[1]) for d in dirs]}, f
-            )
-        os.replace(tmp, os.path.join(self.root, f"__batch_id={base_id}"))
+        self._write_manifest(tmp, dirs)
+        base_dir = os.path.join(self.root, f"__batch_id={base_id}")
+        os.replace(tmp, base_dir)
         for d in dirs:
             shutil.rmtree(d)
+        self._prune_manifest(base_dir)
+
+    @staticmethod
+    def _dir_weight(d: str) -> int:
+        """How many RAW batch directories a dir represents: 1 for an
+        engine-written batch dir, the recorded constituent count for a
+        folded dir (its manifest's ``weight``). The tiered ``maintain``
+        scheme merges dirs of equal weight-tier, so the weight must
+        survive folds — without it a huge folded base would sit at tier 0
+        and get rewritten by every small merge, which is exactly the
+        write amplification the tiers exist to avoid."""
+        mf = os.path.join(d, "_folds.json")
+        if not os.path.exists(mf):
+            return 1
+        try:
+            with open(mf) as f:
+                m = json.load(f)
+            return int(m.get("weight", len(m.get("folded", [])) or 1))
+        except (OSError, ValueError):
+            return 1
+
+    def _write_manifest(self, tmp: str, dirs: list) -> None:
+        """Fold manifest for a merged/base dir written into its temp dir
+        (commits atomically with the rename): ``folded`` lists the source
+        dir ids TRANSITIVELY (each source's own dead list is unioned in,
+        so a crashed earlier GC's leftover dirs stay dead even after the
+        manifest that covered them is itself folded away) and ``weight``
+        records the raw-batch count for the tiering policy."""
+        folded: set[int] = set()
+        weight = 0
+        for d in dirs:
+            folded.add(int(d.rsplit("=", 1)[1]))
+            weight += self._dir_weight(d)
+            mf = os.path.join(d, "_folds.json")
+            if os.path.exists(mf):
+                try:
+                    with open(mf) as f:
+                        folded.update(
+                            int(b) for b in json.load(f).get("folded", [])
+                        )
+                except (OSError, ValueError):
+                    pass
+        with open(os.path.join(tmp, "_folds.json"), "w") as f:
+            json.dump({"folded": sorted(folded), "weight": weight}, f)
+
+    def _prune_manifest(self, dir_path: str) -> None:
+        """After a fold's GC completed, shrink the manifest's death list
+        to ids whose dirs still exist on disk (normally none — a clean GC
+        leaves an empty list). Without the prune the TRANSITIVE death
+        lists grow with every fold — O(total batches ever) ids per
+        manifest on a long-running stream, a driver-side JSON and an
+        ``isin`` filter that both scale with stream age instead of with
+        crash debris. Atomic replace; a crash before it just leaves the
+        fat (still-correct) list for the next fold to prune. ``weight``
+        is preserved — it is the tiering metadata, not a death list."""
+        mf = os.path.join(dir_path, "_folds.json")
+        try:
+            with open(mf) as f:
+                m = json.load(f)
+            alive = [
+                b
+                for b in m.get("folded", [])
+                if os.path.exists(
+                    os.path.join(self.root, f"__batch_id={int(b)}")
+                )
+            ]
+            if alive == m.get("folded", []):
+                return
+            m["folded"] = alive
+            tmp = mf + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(m, f)
+            os.replace(tmp, mf)
+        except (OSError, ValueError):
+            pass
+
+    def maintain(
+        self, before_batch: int | None = None, fanout: int = 8
+    ) -> int:
+        """Size-TIERED log maintenance for insert-only logs — the
+        bounded-write-amplification replacement for calling ``compact()``
+        on a cadence. Returns the number of merges performed.
+
+        ``compact()`` folds the ENTIRE log into one base; invoked every K
+        micro-batches it rewrites all accumulated state each time — over
+        B batches that is Σ state(Ki) = O(B²/K) batch-writes, a
+        quadratically-amplified write path no 100 TB stream survives
+        (the whole corpus rewritten every K batches, forever). maintain()
+        is the classic LSM size-tiered scheme instead, as an F-ary carry
+        counter: every dir carries a WEIGHT (raw batch dirs = 1, merged
+        dirs = sum of constituents, recorded in the fold manifest); a
+        tier is floor(log_F weight); whenever a tier holds ≥ F live
+        dirs, the F OLDEST merge into one dir of the next tier, and the
+        loop re-checks until no tier is full (carry propagation). Each
+        row is rewritten once per tier it climbs — O(log_F B) total
+        writes per row instead of O(B/K) full-log rewrites — and the
+        live dir count stays ≤ (F-1)·(log_F B + 1), so the read side's
+        file listing stays bounded too.
+
+        Insert-only logs ONLY (raises otherwise): set-union semantics
+        make merging an arbitrary dir subset order-free, and the
+        manifest death-list machinery (``_dead_batch_ids`` already
+        unions every dir's manifest) gives the same single-commit-point
+        crash story as compact(): merged output is fully written to a
+        dot-temp (invisible), renamed into place (sources now logically
+        dead via the manifest, transitively), then sources are GC'd —
+        any crash window resolves identically. Leftover dead dirs from
+        a crashed GC are swept at the start of each call (they are
+        covered by a surviving manifest by construction, and sweeping
+        them keeps them out of the merge candidate set — merging an
+        already-folded dir would duplicate its rows).
+
+        ``before_batch`` scopes eligibility exactly like compact(): only
+        checkpoint-committed dirs (id strictly below) participate, so an
+        in-loop call composes with foreachBatch retries the same way —
+        the current batch's dir is never touched. A retried MAINTENANCE
+        batch re-runs maintain() itself; that is safe: merges are
+        deterministic given the dir set, and a re-run either finds the
+        tier already collapsed (no-op) or completes a crashed merge's
+        GC via the dead-dir sweep.
+
+        The LWW flavor keeps periodic ``compact()`` (its resolve must
+        scan the whole window anyway and its call sites are offline
+        maintenance, not per-batch loops)."""
+        import glob
+
+        if not self.insert_only:
+            raise ValueError("maintain() requires insert_only=True")
+        # finish any crashed GC: dirs covered by a surviving manifest are
+        # logically dead — delete them so the candidate set is live-only
+        dead = set(self._dead_batch_ids())
+        all_dirs = glob.glob(os.path.join(self.root, "__batch_id=*"))
+        for d in all_dirs:
+            if int(d.rsplit("=", 1)[1]) in dead:
+                shutil.rmtree(d, ignore_errors=True)
+        merges = 0
+        while True:
+            dead = set(self._dead_batch_ids())
+            live = [
+                d
+                for d in glob.glob(os.path.join(self.root, "__batch_id=*"))
+                if int(d.rsplit("=", 1)[1]) not in dead
+            ]
+            if before_batch is not None:
+                live = [
+                    d
+                    for d in live
+                    if int(d.rsplit("=", 1)[1]) < before_batch
+                ]
+            tiers: dict[int, list] = {}
+            for d in live:
+                w = self._dir_weight(d)
+                t = 0
+                while fanout**(t + 1) <= w:
+                    t += 1
+                tiers.setdefault(t, []).append(d)
+            full = [t for t, ds in tiers.items() if len(ds) >= fanout]
+            if not full:
+                return merges
+            # collapse the lowest full tier first (carries propagate up);
+            # merge the F OLDEST dirs (deterministic, keeps newest raw
+            # batches cheap to retry-overwrite)
+            t = min(full)
+            ds = sorted(
+                tiers[t], key=lambda d: int(d.rsplit("=", 1)[1])
+            )[:fanout]
+            merged_id = (
+                min(
+                    int(d.rsplit("=", 1)[1])
+                    for d in glob.glob(
+                        os.path.join(self.root, "__batch_id=*")
+                    )
+                )
+                - 1
+            )
+            tmp = os.path.join(self.root, f".maintain_{uuid.uuid4().hex[:8]}")
+            ids = [int(d.rsplit("=", 1)[1]) for d in ds]
+            src = self.spark.read.parquet(self.root).filter(
+                F.col("__batch_id").isin(ids)
+            )
+            self._write_folded_dir(src.drop("__batch_id"), tmp)
+            self._write_manifest(tmp, ds)
+            new_dir = os.path.join(self.root, f"__batch_id={merged_id}")
+            os.replace(tmp, new_dir)
+            for d in ds:
+                shutil.rmtree(d, ignore_errors=True)
+            self._prune_manifest(new_dir)
+            merges += 1
+
+    def _write_folded_dir(self, df: DataFrame, tmp: str) -> None:
+        """Write resolved/merged rows to ``tmp`` preserving the log's
+        hive layout (one file per layout value — see append())."""
+        if self.bucket_col is not None:
+            # merged sources already carry __kb as a (restored) column
+            cols = df.columns
+            if "__kb" not in cols:
+                df = df.withColumn(
+                    "__kb", self.bucket_of(F.col(self.bucket_col))
+                )
+            (
+                df.repartition(F.col("__kb"))
+                .write.mode("overwrite")
+                .partitionBy("__kb")
+                .parquet(tmp)
+            )
+        elif self.partition_col is not None:
+            (
+                df.repartition(F.col(self.partition_col))
+                .write.mode("overwrite")
+                .partitionBy(self.partition_col)
+                .parquet(tmp)
+            )
+        else:
+            df.write.mode("overwrite").parquet(tmp)
 
 
 class SummaryTable:

@@ -1195,10 +1195,13 @@ def pattern_streaming_semdedup(
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             # a retrain batch folds the vecs log itself (with the
-            # re-assignment transform) — don't fold twice
+            # re-assignment transform) — don't fold twice. Non-retrain
+            # maintenance is the TIERED scheme (maintain, O(log) write
+            # amplification), not a full fold — the epoch refold is the
+            # only O(state) rewrite and it is doubling-scheduled.
             if not _semdedup_retrain_due(batch_id):
-                vecs_log.compact(before_batch=batch_id)
-            verdict_log.compact(before_batch=batch_id)
+                vecs_log.maintain(before_batch=batch_id)
+            verdict_log.maintain(before_batch=batch_id)
         semdedup_stream_batch(
             vecs_log, verdict_log, quant_dir, batch, batch_id,
             threshold, n_cells,
@@ -1466,8 +1469,10 @@ def pattern_corpus_ingest_dedup(
       builds, never shuffles), and an anti-join of the batch against that
       batch-sized matched set. State is an UpsertLog keyed by hash:
       appends are O(new hashes), retries are idempotent (per-batch dirs),
-      and periodic ``compact()`` folds the log — the LSM trade, same as
-      sessionization's state.
+      and periodic ``maintain()`` size-tiers the log (O(log) write
+      amplification; a full ``compact()`` fold on a cadence would
+      rewrite the whole accumulated state every tick) — the LSM trade,
+      same as sessionization's state.
     - verdicts join the batch to (seen ∪ batch-new) canonicals on the
       hash — equi-join on 16-byte keys, output O(batch).
     Exactly-once: both logs are per-batch-directory idempotent; a
@@ -1508,14 +1513,18 @@ def pattern_corpus_ingest_dedup(
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # In-loop LSM maintenance: without it the per-batch log dirs grow
         # unboundedly on a real firehose and read_latest's window scans
-        # O(batches) dirs. Scoped STRICTLY below the current id — batches
-        # < batch_id are checkpoint-committed, while this batch may still
-        # crash and retry, and a fold that swallowed its first attempt's
-        # rows would poison the retry's pre-batch state read (covered by
+        # O(batches) dirs. TIERED (UpsertLog.maintain), not a full fold —
+        # compact() every K batches rewrites the whole accumulated state
+        # each time (O(B²/K) total writes over B batches); the tiered
+        # scheme rewrites each row O(log B) times total. Scoped STRICTLY
+        # below the current id — batches < batch_id are
+        # checkpoint-committed, while this batch may still crash and
+        # retry, and a fold that swallowed its first attempt's rows
+        # would poison the retry's pre-batch state read (covered by
         # test_corpus_dedup_compact_interleaves_with_retry).
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            seen_log.compact(before_batch=batch_id)
-            verdict_log.compact(before_batch=batch_id)
+            seen_log.maintain(before_batch=batch_id)
+            verdict_log.maintain(before_batch=batch_id)
         corpus_dedup_batch(seen_log, verdict_log, batch, batch_id)
 
     with _state_partitions(spark, state_partitions):
@@ -1578,8 +1587,8 @@ def pattern_streaming_ingest_funnel(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            seen_log.compact(before_batch=batch_id)
-            verdict_log.compact(before_batch=batch_id)
+            seen_log.maintain(before_batch=batch_id)
+            verdict_log.maintain(before_batch=batch_id)
         ingest_funnel_batch(seen_log, verdict_log, bench_bitset, batch, batch_id)
 
     with _state_partitions(spark, state_partitions):
@@ -1652,7 +1661,7 @@ def pattern_streaming_neardup_dedup(
         # same scoped in-loop LSM maintenance as pattern_corpus_ingest_dedup
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             for log in (seen_log, bands_log, docs_log, verdict_log):
-                log.compact(before_batch=batch_id)
+                log.maintain(before_batch=batch_id)
         neardup_dedup_batch(
             seen_log, bands_log, docs_log, verdict_log, batch, batch_id,
             threshold, verdict_extender=verdict_extender,

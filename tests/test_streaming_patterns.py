@@ -522,6 +522,190 @@ def test_upsert_log_compact_crash_window_is_consistent(spark, tmp_path):
     assert {tuple(r) for r in log.read_latest().collect()} == want
 
 
+def test_upsert_log_maintain_is_tiered_carry_counter(spark, tmp_path):
+    """maintain() is the F-ary carry counter the docstring claims: with
+    fanout 4 and 64 single-row appends (maintain after each), tier-0
+    merges fire every 4 appends (16), tier-1 every 16 (4), tier-2 once —
+    21 merges total, each row rewritten once per tier it climbs (3× for
+    64 batches) instead of compact()'s full-log rewrite per cadence
+    tick. Dir count stays bounded by (F-1)·levels + in-flight, and the
+    resolved read is byte-identical to an unmaintained log."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(
+        spark, str(tmp_path / "log"), keys=["k"], insert_only=True
+    )
+    merges = 0
+    max_dirs = 0
+    for i in range(64):
+        log.append(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"), i
+        )
+        merges += log.maintain(before_batch=i + 1, fanout=4)
+        n = len(
+            [
+                d
+                for d in os.listdir(log.root)
+                if d.startswith("__batch_id=")
+            ]
+        )
+        max_dirs = max(max_dirs, n)
+    assert merges == 21, merges  # 16 tier-0 + 4 tier-1 + 1 tier-2
+    assert max_dirs <= 10, max_dirs  # (F-1)·3 levels + the fresh append
+    got = {tuple(r) for r in log.read_latest().collect()}
+    assert got == {(i, f"v{i}") for i in range(64)}
+    # the top-tier dir records the full weight — the metadata that stops
+    # a later small merge from rewriting the big dir
+    import glob as _glob
+    import json as _json
+
+    weights = []
+    for mf in _glob.glob(os.path.join(log.root, "__batch_id=*", "_folds.json")):
+        with open(mf) as f:
+            m = _json.load(f)
+        weights.append(m["weight"])
+        # clean GCs prune the death lists to empty — they must not grow
+        # with stream age
+        assert m["folded"] == [], m
+    assert max(weights) == 64
+
+
+def test_upsert_log_maintain_survives_gc_crash(spark, tmp_path):
+    """Crash window: a merge commits (rename) but its GC dies leaving a
+    source dir on disk. The manifest covers it (no duplicate rows), and
+    the next maintain() sweeps it and prunes the death list."""
+    from duckdb_streaming_patterns_spark.operators import merge as merge_mod
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(
+        spark, str(tmp_path / "log"), keys=["k"], insert_only=True
+    )
+    for i in range(4):
+        log.append(
+            spark.createDataFrame([(i, f"v{i}")], "k long, v string"), i
+        )
+    want = {tuple(r) for r in log.read_latest().collect()}
+    real_rmtree = merge_mod.shutil.rmtree
+    spared = os.path.join(log.root, "__batch_id=2")
+
+    def crashy_rmtree(path, **kw):
+        if os.path.abspath(path) == os.path.abspath(spared):
+            return  # "crash": this source dir survives the GC
+        real_rmtree(path, **kw)
+
+    merge_mod.shutil.rmtree = crashy_rmtree
+    try:
+        assert log.maintain(fanout=4) == 1
+    finally:
+        merge_mod.shutil.rmtree = real_rmtree
+    assert os.path.exists(spared)
+    # manifest keeps the leftover dead — read has no duplicates
+    assert {tuple(r) for r in log.read_latest().collect()} == want
+    # next call sweeps the debris (no new merge needed)
+    log.maintain(fanout=4)
+    assert not os.path.exists(spared)
+    assert {tuple(r) for r in log.read_latest().collect()} == want
+
+
+def test_upsert_log_maintain_requires_insert_only(spark, tmp_path):
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(spark, str(tmp_path / "log"), keys=["k"])
+    try:
+        log.maintain()
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
+
+
+def test_corpus_dedup_maintain_interleaves_with_retry(spark, tmp_path):
+    """The maintain() twin of the compact × retry interleave: batch k's
+    first attempt lands, the tiered maintenance tick fires (scoped
+    before_batch=k), then batch k is re-delivered. The scoped merge only
+    touches committed dirs (< k, merged ids are negative and also < k),
+    so the retry's pre-batch read resolves identically."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        corpus_dedup_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, text string")
+
+    b = [
+        mk([(0, "aaa"), (1, "bbb")]),
+        mk([(2, "aaa"), (3, "ccc")]),
+        mk([(4, "bbb"), (5, "ddd")]),
+        mk([(6, "ccc"), (7, "eee")]),
+    ]
+    root = str(tmp_path / "minterleave")
+    seen = UpsertLog(
+        spark,
+        os.path.join(root, "seen"),
+        keys=["__h"],
+        insert_only=True,
+        bucket_col="__h",
+    )
+    verd = UpsertLog(
+        spark, os.path.join(root, "verd"), keys=["doc_id"], insert_only=True
+    )
+    for i in range(3):
+        corpus_dedup_batch(seen, verd, b[i], i)
+    corpus_dedup_batch(seen, verd, b[3], 3)  # first attempt (uncommitted)
+    seen.maintain(before_batch=3, fanout=2)  # tick fires mid-crash-window
+    verd.maintain(before_batch=3, fanout=2)
+    corpus_dedup_batch(seen, verd, b[3], 3)  # re-delivery
+    got = {
+        r["doc_id"]: (r["canonical_id"], r["keep"])
+        for r in verd.read_latest().collect()
+    }
+    assert got == {
+        0: (0, True), 1: (1, True), 2: (0, False), 3: (3, True),
+        4: (1, False), 5: (5, True), 6: (3, False), 7: (7, True),
+    }
+
+
+def test_bucketed_log_maintain_preserves_layout(spark, tmp_path):
+    """A maintained __h-bucketed log must keep the __kb hive layout in
+    merged dirs — otherwise every later DPP/pruned read degrades to a
+    full scan of the merged portion."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(
+        spark,
+        str(tmp_path / "log"),
+        keys=["__h"],
+        insert_only=True,
+        bucket_col="__h",
+        n_buckets=4,
+    )
+    for i in range(4):
+        log.append(
+            spark.createDataFrame(
+                [(f"h{i}{j}",) for j in range(8)], "__h string"
+            ),
+            i,
+        )
+    assert log.maintain(fanout=4) == 1
+    merged = [
+        d
+        for d in os.listdir(log.root)
+        if d.startswith("__batch_id=-")
+    ]
+    assert len(merged) == 1
+    kb_dirs = [
+        d
+        for d in os.listdir(os.path.join(log.root, merged[0]))
+        if d.startswith("__kb=")
+    ]
+    assert kb_dirs, "merged dir lost the __kb hive layout"
+    want_rows = {f"h{i}{j}" for i in range(4) for j in range(8)}
+    assert {r["__h"] for r in log.read_latest().collect()} == want_rows
+    # the pruned read still prunes: only the named bucket's rows return
+    some = log.read_latest(buckets=[0])
+    assert set(r["__h"] for r in some.collect()) < want_rows
+
+
 def test_connected_components_falls_back_to_star_on_non_convergence(spark):
     """A chain longer than max_iters rounds of min-label propagation must
     NOT return partially-propagated labels: the operator falls back to

@@ -643,6 +643,10 @@ def pattern_stream_stream_join(
     ).select("click_id", "view_id", F.col("c_user").alias("user_id"))
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # same tiered sink-log maintenance as the dedup patterns: the
+        # matched-pair log accumulates one dir per batch on a firehose
+        if batch_id > 0 and batch_id % 8 == 0:
+            pairs.maintain(before_batch=batch_id)
         pairs.append(batch, batch_id)
 
     with _state_partitions(spark, state_partitions):
@@ -1759,6 +1763,7 @@ def pattern_streaming_source_caps(
     run_dir: str,
     cap: int = 20,
     state_partitions: int | None = 4,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Streaming per-source quota enforcement (the arrival-order form of
     the C4/Dolma domain cap): documents arrive as micro-batches; each
@@ -1799,6 +1804,11 @@ def pattern_streaming_source_caps(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # the verdict SINK log is the only per-batch-dir state here (the
+        # recurrent state is the n_sources-row summary): tiered
+        # maintenance keeps its dir count O(log batches) on a firehose
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            verdict_log.maintain(before_batch=batch_id)
         source_caps_batch(counts, verdict_log, batch, batch_id, cap)
 
     with _state_partitions(spark, state_partitions):
@@ -1855,6 +1865,7 @@ def pattern_streaming_quality_drift(
     run_dir: str,
     tol: str = "0.5",
     state_partitions: int | None = 4,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Streaming ingest observability: per micro-batch quality-distribution
     monitoring against the accumulated baseline — the ops surface every
@@ -1900,6 +1911,10 @@ def pattern_streaming_quality_drift(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        # same sink-log maintenance as pattern_streaming_source_caps —
+        # one-row batch dirs still accumulate one DIRECTORY per batch
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            verdict_log.maintain(before_batch=batch_id)
         quality_drift_batch(cum, verdict_log, batch, batch_id, Decimal(tol))
 
     with _state_partitions(spark, state_partitions):

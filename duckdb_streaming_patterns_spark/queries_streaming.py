@@ -352,8 +352,14 @@ def q_pattern_streaming_corpus_dedup(
     See streaming/patterns.pattern_corpus_ingest_dedup."""
     run = staging.new_run_dir("pcorpus")
     chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    # cadence 2 / fanout 2 so the 5-batch replay FIRES the tiered
+    # maintenance mid-stream (batch 2 merges dirs 0+1; batch 4's tick
+    # carry-propagates to a weight-4 tier) — the driver's hash gate then
+    # proves the merge machinery preserves the dedup decisions, not just
+    # the unit tests
     return patterns.pattern_corpus_ingest_dedup(
-        spark, chunks, run, state_partitions=4
+        spark, chunks, run, state_partitions=4,
+        compact_every=2, maintain_fanout=2,
     )
 
 

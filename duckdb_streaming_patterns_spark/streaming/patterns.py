@@ -1455,6 +1455,7 @@ def pattern_corpus_ingest_dedup(
     run_dir: str,
     state_partitions: int | None = 4,
     compact_every: int = 8,
+    maintain_fanout: int = 8,
 ) -> DataFrame:
     """Continuous-ingestion exact dedup: the corpus arrives as micro-
     batches (a crawl dump landing batch by batch); each batch's documents
@@ -1527,8 +1528,8 @@ def pattern_corpus_ingest_dedup(
         # would poison the retry's pre-batch state read (covered by
         # test_corpus_dedup_compact_interleaves_with_retry).
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            seen_log.maintain(before_batch=batch_id)
-            verdict_log.maintain(before_batch=batch_id)
+            seen_log.maintain(before_batch=batch_id, fanout=maintain_fanout)
+            verdict_log.maintain(before_batch=batch_id, fanout=maintain_fanout)
         corpus_dedup_batch(seen_log, verdict_log, batch, batch_id)
 
     with _state_partitions(spark, state_partitions):

@@ -607,6 +607,64 @@ def test_upsert_log_maintain_survives_gc_crash(spark, tmp_path):
     assert {tuple(r) for r in log.read_latest().collect()} == want
 
 
+def test_upsert_log_maintain_every_gc_crash_point(spark, tmp_path):
+    """Exhaustive crash sweep: a merge's GC can die after deleting 0, 1,
+    2, or 3 of its 4 source dirs. At EVERY point the committed manifest
+    keeps surviving sources logically dead (reads identical, no
+    duplicates), and a subsequent maintain() sweeps the debris without
+    re-merging."""
+    import shutil as _shutil
+
+    from duckdb_streaming_patterns_spark.operators import merge as merge_mod
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    for crash_after in range(4):
+        root = str(tmp_path / f"log{crash_after}")
+        log = UpsertLog(spark, root, keys=["k"], insert_only=True)
+        for i in range(4):
+            log.append(
+                spark.createDataFrame(
+                    [(crash_after * 10 + i, f"v{i}")], "k long, v string"
+                ),
+                i,
+            )
+        want = {tuple(r) for r in log.read_latest().collect()}
+        deleted = [0]
+        real_rmtree = merge_mod.shutil.rmtree
+
+        def make_crashy(_n, _cap, _rm):
+            def crashy(path, **kw):
+                if os.path.basename(path).startswith("__batch_id="):
+                    if _n[0] >= _cap:
+                        return  # GC "crashes" here
+                    _n[0] += 1
+                _rm(path, **kw)
+
+            return crashy
+
+        crashy = make_crashy(deleted, crash_after, real_rmtree)
+
+        merge_mod.shutil.rmtree = crashy
+        try:
+            assert log.maintain(fanout=4) == 1
+        finally:
+            merge_mod.shutil.rmtree = real_rmtree
+        survivors = [
+            d
+            for d in os.listdir(root)
+            if d.startswith("__batch_id=") and not d.startswith("__batch_id=-")
+        ]
+        assert len(survivors) == 4 - crash_after, (crash_after, survivors)
+        assert {tuple(r) for r in log.read_latest().collect()} == want
+        assert log.maintain(fanout=4) == 0  # sweep only, no re-merge
+        assert not any(
+            d.startswith("__batch_id=")
+            and not d.startswith("__batch_id=-")
+            for d in os.listdir(root)
+        )
+        assert {tuple(r) for r in log.read_latest().collect()} == want
+
+
 def test_upsert_log_maintain_requires_insert_only(spark, tmp_path):
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
 

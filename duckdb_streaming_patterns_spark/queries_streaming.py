@@ -822,6 +822,12 @@ def q_pattern_streaming_neardup_dedup(
     streaming/patterns.pattern_streaming_neardup_dedup."""
     run = staging.new_run_dir("pneardup")
     chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    # cadence 2 / fanout 2: the 5-batch replay fires tiered merges over
+    # all FOUR state logs mid-stream — including the __h/__kb-bucketed
+    # seen+docs logs, whose merged dirs must preserve the hive layout
+    # for the DPP probes — so the driver's hash gate verifies the
+    # layout-preserving merge path, not just the unit tests
     return patterns.pattern_streaming_neardup_dedup(
-        spark, chunks, run, threshold=0.7, state_partitions=4
+        spark, chunks, run, threshold=0.7, state_partitions=4,
+        compact_every=2, maintain_fanout=2,
     )

@@ -1619,6 +1619,7 @@ def pattern_streaming_neardup_dedup(
     compact_every: int = 8,
     verdict_extender=None,
     extra_cols: tuple[str, ...] = (),
+    maintain_fanout: int = 8,
 ) -> DataFrame:
     """Continuous-ingestion NEAR-duplicate dedup: the corpus arrives as
     micro-batches; each batch is checked against BOTH accumulated state
@@ -1666,7 +1667,7 @@ def pattern_streaming_neardup_dedup(
         # same scoped in-loop LSM maintenance as pattern_corpus_ingest_dedup
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             for log in (seen_log, bands_log, docs_log, verdict_log):
-                log.maintain(before_batch=batch_id)
+                log.maintain(before_batch=batch_id, fanout=maintain_fanout)
         neardup_dedup_batch(
             seen_log, bands_log, docs_log, verdict_log, batch, batch_id,
             threshold, verdict_extender=verdict_extender,

@@ -193,6 +193,22 @@ class UpsertLog:
             writer = batch.write.mode("overwrite")
         writer.parquet(os.path.join(self.root, f"__batch_id={batch_id}"))
 
+    def _sweep_temp_dirs(self) -> None:
+        """Remove orphaned ``.maintain_*`` / ``.compact_*`` temp dirs left
+        by a crash after the merged output was written but before its
+        rename. Dot-prefixed dirs are invisible to readers, so the sweep
+        is purely hygienic — but without it crash debris accumulates
+        unbounded on a long-running stream (each crashed attempt gets a
+        fresh uuid suffix, so nothing ever clobbers it). Single-writer
+        discipline makes the wholesale sweep safe: no other maintenance
+        can be mid-flight when this one starts."""
+        import glob
+
+        for d in glob.glob(os.path.join(self.root, ".maintain_*")) + glob.glob(
+            os.path.join(self.root, ".compact_*")
+        ):
+            shutil.rmtree(d, ignore_errors=True)
+
     def read_latest(
         self,
         before_batch: int | None = None,
@@ -254,12 +270,57 @@ class UpsertLog:
             return log.drop(*drop_cols)
         from pyspark.sql import Window as W
 
-        w = W.partitionBy(*self.keys).orderBy(F.col("__batch_id").desc())
+        # Last-writer-wins order: a raw dir's rank is its batch id; a
+        # MERGED dir (adjacent-range maintain) ranks as the HIGHEST raw
+        # id of its recorded range — the rows inside it are already the
+        # within-range winners, so ranking the dir at its range top makes
+        # the cross-dir resolve identical to resolving over the raw dirs
+        # (ranges are contiguous and disjoint by the adjacency rule). The
+        # mapping is driver-side and bounded by the LIVE dir count
+        # (O(fanout · log B) under tiering), folded into the plan as a
+        # literal map — no extra scan, no join.
+        order_col = F.col("__batch_id")
+        ranges = self._fold_orders()
+        if ranges:
+            m = F.create_map(
+                *[
+                    x
+                    for did, hi in sorted(ranges.items())
+                    for x in (F.lit(did), F.lit(hi))
+                ]
+            )
+            order_col = F.coalesce(
+                m[F.col("__batch_id")], F.col("__batch_id")
+            )
+        w = W.partitionBy(*self.keys).orderBy(order_col.desc())
         return (
             log.withColumn("__rn", F.row_number().over(w))
             .filter(F.col("__rn") == 1)
             .drop("__rn", *drop_cols)
         )
+
+    def _fold_orders(self) -> dict[int, int]:
+        """dir id → effective LWW rank (the ``range`` top of its fold
+        manifest) for every live merged dir. One driver-side glob, same
+        cost shape as ``_dead_batch_ids``; empty for logs that were never
+        maintained (the common case keeps the plain ``__batch_id``
+        ordering and an unchanged plan)."""
+        import glob
+
+        out: dict[int, int] = {}
+        for mf in glob.glob(
+            os.path.join(self.root, "__batch_id=*", "_folds.json")
+        ):
+            try:
+                with open(mf) as f:
+                    m = json.load(f)
+                rng = m.get("range")
+                if rng:
+                    did = int(os.path.dirname(mf).rsplit("=", 1)[1])
+                    out[did] = int(rng[1])
+            except (OSError, ValueError):
+                continue
+        return out
 
     def _dead_batch_ids(self) -> list[int]:
         """Batch ids logically folded into a SURVIVING base (its
@@ -340,6 +401,7 @@ class UpsertLog:
           pollutes the scan.)"""
         import glob
 
+        self._sweep_temp_dirs()
         dirs = sorted(
             glob.glob(os.path.join(self.root, "__batch_id=*")),
             key=lambda d: int(d.rsplit("=", 1)[1]),
@@ -411,18 +473,48 @@ class UpsertLog:
         except (OSError, ValueError):
             return 1
 
+    def _dir_range(self, d: str) -> tuple[int, int]:
+        """The contiguous RAW batch-id range a dir represents: (id, id)
+        for an engine-written batch dir, the recorded ``range`` for a
+        merged dir. The range is the adjacency metadata of the LWW
+        maintain scheme — merges are only legal between dirs whose ranges
+        are consecutive in the global order, and a merged dir's LWW rank
+        is its range top."""
+        did = int(d.rsplit("=", 1)[1])
+        mf = os.path.join(d, "_folds.json")
+        if not os.path.exists(mf):
+            return (did, did)
+        try:
+            with open(mf) as f:
+                m = json.load(f)
+            rng = m.get("range")
+            if rng:
+                return (int(rng[0]), int(rng[1]))
+        except (OSError, ValueError):
+            pass
+        return (did, did)
+
     def _write_manifest(self, tmp: str, dirs: list) -> None:
         """Fold manifest for a merged/base dir written into its temp dir
         (commits atomically with the rename): ``folded`` lists the source
         dir ids TRANSITIVELY (each source's own dead list is unioned in,
         so a crashed earlier GC's leftover dirs stay dead even after the
-        manifest that covered them is itself folded away) and ``weight``
-        records the raw-batch count for the tiering policy."""
+        manifest that covered them is itself folded away), ``weight``
+        records the raw-batch count for the tiering policy, and ``range``
+        records the merged dirs' contiguous raw-id span — the LWW
+        ordering + adjacency metadata (raw sources with non-negative ids
+        only: a legacy full-fold base folds everything, so its sub-zero
+        placement already orders correctly)."""
         folded: set[int] = set()
         weight = 0
+        lo = hi = None
         for d in dirs:
             folded.add(int(d.rsplit("=", 1)[1]))
             weight += self._dir_weight(d)
+            dlo, dhi = self._dir_range(d)
+            if dhi >= 0:  # skip legacy range-less negative bases
+                lo = dlo if lo is None else min(lo, dlo)
+                hi = dhi if hi is None else max(hi, dhi)
             mf = os.path.join(d, "_folds.json")
             if os.path.exists(mf):
                 try:
@@ -432,8 +524,11 @@ class UpsertLog:
                         )
                 except (OSError, ValueError):
                     pass
+        manifest: dict = {"folded": sorted(folded), "weight": weight}
+        if lo is not None:
+            manifest["range"] = [lo, hi]
         with open(os.path.join(tmp, "_folds.json"), "w") as f:
-            json.dump({"folded": sorted(folded), "weight": weight}, f)
+            json.dump(manifest, f)
 
     def _prune_manifest(self, dir_path: str) -> None:
         """After a fold's GC completed, shrink the manifest's death list
@@ -489,18 +584,18 @@ class UpsertLog:
         live dir count stays ≤ (F-1)·(log_F B + 1), so the read side's
         file listing stays bounded too.
 
-        Insert-only logs ONLY (raises otherwise): set-union semantics
-        make merging an arbitrary dir subset order-free, and the
-        manifest death-list machinery (``_dead_batch_ids`` already
-        unions every dir's manifest) gives the same single-commit-point
-        crash story as compact(): merged output is fully written to a
-        dot-temp (invisible), renamed into place (sources now logically
-        dead via the manifest, transitively), then sources are GC'd —
-        any crash window resolves identically. Leftover dead dirs from
-        a crashed GC are swept at the start of each call (they are
-        covered by a surviving manifest by construction, and sweeping
-        them keeps them out of the merge candidate set — merging an
-        already-folded dir would duplicate its rows).
+        For INSERT-ONLY logs set-union semantics make merging an
+        arbitrary dir subset order-free; the manifest death-list
+        machinery (``_dead_batch_ids`` already unions every dir's
+        manifest) gives the same single-commit-point crash story as
+        compact(): merged output is fully written to a dot-temp
+        (invisible), renamed into place (sources now logically dead via
+        the manifest, transitively), then sources are GC'd — any crash
+        window resolves identically. Leftover dead dirs from a crashed
+        GC are swept at the start of each call (they are covered by a
+        surviving manifest by construction, and sweeping them keeps
+        them out of the merge candidate set — merging an already-folded
+        dir would duplicate its rows).
 
         ``before_batch`` scopes eligibility exactly like compact(): only
         checkpoint-committed dirs (id strictly below) participate, so an
@@ -511,13 +606,26 @@ class UpsertLog:
         tier already collapsed (no-op) or completes a crashed merge's
         GC via the dead-dir sweep.
 
-        The LWW flavor keeps periodic ``compact()`` (its resolve must
-        scan the whole window anyway and its call sites are offline
-        maintenance, not per-batch loops)."""
+        LAST-WRITER-WINS logs are maintained too, with one extra rule:
+        merges are restricted to dirs whose raw-id ranges are ADJACENT —
+        consecutive in the range-sorted order of all live dirs, so the
+        merged span [lo, hi] contains no id held by any surviving dir.
+        Within that span LWW is resolved AT MERGE TIME (the winner per
+        key by effective rank) and the manifest records the span; the
+        read side then ranks the merged dir at its span top, which makes
+        the cross-dir resolve provably identical to resolving over the
+        raw dirs — exactly how ordered LSM runs handle upserts, and the
+        adjacency precedent of the reference's own
+        ``ducklake_merge_adjacent_files`` (pattern_1_2.py:154). A
+        same-tier pair separated by a heavier dir is simply not merged
+        (the carry stays pending until the gap dir joins the tier) —
+        order preservation over merge eagerness."""
         import glob
 
-        if not self.insert_only:
-            raise ValueError("maintain() requires insert_only=True")
+        if fanout < 2:
+            # fanout 1 makes the tier loop (fanout**t <= w) non-terminating
+            raise ValueError(f"maintain() fanout must be >= 2, got {fanout}")
+        self._sweep_temp_dirs()
         # finish any crashed GC: dirs covered by a surviving manifest are
         # logically dead — delete them so the candidate set is live-only
         dead = set(self._dead_batch_ids())
@@ -539,23 +647,48 @@ class UpsertLog:
                     for d in live
                     if int(d.rsplit("=", 1)[1]) < before_batch
                 ]
+            tier_of: dict[str, int] = {}
             tiers: dict[int, list] = {}
             for d in live:
                 w = self._dir_weight(d)
                 t = 0
                 while fanout**(t + 1) <= w:
                     t += 1
+                tier_of[d] = t
                 tiers.setdefault(t, []).append(d)
-            full = [t for t, ds in tiers.items() if len(ds) >= fanout]
+            full = sorted(t for t, ds in tiers.items() if len(ds) >= fanout)
             if not full:
                 return merges
-            # collapse the lowest full tier first (carries propagate up);
-            # merge the F OLDEST dirs (deterministic, keeps newest raw
-            # batches cheap to retry-overwrite)
-            t = min(full)
-            ds = sorted(
-                tiers[t], key=lambda d: int(d.rsplit("=", 1)[1])
-            )[:fanout]
+            ds: list | None = None
+            if self.insert_only:
+                # set-union semantics: any subset merges — collapse the
+                # lowest full tier, F OLDEST dirs (deterministic, keeps
+                # newest raw batches cheap to retry-overwrite)
+                t = min(full)
+                ds = sorted(
+                    tiers[t], key=lambda d: int(d.rsplit("=", 1)[1])
+                )[:fanout]
+            else:
+                # LWW: only an ADJACENT run of same-tier dirs may merge.
+                # Scan the range-sorted live list for the first run of
+                # >= fanout consecutive dirs in the lowest full tier
+                # that has one; excluded newer batches (before_batch)
+                # are a suffix in this order, so they never split a run.
+                ordered = sorted(live, key=lambda d: self._dir_range(d)[0])
+                for t in full:
+                    run: list = []
+                    for d in ordered:
+                        if tier_of[d] == t:
+                            run.append(d)
+                            if len(run) == fanout:
+                                ds = run
+                                break
+                        else:
+                            run = []
+                    if ds:
+                        break
+                if ds is None:
+                    return merges  # full tiers exist but none adjacent
             merged_id = (
                 min(
                     int(d.rsplit("=", 1)[1])
@@ -570,6 +703,32 @@ class UpsertLog:
             src = self.spark.read.parquet(self.root).filter(
                 F.col("__batch_id").isin(ids)
             )
+            if not self.insert_only:
+                # resolve LWW within the merged span now, by each source
+                # dir's effective rank (range top), so the merged dir
+                # holds exactly the span winners
+                from pyspark.sql import Window as W
+
+                rank = {
+                    did: self._dir_range(d)[1] for did, d in zip(ids, ds)
+                }
+                m = F.create_map(
+                    *[
+                        x
+                        for did in sorted(ids)
+                        for x in (F.lit(did), F.lit(rank[did]))
+                    ]
+                )
+                w = W.partitionBy(*self.keys).orderBy(
+                    F.coalesce(
+                        m[F.col("__batch_id")], F.col("__batch_id")
+                    ).desc()
+                )
+                src = (
+                    src.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
             self._write_folded_dir(src.drop("__batch_id"), tmp)
             self._write_manifest(tmp, ds)
             new_dir = os.path.join(self.root, f"__batch_id={merged_id}")

@@ -161,20 +161,34 @@ class SnapshotTable:
         # Row count from the freshly written footers (driver-side, metadata
         # only) — no second computation of the batch.
         n = _parquet_row_count(staged)
+        # Record the snapshot's partition subdirectories in its ledger
+        # entry (one listdir of the freshly staged dir — O(values), paid
+        # once at write time): the ledger then doubles as a Delta/Iceberg-
+        # style file manifest at directory granularity, so readers can
+        # enumerate exact leaf paths for a partition-value-scoped read
+        # without EVER listing the table (see table_changes).
+        parts = None
+        if cols:
+            parts = sorted(
+                e
+                for e in os.listdir(staged)
+                if "=" in e and not e.startswith((".", "_"))
+            )
         final = os.path.join(self.data_dir, f"snapshot_id={sid}")
         if os.path.exists(final):
             shutil.rmtree(final)  # orphan from a crashed append: retry clobbers
         os.replace(staged, final)
-        self._commit_ledger(
-            {
-                "snapshot_id": sid,
-                "kind": "insert",
-                "batch_id": batch_id,
-                "rows": n,
-                "columns": list(df.columns),
-                "committed_at": time.time(),
-            }
-        )
+        entry = {
+            "snapshot_id": sid,
+            "kind": "insert",
+            "batch_id": batch_id,
+            "rows": n,
+            "columns": list(df.columns),
+            "committed_at": time.time(),
+        }
+        if parts is not None:
+            entry["partitions"] = parts
+        self._commit_ledger(entry)
         return sid
 
     def _commit_ledger(self, entry: dict) -> None:
@@ -259,10 +273,17 @@ class SnapshotTable:
     def _empty(self) -> DataFrame:
         return self.spark.createDataFrame([], self.schema_ddl + ", snapshot_id int")
 
-    def read(self) -> DataFrame:
+    def read(
+        self, partition_values: dict[str, list] | None = None
+    ) -> DataFrame:
         """Full-table scan, scoped to committed snapshots, tombstones
-        applied."""
-        return self._read_visible(self.max_snapshot_id())
+        applied. ``partition_values`` scopes the scan to the named leaf
+        partitions via the ledger's directory manifest (the ANN probe
+        path): only those dirs are ever touched — see
+        ``_ledger_paths``."""
+        return self._read_visible(
+            self.max_snapshot_id(), partition_values=partition_values
+        )
 
     def read_as_of(self, snapshot_id: int) -> DataFrame:
         """Time travel: the table as it stood after ``snapshot_id``
@@ -272,8 +293,12 @@ class SnapshotTable:
         applied, later ones are not (deletes time-travel too)."""
         return self._read_visible(snapshot_id)
 
-    def _read_visible(self, as_of: int) -> DataFrame:
-        df = self.table_changes(-1, as_of)
+    def _read_visible(
+        self,
+        as_of: int,
+        partition_values: dict[str, list] | None = None,
+    ) -> DataFrame:
+        df = self.table_changes(-1, as_of, partition_values=partition_values)
         for sid, cols, keys in self._tombstones(as_of):
             # A tombstone kills matching rows appended before it. The key
             # set is one delete request's output — broadcast-sized by
@@ -308,18 +333,72 @@ class SnapshotTable:
                 )
         return out
 
+    def _ledger_paths(
+        self,
+        from_snapshot: int,
+        to_snapshot: int,
+        partition_values: dict[str, list] | None = None,
+    ) -> list[str]:
+        """Data paths for INSERT snapshots in (from, to], enumerated from
+        the ``_snapshots`` ledger — the ledger-as-manifest read path
+        (round-6 verdict item 1). The table's data directory is NEVER
+        listed: a read's discovery cost is O(snapshots in range) driver-
+        side path constructions + one existence stat each (a stat is a
+        metadata lookup, not a directory listing — on a long-running
+        stream the old hive discovery listed EVERY ``snapshot_id=N`` dir
+        the stream ever committed, per read). Orphan dirs from crashed
+        appends are invisible by construction: they are not in the
+        ledger, so no path is ever built for them.
+
+        ``partition_values`` (``{col: [v, ...]}``, first-level partition
+        column only) narrows each snapshot to the named leaf dirs, using
+        the ``partitions`` manifest recorded at append time — the probe
+        path of a cell-partitioned ANN index touches O(range × probed
+        cells) dirs, never the whole layout. The existence stat also
+        drops dirs a vacuum's rewrite pruned empty (their rows were all
+        tombstoned), which is the only way a ledger-named dir can be
+        legitimately absent."""
+        want = None
+        if partition_values:
+            (col, vals), = partition_values.items()
+            want = {f"{col}={v}" for v in vals}
+        out: list[str] = []
+        for s in self.snapshots():
+            sid = s["snapshot_id"]
+            if s.get("kind", "insert") != "insert":
+                continue
+            if not (from_snapshot < sid <= to_snapshot):
+                continue
+            snap_dir = os.path.join(self.data_dir, f"snapshot_id={sid}")
+            if want is not None and s.get("partitions") is not None:
+                cand = [
+                    os.path.join(snap_dir, p)
+                    for p in s["partitions"]
+                    if p in want
+                ]
+            else:
+                cand = [snap_dir]
+            out.extend(p for p in cand if os.path.exists(p))
+        return out
+
     def table_changes(
         self,
         from_snapshot: int,
         to_snapshot: int,
         include_deletes: bool = False,
+        partition_values: dict[str, list] | None = None,
     ) -> DataFrame:
         """Reference ``table_changes(tbl, from, to)`` (pattern_1_2.py:105):
-        rows appended in snapshots (from, to]. Partition pruning on
-        snapshot_id means only those snapshot directories are read.
-        With ``include_deletes=True`` the DuckLake-style ``_change_type``
-        column is added and tombstone key rows in range are unioned in
-        (non-key payload columns null, as for a key-scoped delete).
+        rows appended in snapshots (from, to]. The scan reads ONLY the
+        ledger-enumerated snapshot directories (``basePath`` keeps hive
+        partition recovery; see ``_ledger_paths``) — discovery is scoped
+        to the queried range instead of listing the whole table, and the
+        ``snapshot_id`` partition filter on top keeps the pruned plan
+        shape identical. With ``include_deletes=True`` the
+        DuckLake-style ``_change_type`` column is added and tombstone key
+        rows in range are unioned in (non-key payload columns null, as
+        for a key-scoped delete). ``partition_values`` scopes the scan
+        to named leaf partitions via the ledger's dir manifest.
 
         Schema evolution: when snapshots in the ledger carry different
         column sets (a later batch appended with new columns), the scan
@@ -328,7 +407,14 @@ class SnapshotTable:
         read returns the schema of that era, and pre-evolution rows show
         the later columns as null only when the range spans the change.
         Homogeneous tables keep their original single-footer plan."""
-        if to_snapshot <= from_snapshot or self.max_snapshot_id() < 0:
+        paths = (
+            []
+            if to_snapshot <= from_snapshot or self.max_snapshot_id() < 0
+            else self._ledger_paths(
+                from_snapshot, to_snapshot, partition_values
+            )
+        )
+        if not paths:
             base = self._empty()
         else:
             col_sets = [
@@ -340,10 +426,10 @@ class SnapshotTable:
                 all(c is not None for c in col_sets)
                 and len({tuple(c) for c in col_sets}) > 1
             )
-            reader = self.spark.read
+            reader = self.spark.read.option("basePath", self.data_dir)
             if evolved:
                 reader = reader.option("mergeSchema", "true")
-            df = reader.parquet(self.data_dir)
+            df = reader.parquet(*paths)
             base = df.filter(
                 (F.col("snapshot_id") > from_snapshot)
                 & (F.col("snapshot_id") <= to_snapshot)

@@ -205,8 +205,14 @@ def q_pattern_streaming_sessionization(spark: SparkSession, sf_dir: str) -> Data
     chunks = staging.stage_event_chunks(
         spark, sf_dir, run, n_chunks=5, order_col="ts"
     )
+    # cadence 2 / fanout 2: the 5-batch replay fires ADJACENT-RANGE
+    # tiered merges over the LWW session-summary log mid-stream (batch 2
+    # merges dirs 0+1 with in-span LWW resolve; batch 4's tick carries to
+    # a weight-4 span) — the driver hash gate then proves the LWW merge
+    # machinery preserves every session row, not just the unit tests
     return patterns.pattern_streaming_sessionization(
-        spark, chunks, run, state_partitions=_STATE_PARTS
+        spark, chunks, run, state_partitions=_STATE_PARTS,
+        compact_every=2, maintain_fanout=2,
     )
 
 
@@ -788,8 +794,12 @@ def q_pattern_streaming_full_funnel(
         .distinct()
     )
     bitset = dedup_ops.bloom_build(bench_g, "g")
+    # cadence 2 / fanout 2 (round-6 verdict item 4): the composed
+    # pattern's hash row exercises mid-stream tiered merges over all
+    # four state logs, same treatment as corpus-dedup and near-dup
     return patterns.pattern_streaming_full_funnel(
-        spark, chunks, run, bitset, threshold=0.7, state_partitions=4
+        spark, chunks, run, bitset, threshold=0.7, state_partitions=4,
+        compact_every=2, maintain_fanout=2,
     )
 
 

@@ -470,6 +470,8 @@ def pattern_streaming_sessionization(
     run_dir: str,
     gap_us: int = 30 * 60 * 1_000_000,
     state_partitions: int | None = None,
+    compact_every: int = 8,
+    maintain_fanout: int = 8,
 ) -> DataFrame:
     """Custom stateful streaming operator (SURVEY §2.10 escape hatch done
     right): gap-based sessionization via ``applyInPandasWithState``.
@@ -490,7 +492,13 @@ def pattern_streaming_sessionization(
 
     # log-structured upsert: per-batch write cost is O(emitted sessions),
     # not O(all sessions so far) — the swap-rewrite SummaryTable would
-    # rewrite the whole session table every micro-batch.
+    # rewrite the whole session table every micro-batch. The log is LWW
+    # (a session key re-emits every batch that extends it), so its
+    # in-loop maintenance is the ADJACENT-RANGE tiered scheme: merges
+    # are restricted to contiguous batch-id spans, LWW is resolved
+    # within the span at merge time, and the read side ranks merged
+    # dirs at their span top — bounded dir count on an unbounded
+    # stream, without an offline full-rewrite compact() cadence.
     summary = UpsertLog(
         spark,
         os.path.join(run_dir, "summary"),
@@ -562,6 +570,8 @@ def pattern_streaming_sessionization(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            summary.maintain(before_batch=batch_id, fanout=maintain_fanout)
         summary.append(batch, batch_id)
 
     with _state_partitions(spark, state_partitions):
@@ -1105,11 +1115,16 @@ def pattern_streaming_ann_index(
     # scan is directory-pruned to those cells' partitions (PartitionFilters,
     # plan-asserted in tests) instead of scanning every cell and joining.
     # The collect is bounded by n_cells — index width, never corpus size.
+    # The read itself is LEDGER-SCOPED to the probed cells' leaf dirs
+    # (partition_values → _ledger_paths): discovery touches O(snapshots ×
+    # probed cells) named dirs instead of listing the whole index layout —
+    # on a month-old stream (one snapshot dir per micro-batch) the listing
+    # was the probe's real scale killer (round-6 verdict item 1).
     probe_cells = [
         r["cell_id"] for r in qv.select("cell_id").distinct().collect()
     ]
     cells = (
-        index.read()
+        index.read(partition_values={"cell_id": probe_cells})
         .filter(F.col("cell_id").isin(probe_cells))
         .select(
             F.col("vec_id").alias("neighbor_id"),
@@ -1694,6 +1709,8 @@ def pattern_streaming_full_funnel(
     bench_bitset: bytes,
     threshold: float = 0.7,
     state_partitions: int | None = 4,
+    compact_every: int = 8,
+    maintain_fanout: int = 8,
 ) -> DataFrame:
     """The COMPLETE production ingest funnel, all five verdicts in one
     streaming pattern: exact dedup vs accumulated corpus state, MinHash
@@ -1754,8 +1771,10 @@ def pattern_streaming_full_funnel(
         run_dir,
         threshold=threshold,
         state_partitions=state_partitions,
+        compact_every=compact_every,
         verdict_extender=extend,
         extra_cols=("quality_logit", "bloom_flagged"),
+        maintain_fanout=maintain_fanout,
     )
 
 

@@ -599,12 +599,17 @@ def test_upsert_log_maintain_survives_gc_crash(spark, tmp_path):
     finally:
         merge_mod.shutil.rmtree = real_rmtree
     assert os.path.exists(spared)
-    # manifest keeps the leftover dead — read has no duplicates
-    assert {tuple(r) for r in log.read_latest().collect()} == want
+    # manifest keeps the leftover dead — read has no duplicates (count
+    # first: duplicated rows are invisible to a set-compare)
+    got = log.read_latest()
+    assert got.count() == len(want)
+    assert {tuple(r) for r in got.collect()} == want
     # next call sweeps the debris (no new merge needed)
     log.maintain(fanout=4)
     assert not os.path.exists(spared)
-    assert {tuple(r) for r in log.read_latest().collect()} == want
+    got = log.read_latest()
+    assert got.count() == len(want)
+    assert {tuple(r) for r in got.collect()} == want
 
 
 def test_upsert_log_maintain_every_gc_crash_point(spark, tmp_path):
@@ -655,25 +660,151 @@ def test_upsert_log_maintain_every_gc_crash_point(spark, tmp_path):
             if d.startswith("__batch_id=") and not d.startswith("__batch_id=-")
         ]
         assert len(survivors) == 4 - crash_after, (crash_after, survivors)
-        assert {tuple(r) for r in log.read_latest().collect()} == want
+        got = log.read_latest()
+        assert got.count() == len(want), crash_after  # dup rows double this
+        assert {tuple(r) for r in got.collect()} == want
         assert log.maintain(fanout=4) == 0  # sweep only, no re-merge
         assert not any(
             d.startswith("__batch_id=")
             and not d.startswith("__batch_id=-")
             for d in os.listdir(root)
         )
-        assert {tuple(r) for r in log.read_latest().collect()} == want
+        got = log.read_latest()
+        assert got.count() == len(want)
+        assert {tuple(r) for r in got.collect()} == want
 
 
-def test_upsert_log_maintain_requires_insert_only(spark, tmp_path):
+def test_upsert_log_maintain_rejects_bad_fanout(spark, tmp_path):
+    """fanout <= 1 would make the tier loop (1**n <= w) spin forever —
+    maintain() must reject it up front, for both log flavors."""
+    import pytest
+
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
 
-    log = UpsertLog(spark, str(tmp_path / "log"), keys=["k"])
+    for kw in ({"insert_only": True}, {}):
+        log = UpsertLog(spark, str(tmp_path / f"log{len(kw)}"), keys=["k"], **kw)
+        with pytest.raises(ValueError):
+            log.maintain(fanout=1)
+        with pytest.raises(ValueError):
+            log.maintain(fanout=0)
+
+
+def test_upsert_log_lww_maintain_preserves_last_writer_wins(spark, tmp_path):
+    """Adjacent-range tiered maintenance for LAST-WRITER-WINS logs
+    (round-6 verdict item 2): keys re-emit across batches; merges are
+    restricted to contiguous batch-id spans, resolve LWW within the span
+    at merge time, and the read side ranks merged dirs at their span top
+    — so a maintained log resolves byte-identically to an unmaintained
+    twin, while the live dir count stays tier-bounded."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    root = str(tmp_path / "lww")
+    log = UpsertLog(spark, root, keys=["k"])
+    twin = UpsertLog(spark, str(tmp_path / "twin"), keys=["k"])
+    # key k is touched on every batch where k % 3 == i % 3 → constant
+    # re-emission, the session-extension shape
+    for i in range(16):
+        rows = [(k, f"v{k}@{i}") for k in range(9) if k % 3 == i % 3]
+        df = spark.createDataFrame(rows, "k long, v string")
+        if i > 0 and i % 2 == 0:
+            log.maintain(before_batch=i, fanout=2)
+        log.append(df, i)
+        twin.append(df, i)
+    got = log.read_latest()
+    want = {tuple(r) for r in twin.read_latest().collect()}
+    assert got.count() == len(want) == 9
+    assert {tuple(r) for r in got.collect()} == want
+    # every key resolved to its LAST write
+    by_key = {r["k"]: r["v"] for r in got.collect()}
+    for k in range(9):
+        last = max(i for i in range(16) if k % 3 == i % 3)
+        assert by_key[k] == f"v{k}@{last}", (k, by_key[k])
+    # merged dirs carry contiguous, disjoint ranges
+    import glob as _glob
+    import json as _json
+
+    ranges = []
+    for mf in _glob.glob(os.path.join(root, "__batch_id=*", "_folds.json")):
+        with open(mf) as f:
+            m = _json.load(f)
+        assert "range" in m, m
+        ranges.append(tuple(m["range"]))
+    assert ranges, "no tiered merge fired"
+    ranges.sort()
+    for (lo1, hi1), (lo2, _hi2) in zip(ranges, ranges[1:]):
+        assert hi1 < lo2, ranges  # disjoint spans
+    # dir count bounded (fanout 2, 16 batches → ~(F-1)·log2(16)+slack)
+    n_dirs = len([d for d in os.listdir(root) if d.startswith("__batch_id=")])
+    assert n_dirs <= 8, n_dirs
+
+
+def test_upsert_log_lww_maintain_skips_non_adjacent_tiers(spark, tmp_path):
+    """A same-tier pair separated by a heavier dir must NOT merge: a
+    merged [0, 2] span with live dir 1 in the middle would mis-rank
+    batch 1's writes below batch 2's span top. maintain() prefers order
+    preservation over merge eagerness and reports zero merges."""
+    import glob as _glob
+    import json as _json
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    root = str(tmp_path / "gap")
+    log = UpsertLog(spark, root, keys=["k"])
+    log.append(spark.createDataFrame([(1, "a0")], "k long, v string"), 0)
+    # fake a weight-4 merged dir at id 1 by writing its manifest: tier 2
+    # under fanout 2, so tier 0 = {0, 2} with a tier-2 dir between them
+    log.append(spark.createDataFrame([(1, "a1"), (2, "b1")], "k long, v string"), 1)
+    mf = os.path.join(root, "__batch_id=1", "_folds.json")
+    with open(mf, "w") as f:
+        _json.dump({"folded": [], "weight": 4, "range": [1, 1]}, f)
+    log.append(spark.createDataFrame([(2, "b2")], "k long, v string"), 2)
+    assert log.maintain(fanout=2) == 0
+    assert len(_glob.glob(os.path.join(root, "__batch_id=*"))) == 3
+    got = {tuple(r) for r in log.read_latest().collect()}
+    assert got == {(1, "a1"), (2, "b2")}
+
+
+def test_upsert_log_lww_maintain_survives_gc_crash(spark, tmp_path):
+    """LWW twin of the insert-only GC-crash test: the merge commits but
+    its GC dies leaving a source dir on disk. The manifest keeps the
+    survivor logically dead — the resolved read returns the same ROW
+    COUNT (duplicate rows would double it) and values; the next call
+    sweeps the debris."""
+    from duckdb_streaming_patterns_spark.operators import merge as merge_mod
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(spark, str(tmp_path / "lwwcrash"), keys=["k"])
+    for i in range(4):
+        log.append(
+            spark.createDataFrame(
+                [(0, f"hot@{i}"), (i + 10, f"cold@{i}")], "k long, v string"
+            ),
+            i,
+        )
+    want = {tuple(r) for r in log.read_latest().collect()}
+    assert len(want) == 5  # key 0 resolved once + 4 cold keys
+    real_rmtree = merge_mod.shutil.rmtree
+    spared = os.path.join(log.root, "__batch_id=2")
+
+    def crashy_rmtree(path, **kw):
+        if os.path.abspath(path) == os.path.abspath(spared):
+            return  # "crash": this source dir survives the GC
+        real_rmtree(path, **kw)
+
+    merge_mod.shutil.rmtree = crashy_rmtree
     try:
-        log.maintain()
-        assert False, "expected ValueError"
-    except ValueError:
-        pass
+        assert log.maintain(fanout=4) == 1
+    finally:
+        merge_mod.shutil.rmtree = real_rmtree
+    assert os.path.exists(spared)
+    got = log.read_latest()
+    assert got.count() == len(want)  # a dead-filter regression doubles this
+    assert {tuple(r) for r in got.collect()} == want
+    log.maintain(fanout=4)
+    assert not os.path.exists(spared)
+    got = log.read_latest()
+    assert got.count() == len(want)
+    assert {tuple(r) for r in got.collect()} == want
 
 
 def test_corpus_dedup_maintain_interleaves_with_retry(spark, tmp_path):
@@ -1886,18 +2017,38 @@ def test_insert_only_compact_crash_mid_gc_has_no_duplicates(spark, tmp_path):
 
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
 
+    from duckdb_streaming_patterns_spark.operators import merge as merge_mod
+
     log = UpsertLog(spark, str(tmp_path / "io"), keys=["id"], insert_only=True)
     r0 = spark.range(0, 4).select("id", (F.col("id") * 10).alias("v"))
     r1 = spark.range(4, 8).select("id", (F.col("id") * 10).alias("v"))
     log.append(r0, 0)
     log.append(r1, 1)
     want = {tuple(r) for r in log.read_latest().collect()}
-    log.compact()
-    # crash simulation: the fold committed but the GC died before
-    # removing __batch_id=1 — recreate that exact filesystem state
-    log.append(r1, 1)
-    assert os.path.isdir(os.path.join(log.root, "__batch_id=1"))
+    # crash simulation: compact()'s fold commits (base renamed, manifest
+    # inside) but the GC dies before removing __batch_id=1 — a REAL
+    # mid-GC crash via monkeypatched rmtree, so the surviving manifest
+    # still covers the spared dir (appending after a clean compact would
+    # instead recreate a LIVE dir 1: the pruned manifest no longer lists
+    # it, and reads genuinely duplicate rows 4-7)
+    real_rmtree = merge_mod.shutil.rmtree
+    spared = os.path.join(log.root, "__batch_id=1")
+
+    def crashy_rmtree(path, **kw):
+        if os.path.abspath(path) == os.path.abspath(spared):
+            return
+        real_rmtree(path, **kw)
+
+    merge_mod.shutil.rmtree = crashy_rmtree
+    try:
+        log.compact()
+    finally:
+        merge_mod.shutil.rmtree = real_rmtree
+    assert os.path.isdir(spared)
     got = log.read_latest()
+    # count FIRST: a dead-filter regression duplicates rows 4-7, which a
+    # set-compare cannot see (round-6 ADVICE item 1)
+    assert got.count() == len(want)
     assert {tuple(r) for r in got.collect()} == want  # no duplicates
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
@@ -1905,8 +2056,198 @@ def test_insert_only_compact_crash_mid_gc_has_no_duplicates(spark, tmp_path):
     p = buf.getvalue()
     assert "Exchange" not in p and "Window" not in p, p  # still scan-shaped
     # scoped reads exclude the dead dir too (the retry contract)
-    assert {tuple(r) for r in log.read_latest(before_batch=1).collect()} == want
+    scoped = log.read_latest(before_batch=1)
+    assert scoped.count() == len(want)
+    assert {tuple(r) for r in scoped.collect()} == want
     # the next compact folds base + straggler and GCs both
     log.compact()
     assert sorted(os.listdir(log.root)) == ["__batch_id=-2"]
-    assert {tuple(r) for r in log.read_latest().collect()} == want
+    healed = log.read_latest()
+    assert healed.count() == len(want)
+    assert {tuple(r) for r in healed.collect()} == want
+
+
+def test_sessionization_lww_maintenance_fires_and_preserves_results(
+    spark, sf_small
+):
+    """Round-6 verdict item 2, wired end-to-end: the registered
+    sessionization parameterization (cadence 2 / fanout 2) fires
+    ADJACENT-RANGE tiered merges over the LWW session-summary log
+    mid-stream, and the resolved sessions are identical to a
+    maintenance-free twin run — the merge machinery preserves every
+    last-writer-wins decision, proven on the real pattern, not just the
+    log unit tests."""
+    import glob as _glob
+    import json as _json
+
+    run_m = staging.new_run_dir("t_pss_maint")
+    chunks_m = staging.stage_event_chunks(
+        spark, sf_small, run_m, n_chunks=5, order_col="ts"
+    )
+    with_m = patterns.pattern_streaming_sessionization(
+        spark, chunks_m, run_m, state_partitions=4,
+        compact_every=2, maintain_fanout=2,
+    )
+    rows_m = {tuple(r) for r in with_m.collect()}
+    assert with_m.count() == len(rows_m)
+    manifests = _glob.glob(
+        os.path.join(run_m, "summary", "__batch_id=*", "_folds.json")
+    )
+    assert manifests, "no tiered merge fired over the session log"
+    for mf in manifests:
+        with open(mf) as f:
+            m = _json.load(f)
+        assert "range" in m, m  # LWW merges must record their span
+    run_0 = staging.new_run_dir("t_pss_nomaint")
+    chunks_0 = staging.stage_event_chunks(
+        spark, sf_small, run_0, n_chunks=5, order_col="ts"
+    )
+    without = patterns.pattern_streaming_sessionization(
+        spark, chunks_0, run_0, state_partitions=4, compact_every=0,
+    )
+    assert rows_m == {tuple(r) for r in without.collect()}
+
+
+def test_full_funnel_maintenance_fires_and_preserves_results(
+    spark, sf_small
+):
+    """Round-6 verdict item 4: the composed five-verdict funnel's
+    registered parameterization (cadence 2 / fanout 2) fires tiered
+    merges over its state logs mid-stream; the verdicts equal a
+    maintenance-free twin run."""
+    import glob as _glob
+
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
+
+    docs = load_table(spark, sf_small, "documents")
+    bench_g = (
+        docs.filter(F.col("doc_id") < 50)
+        .select(F.explode(shingles(F.col("text"), k=8)).alias("g"))
+        .distinct()
+    )
+    bitset = dedup_ops.bloom_build(bench_g, "g")
+
+    run_m = staging.new_run_dir("t_ff_maint")
+    chunks_m = staging.stage_document_chunks(spark, sf_small, run_m, n_chunks=5)
+    with_m = patterns.pattern_streaming_full_funnel(
+        spark, chunks_m, run_m, bitset, threshold=0.7, state_partitions=4,
+        compact_every=2, maintain_fanout=2,
+    )
+    rows_m = {tuple(r) for r in with_m.collect()}
+    merged = []
+    for logname in ("seen", "bands", "docs", "verdicts"):
+        merged += _glob.glob(
+            os.path.join(run_m, logname, "__batch_id=*", "_folds.json")
+        )
+    assert merged, "no tiered merge fired over any funnel state log"
+
+    run_0 = staging.new_run_dir("t_ff_nomaint")
+    chunks_0 = staging.stage_document_chunks(spark, sf_small, run_0, n_chunks=5)
+    without = patterns.pattern_streaming_full_funnel(
+        spark, chunks_0, run_0, bitset, threshold=0.7, state_partitions=4,
+        compact_every=0,
+    )
+    assert rows_m == {tuple(r) for r in without.collect()}
+
+
+def test_snapshot_reads_are_ledger_scoped_never_list_data_dir(
+    spark, tmp_path
+):
+    """Round-6 verdict item 1: SnapshotTable reads enumerate data paths
+    from the _snapshots ledger instead of hive-discovering the data dir.
+    An orphan directory dropped on disk (a shape hive discovery would
+    list and read) is NEVER touched: it appears in no scan's input
+    files, and reads return exactly the ledger-committed rows."""
+    root = str(tmp_path / "ledger_scoped")
+    t = SnapshotTable(spark, root, "id long, v string")
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, f"s{i}") for j in range(4)], "id long, v string"
+            ),
+            batch_id=i,
+        )
+    # orphan: a plausible-looking snapshot dir with a POISON payload (an
+    # incompatible schema) that is in no ledger entry — hive discovery
+    # would list it; the ledger reader must never build its path
+    orphan = os.path.join(t.data_dir, "snapshot_id=99")
+    spark.createDataFrame(
+        [("poison", 1.5)], "wrong string, cols double"
+    ).write.parquet(orphan)
+    got = t.read()
+    assert got.count() == 12
+    for fp in got.inputFiles():
+        assert "snapshot_id=99" not in fp, fp
+    cdf = t.table_changes(0, 2)
+    assert cdf.count() == 8
+    for fp in cdf.inputFiles():
+        assert "snapshot_id=99" not in fp, fp
+        assert "snapshot_id=0" not in fp, fp  # range-scoped too
+    # time travel is ledger-scoped the same way
+    asof = t.read_as_of(1)
+    assert asof.count() == 8
+    for fp in asof.inputFiles():
+        assert "snapshot_id=99" not in fp and "snapshot_id=2" not in fp, fp
+
+
+def test_snapshot_partition_scoped_read_touches_only_named_leaf_dirs(
+    spark, tmp_path
+):
+    """The ledger records each append's partition subdirs (a directory-
+    granularity file manifest); a partition_values-scoped read builds
+    leaf paths from it — the ANN probe touches O(snapshots × probed
+    cells) dirs, never the whole layout."""
+    root = str(tmp_path / "leaf_scoped")
+    t = SnapshotTable(
+        spark, root, "id long, cell_id long", partition_cols=["cell_id"]
+    )
+    for i in range(3):
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, j % 3) for j in range(6)], "id long, cell_id long"
+            ),
+            batch_id=i,
+        )
+    # ledger entries carry the partition-dir manifest
+    for s in t.snapshots():
+        assert s.get("partitions") == [
+            "cell_id=0", "cell_id=1", "cell_id=2"
+        ], s
+    got = t.read(partition_values={"cell_id": [1]})
+    assert got.count() == 6  # 2 rows per snapshot in cell 1
+    assert {r["cell_id"] for r in got.collect()} == {1}
+    for fp in got.inputFiles():
+        assert "/cell_id=1" in fp, fp
+    # a probed-but-absent value is skipped by the existence stat, not an error
+    got2 = t.read(partition_values={"cell_id": [1, 7]})
+    assert got2.count() == 6
+
+
+def test_snapshot_vacuum_pruned_dirs_are_skipped_by_ledger_reader(
+    spark, tmp_path
+):
+    """vacuum() can prune a snapshot's dir entirely (all rows
+    tombstoned): the ledger still names it, and the reader's existence
+    stat must skip it instead of crashing on a missing path."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "vac_pruned")
+    t = SnapshotTable(spark, root, "id long, grp string")
+    t.append(
+        spark.createDataFrame([(i, "a") for i in range(4)], "id long, grp string"),
+        batch_id=0,
+    )
+    t.append(
+        spark.createDataFrame([(i, "b") for i in range(4, 8)], "id long, grp string"),
+        batch_id=1,
+    )
+    t.delete(F.col("grp") == "a", key_cols=["id"], batch_id=2)
+    t.vacuum()
+    # snapshot 0's rows were all deleted → its dir is gone from the new
+    # generation even though the ledger names it
+    assert not os.path.exists(os.path.join(t.data_dir, "snapshot_id=0"))
+    got = t.read()
+    assert got.count() == 4
+    assert {r["grp"] for r in got.collect()} == {"b"}
+    assert t.table_changes(-1, t.max_snapshot_id()).count() == 4

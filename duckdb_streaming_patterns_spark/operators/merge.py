@@ -247,6 +247,26 @@ class UpsertLog:
             # the prune is free and the insert-only read stays scan-shaped
             log = log.filter(~F.col("__batch_id").isin(dead))
         if before_batch is not None:
+            # Straddle guard: a merged dir is admitted by its (synthetic,
+            # below-all-raw) dir id, so if any LIVE fold's raw-id span
+            # reaches past the scope boundary, rows from batches >=
+            # before_batch would silently leak into a retry's state read.
+            # Every in-repo loop runs maintain(before_batch=b) before
+            # appending batch b, so live spans never straddle — this
+            # asserts that invariant instead of trusting it.
+            dead_set = set(dead)
+            for did, (lo, hi, _io) in self._fold_ranges().items():
+                if did in dead_set:
+                    continue
+                if did < before_batch and hi >= before_batch:
+                    raise RuntimeError(
+                        f"read_latest(before_batch={before_batch}): merged "
+                        f"dir __batch_id={did} folds raw batches "
+                        f"[{lo}, {hi}], which straddles the scope boundary "
+                        "— rows from fenced batches would leak. Maintain "
+                        "with before_batch <= the smallest id you will "
+                        "later scope to."
+                    )
             log = log.filter(F.col("__batch_id") < before_batch)
         if buckets is not None:
             if self._layout_col is None:
@@ -304,10 +324,23 @@ class UpsertLog:
         manifest) for every live merged dir. One driver-side glob, same
         cost shape as ``_dead_batch_ids``; empty for logs that were never
         maintained (the common case keeps the plain ``__batch_id``
-        ordering and an unchanged plan)."""
+        ordering and an unchanged plan). Insert-only-written manifests
+        are excluded: their span is a bounding box over non-adjacent
+        sources, not an LWW ordering."""
+        return {
+            did: hi
+            for did, (lo, hi, io) in self._fold_ranges().items()
+            if not io
+        }
+
+    def _fold_ranges(self) -> dict[int, tuple[int, int, bool]]:
+        """dir id → (lo, hi, written_by_insert_only_log) for every
+        merged dir carrying a ``range`` manifest. One driver-side glob;
+        shared by LWW ranking (``_fold_orders``) and the
+        ``before_batch`` straddle guard in ``read_latest``."""
         import glob
 
-        out: dict[int, int] = {}
+        out: dict[int, tuple[int, int, bool]] = {}
         for mf in glob.glob(
             os.path.join(self.root, "__batch_id=*", "_folds.json")
         ):
@@ -317,7 +350,11 @@ class UpsertLog:
                 rng = m.get("range")
                 if rng:
                     did = int(os.path.dirname(mf).rsplit("=", 1)[1])
-                    out[did] = int(rng[1])
+                    out[did] = (
+                        int(rng[0]),
+                        int(rng[1]),
+                        bool(m.get("insert_only")),
+                    )
             except (OSError, ValueError):
                 continue
         return out
@@ -526,7 +563,18 @@ class UpsertLog:
                     pass
         manifest: dict = {"folded": sorted(folded), "weight": weight}
         if lo is not None:
+            # For LWW logs this span is CONTIGUOUS (the adjacency rule in
+            # maintain()) and drives read-side ranking; for insert-only
+            # logs it is only a BOUNDING span of the folded raw ids (the
+            # F-oldest policy merges non-adjacent dirs) — the flag below
+            # tells _fold_orders to ignore it for ranking, so reopening
+            # the same root with insert_only=False cannot mis-rank LWW
+            # resolution on spans that never were contiguous (ADVICE r7).
+            # Both flavors keep the span for the before_batch straddle
+            # guard in read_latest.
             manifest["range"] = [lo, hi]
+        if self.insert_only:
+            manifest["insert_only"] = True
         with open(os.path.join(tmp, "_folds.json"), "w") as f:
             json.dump(manifest, f)
 

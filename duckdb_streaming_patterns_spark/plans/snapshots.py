@@ -61,15 +61,23 @@ class SnapshotTable:
         root: str,
         schema_ddl: str,
         partition_cols: list[str] | None = None,
+        checkpoint_every: int = 16,
     ):
         """``partition_cols`` sub-partitions every snapshot by payload
         columns (``snapshot_id=N/col=V/...``) — a table-level property so
         maintenance (compact/vacuum) preserves the layout the readers'
-        pruning depends on."""
+        pruning depends on.
+
+        ``checkpoint_every`` is the ledger-checkpoint cadence (Delta-style
+        log cleanup): every N loose entry files, ``_commit_ledger`` folds
+        the full ledger into one ``checkpoint-<sid>.json`` and deletes the
+        loose files it covers, so ``snapshots()`` opens O(N) files instead
+        of O(total snapshots ever) — the long-stream metadata bound."""
         self.spark = spark
         self.root = root
         self.schema_ddl = schema_ddl
         self.partition_cols = list(partition_cols or [])
+        self.checkpoint_every = max(int(checkpoint_every), 1)
         self.ledger_dir = os.path.join(root, "_snapshots")
         self.tombstone_dir = os.path.join(root, "_tombstones")
         os.makedirs(self.data_dir, exist_ok=True)
@@ -94,17 +102,42 @@ class SnapshotTable:
     # -- ledger ------------------------------------------------------------
 
     def snapshots(self) -> list[dict]:
-        """Reference ``snapshots()`` (pattern_1_2.py:94)."""
-        out = []
-        for name in sorted(os.listdir(self.ledger_dir)):
+        """Reference ``snapshots()`` (pattern_1_2.py:94).
+
+        Checkpointed read path (round-7 verdict item 1): one ``listdir``,
+        then the NEWEST ``checkpoint-<sid>.json`` (the consolidated fold
+        of every entry ≤ sid) plus each loose entry file — a loose file
+        with an id the checkpoint also covers OVERRIDES the checkpoint's
+        copy (``vacuum`` mutates old entries in place; the loose file is
+        always at least as new as any checkpoint's copy because loose
+        files are deleted only at checkpoint time and re-created only by
+        a later mutation). Cost: O(checkpoint_every) file opens per call
+        regardless of stream age, vs one open per snapshot ever before —
+        a month-old 5 s-tick stream pays ~17 opens, not ~500 k."""
+        names = os.listdir(self.ledger_dir)
+        ckpt_sid, ckpt_name = -1, None
+        loose: list[tuple[int, str]] = []
+        for name in names:
             if not name.endswith(".json"):
                 continue
+            if name.startswith("checkpoint-"):
+                sid = int(name[len("checkpoint-"):-len(".json")])
+                if sid > ckpt_sid:
+                    ckpt_sid, ckpt_name = sid, name
+            else:
+                loose.append((int(name[:-len(".json")]), name))
+        by_id: dict[int, dict] = {}
+        if ckpt_name is not None:
+            with open(os.path.join(self.ledger_dir, ckpt_name)) as f:
+                for entry in json.load(f):
+                    by_id[entry["snapshot_id"]] = entry
+        for sid, name in loose:
             with open(os.path.join(self.ledger_dir, name)) as f:
-                out.append(json.load(f))
-        return out
+                by_id[sid] = json.load(f)  # loose overrides checkpoint
+        return [by_id[sid] for sid in sorted(by_id)]
 
-    def max_snapshot_id(self) -> int:
-        snaps = self.snapshots()
+    def max_snapshot_id(self, snaps: list[dict] | None = None) -> int:
+        snaps = self.snapshots() if snaps is None else snaps
         return snaps[-1]["snapshot_id"] if snaps else -1
 
     def max_insert_snapshot_id(self) -> int:
@@ -139,9 +172,10 @@ class SnapshotTable:
         (``snapshot_id=N/col=V/...``) so readers filtering on them get
         directory pruning WITHIN each snapshot — the at-rest layout a
         cell-partitioned ANN index or date-keyed log wants."""
-        sid = self.max_snapshot_id() + 1
+        snaps = self.snapshots()
+        sid = self.max_snapshot_id(snaps) + 1
         if batch_id is not None:
-            for s in self.snapshots():
+            for s in snaps:
                 if s.get("batch_id") == batch_id:
                     return -1  # fenced: foreachBatch retry of an applied epoch
         staging_root = os.path.join(self.root, ".staging")
@@ -199,6 +233,50 @@ class SnapshotTable:
             f.flush()
             os.fsync(f.fileno())
         os.replace(tmp, os.path.join(self.ledger_dir, f"{sid:09d}.json"))
+        self._maybe_checkpoint()
+
+    def _maybe_checkpoint(self) -> None:
+        """Fold the ledger into ``checkpoint-<sid>.json`` once enough
+        loose entry files accumulate, then delete the loose files and
+        older checkpoints the new one covers (Delta-style log cleanup).
+        Crash-safe at every window: the checkpoint commits by atomic
+        rename BEFORE any deletion, and a loose file that survives a
+        crashed cleanup merely duplicates (or, post-vacuum, overrides)
+        the checkpoint's copy of the same entry — ``snapshots()``'s
+        override rule makes both harmless. A vacuum's in-place rewrite
+        of an already-checkpointed entry re-creates its loose file; the
+        NEXT checkpoint folds the mutation in and re-deletes it."""
+        names = [n for n in os.listdir(self.ledger_dir) if n.endswith(".json")]
+        loose = [n for n in names if not n.startswith("checkpoint-")]
+        if len(loose) < self.checkpoint_every:
+            return
+        snaps = self.snapshots()
+        if not snaps:
+            return
+        top = snaps[-1]["snapshot_id"]
+        tmp = os.path.join(self.ledger_dir, f".checkpoint-{top:09d}.tmp")
+        with open(tmp, "w") as f:
+            json.dump(snaps, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(
+            tmp, os.path.join(self.ledger_dir, f"checkpoint-{top:09d}.json")
+        )
+        for n in loose:
+            if int(n[:-len(".json")]) <= top:
+                try:
+                    os.remove(os.path.join(self.ledger_dir, n))
+                except OSError:
+                    pass
+        for n in names:
+            if (
+                n.startswith("checkpoint-")
+                and int(n[len("checkpoint-"):-len(".json")]) < top
+            ):
+                try:
+                    os.remove(os.path.join(self.ledger_dir, n))
+                except OSError:
+                    pass
 
     def delete(
         self,
@@ -218,12 +296,13 @@ class SnapshotTable:
         apply tombstones with a broadcast anti-join; ``vacuum()`` folds
         them in physically. A tombstone kills matching rows from snapshots
         BEFORE it; a later re-insert of the same key survives."""
-        sid = self.max_snapshot_id() + 1
+        snaps = self.snapshots()
+        sid = self.max_snapshot_id(snaps) + 1
         if batch_id is not None:
-            for s in self.snapshots():
+            for s in snaps:
                 if s.get("batch_id") == batch_id:
                     return -1  # fenced retry
-        matched = self._read_visible(sid - 1).filter(condition)
+        matched = self._read_visible(sid - 1, snaps=snaps).filter(condition)
         cols = key_cols or [c for c in matched.columns if c != "snapshot_id"]
         keys = matched.select(*cols).distinct()
         staging_root = os.path.join(self.root, ".staging")
@@ -281,8 +360,11 @@ class SnapshotTable:
         partitions via the ledger's directory manifest (the ANN probe
         path): only those dirs are ever touched — see
         ``_ledger_paths``."""
+        snaps = self.snapshots()
         return self._read_visible(
-            self.max_snapshot_id(), partition_values=partition_values
+            self.max_snapshot_id(snaps),
+            partition_values=partition_values,
+            snaps=snaps,
         )
 
     def read_as_of(self, snapshot_id: int) -> DataFrame:
@@ -291,15 +373,19 @@ class SnapshotTable:
         reads latest). Same partition-pruned scan as table_changes —
         snapshots <= the asked version; tombstones committed by then are
         applied, later ones are not (deletes time-travel too)."""
-        return self._read_visible(snapshot_id)
+        return self._read_visible(snapshot_id, snaps=self.snapshots())
 
     def _read_visible(
         self,
         as_of: int,
         partition_values: dict[str, list] | None = None,
+        snaps: list[dict] | None = None,
     ) -> DataFrame:
-        df = self.table_changes(-1, as_of, partition_values=partition_values)
-        for sid, cols, keys in self._tombstones(as_of):
+        snaps = self.snapshots() if snaps is None else snaps
+        df = self.table_changes(
+            -1, as_of, partition_values=partition_values, snaps=snaps
+        )
+        for sid, cols, keys in self._tombstones(as_of, snaps=snaps):
             # A tombstone kills matching rows appended before it. The key
             # set is one delete request's output — broadcast-sized by
             # construction (it was small enough to enumerate).
@@ -309,13 +395,15 @@ class SnapshotTable:
             df = df.join(F.broadcast(keys), on=cond, how="left_anti")
         return df
 
-    def _tombstones(self, as_of: int) -> list[tuple[int, list[str], DataFrame]]:
+    def _tombstones(
+        self, as_of: int, snaps: list[dict] | None = None
+    ) -> list[tuple[int, list[str], DataFrame]]:
         """Committed tombstone snapshots ≤ ``as_of`` as
         (snapshot_id, key_cols, keys DataFrame), ledger-scoped. Cheap
         no-tombstone fast path: insert-only tables keep their original
         (partition-pruned, broadcast-free) plans byte-identical."""
         out = []
-        for s in self.snapshots():
+        for s in self.snapshots() if snaps is None else snaps:
             if s.get("vacuumed"):
                 continue  # data already folded into the current generation
             if s.get("rows") == 0 and s.get("kind") == "delete":
@@ -338,6 +426,7 @@ class SnapshotTable:
         from_snapshot: int,
         to_snapshot: int,
         partition_values: dict[str, list] | None = None,
+        snaps: list[dict] | None = None,
     ) -> list[str]:
         """Data paths for INSERT snapshots in (from, to], enumerated from
         the ``_snapshots`` ledger — the ledger-as-manifest read path
@@ -359,21 +448,38 @@ class SnapshotTable:
         tombstoned), which is the only way a ledger-named dir can be
         legitimately absent."""
         want = None
+        col = None
         if partition_values:
             (col, vals), = partition_values.items()
             want = {f"{col}={v}" for v in vals}
         out: list[str] = []
-        for s in self.snapshots():
+        for s in self.snapshots() if snaps is None else snaps:
             sid = s["snapshot_id"]
             if s.get("kind", "insert") != "insert":
                 continue
             if not (from_snapshot < sid <= to_snapshot):
                 continue
+            if s.get("rows") == 0:
+                # A zero-row append may have produced a dir with no
+                # parquet part files (just _SUCCESS); enumerating it
+                # breaks schema inference when every dir in range is
+                # such, and contributes nothing otherwise.
+                continue
             snap_dir = os.path.join(self.data_dir, f"snapshot_id={sid}")
-            if want is not None and s.get("partitions") is not None:
+            parts = s.get("partitions")
+            if (
+                want is not None
+                and parts is not None
+                and any(p.split("=", 1)[0] == col for p in parts)
+            ):
+                # Manifest prune applies only when the requested column
+                # IS this snapshot's first-level partition column — for
+                # any other column the manifest names tell us nothing
+                # and the whole dir must be read (table_changes' explicit
+                # value filter guarantees semantics either way).
                 cand = [
                     os.path.join(snap_dir, p)
-                    for p in s["partitions"]
+                    for p in parts
                     if p in want
                 ]
             else:
@@ -387,6 +493,7 @@ class SnapshotTable:
         to_snapshot: int,
         include_deletes: bool = False,
         partition_values: dict[str, list] | None = None,
+        snaps: list[dict] | None = None,
     ) -> DataFrame:
         """Reference ``table_changes(tbl, from, to)`` (pattern_1_2.py:105):
         rows appended in snapshots (from, to]. The scan reads ONLY the
@@ -406,12 +513,19 @@ class SnapshotTable:
         the columns that existed in the queried range — so a time-travel
         read returns the schema of that era, and pre-evolution rows show
         the later columns as null only when the range spans the change.
-        Homogeneous tables keep their original single-footer plan."""
+        Homogeneous tables keep their original single-footer plan.
+
+        ``snaps`` memoizes the ledger: the whole call — path enumeration,
+        evolution probe, column projection, tombstone scoping — reads the
+        ledger exactly ONCE (one listdir + O(checkpoint_every) opens),
+        whether passed in by a caller that already holds it or loaded
+        here."""
+        snaps = self.snapshots() if snaps is None else snaps
         paths = (
             []
-            if to_snapshot <= from_snapshot or self.max_snapshot_id() < 0
+            if to_snapshot <= from_snapshot or self.max_snapshot_id(snaps) < 0
             else self._ledger_paths(
-                from_snapshot, to_snapshot, partition_values
+                from_snapshot, to_snapshot, partition_values, snaps=snaps
             )
         )
         if not paths:
@@ -419,7 +533,7 @@ class SnapshotTable:
         else:
             col_sets = [
                 s.get("columns")
-                for s in self.snapshots()
+                for s in snaps
                 if s.get("kind", "insert") == "insert"
             ]
             evolved = (
@@ -436,7 +550,7 @@ class SnapshotTable:
             )
             if evolved:
                 want: list[str] = []
-                for s in self.snapshots():
+                for s in snaps:
                     if (
                         s.get("kind", "insert") == "insert"
                         and from_snapshot < s["snapshot_id"] <= to_snapshot
@@ -446,11 +560,19 @@ class SnapshotTable:
                                 want.append(c)
                 if want:
                     base = base.select(*want, "snapshot_id")
+        if partition_values:
+            # Path pruning above is best-effort (a snapshot appended
+            # without a partition manifest, or partitioned on a different
+            # column, is read whole); this explicit filter is what
+            # GUARANTEES the partition_values semantics regardless of
+            # which dirs the prune could or couldn't drop.
+            for pcol, pvals in partition_values.items():
+                base = base.filter(F.col(pcol).isin(list(pvals)))
         if not include_deletes:
             return base
         out = base.withColumn("_change_type", F.lit("insert"))
         payload = [c for c in out.columns if c not in ("_change_type",)]
-        for sid, cols, keys in self._tombstones(to_snapshot):
+        for sid, cols, keys in self._tombstones(to_snapshot, snaps=snaps):
             if sid <= from_snapshot:
                 continue
             row = keys
@@ -467,9 +589,10 @@ class SnapshotTable:
         """Tombstone key rows committed in snapshots (from, to] — the
         delete side of the change feed, used to scope downstream
         propagation (recompute only the affected groups)."""
+        snaps = self.snapshots()
         parts = [
             (sid, keys.withColumn("snapshot_id", F.lit(sid).cast("int")))
-            for sid, _, keys in self._tombstones(to_snapshot)
+            for sid, _, keys in self._tombstones(to_snapshot, snaps=snaps)
             if sid > from_snapshot
         ]
         if not parts:
@@ -480,7 +603,7 @@ class SnapshotTable:
             # instead of an AnalysisException on a schema with only
             # snapshot_id.
             key_union: list[str] = []
-            for s in self.snapshots():
+            for s in snaps:
                 if s.get("kind") == "delete":
                     for c in s.get("key_cols", []):
                         if c not in key_union:
@@ -510,6 +633,7 @@ class SnapshotTable:
         live directory (GC is deferred by one generation); the source read is
         ledger-scoped, so orphans from crashed appends are dropped here."""
         ptr = self._pointer()
+        snaps = self.snapshots()
         new_gen = ptr["generation"] + 1
         new_name = f"data_g{new_gen:04d}_{uuid.uuid4().hex[:8]}"
         new_dir = os.path.join(self.root, new_name)
@@ -517,7 +641,7 @@ class SnapshotTable:
             # Insert log only, ledger-scoped: uncommitted orphans do not
             # survive, and tombstones are NOT folded in — compaction
             # preserves CDF history (vacuum() is the physical-delete pass).
-            self.table_changes(-1, self.max_snapshot_id())
+            self.table_changes(-1, self.max_snapshot_id(snaps), snaps=snaps)
             .coalesce(target_files)
             .write.mode("overwrite")
             .partitionBy("snapshot_id", *self.partition_cols)
@@ -545,13 +669,14 @@ class SnapshotTable:
         vacuumed range is truncated to the surviving rows — the documented
         retention trade every lakehouse makes. The same generation-swap
         discipline as compact keeps in-flight readers safe."""
-        high = self.max_snapshot_id()
+        snaps = self.snapshots()
+        high = self.max_snapshot_id(snaps)
         ptr = self._pointer()
         new_gen = ptr["generation"] + 1
         new_name = f"data_g{new_gen:04d}_{uuid.uuid4().hex[:8]}"
         new_dir = os.path.join(self.root, new_name)
         (
-            self._read_visible(high)
+            self._read_visible(high, snaps=snaps)
             .coalesce(target_files)
             .write.mode("overwrite")
             .partitionBy("snapshot_id", *self.partition_cols)
@@ -567,16 +692,20 @@ class SnapshotTable:
         # Tombstones ≤ high are folded into the new generation: retire
         # them (ledger entries stay — history metadata survives, data
         # files do not, exactly like snapshot expiry).
-        for s in self.snapshots():
+        for s in snaps:
             if s.get("kind") == "delete" and s["snapshot_id"] <= high:
+                # Flag first, delete second: a crash between the two
+                # leaves an orphan tombstone dir that the vacuumed flag
+                # already hides (the reverse order would leave a ledger
+                # entry pointing at a missing dir — a read-time error).
+                s["vacuumed"] = True
+                self._commit_ledger(s)
                 shutil.rmtree(
                     os.path.join(
                         self.tombstone_dir, f"snapshot_id={s['snapshot_id']}"
                     ),
                     ignore_errors=True,
                 )
-                s["vacuumed"] = True
-                self._commit_ledger(s)
         stale = ptr.get("prev_data")
         if stale and stale != new_name:
             shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)

@@ -2055,10 +2055,19 @@ def test_insert_only_compact_crash_mid_gc_has_no_duplicates(spark, tmp_path):
         got.explain("formatted")
     p = buf.getvalue()
     assert "Exchange" not in p and "Window" not in p, p  # still scan-shaped
-    # scoped reads exclude the dead dir too (the retry contract)
-    scoped = log.read_latest(before_batch=1)
+    # scoped reads exclude the dead dir too (the retry contract): the
+    # spared dir id 1 would pass the __batch_id < 2 filter were it not
+    # dead-excluded, so a duplicate here means the dead filter regressed
+    scoped = log.read_latest(before_batch=2)
     assert scoped.count() == len(want)
     assert {tuple(r) for r in scoped.collect()} == want
+    # a boundary strictly INSIDE the base's folded span is a contract
+    # violation (batch-1 rows would leak into a batch-1 retry) — the
+    # round-8 straddle guard refuses it instead of leaking
+    import pytest
+
+    with pytest.raises(RuntimeError, match="straddles"):
+        log.read_latest(before_batch=1).count()
     # the next compact folds base + straggler and GCs both
     log.compact()
     assert sorted(os.listdir(log.root)) == ["__batch_id=-2"]
@@ -2251,3 +2260,298 @@ def test_snapshot_vacuum_pruned_dirs_are_skipped_by_ledger_reader(
     assert got.count() == 4
     assert {r["grp"] for r in got.collect()} == {"b"}
     assert t.table_changes(-1, t.max_snapshot_id()).count() == 4
+
+
+def test_ledger_checkpointing_bounds_opens_per_read(spark, tmp_path):
+    """Round-7 verdict item 1: the ledger itself must not become the
+    O(stream-age) read cost. With checkpointing, a single read() opens
+    O(checkpoint_every) ledger files — the newest checkpoint plus the
+    loose suffix — no matter how many snapshots the stream ever
+    committed, and loose files the checkpoint covers are deleted."""
+    import builtins
+
+    root = str(tmp_path / "ckpt")
+    t = SnapshotTable(spark, root, "id long, v string", checkpoint_every=8)
+    for i in range(30):
+        t.append(
+            spark.createDataFrame([(i, f"s{i}")], "id long, v string"),
+            batch_id=i,
+        )
+    # log cleanup happened: exactly one checkpoint survives, and the
+    # loose files are only the suffix it does not cover
+    names = sorted(os.listdir(t.ledger_dir))
+    ckpts = [n for n in names if n.startswith("checkpoint-")]
+    loose = [n for n in names if n.endswith(".json") and n not in ckpts]
+    assert len(ckpts) == 1, names
+    ckpt_sid = int(ckpts[0][len("checkpoint-"):-len(".json")])
+    assert all(int(n[:-len(".json")]) > ckpt_sid for n in loose), names
+    assert len(loose) < 8, names
+    # the folded view is complete and ordered
+    snaps = t.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == list(range(30))
+
+    real_open = builtins.open
+    opened: list[str] = []
+
+    def counting_open(file, *a, **kw):
+        if isinstance(file, str) and "_snapshots" in file:
+            opened.append(file)
+        return real_open(file, *a, **kw)
+
+    builtins.open = counting_open
+    try:
+        got = t.read()
+        n = got.count()
+    finally:
+        builtins.open = real_open
+    assert n == 30
+    # one snapshots() scan per read: 1 checkpoint + len(loose) entries
+    assert len(opened) <= 8 + 1, opened
+
+
+def test_vacuum_flag_survives_checkpoint_fold(spark, tmp_path):
+    """vacuum() mutates already-committed ledger entries in place; a
+    loose rewrite must override the checkpoint's stale copy, and the
+    NEXT checkpoint must fold the mutation in. Reads stay correct at
+    every stage (no anti-join against a retired tombstone dir)."""
+    root = str(tmp_path / "ckpt_vac")
+    t = SnapshotTable(spark, root, "id long, grp string", checkpoint_every=4)
+    for i in range(6):  # crosses a checkpoint at 4 loose entries
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, "a" if j % 2 else "b") for j in range(4)],
+                "id long, grp string",
+            ),
+            batch_id=i,
+        )
+    t.delete(F.col("grp") == "a", key_cols=["id"], batch_id=100)
+    assert t.read().count() == 12
+    t.vacuum()
+    # the delete entry (and every pre-vacuum entry) is now flagged; the
+    # flag came from loose overrides and/or the post-vacuum checkpoint
+    flagged = [s for s in t.snapshots() if s.get("kind") == "delete"]
+    assert flagged and all(s.get("vacuumed") for s in flagged)
+    assert t.read().count() == 12
+    # force another checkpoint cycle on top of the mutated entries
+    for i in range(6, 12):
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, "c") for j in range(2)], "id long, grp string"
+            ),
+            batch_id=i,
+        )
+    flagged = [s for s in t.snapshots() if s.get("kind") == "delete"]
+    assert flagged and all(s.get("vacuumed") for s in flagged)
+    assert t.read().count() == 12 + 12
+    assert t._tombstones(t.max_snapshot_id()) == []
+
+
+def test_partition_values_filter_guarantees_semantics_without_manifest(
+    spark, tmp_path
+):
+    """ADVICE r7 (medium): partition_values was pure path pruning — a
+    snapshot with no partition manifest fell back to its whole dir and
+    leaked rows outside the requested values. table_changes now applies
+    an explicit value filter on top of the prune."""
+    root = str(tmp_path / "pv_sem")
+    t = SnapshotTable(spark, root, "id long, cell long")  # no partition_cols
+    t.append(
+        spark.createDataFrame(
+            [(j, j % 3) for j in range(9)], "id long, cell long"
+        ),
+        batch_id=0,
+    )  # appended UNpartitioned: ledger entry has no 'partitions' manifest
+    assert "partitions" not in t.snapshots()[0]
+    got = t.read(partition_values={"cell": [1]})
+    assert got.count() == 3
+    assert {r["cell"] for r in got.collect()} == {1}
+
+
+def test_partition_values_on_non_partition_column_still_correct(
+    spark, tmp_path
+):
+    """ADVICE r7 (medium), second hole: requesting a column that is NOT
+    the snapshot's first-level partition column used to yield zero
+    candidate paths — silently dropping every manifest-bearing snapshot.
+    The prune now detects inapplicability and reads the whole dir; the
+    explicit filter delivers the semantics."""
+    root = str(tmp_path / "pv_other")
+    t = SnapshotTable(
+        spark, root, "id long, cell long", partition_cols=["cell"]
+    )
+    for i in range(2):
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, j % 2) for j in range(4)], "id long, cell long"
+            ),
+            batch_id=i,
+        )
+    assert t.snapshots()[0].get("partitions")  # manifest present
+    got = t.read(partition_values={"id": [3, 11]})
+    assert sorted(r["id"] for r in got.collect()) == [3, 11]
+
+
+def test_zero_row_append_dirs_do_not_poison_reads(spark, tmp_path):
+    """ADVICE r7 (low): a zero-row append commits a ledger entry whose
+    dir may hold no parquet part files; when every dir in range is such,
+    enumerating them broke schema inference. The reader skips rows==0
+    entries and falls back to the typed empty frame."""
+    root = str(tmp_path / "zero_row")
+    t = SnapshotTable(spark, root, "id long, v string")
+    t.append(spark.createDataFrame([], "id long, v string"), batch_id=0)
+    got = t.read()  # only snapshot in range is the empty one
+    assert got.count() == 0
+    assert "id" in got.columns and "snapshot_id" in got.columns
+    t.append(
+        spark.createDataFrame([(1, "x")], "id long, v string"), batch_id=1
+    )
+    assert t.read().count() == 1
+    assert t.table_changes(-1, 0).count() == 0
+
+
+def test_read_latest_raises_on_before_batch_straddling_merged_span(
+    spark, tmp_path
+):
+    """Round-7 verdict hardening #4: a merged dir is admitted by its
+    synthetic (below-all) dir id, so a before_batch that falls strictly
+    inside a live fold's raw-id span would silently leak fenced rows.
+    In-repo loops always maintain(before_batch=b) before appending b —
+    this guard turns a violation of that invariant into an error."""
+    import pytest
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    for flavor, kw in [("lww", {}), ("io", {"insert_only": True})]:
+        log = UpsertLog(spark, str(tmp_path / flavor), keys=["k"], **kw)
+        for b in range(2):
+            log.append(
+                spark.createDataFrame([(f"k{b}", b)], "k string, v int"), b
+            )
+        assert log.maintain(fanout=2) == 1  # folds batches [0, 1]
+        # boundary INSIDE the span -> refuse
+        with pytest.raises(RuntimeError, match="straddles"):
+            log.read_latest(before_batch=1).count()
+        # boundary at/above the span top -> fine
+        assert log.read_latest(before_batch=2).count() == 2
+        assert log.read_latest().count() == 2
+
+
+def test_insert_only_manifest_span_is_ignored_for_lww_ranking(
+    spark, tmp_path
+):
+    """ADVICE r7 (low): insert-only maintain() merges the F OLDEST dirs
+    of a tier — not an adjacent run — so its manifest span is only a
+    bounding box. The manifest now records the flavor, and reopening the
+    same root with insert_only=False must not consume those spans for
+    LWW ranking (the old bug re-ranked rows at the bounding-box top)."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    root = str(tmp_path / "io_reopen")
+    io_log = UpsertLog(spark, root, keys=["k"], insert_only=True)
+    for b in range(3):
+        io_log.append(
+            spark.createDataFrame([(f"k{b}", b)], "k string, v int"), b
+        )
+    assert io_log.maintain(fanout=2) == 1  # folds oldest two dirs
+    mf = io_log._fold_ranges()
+    assert len(mf) == 1
+    (lo, hi, io_flag), = mf.values()
+    assert io_flag and (lo, hi) == (0, 1)
+    # reopen as LWW: the insert-only span contributes no fold order
+    lww_view = UpsertLog(spark, root, keys=["k"])
+    assert lww_view._fold_orders() == {}
+    assert sorted(
+        (r["k"], r["v"]) for r in lww_view.read_latest().collect()
+    ) == [("k0", 0), ("k1", 1), ("k2", 2)]
+
+
+def test_semdedup_epoch_requantizer_handles_distribution_drift(
+    spark, sf_small, tmp_path
+):
+    """Round-6 verdict item 7 (adversarial drift): the embedding
+    distribution SHIFTS mid-stream — from chunk 2 onward every vector's
+    coordinates are cyclically rotated by dim/2, so epochs 2-3 see a
+    half-space epoch 0-1 never did. The epoch re-quantizer must (a)
+    still produce verdicts that exactly match the replayed-schedule
+    oracle on the same drifted input (the oracle SQL replays the md5
+    anchor schedule, so it adapts to any distribution), and (b) keep
+    per-batch cost bounded: post-drift codebooks sample anchors FROM the
+    drifted region, so drifted vectors spread across cells instead of
+    piling into whichever stale cell is nearest (the occupancy collapse
+    that makes same-cell comparison quadratic)."""
+    import math
+
+    import duckdb
+
+    from duckdb_streaming_patterns_spark.queries import QUERIES
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from duckdb_streaming_patterns_spark.streaming import staging
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        pattern_streaming_semdedup,
+        semdedup_state_logs,
+    )
+
+    emb = load_table(spark, sf_small, "embeddings")
+    n = emb.count()
+    per = math.ceil(n / 5)
+    shifted = F.expr(
+        "concat("
+        " slice(embedding, cast(size(embedding)/2 as int) + 1,"
+        "       cast(size(embedding)/2 as int)),"
+        " slice(embedding, 1, cast(size(embedding)/2 as int)))"
+    )
+    drifted = emb.withColumn(
+        "embedding",
+        F.when(F.col("vec_id") >= 2 * per, shifted).otherwise(
+            F.col("embedding")
+        ),
+    )
+    sfdir = str(tmp_path / "sf_drift")
+    os.makedirs(sfdir)
+    drifted.coalesce(1).write.parquet(os.path.join(sfdir, "embeddings.parquet"))
+
+    run = str(tmp_path / "run")
+    chunks = staging.stage_embedding_chunks(spark, sfdir, run, n_chunks=5)
+    out = pattern_streaming_semdedup(
+        spark, chunks, run, threshold=0.35, n_cells=16, state_partitions=4
+    )
+    spdf = out.toPandas()
+    assert len(spdf) == n
+
+    # (a) exact match vs the replayed-schedule oracle ON THE DRIFTED data
+    _, osql = QUERIES["pattern_streaming_semdedup"]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{sfdir}/embeddings.parquet/*.parquet')"
+    )
+    odf = con.execute(osql).fetchdf()
+
+    def canon(d):
+        d = d.reindex(sorted(d.columns), axis=1)
+        return d.astype(str).sort_values(list(d.columns)).reset_index(drop=True)
+
+    assert canon(spdf).equals(canon(odf)), "drifted verdicts diverge from oracle"
+
+    # (b) the post-drift codebook sampled the drifted region: epoch 3
+    # trains on ids < 4*per, of which [2*per, 4*per) are drifted
+    import glob
+    import json as _json
+
+    books = sorted(glob.glob(os.path.join(run, "quant", "anchors_e*.json")))
+    with open(books[-1]) as f:
+        anchors = _json.load(f)
+    drifted_anchors = [a for a, _ in anchors if int(a) >= 2 * per]
+    assert len(drifted_anchors) >= 2, (
+        f"final codebook has no drifted-region anchors: {sorted(a for a, _ in anchors)}"
+    )
+    # drifted vectors spread across multiple cells under the final epoch
+    vecs_log, _ = semdedup_state_logs(spark, run)
+    cells = {
+        r["cell_id"]
+        for r in vecs_log.read_latest()
+        .filter(F.col("vec_id") >= 2 * per)
+        .select("cell_id")
+        .distinct()
+        .collect()
+    }
+    assert len(cells) >= 4, f"drifted vectors collapsed into cells {cells}"

@@ -113,6 +113,12 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     per-source frequency-cap family, so the family is driver-verified
 #     in both its batch and streaming (pattern_streaming_source_caps)
 #     shapes.
+# Round-8 rotation (round-7 verdict item 7):
+#   knn_lsh_ann (its _lsh_keys machinery is already pinned by
+#     dedup_minhash_lsh + knn_ivf_ann; stays exact-checked locally) →
+#     contamination_bloom_flags, so the Bloom membership gate — the one
+#     §2.11 family member with no standalone driver row — is
+#     hash-verified by the driver.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -148,7 +154,7 @@ _PRIORITY = [
     "semdedup_prune",
     "pattern_streaming_semdedup",
     "knn_ivf_ann",
-    "knn_lsh_ann",
+    "contamination_bloom_flags",
     # multimodal (§2.11)
     "knn_pq_adc",
     "multimodal_decode_features",

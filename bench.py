@@ -220,9 +220,13 @@ def _run_one(name: str, sf_dir: str) -> None:
     print(json.dumps({"query": name, "sec": sec, "rows": int(n)}))
 
 
-def _run_isolated(name: str, sf_dir: str) -> float:
-    """Run one query via ``--one`` in a fresh subprocess and return its
-    timed seconds (the child's session startup/warm-up is untimed)."""
+def _run_isolated(name: str, sf_dir: str) -> tuple[float | None, str | None]:
+    """Run one query via ``--one`` in a fresh subprocess and return
+    ``(timed_seconds, None)`` — or ``(None, error_tail)`` if the child
+    failed. One broken query must not abort the whole isolated block
+    (ADVICE r6 low #4): the caller records the error and keeps timing
+    the rest, so a single regression costs one number, not the round's
+    entire bench tail."""
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
@@ -238,13 +242,10 @@ def _run_isolated(name: str, sf_dir: str) -> float:
         except json.JSONDecodeError:
             continue
         if d.get("query") == name:
-            return float(d["sec"])
-    print(
-        f"[bench] isolated run of {name} failed "
-        f"(exit {res.returncode}):\n{res.stderr[-2000:]}",
-        file=sys.stderr,
-    )
-    raise RuntimeError(f"isolated bench run failed for {name}")
+            return float(d["sec"]), None
+    err = f"exit {res.returncode}: {res.stderr[-2000:]}"
+    print(f"[bench] isolated run of {name} failed ({err})", file=sys.stderr)
+    return None, err
 
 
 def main() -> None:
@@ -287,12 +288,17 @@ def main() -> None:
     isolate_idx = HEADLINE.index(ISOLATE_FROM)
     isolated_names = set(HEADLINE[isolate_idx:])
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         if name in isolated_names:
             # fresh subprocess per streaming pattern — see ISOLATE_FROM
-            timings[name] = round(_run_isolated(name, sf_dir), 4)
+            sec, err = _run_isolated(name, sf_dir)
+            if err is not None:
+                errors[name] = err
+            else:
+                timings[name] = round(sec, 4)
             continue
         fn, _ = QUERIES[name]
         t0 = time.perf_counter()
@@ -326,7 +332,9 @@ def main() -> None:
         "metric": "headline_queries_total_runtime",
         "value": total,
         "unit": "sec",
-        "queries": timings,
+        # a failed query appears with a null timing so its absence is
+        # visible in the artifact, with the error tail alongside
+        "queries": {**timings, **{n: None for n in errors}},
         "layout_setup_sec": layout_setup,
         "sf": sf,
         # methodology flags so round-over-round diffs are interpretable:
@@ -336,11 +344,22 @@ def main() -> None:
         "gc_between_queries": True,
         "isolated_subprocess": sorted(n for n in timings if n in isolated_names),
     }
+    if errors:
+        out["errors"] = errors
     p11 = timings.get("pattern_1_1_incremental_merge")
     if p11:
         n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
         out["ingest_events_per_sec"] = round(n_events / p11, 1)
     _diff_against_previous_round(timings, sf, isolated_names)
+    # The driver records only a tail of stdout, which truncates the
+    # per-query dict on long runs (the r6↔r7 diff lost its first ~33
+    # queries twice) — persist the COMPLETE result to the repo so every
+    # round's full timings survive as bench_full_r{N}.json.
+    try:
+        with open(os.path.join(_REPO_ROOT, "bench_full_latest.json"), "w") as f:
+            json.dump(out, f, indent=1)
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

@@ -18,6 +18,19 @@ import sys
 
 
 def load_timings(path: str) -> dict[str, float]:
+    # Prefer the complete artifact: BENCH_r{N}.json carries only a
+    # truncated stdout tail, but since round 8 each bench run writes the
+    # full dict to bench_full_r{N}.json / bench_full_latest.json beside
+    # it — use that when present.
+    import os
+
+    m = re.search(r"BENCH_(r\d+)\.json$", path)
+    if m:
+        full = os.path.join(
+            os.path.dirname(path), f"bench_full_{m.group(1)}.json"
+        )
+        if os.path.exists(full):
+            path = full
     raw = open(path).read().strip()
     rec: dict = {}
     for cand in (raw, raw.splitlines()[-1]):
@@ -27,7 +40,12 @@ def load_timings(path: str) -> dict[str, float]:
         except json.JSONDecodeError:
             continue
     if isinstance(rec, dict) and isinstance(rec.get("queries"), dict):
-        return {k: float(v) for k, v in rec["queries"].items()}
+        # null timing = the query errored that run (see bench.py errors)
+        return {
+            k: float(v)
+            for k, v in rec["queries"].items()
+            if v is not None
+        }
     # driver record: timings live in a possibly front-truncated 'tail'
     tail = rec.get("tail", raw) if isinstance(rec, dict) else raw
     seg = tail.split('"layout_setup_sec"')[0]

@@ -372,8 +372,19 @@ class SnapshotTable:
         committed (DuckLake reads any snapshot; the reference itself only
         reads latest). Same partition-pruned scan as table_changes —
         snapshots <= the asked version; tombstones committed by then are
-        applied, later ones are not (deletes time-travel too)."""
-        return self._read_visible(snapshot_id, snaps=self.snapshots())
+        applied, later ones are not (deletes time-travel too). History
+        folded away by ``expire_snapshots`` cannot be travelled to —
+        that raises rather than silently returning a partial table."""
+        snaps = self.snapshots()
+        horizon = max(
+            (s.get("expired_through", -1) for s in snaps), default=-1
+        )
+        if snapshot_id < horizon:
+            raise ValueError(
+                f"read_as_of({snapshot_id}): history expired through "
+                f"snapshot {horizon} (expire_snapshots retention)"
+            )
+        return self._read_visible(snapshot_id, snaps=snaps)
 
     def _read_visible(
         self,
@@ -465,6 +476,10 @@ class SnapshotTable:
                 # breaks schema inference when every dir in range is
                 # such, and contributes nothing otherwise.
                 continue
+            if s.get("expired"):
+                # folded into a later snapshot's base dir by
+                # expire_snapshots — its own dir no longer exists
+                continue
             snap_dir = os.path.join(self.data_dir, f"snapshot_id={sid}")
             parts = s.get("partitions")
             if (
@@ -535,6 +550,7 @@ class SnapshotTable:
                 s.get("columns")
                 for s in snaps
                 if s.get("kind", "insert") == "insert"
+                and not s.get("expired")  # subsumed by the fold entry
             ]
             evolved = (
                 all(c is not None for c in col_sets)
@@ -553,6 +569,7 @@ class SnapshotTable:
                 for s in snaps:
                     if (
                         s.get("kind", "insert") == "insert"
+                        and not s.get("expired")
                         and from_snapshot < s["snapshot_id"] <= to_snapshot
                     ):
                         for c in s["columns"]:
@@ -659,6 +676,130 @@ class SnapshotTable:
         stale = ptr.get("prev_data")
         if stale and stale != new_name:
             shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+
+    def expire_snapshots(
+        self, through: int | None = None, target_files: int = 1
+    ) -> int:
+        """Snapshot-history expiry (the DuckLake
+        ``ducklake_delete_old_snapshots`` analogue, pattern_1_2.py:152's
+        companion maintenance): fold every snapshot ≤ ``through`` into a
+        SINGLE base directory ``snapshot_id=<through>`` in a new
+        generation, apply (and retire) tombstones ≤ through, and mark
+        the folded ledger entries expired. Returns the fold id.
+
+        Why it exists, scale-wise: every read enumerates one path per
+        live snapshot, so Spark's file index — not the (checkpointed)
+        ledger — is the remaining O(stream-age) read cost on a
+        long-running stream (measured: SCALE.md §8). Expiry bounds the
+        live path count to O(snapshots since the last expiry): the
+        streaming ANN index runs it on an operator cadence and its probe
+        construct time goes flat with depth.
+
+        The trade, stated honestly (the same one every lakehouse
+        retention policy makes): time travel and CDF granularity BEFORE
+        the fold are gone — ``read_as_of(s < through)`` raises, and
+        ``table_changes(from < through, ...)`` reports the folded rows
+        as one change at ``through``. Current-state reads, later
+        tombstones (they only kill rows stamped before them — the fold
+        re-stamps survivors AT ``through``, so a tombstone > through
+        still kills them, one ≤ through was already applied), the
+        batch-id retry fence (entries are kept, only marked), and
+        schema evolution (the fold entry's columns become the folded
+        era's union) are all preserved. Generation-swap discipline as
+        compact()/vacuum(): in-flight readers keep a live directory, a
+        crash between any two steps leaves a readable consistent state
+        (un-expired entries whose dirs the new generation lacks are
+        dropped by the existence stat, exactly like vacuum-pruned
+        dirs)."""
+        snaps = self.snapshots()
+        high = self.max_snapshot_id(snaps)
+        insert_ids = [
+            s["snapshot_id"]
+            for s in snaps
+            if s.get("kind", "insert") == "insert" and not s.get("expired")
+        ]
+        if not insert_ids:
+            return -1
+        want = high if through is None else through
+        # the fold id must be an INSERT snapshot (its data dir hosts the
+        # folded rows); clamp to the newest insert at or below `want`
+        eligible = [i for i in insert_ids if i <= want]
+        if not eligible:
+            return -1
+        fold_id = max(eligible)
+        folded = self._read_visible(fold_id, snaps=snaps).withColumn(
+            "snapshot_id", F.lit(fold_id).cast("int")
+        )
+        tail = self.table_changes(fold_id, high, snaps=snaps)
+        newdf = folded.unionByName(tail, allowMissingColumns=True)
+        ptr = self._pointer()
+        new_gen = ptr["generation"] + 1
+        new_name = f"data_g{new_gen:04d}_{uuid.uuid4().hex[:8]}"
+        new_dir = os.path.join(self.root, new_name)
+        (
+            newdf.coalesce(target_files)
+            .write.mode("overwrite")
+            .partitionBy("snapshot_id", *self.partition_cols)
+            .parquet(new_dir)
+        )
+        # (2) refresh the fold entry BEFORE the swap: its manifest must
+        # describe the folded dir the moment the new generation goes
+        # live (a crash here leaves a union manifest over the old
+        # generation — absent leaf dirs are stat-dropped, harmless)
+        fold_dir = os.path.join(new_dir, f"snapshot_id={fold_id}")
+        fold_entry = next(
+            s for s in snaps if s["snapshot_id"] == fold_id
+        )
+        fold_entry["rows"] = _parquet_row_count(fold_dir)
+        fold_entry["columns"] = [
+            c for c in folded.columns if c != "snapshot_id"
+        ]
+        if self.partition_cols and os.path.isdir(fold_dir):
+            fold_entry["partitions"] = sorted(
+                e
+                for e in os.listdir(fold_dir)
+                if "=" in e and not e.startswith((".", "_"))
+            )
+        fold_entry["expired_through"] = fold_id
+        self._commit_ledger(fold_entry)
+        # (3) atomic generation swap
+        new_ptr = {
+            "generation": new_gen,
+            "data": new_name,
+            "prev_data": ptr["data"],
+        }
+        tmp = self._pointer_path + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(new_ptr, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, self._pointer_path)
+        # (4) mark folded inserts expired, retire consumed tombstones
+        for s in snaps:
+            sid = s["snapshot_id"]
+            if (
+                s.get("kind", "insert") == "insert"
+                and sid < fold_id
+                and not s.get("expired")
+            ):
+                s["expired"] = True
+                self._commit_ledger(s)
+            elif (
+                s.get("kind") == "delete"
+                and sid <= fold_id
+                and not s.get("vacuumed")
+            ):
+                s["vacuumed"] = True
+                self._commit_ledger(s)
+                shutil.rmtree(
+                    os.path.join(self.tombstone_dir, f"snapshot_id={sid}"),
+                    ignore_errors=True,
+                )
+        # (5) deferred GC, as compact()
+        stale = ptr.get("prev_data")
+        if stale and stale != new_name:
+            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+        return fold_id
 
     def vacuum(self, target_files: int = 1) -> None:
         """Physically apply tombstones (Delta ``VACUUM`` + DuckLake

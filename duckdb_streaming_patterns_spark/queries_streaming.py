@@ -517,7 +517,12 @@ def q_pattern_streaming_ann_index(
     accumulated at-rest index (partition-pruned to probed cells). Oracle =
     the batch IVF search with the same frozen first-batch quantizer —
     streaming-built index ≡ batch index, hash-exact. See
-    streaming/patterns.pattern_streaming_ann_index."""
+    streaming/patterns.pattern_streaming_ann_index.
+
+    ``expire_every=2`` makes the driver's 5-batch run exercise snapshot
+    expiry mid-stream (folds at batches 2 and 4) — results are
+    fold-invariant, so the hash gate proves expiry correctness, like
+    the merge cadences in the dedup/sessionization registered forms."""
     from duckdb_streaming_patterns_spark.sources.tables import load_table
 
     run = staging.new_run_dir("pann")
@@ -527,7 +532,7 @@ def q_pattern_streaming_ann_index(
     )
     return patterns.pattern_streaming_ann_index(
         spark, chunks, run, queries_df, k=10, n_cells=16, n_probe=8,
-        state_partitions=4,
+        state_partitions=4, expire_every=2,
     )
 
 

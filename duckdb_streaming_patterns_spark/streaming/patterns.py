@@ -1022,6 +1022,7 @@ def pattern_streaming_ann_index(
     n_cells: int = 16,
     n_probe: int = 8,
     state_partitions: int | None = None,
+    expire_every: int = 0,
 ) -> DataFrame:
     """Streaming ANN-index maintenance: an IVF index built INCREMENTALLY
     as embedding batches land, then probed — the continuous-ingestion
@@ -1043,7 +1044,16 @@ def pattern_streaming_ann_index(
 
     Every numeric step (anchor choice, assignment, probe ranking, final
     cosine) uses the sequential-fold arithmetic the DuckDB oracle replays
-    bit-for-bit, so streaming index ≡ batch IVF is hash-checkable."""
+    bit-for-bit, so streaming index ≡ batch IVF is hash-checkable.
+
+    ``expire_every`` (0 = off) runs ``SnapshotTable.expire_snapshots``
+    on that batch cadence: the probe's path count — the remaining
+    O(stream-age) cost after the r8 ledger checkpointing, since Spark's
+    file index enumerates one path per live snapshot × probed cell
+    (SCALE.md §8) — stays bounded by the cadence. The index needs no
+    per-snapshot history (probes read current state only), so expiry's
+    retention trade costs it nothing; results are fold-invariant and
+    stay hash-identical to the batch IVF oracle."""
     from duckdb_streaming_patterns_spark.functions.vectors import (
         dot_double,
         l2_norm,
@@ -1090,6 +1100,11 @@ def pattern_streaming_ann_index(
                 1,
             ).alias("cell_id"),
         )
+        if expire_every and batch_id > 0 and batch_id % expire_every == 0:
+            # fold committed history before appending this batch — a
+            # foreachBatch retry re-runs the (idempotent) expiry and the
+            # append fence then skips the re-delivered batch
+            index.expire_snapshots()
         index.append(assigned, batch_id=batch_id)
 
     with _state_partitions(spark, state_partitions):

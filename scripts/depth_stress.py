@@ -112,20 +112,32 @@ def main() -> None:
         ledger_files = sum(
             1 for x in os.listdir(t.ledger_dir) if x.endswith(".json")
         )
-        print(
-            json.dumps(
-                {
-                    "repo": REPO,
-                    "depth": depth,
-                    "snapshots_sec": round(snap_sec, 4),
-                    "probe_construct_sec": round(construct, 4),
-                    "probe_run_sec": round(run, 4),
-                    "ledger_files": ledger_files,
-                    "fabricate_sec": round(fab, 2),
-                }
-            ),
-            flush=True,
-        )
+        rec = {
+            "repo": REPO,
+            "depth": depth,
+            "snapshots_sec": round(snap_sec, 4),
+            "probe_construct_sec": round(construct, 4),
+            "probe_run_sec": round(run, 4),
+            "ledger_files": ledger_files,
+            "fabricate_sec": round(fab, 2),
+        }
+        if hasattr(t, "expire_snapshots"):
+            # round-8 expiry: fold the whole history, re-measure the
+            # probe — the path count (and Spark's file-index share of
+            # construct time) should go depth-independent
+            t0 = time.perf_counter()
+            t.expire_snapshots()
+            rec["expire_sec"] = round(time.perf_counter() - t0, 2)
+            t0 = time.perf_counter()
+            probe2 = t.read(partition_values={"cell": [0]})
+            rec["post_expiry_construct_sec"] = round(
+                time.perf_counter() - t0, 4
+            )
+            t0 = time.perf_counter()
+            n2 = probe2.count()
+            rec["post_expiry_run_sec"] = round(time.perf_counter() - t0, 4)
+            assert n2 == n
+        print(json.dumps(rec), flush=True)
         shutil.rmtree(root, ignore_errors=True)
 
 

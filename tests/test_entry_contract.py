@@ -44,11 +44,13 @@ def test_first_50_cover_every_family():
             "dedup_incremental_verdicts",
         },
         "similarity": {
+            # knn_lsh_ann rotated out in r8 (its _lsh_keys machinery is
+            # pinned by dedup_minhash_lsh + knn_ivf_ann); the Bloom
+            # membership gate took the slot — see pipeline family
             "knn_bruteforce",
             "knn_pq_adc",
             "semdedup_prune",
             "knn_ivf_ann",
-            "knn_lsh_ann",
             "pattern_streaming_ann_index",
         },
         "multimodal": {"multimodal_decode_features"},
@@ -57,6 +59,7 @@ def test_first_50_cover_every_family():
         "pipeline": {
             "pack_token_bins",
             "contamination_ngram_overlap",
+            "contamination_bloom_flags",
         },
         "layout": {"bucketed_join_revenue", "partition_pruned_daily_clicks"},
         "tpch": {"q1_pricing_summary", "q3_shipping_priority"},

@@ -2555,3 +2555,106 @@ def test_semdedup_epoch_requantizer_handles_distribution_drift(
         .collect()
     }
     assert len(cells) >= 4, f"drifted vectors collapsed into cells {cells}"
+
+
+def test_expire_snapshots_folds_history_and_bounds_paths(spark, tmp_path):
+    """Round-8: expire_snapshots folds every snapshot <= through into one
+    base dir (the ducklake_delete_old_snapshots analogue), applying and
+    retiring in-range tombstones. Reads stay exact, the live path count
+    drops to fold + tail, time travel before the fold raises, and the
+    batch-id retry fence survives (entries are marked, never deleted)."""
+    import pytest
+
+    root = str(tmp_path / "expire")
+    t = SnapshotTable(
+        spark, root, "id long, cell long", partition_cols=["cell"]
+    )
+    for i in range(6):
+        t.append(
+            spark.createDataFrame(
+                [(i * 10 + j, j % 2) for j in range(4)], "id long, cell long"
+            ),
+            batch_id=i,
+        )
+    t.delete(F.col("id") == 11, key_cols=["id"], batch_id=100)  # sid 6
+    before = {tuple(r) for r in t.read().select("id", "cell").collect()}
+    assert len(before) == 23  # 24 rows - 1 tombstoned
+
+    fold = t.expire_snapshots(through=4)
+    assert fold == 4
+    after = {tuple(r) for r in t.read().select("id", "cell").collect()}
+    assert after == before
+    # live DATA paths: only the fold dir and the post-fold snapshot
+    # (the sid-6 tombstone is > fold, so its anti-join scan stays live)
+    files = [f for f in t.read().inputFiles() if "_tombstones" not in f]
+    assert files
+    for fp in files:
+        assert "/snapshot_id=4/" in fp or "/snapshot_id=5/" in fp, fp
+    # partition-scoped probe still correct and scoped
+    got = t.read(partition_values={"cell": [1]})
+    assert {r["cell"] for r in got.collect()} == {1}
+    assert got.count() == 11  # 12 cell-1 rows - tombstoned id 11
+    # ledger state: pre-fold inserts expired, tombstone retired
+    snaps = {s["snapshot_id"]: s for s in t.snapshots()}
+    assert all(snaps[i].get("expired") for i in range(4))
+    assert not snaps[4].get("expired")
+    assert snaps[4]["expired_through"] == 4
+    # the sid-6 tombstone is AFTER the fold horizon: it stays live (its
+    # anti-join still kills the re-stamped fold rows, which sit at 4 < 6)
+    assert "vacuumed" not in snaps[6]
+    assert len(t._tombstones(t.max_snapshot_id())) == 1
+    # retry fence survives expiry
+    assert t.append(spark.createDataFrame([(99, 0)], "id long, cell long"),
+                    batch_id=2) == -1
+    # time travel: before the fold raises, at/after the fold works
+    with pytest.raises(ValueError, match="expired"):
+        t.read_as_of(3)
+    # tombstone 6 does not time-travel back to 4: all 20 rows visible
+    assert t.read_as_of(4).count() == 20
+    # CDF: the folded rows report as one change at the fold id
+    cdf = t.table_changes(-1, 4)
+    assert cdf.count() == 20
+    assert {r["snapshot_id"] for r in cdf.select("snapshot_id").collect()} == {4}
+    # a second expiry (the retry shape) clamps to the newest INSERT
+    # snapshot and preserves results
+    assert t.expire_snapshots() == 5
+    assert {
+        tuple(r) for r in t.read().select("id", "cell").collect()
+    } == before
+
+
+def test_ann_index_results_are_expiry_invariant(spark, sf_small, tmp_path):
+    """pattern_streaming_ann_index with expire_every=2 (the registered
+    driver form) must return exactly the no-expiry result — the probe
+    reads current state only, so folding history is invisible to it."""
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from duckdb_streaming_patterns_spark.streaming import staging as st
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        pattern_streaming_ann_index,
+    )
+
+    queries_df = load_table(spark, sf_small, "embeddings").filter(
+        F.col("vec_id") < 5
+    )
+    results = []
+    for tag, expire in (("off", 0), ("on", 2)):
+        run = str(tmp_path / f"annexp_{tag}")
+        chunks = st.stage_embedding_chunks(spark, sf_small, run, n_chunks=5)
+        out = pattern_streaming_ann_index(
+            spark, chunks, run, queries_df, k=10, n_cells=16, n_probe=8,
+            state_partitions=4, expire_every=expire,
+        )
+        results.append(sorted(tuple(r) for r in out.collect()))
+    assert results[0] == results[1]
+    # and the expiring run's index really was folded: the index table
+    # under the "on" run has at most 3 live snapshot dirs (folds at
+    # batches 2 and 4 leave fold + tail)
+    import glob as _glob
+    import json as _json
+
+    idx_root = str(tmp_path / "annexp_on" / "ivf_index")
+    ptr = _json.loads(open(os.path.join(idx_root, "_data.json")).read())
+    live = _glob.glob(
+        os.path.join(idx_root, ptr["data"], "snapshot_id=*")
+    )
+    assert len(live) <= 3, live

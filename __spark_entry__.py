@@ -118,7 +118,9 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     dedup_minhash_lsh + knn_ivf_ann; stays exact-checked locally) →
 #     contamination_bloom_flags, so the Bloom membership gate — the one
 #     §2.11 family member with no standalone driver row — is
-#     hash-verified by the driver.
+#     hash-verified by the driver. pattern_streaming_ann_index also
+#     swaps to its _expiring variant (same oracle): the hash row now
+#     additionally proves snapshot-history expiry is fold-invariant.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -127,7 +129,7 @@ _PRIORITY = [
     "watermark_delta_incremental",
     "events_exclude_props",
     "events_json_extract",
-    "pattern_streaming_ann_index",
+    "pattern_streaming_ann_index_expiring",
     "distinct_users_per_type",
     "reaggregate_partials",
     # streaming patterns (SURVEY §3, §2.9)

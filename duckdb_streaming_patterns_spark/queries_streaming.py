@@ -517,15 +517,37 @@ def q_pattern_streaming_ann_index(
     accumulated at-rest index (partition-pruned to probed cells). Oracle =
     the batch IVF search with the same frozen first-batch quantizer —
     streaming-built index ≡ batch index, hash-exact. See
-    streaming/patterns.pattern_streaming_ann_index.
-
-    ``expire_every=2`` makes the driver's 5-batch run exercise snapshot
-    expiry mid-stream (folds at batches 2 and 4) — results are
-    fold-invariant, so the hash gate proves expiry correctness, like
-    the merge cadences in the dedup/sessionization registered forms."""
+    streaming/patterns.pattern_streaming_ann_index."""
     from duckdb_streaming_patterns_spark.sources.tables import load_table
 
     run = staging.new_run_dir("pann")
+    chunks = staging.stage_embedding_chunks(spark, sf_dir, run, n_chunks=5)
+    queries_df = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 5
+    )
+    return patterns.pattern_streaming_ann_index(
+        spark, chunks, run, queries_df, k=10, n_cells=16, n_probe=8,
+        state_partitions=4,
+    )
+
+
+@register("pattern_streaming_ann_index_expiring", _STREAM_IVF_ORACLE)
+def q_pattern_streaming_ann_index_expiring(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The same streaming ANN-index build WITH in-loop snapshot-history
+    expiry (``expire_every=2``: folds at batches 2 and 4, so the probe
+    reads a fold with later appends on both sides of it). The oracle is
+    IDENTICAL to the non-expiring form — expiry is fold-invariant by
+    contract, and this row makes the driver's hash gate prove it, the
+    way the dedup/sessionization registered forms prove their
+    mid-stream merges. Registered separately (rather than folded into
+    the bench form) because each toy-scale fold is a full-table rewrite
+    whose ~5 s fixed Spark-job cost would dominate the bench number;
+    the amortization story lives at stream depth (SCALE.md §8)."""
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    run = staging.new_run_dir("panx")
     chunks = staging.stage_embedding_chunks(spark, sf_dir, run, n_chunks=5)
     queries_df = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 5

@@ -51,7 +51,7 @@ def test_first_50_cover_every_family():
             "knn_pq_adc",
             "semdedup_prune",
             "knn_ivf_ann",
-            "pattern_streaming_ann_index",
+            "pattern_streaming_ann_index_expiring",
         },
         "multimodal": {"multimodal_decode_features"},
         "text": {"text_unigram_surprisal", "text_language_id"},

@@ -99,6 +99,22 @@ class SnapshotTable:
     def data_dir(self) -> str:
         return os.path.join(self.root, self._pointer()["data"])
 
+    def _rewrite_layout(self, df: DataFrame, target_files: int) -> DataFrame:
+        """Distribution for a maintenance rewrite (compact/vacuum/expire).
+        ``target_files=1`` (the default everywhere) repartitions by the
+        leaf-partition columns: one file per leaf dir AND one task per
+        leaf — a 100 TB rewrite parallelizes across the cluster, where
+        the old ``coalesce(1)`` serialized the entire table through a
+        single task (fine at fixture scale, fatal at the real one).
+        Larger ``target_files`` keeps the coalesce knob (an explicit
+        small-scale file-count choice)."""
+        if target_files == 1:
+            return df.repartition(
+                F.col("snapshot_id"),
+                *[F.col(c) for c in self.partition_cols],
+            )
+        return df.coalesce(target_files)
+
     # -- ledger ------------------------------------------------------------
 
     def snapshots(self) -> list[dict]:
@@ -128,9 +144,20 @@ class SnapshotTable:
                 loose.append((int(name[:-len(".json")]), name))
         by_id: dict[int, dict] = {}
         if ckpt_name is not None:
-            with open(os.path.join(self.ledger_dir, ckpt_name)) as f:
-                for entry in json.load(f):
-                    by_id[entry["snapshot_id"]] = entry
+            # Checkpoint files are write-once by name (a new checkpoint
+            # gets a higher sid), so the parse is cached per filename —
+            # a long-running stream's driver re-parses the (O(age)-sized)
+            # checkpoint once per CHECKPOINT, not once per read. Entries
+            # are shallow-copied out so a caller's in-place mutation
+            # (vacuum/expire set flags before re-committing) cannot
+            # alias the cache.
+            cached = getattr(self, "_ckpt_cache", None)
+            if cached is None or cached[0] != ckpt_name:
+                with open(os.path.join(self.ledger_dir, ckpt_name)) as f:
+                    cached = (ckpt_name, json.load(f))
+                self._ckpt_cache = cached
+            for entry in cached[1]:
+                by_id[entry["snapshot_id"]] = dict(entry)
         for sid, name in loose:
             with open(os.path.join(self.ledger_dir, name)) as f:
                 by_id[sid] = json.load(f)  # loose overrides checkpoint
@@ -658,8 +685,12 @@ class SnapshotTable:
             # Insert log only, ledger-scoped: uncommitted orphans do not
             # survive, and tombstones are NOT folded in — compaction
             # preserves CDF history (vacuum() is the physical-delete pass).
-            self.table_changes(-1, self.max_snapshot_id(snaps), snaps=snaps)
-            .coalesce(target_files)
+            self._rewrite_layout(
+                self.table_changes(
+                    -1, self.max_snapshot_id(snaps), snaps=snaps
+                ),
+                target_files,
+            )
             .write.mode("overwrite")
             .partitionBy("snapshot_id", *self.partition_cols)
             .parquet(new_dir)
@@ -737,7 +768,7 @@ class SnapshotTable:
         new_name = f"data_g{new_gen:04d}_{uuid.uuid4().hex[:8]}"
         new_dir = os.path.join(self.root, new_name)
         (
-            newdf.coalesce(target_files)
+            self._rewrite_layout(newdf, target_files)
             .write.mode("overwrite")
             .partitionBy("snapshot_id", *self.partition_cols)
             .parquet(new_dir)
@@ -817,8 +848,7 @@ class SnapshotTable:
         new_name = f"data_g{new_gen:04d}_{uuid.uuid4().hex[:8]}"
         new_dir = os.path.join(self.root, new_name)
         (
-            self._read_visible(high, snaps=snaps)
-            .coalesce(target_files)
+            self._rewrite_layout(self._read_visible(high, snaps=snaps), target_files)
             .write.mode("overwrite")
             .partitionBy("snapshot_id", *self.partition_cols)
             .parquet(new_dir)

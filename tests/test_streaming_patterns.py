@@ -1470,6 +1470,56 @@ def test_snapshot_compact_preserves_partition_cols(spark, tmp_path):
     assert cell_dirs, "compaction flattened the cell sub-partitions"
 
 
+def test_maintenance_rewrite_is_parallel_and_one_file_per_leaf(spark, tmp_path):
+    """target_files=1 means one parquet part per LEAF directory written by
+    a parallel per-leaf shuffle (``_rewrite_layout``), not coalesce(1)'s
+    single task funnelling the whole table. Asserts both halves: the
+    distribution is a RepartitionByExpression over (snapshot_id,
+    partition cols) spanning >1 shuffle partition, and the on-disk result
+    still lands exactly one part file in every snapshot_id=*/cell_id=*
+    leaf (the layout compaction-era readers and DPP pruning depend on)."""
+    import contextlib as _contextlib
+    import glob as _glob
+    import io as _io
+
+    t = SnapshotTable(
+        spark,
+        str(tmp_path / "parsnap"),
+        "id long, cell_id long, v string",
+        partition_cols=["cell_id"],
+    )
+    rows = [(i, i % 4, f"v{i}") for i in range(64)]
+    t.append(
+        spark.createDataFrame(rows[:32], "id long, cell_id long, v string"),
+        batch_id=0,
+    )
+    t.append(
+        spark.createDataFrame(rows[32:], "id long, cell_id long, v string"),
+        batch_id=1,
+    )
+
+    shaped = t._rewrite_layout(t.table_changes(-1, t.max_snapshot_id()), 1)
+    buf = _io.StringIO()
+    with _contextlib.redirect_stdout(buf):
+        shaped.explain("formatted")
+    plan = buf.getvalue()
+    # The distribution must be a hash shuffle over the leaf key (AQE then
+    # right-sizes the partition count — at fixture scale it may coalesce
+    # to 1, at 100 TB it fans out), never a Coalesce funnel.
+    assert "REPARTITION_BY_COL" in plan, plan
+    assert "hashpartitioning(snapshot_id" in plan, plan
+    assert "Coalesce" not in plan, plan
+
+    t.compact()
+    leaves = _glob.glob(os.path.join(t.data_dir, "snapshot_id=*", "cell_id=*"))
+    assert len(leaves) == 8  # 2 snapshots x 4 cells survive the fold
+    for leaf in leaves:
+        parts = _glob.glob(os.path.join(leaf, "*.parquet"))
+        assert len(parts) == 1, (leaf, parts)
+    # explicit target_files keeps the deliberate small-table coalesce knob
+    assert t._rewrite_layout(t.read(), 3).rdd.getNumPartitions() <= 3
+
+
 def test_snapshot_schema_evolution(spark, tmp_path):
     """A later batch may append new columns (DuckLake/Delta schema
     evolution): full reads span the union with nulls for pre-evolution

@@ -345,6 +345,11 @@ def main() -> None:
         "isolated_subprocess": sorted(n for n in timings if n in isolated_names),
     }
     if errors:
+        # An errored query contributes nothing to `value`, which would
+        # otherwise read round-over-round as a speedup — mark the total
+        # incomparable explicitly instead of relying on the reader to
+        # notice the errors key.
+        out["complete"] = False
         out["errors"] = errors
     p11 = timings.get("pattern_1_1_incremental_merge")
     if p11:
@@ -399,6 +404,15 @@ def _diff_against_previous_round(
             print(
                 f"[bench-diff vs {os.path.basename(candidates[-1])}] {name}: "
                 f"{p:.1f}s -> {t:.1f}s ({direction})",
+                file=sys.stderr,
+            )
+    # a query that timed last round but errored/vanished this round is a
+    # REGRESSION, not a speedup — surface its absence explicitly
+    for name, p in prev_q.items():
+        if p is not None and name not in timings:
+            print(
+                f"[bench-diff vs {os.path.basename(candidates[-1])}] {name}: "
+                f"{p:.1f}s -> ABSENT (errored or deregistered)",
                 file=sys.stderr,
             )
 

@@ -240,7 +240,12 @@ class UpsertLog:
         last-writer-wins, which shuffles the scanned state on every call
         — the price of re-emitting keys."""
         log = self.spark.read.parquet(self.root)  # partition col __batch_id
-        dead = self._dead_batch_ids()
+        # One manifest scan serves the dead-dir prune, the straddle
+        # guard, and the LWW rank map below — each open is a small-file
+        # round trip (3× listing+GET latency per micro-batch read on
+        # object storage if scanned per consumer).
+        manifests = self._read_fold_manifests()
+        dead = self._dead_batch_ids(manifests)
         if dead:
             # source dirs a surviving folded base already covers (compact
             # crashed mid-GC): logically dead — a partition filter, so
@@ -255,7 +260,7 @@ class UpsertLog:
             # appending batch b, so live spans never straddle — this
             # asserts that invariant instead of trusting it.
             dead_set = set(dead)
-            for did, (lo, hi, _io) in self._fold_ranges().items():
+            for did, (lo, hi, _io) in self._fold_ranges(manifests).items():
                 if did in dead_set:
                     continue
                 if did < before_batch and hi >= before_batch:
@@ -300,7 +305,7 @@ class UpsertLog:
         # (O(fanout · log B) under tiering), folded into the plan as a
         # literal map — no extra scan, no join.
         order_col = F.col("__batch_id")
-        ranges = self._fold_orders()
+        ranges = self._fold_orders(manifests)
         if ranges:
             m = F.create_map(
                 *[
@@ -319,63 +324,74 @@ class UpsertLog:
             .drop("__rn", *drop_cols)
         )
 
-    def _fold_orders(self) -> dict[int, int]:
-        """dir id → effective LWW rank (the ``range`` top of its fold
-        manifest) for every live merged dir. One driver-side glob, same
-        cost shape as ``_dead_batch_ids``; empty for logs that were never
-        maintained (the common case keeps the plain ``__batch_id``
-        ordering and an unchanged plan). Insert-only-written manifests
-        are excluded: their span is a bounding box over non-adjacent
-        sources, not an LWW ordering."""
-        return {
-            did: hi
-            for did, (lo, hi, io) in self._fold_ranges().items()
-            if not io
-        }
-
-    def _fold_ranges(self) -> dict[int, tuple[int, int, bool]]:
-        """dir id → (lo, hi, written_by_insert_only_log) for every
-        merged dir carrying a ``range`` manifest. One driver-side glob;
-        shared by LWW ranking (``_fold_orders``) and the
-        ``before_batch`` straddle guard in ``read_latest``."""
+    def _read_fold_manifests(self) -> dict[int, dict]:
+        """dir id → parsed ``_folds.json`` for every live merged dir —
+        THE single driver-side glob+open pass over fold manifests.
+        ``_dead_batch_ids`` / ``_fold_ranges`` / ``_fold_orders`` all
+        derive from it; callers with several questions per read (e.g.
+        ``read_latest``) scan once and pass the result through."""
         import glob
 
-        out: dict[int, tuple[int, int, bool]] = {}
+        out: dict[int, dict] = {}
         for mf in glob.glob(
             os.path.join(self.root, "__batch_id=*", "_folds.json")
         ):
             try:
                 with open(mf) as f:
-                    m = json.load(f)
-                rng = m.get("range")
-                if rng:
-                    did = int(os.path.dirname(mf).rsplit("=", 1)[1])
-                    out[did] = (
-                        int(rng[0]),
-                        int(rng[1]),
-                        bool(m.get("insert_only")),
+                    out[int(os.path.dirname(mf).rsplit("=", 1)[1])] = (
+                        json.load(f)
                     )
             except (OSError, ValueError):
                 continue
         return out
 
-    def _dead_batch_ids(self) -> list[int]:
+    def _fold_orders(
+        self, manifests: dict[int, dict] | None = None
+    ) -> dict[int, int]:
+        """dir id → effective LWW rank (the ``range`` top of its fold
+        manifest) for every live merged dir. Empty for logs that were
+        never maintained (the common case keeps the plain ``__batch_id``
+        ordering and an unchanged plan). Insert-only-written manifests
+        are excluded: their span is a bounding box over non-adjacent
+        sources, not an LWW ordering."""
+        return {
+            did: hi
+            for did, (lo, hi, io) in self._fold_ranges(manifests).items()
+            if not io
+        }
+
+    def _fold_ranges(
+        self, manifests: dict[int, dict] | None = None
+    ) -> dict[int, tuple[int, int, bool]]:
+        """dir id → (lo, hi, written_by_insert_only_log) for every
+        merged dir carrying a ``range`` manifest; shared by LWW ranking
+        (``_fold_orders``) and the ``before_batch`` straddle guard in
+        ``read_latest``."""
+        if manifests is None:
+            manifests = self._read_fold_manifests()
+        out: dict[int, tuple[int, int, bool]] = {}
+        for did, m in manifests.items():
+            rng = m.get("range")
+            if rng:
+                out[did] = (
+                    int(rng[0]),
+                    int(rng[1]),
+                    bool(m.get("insert_only")),
+                )
+        return out
+
+    def _dead_batch_ids(
+        self, manifests: dict[int, dict] | None = None
+    ) -> list[int]:
         """Batch ids logically folded into a SURVIVING base (its
         ``_folds.json``) — their source dirs are dead even if a crashed
-        compact's GC left them on disk. O(one glob) driver-side; the set
-        is bounded by the last fold's width, since a deleted base takes
-        its manifest with it."""
-        import glob
-
+        compact's GC left them on disk. The set is bounded by the last
+        fold's width, since a deleted base takes its manifest with it."""
+        if manifests is None:
+            manifests = self._read_fold_manifests()
         dead: set[int] = set()
-        for mf in glob.glob(
-            os.path.join(self.root, "__batch_id=*", "_folds.json")
-        ):
-            try:
-                with open(mf) as f:
-                    dead.update(int(b) for b in json.load(f).get("folded", []))
-            except (OSError, ValueError):
-                continue
+        for m in manifests.values():
+            dead.update(int(b) for b in m.get("folded", []))
         return sorted(dead)
 
     def compact(

@@ -52,6 +52,19 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def _ckpt_key(name: str) -> tuple[int, int]:
+    """Ordering key of a checkpoint filename. Two forms exist:
+    ``checkpoint-<sid>.json`` (one per top snapshot id) and
+    ``checkpoint-<sid>.<k>.json`` — the k-th RE-checkpoint at an
+    unchanged top, written when a maintenance-only window (expire/vacuum
+    flag re-commits, no new snapshot) crosses the cadence. The suffix
+    keeps every checkpoint filename WRITE-ONCE, which the parse cache
+    in ``snapshots()`` depends on; newest = max (sid, k)."""
+    stem = name[len("checkpoint-"):-len(".json")]
+    sid, _, k = stem.partition(".")
+    return (int(sid), int(k) if k else 0)
+
+
 class SnapshotTable:
     """Append-only, snapshot-stamped, hive-partitioned parquet table."""
 
@@ -131,21 +144,23 @@ class SnapshotTable:
         regardless of stream age, vs one open per snapshot ever before —
         a month-old 5 s-tick stream pays ~17 opens, not ~500 k."""
         names = os.listdir(self.ledger_dir)
-        ckpt_sid, ckpt_name = -1, None
+        ckpt_key, ckpt_name = (-1, -1), None
         loose: list[tuple[int, str]] = []
         for name in names:
             if not name.endswith(".json"):
                 continue
             if name.startswith("checkpoint-"):
-                sid = int(name[len("checkpoint-"):-len(".json")])
-                if sid > ckpt_sid:
-                    ckpt_sid, ckpt_name = sid, name
+                key = _ckpt_key(name)
+                if key > ckpt_key:
+                    ckpt_key, ckpt_name = key, name
             else:
                 loose.append((int(name[:-len(".json")]), name))
         by_id: dict[int, dict] = {}
         if ckpt_name is not None:
             # Checkpoint files are write-once by name (a new checkpoint
-            # gets a higher sid), so the parse is cached per filename —
+            # gets a higher sid, or a same-top suffix when a maintenance
+            # window re-checkpoints — see _maybe_checkpoint), so the
+            # parse is cached per filename —
             # a long-running stream's driver re-parses the (O(age)-sized)
             # checkpoint once per CHECKPOINT, not once per read. Entries
             # are shallow-copied out so a caller's in-place mutation
@@ -281,14 +296,34 @@ class SnapshotTable:
         if not snaps:
             return
         top = snaps[-1]["snapshot_id"]
-        tmp = os.path.join(self.ledger_dir, f".checkpoint-{top:09d}.tmp")
+        # Write-once filenames: a maintenance-only window (re-commits of
+        # existing ids, no new snapshot) re-checkpoints at an unchanged
+        # top — it must get a FRESH name (same-top suffix), never rewrite
+        # an existing file the parse cache (ours or another reader
+        # process's) is keyed on.
+        prior_k = max(
+            (
+                _ckpt_key(n)[1]
+                for n in names
+                if n.startswith("checkpoint-") and _ckpt_key(n)[0] == top
+            ),
+            default=-1,
+        )
+        new_name = (
+            f"checkpoint-{top:09d}.json"
+            if prior_k < 0
+            else f"checkpoint-{top:09d}.{prior_k + 1:04d}.json"
+        )
+        tmp = os.path.join(self.ledger_dir, f".{new_name}.tmp")
         with open(tmp, "w") as f:
             json.dump(snaps, f)
             f.flush()
             os.fsync(f.fileno())
-        os.replace(
-            tmp, os.path.join(self.ledger_dir, f"checkpoint-{top:09d}.json")
-        )
+        os.replace(tmp, os.path.join(self.ledger_dir, new_name))
+        # The writer KNOWS the newest checkpoint's content — refresh the
+        # parse cache rather than leaving a stale entry for the next read.
+        self._ckpt_cache = (new_name, snaps)
+        new_key = _ckpt_key(new_name)
         for n in loose:
             if int(n[:-len(".json")]) <= top:
                 try:
@@ -296,10 +331,7 @@ class SnapshotTable:
                 except OSError:
                     pass
         for n in names:
-            if (
-                n.startswith("checkpoint-")
-                and int(n[len("checkpoint-"):-len(".json")]) < top
-            ):
+            if n.startswith("checkpoint-") and _ckpt_key(n) < new_key:
                 try:
                     os.remove(os.path.join(self.ledger_dir, n))
                 except OSError:
@@ -864,7 +896,11 @@ class SnapshotTable:
         # them (ledger entries stay — history metadata survives, data
         # files do not, exactly like snapshot expiry).
         for s in snaps:
-            if s.get("kind") == "delete" and s["snapshot_id"] <= high:
+            if (
+                s.get("kind") == "delete"
+                and s["snapshot_id"] <= high
+                and not s.get("vacuumed")
+            ):
                 # Flag first, delete second: a crash between the two
                 # leaves an orphan tombstone dir that the vacuumed flag
                 # already hides (the reverse order would leave a ledger

@@ -96,10 +96,18 @@ def run_variant(spark, name: str, B: int, K: int, R: int) -> dict:
     t0 = time.perf_counter()
     out = log.read_latest()
     n = out.count()
-    wins = out.filter(F.col("emitted_in") >= 0).count()
+    # LWW backstop with teeth: key κ is fresh in batch κ//K and
+    # re-emitted in the NEXT batch iff it falls in the previous batch's
+    # tail (κ%K >= K-R) and that next batch exists — its resolved
+    # emitted_in must be the LATER emission, else the fold mis-ranked.
+    base = F.floor(F.col("key") / K)
+    expected = F.when(
+        (F.col("key") % K >= K - R) & (base + 1 <= B - 1), base + 1
+    ).otherwise(base)
+    losses = out.filter(F.col("emitted_in") != expected).count()
     t_read = time.perf_counter() - t0
     assert n == B * K, (name, n)
-    assert wins == n
+    assert losses == 0, (name, losses)
     return {
         "variant": name,
         "batches": B,

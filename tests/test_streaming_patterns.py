@@ -2396,6 +2396,67 @@ def test_vacuum_flag_survives_checkpoint_fold(spark, tmp_path):
     assert t._tombstones(t.max_snapshot_id()) == []
 
 
+def test_maintenance_only_checkpoint_windows_never_serve_or_bake_stale_state(
+    spark, tmp_path
+):
+    """Code-review r8: a checkpoint window fed ENTIRELY by in-place
+    re-commits (expire/vacuum flag mutations — no new snapshot id) used
+    to rewrite ``checkpoint-<top>.json`` under its existing name while
+    ``snapshots()``'s parse cache stayed keyed on that name: every later
+    read served the pre-mutation entries, and a SECOND such window
+    rebuilt the checkpoint from the stale cache — permanently dropping
+    the first window's mutations from disk. Checkpoint filenames are now
+    write-once (a same-top re-checkpoint gets a monotonic suffix) and
+    the writer refreshes the cache with what it just wrote."""
+    root = str(tmp_path / "ckpt_stale")
+    t = SnapshotTable(spark, root, "id long, v string", checkpoint_every=2)
+    t.append(spark.createDataFrame([(1, "a")], "id long, v string"), batch_id=0)
+    t.append(spark.createDataFrame([(2, "b")], "id long, v string"), batch_id=1)
+    assert any(n.startswith("checkpoint-") for n in os.listdir(t.ledger_dir))
+    # window 1: only re-commits of existing ids — top does not move
+    for s in t.snapshots():
+        s["m1"] = True
+        t._commit_ledger(s)
+    assert all(s.get("m1") for s in t.snapshots()), "stale cache served"
+    # window 2 folds whatever the writer's view holds back onto disk
+    for s in t.snapshots():
+        s["m2"] = True
+        t._commit_ledger(s)
+    fresh = SnapshotTable(spark, root, "id long, v string", checkpoint_every=2)
+    assert all(
+        s.get("m1") and s.get("m2") for s in fresh.snapshots()
+    ), "window-1 mutations were baked away on disk"
+
+
+def test_expire_flags_visible_after_maintenance_only_checkpoint(
+    spark, tmp_path
+):
+    """End-to-end form of the same bug: expire_snapshots' step-4
+    re-commits can cross the checkpoint cadence by themselves. The
+    expiry flags must be visible to the SAME instance afterwards
+    (read_as_of before the horizon raises) and survive a reopen."""
+    import pytest
+
+    root = str(tmp_path / "ckpt_exp")
+    t = SnapshotTable(spark, root, "id long, v string", checkpoint_every=2)
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(i, f"v{i}")], "id long, v string"),
+            batch_id=i,
+        )
+    t.expire_snapshots()
+    with pytest.raises(ValueError):
+        t.read_as_of(0)
+    assert t.read().count() == 4
+    fresh = SnapshotTable(spark, root, "id long, v string", checkpoint_every=2)
+    assert [bool(s.get("expired")) for s in fresh.snapshots()] == [
+        True,
+        True,
+        True,
+        False,
+    ]
+
+
 def test_partition_values_filter_guarantees_semantics_without_manifest(
     spark, tmp_path
 ):

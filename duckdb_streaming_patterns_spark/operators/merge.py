@@ -95,6 +95,39 @@ def replace_merge(
     return merged.select(*out_cols)
 
 
+def maintain_all(
+    logs, before_batch: int | None = None, fanout: int = 8
+) -> int:
+    """Run tiered ``maintain()`` over INDEPENDENT state logs
+    concurrently; returns total merges performed. A maintenance tick in
+    the dedup patterns touches 3-4 logs, each merge a small blocking
+    Spark job whose cost is dominated by job-launch latency, not data —
+    run sequentially the tick pays (logs × merges-per-log) job launches
+    end to end; the logs own disjoint directory trees and Spark
+    schedules concurrently-submitted jobs fine, so the tick's wall cost
+    is the one log with the longest carry chain (merges WITHIN a log
+    stay sequential — carry propagation is inherently ordered). At
+    cluster scale the same holds: state-log maintenance for independent
+    tiers should overlap, not queue."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    logs = [l for l in logs if l is not None]
+    if len(logs) <= 1:
+        return sum(
+            l.maintain(before_batch=before_batch, fanout=fanout)
+            for l in logs
+        )
+    with ThreadPoolExecutor(max_workers=len(logs)) as ex:
+        return sum(
+            ex.map(
+                lambda l: l.maintain(
+                    before_batch=before_batch, fanout=fanout
+                ),
+                logs,
+            )
+        )
+
+
 class UpsertLog:
     """Log-structured upsert table: each micro-batch *appends* its emitted
     rows under ``<root>/__batch_id=N/``; readers resolve last-writer-wins

@@ -26,7 +26,10 @@ from contextlib import contextmanager
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_streaming_patterns_spark.operators.merge import SummaryTable
+from duckdb_streaming_patterns_spark.operators.merge import (
+    SummaryTable,
+    maintain_all,
+)
 from duckdb_streaming_patterns_spark.operators.summary import CLICK
 from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
 from duckdb_streaming_patterns_spark.streaming import staging
@@ -1233,9 +1236,15 @@ def pattern_streaming_semdedup(
             # maintenance is the TIERED scheme (maintain, O(log) write
             # amplification), not a full fold — the epoch refold is the
             # only O(state) rewrite and it is doubling-scheduled.
-            if not _semdedup_retrain_due(batch_id):
-                vecs_log.maintain(before_batch=batch_id)
-            verdict_log.maintain(before_batch=batch_id)
+            maintain_all(
+                [
+                    None
+                    if _semdedup_retrain_due(batch_id)
+                    else vecs_log,
+                    verdict_log,
+                ],
+                before_batch=batch_id,
+            )
         semdedup_stream_batch(
             vecs_log, verdict_log, quant_dir, batch, batch_id,
             threshold, n_cells,
@@ -1558,8 +1567,11 @@ def pattern_corpus_ingest_dedup(
         # would poison the retry's pre-batch state read (covered by
         # test_corpus_dedup_compact_interleaves_with_retry).
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            seen_log.maintain(before_batch=batch_id, fanout=maintain_fanout)
-            verdict_log.maintain(before_batch=batch_id, fanout=maintain_fanout)
+            maintain_all(
+                [seen_log, verdict_log],
+                before_batch=batch_id,
+                fanout=maintain_fanout,
+            )
         corpus_dedup_batch(seen_log, verdict_log, batch, batch_id)
 
     with _state_partitions(spark, state_partitions):
@@ -1622,8 +1634,7 @@ def pattern_streaming_ingest_funnel(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            seen_log.maintain(before_batch=batch_id)
-            verdict_log.maintain(before_batch=batch_id)
+            maintain_all([seen_log, verdict_log], before_batch=batch_id)
         ingest_funnel_batch(seen_log, verdict_log, bench_bitset, batch, batch_id)
 
     with _state_partitions(spark, state_partitions):
@@ -1694,10 +1705,14 @@ def pattern_streaming_neardup_dedup(
     )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        # same scoped in-loop LSM maintenance as pattern_corpus_ingest_dedup
+        # same scoped in-loop LSM maintenance as pattern_corpus_ingest_dedup;
+        # the four logs are independent, so their merge chains overlap
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            for log in (seen_log, bands_log, docs_log, verdict_log):
-                log.maintain(before_batch=batch_id, fanout=maintain_fanout)
+            maintain_all(
+                (seen_log, bands_log, docs_log, verdict_log),
+                before_batch=batch_id,
+                fanout=maintain_fanout,
+            )
         neardup_dedup_batch(
             seen_log, bands_log, docs_log, verdict_log, batch, batch_id,
             threshold, verdict_extender=verdict_extender,

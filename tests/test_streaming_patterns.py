@@ -570,6 +570,60 @@ def test_upsert_log_maintain_is_tiered_carry_counter(spark, tmp_path):
     assert max(weights) == 64
 
 
+def test_maintain_all_is_equivalent_to_sequential_maintains(spark, tmp_path):
+    """maintain_all() runs the logs' merge chains on concurrent threads;
+    each log must end in exactly the state sequential maintain() gives
+    it — same merge counts, same resolved reads, same bounded dir count
+    — for a mixed fleet (insert-only, LWW, bucketed insert-only) like a
+    real maintenance tick touches. None entries are skipped (the
+    semdedup retrain-tick shape)."""
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        UpsertLog,
+        maintain_all,
+    )
+
+    def build(sub: str, **kw) -> UpsertLog:
+        return UpsertLog(spark, str(tmp_path / sub), keys=["k"], **kw)
+
+    con_logs = [
+        build("c_io", insert_only=True),
+        build("c_lww"),
+        build("c_kb", insert_only=True, bucket_col="k", n_buckets=4),
+    ]
+    seq_logs = [
+        build("s_io", insert_only=True),
+        build("s_lww"),
+        build("s_kb", insert_only=True, bucket_col="k", n_buckets=4),
+    ]
+    for i in range(8):
+        df = spark.createDataFrame(
+            [(i % 5, f"v{i}")], "k long, v string"
+        )  # LWW log sees key collisions; insert-only logs use (i, ...)
+        io_df = spark.createDataFrame([(i, f"v{i}")], "k long, v string")
+        for logs in (con_logs, seq_logs):
+            logs[0].append(io_df, i)
+            logs[1].append(df, i)
+            logs[2].append(io_df, i)
+        con = maintain_all(
+            [None, *con_logs], before_batch=i + 1, fanout=2
+        )
+        seq = sum(
+            l.maintain(before_batch=i + 1, fanout=2) for l in seq_logs
+        )
+        assert con == seq, (i, con, seq)
+    for c, s in zip(con_logs, seq_logs):
+        got = {tuple(r) for r in c.read_latest().collect()}
+        want = {tuple(r) for r in s.read_latest().collect()}
+        assert got == want
+        n_c = len(
+            [d for d in os.listdir(c.root) if d.startswith("__batch_id=")]
+        )
+        n_s = len(
+            [d for d in os.listdir(s.root) if d.startswith("__batch_id=")]
+        )
+        assert n_c == n_s
+
+
 def test_upsert_log_maintain_survives_gc_crash(spark, tmp_path):
     """Crash window: a merge commits (rename) but its GC dies leaving a
     source dir on disk. The manifest covers it (no duplicate rows), and

@@ -128,6 +128,28 @@ def maintain_all(
         )
 
 
+def append_all(writes, batch_id: int) -> None:
+    """Append ``(log, df)`` pairs to INDEPENDENT logs concurrently. A
+    micro-batch of the dedup patterns ends with 2-4 state appends whose
+    inputs are already evaluated (localCheckpoint'ed upstream), so each
+    append is a small write job dominated by job-launch latency;
+    sequential appends pay that latency per log. The logs own disjoint
+    batch dirs, every append is idempotent on its own dir
+    (mode=overwrite), and the crash contract is unchanged: a retry sees
+    the pre-batch state regardless of WHICH subset of the appends
+    landed, because all state reads are before_batch-scoped — the
+    sequential order never carried meaning, only cost."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    writes = list(writes)
+    if len(writes) <= 1:
+        for log, df in writes:
+            log.append(df, batch_id)
+        return
+    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
+        list(ex.map(lambda w: w[0].append(w[1], batch_id), writes))
+
+
 class UpsertLog:
     """Log-structured upsert table: each micro-batch *appends* its emitted
     rows under ``<root>/__batch_id=N/``; readers resolve last-writer-wins

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from duckdb_streaming_patterns_spark.operators.merge import (
     SummaryTable,
+    append_all,
     maintain_all,
 )
 from duckdb_streaming_patterns_spark.operators.summary import CLICK
@@ -1484,8 +1485,7 @@ def semdedup_stream_batch(
         )
         .localCheckpoint(eager=True)  # evaluate BEFORE appends
     )
-    vecs_log.append(assigned, batch_id)
-    verdict_log.append(verdicts, batch_id)
+    append_all([(vecs_log, assigned), (verdict_log, verdicts)], batch_id)
 
 
 def pattern_corpus_ingest_dedup(
@@ -2245,13 +2245,20 @@ def neardup_dedup_batch(
         # downstream tiers (quality/contamination) refine the 'keep' rows
         verdicts = verdict_extender(batch, verdicts)
     verdicts = verdicts.localCheckpoint(eager=True)  # evaluate BEFORE appends
-    seen_log.append(new_firsts, batch_id)
-    bands_log.append(batch_bands, batch_id)
-    # the verify-time state is the SHINGLE SET, not raw text: nothing
-    # re-shingles at verify time, and the at-rest scan is the narrow
-    # array column (batch_sets is the shared, already-evaluated frame)
-    docs_log.append(batch_sets, batch_id)
-    verdict_log.append(verdicts, batch_id)
+    # the verify-time docs state is the SHINGLE SET, not raw text:
+    # nothing re-shingles at verify time, and the at-rest scan is the
+    # narrow array column (batch_sets is the shared, already-evaluated
+    # frame). All four inputs are evaluated, the logs are independent —
+    # the appends overlap instead of queueing their write jobs
+    append_all(
+        [
+            (seen_log, new_firsts),
+            (bands_log, batch_bands),
+            (docs_log, batch_sets),
+            (verdict_log, verdicts),
+        ],
+        batch_id,
+    )
 
 
 def dedup_matched_state(seen_log, firsts, batch_id: int) -> DataFrame:
@@ -2390,8 +2397,7 @@ def ingest_funnel_batch(
         )
         .localCheckpoint(eager=True)
     )
-    seen_log.append(new_firsts, batch_id)
-    verdict_log.append(verdicts, batch_id)
+    append_all([(seen_log, new_firsts), (verdict_log, verdicts)], batch_id)
 
 
 def corpus_dedup_batch(seen_log, verdict_log, batch: DataFrame, batch_id: int) -> None:
@@ -2410,5 +2416,4 @@ def corpus_dedup_batch(seen_log, verdict_log, batch: DataFrame, batch_id: int) -
         )
         .localCheckpoint(eager=True)
     )
-    seen_log.append(new_firsts, batch_id)
-    verdict_log.append(verdicts, batch_id)
+    append_all([(seen_log, new_firsts), (verdict_log, verdicts)], batch_id)

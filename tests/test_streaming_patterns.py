@@ -624,6 +624,37 @@ def test_maintain_all_is_equivalent_to_sequential_maintains(spark, tmp_path):
         assert n_c == n_s
 
 
+def test_append_all_is_equivalent_to_sequential_appends(spark, tmp_path):
+    """append_all() writes each (log, df) pair from its own thread; the
+    resolved reads must equal sequential appends', and a re-delivered
+    batch (the foreachBatch retry shape) must stay idempotent."""
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        UpsertLog,
+        append_all,
+    )
+
+    con = [
+        UpsertLog(spark, str(tmp_path / "ca"), keys=["k"], insert_only=True),
+        UpsertLog(spark, str(tmp_path / "cb"), keys=["k"]),
+    ]
+    seq = [
+        UpsertLog(spark, str(tmp_path / "sa"), keys=["k"], insert_only=True),
+        UpsertLog(spark, str(tmp_path / "sb"), keys=["k"]),
+    ]
+    for i in range(3):
+        a = spark.createDataFrame([(i, f"a{i}")], "k long, v string")
+        b = spark.createDataFrame([(i % 2, f"b{i}")], "k long, v string")
+        append_all([(con[0], a), (con[1], b)], i)
+        if i == 1:  # retry re-delivery: overwrite the same batch dirs
+            append_all([(con[0], a), (con[1], b)], i)
+        seq[0].append(a, i)
+        seq[1].append(b, i)
+    for c, s in zip(con, seq):
+        got = {tuple(r) for r in c.read_latest().collect()}
+        want = {tuple(r) for r in s.read_latest().collect()}
+        assert got == want
+
+
 def test_upsert_log_maintain_survives_gc_crash(spark, tmp_path):
     """Crash window: a merge commits (rename) but its GC dies leaving a
     source dir on disk. The manifest covers it (no duplicate rows), and

@@ -2163,24 +2163,54 @@ def neardup_dedup_batch(
     # re-reads and re-hashes/re-shingles the batch text: ~6 full text
     # passes per batch, which is the dominant per-batch CPU at real
     # text volumes.
-    bh = batch.select(
-        "doc_id", F.md5(F.col("text")).alias("__h")
-    ).localCheckpoint(eager=True)
-    firsts = bh.groupBy("__h").agg(F.min("doc_id").alias("canonical_id"))
-    # ONE shingle computation per batch, shared by the batch-internal
-    # verify, the cross-corpus verify, the docs-state append, AND the
-    # band index below (signatures derive from the shingle sets —
-    # bit-identical, see minhash_signatures)
-    batch_sets = batch.select(
-        "doc_id", shingles(F.col("text")).alias("s")
-    ).localCheckpoint(eager=True)
-    # the band index derives from batch_sets: no third text read, no
-    # second regex-shingling; checkpointed because it feeds the state
-    # append, the cross-corpus candidate join, and the batch-internal
-    # pair search
-    batch_bands = dedup_ops.minhash_bands(
-        batch, "doc_id", "text", sets=batch_sets
-    ).localCheckpoint(eager=True)
+    # The two text passes and their downstream state probes form two
+    # INDEPENDENT chains — (md5 → exact-match state probe) and
+    # (shingles → band index) — so they run on concurrent threads: the
+    # exact tier's state join overlaps the (more expensive) minhash
+    # signature computation instead of queueing behind it. Each chain's
+    # internal order is a real data dependency and stays sequential.
+    def _exact_chain():
+        bh = batch.select(
+            "doc_id", F.md5(F.col("text")).alias("__h")
+        ).localCheckpoint(eager=True)
+        firsts = bh.groupBy("__h").agg(
+            F.min("doc_id").alias("canonical_id")
+        )
+        # batch-sized hashes already in state, via the broadcast-batch
+        # state join (never an anti-join that builds on the state side)
+        # — checkpointed so the state scan runs once, not per consumer
+        matched = (
+            dedup_matched_state(seen_log, firsts, batch_id)
+            .select("__h")
+            .localCheckpoint(eager=True)
+            if have_state
+            else None
+        )
+        return bh, firsts, matched
+
+    def _shingle_chain():
+        # ONE shingle computation per batch, shared by the
+        # batch-internal verify, the cross-corpus verify, the
+        # docs-state append, AND the band index (signatures derive
+        # from the shingle sets — bit-identical, see minhash_signatures)
+        batch_sets = batch.select(
+            "doc_id", shingles(F.col("text")).alias("s")
+        ).localCheckpoint(eager=True)
+        # the band index derives from batch_sets: no third text read,
+        # no second regex-shingling; checkpointed because it feeds the
+        # state append, the cross-corpus candidate join, and the
+        # batch-internal pair search
+        batch_bands = dedup_ops.minhash_bands(
+            batch, "doc_id", "text", sets=batch_sets
+        ).localCheckpoint(eager=True)
+        return batch_sets, batch_bands
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f_exact = _ex.submit(_exact_chain)
+        batch_sets, batch_bands = _shingle_chain()
+        bh, firsts, matched = _f_exact.result()
     # batch-internal earlier matches: id_a < id_b ⇒ id_a arrived first.
     # The hot-bucket cap is passed EXPLICITLY (the batch operator's
     # default is uncapped to keep its exact all-pairs oracle honest) —
@@ -2190,14 +2220,6 @@ def neardup_dedup_batch(
         max_bucket=dedup_ops.MAX_BAND_BUCKET, sets=batch_sets,
     ).select(F.col("id_b").alias("doc_id"), "jaccard")
     if have_state:
-        # batch-sized hashes already in state, via the broadcast-batch
-        # state join (never an anti-join that builds on the state side) —
-        # checkpointed so the state scan runs once, not once per consumer
-        matched = (
-            dedup_matched_state(seen_log, firsts, batch_id)
-            .select("__h")
-            .localCheckpoint(eager=True)
-        )
         prior = neardup_prior_matches(
             docs_log, bands_log, batch, batch_bands, batch_id, threshold,
             batch_sets=batch_sets,

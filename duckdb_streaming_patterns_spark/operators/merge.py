@@ -150,6 +150,27 @@ def append_all(writes, batch_id: int) -> None:
         list(ex.map(lambda w: w[0].append(w[1], batch_id), writes))
 
 
+def overlap(*thunks):
+    """Run INDEPENDENT driver-side actions concurrently and return their
+    results in argument order. The general form of ``append_all`` /
+    ``maintain_all``: a micro-batch loop often ends with two actions
+    that share no data dependency (e.g. a verdict-log append and a
+    fenced summary merge, both consuming an already-checkpointed frame)
+    — each a small Spark job dominated by job-launch latency, and
+    serializing them doubles that cost. Only pass thunks whose ORDER
+    carries no crash-contract meaning (fenced merges and idempotent
+    per-batch-dir appends qualify: a retry resolves identically
+    whichever subset landed). A thunk's exception propagates, failing
+    the batch exactly like the sequential form."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return [f.result() for f in futures]
+
+
 class UpsertLog:
     """Log-structured upsert table: each micro-batch *appends* its emitted
     rows under ``<root>/__batch_id=N/``; readers resolve last-writer-wins

@@ -30,6 +30,7 @@ from duckdb_streaming_patterns_spark.operators.merge import (
     SummaryTable,
     append_all,
     maintain_all,
+    overlap,
 )
 from duckdb_streaming_patterns_spark.operators.summary import CLICK
 from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
@@ -1902,12 +1903,22 @@ def source_caps_batch(
         )
         .localCheckpoint(eager=True)  # evaluate BEFORE state mutations
     )
-    verdict_log.append(verdicts, batch_id)
-    if not applied:
-        delta = verdicts.groupBy("source").agg(F.count("*").alias("n_seen"))
-        counts.merge_batch(
-            delta, batch_id, keys=["source"], add_cols=["n_seen"], max_cols=[]
-        )
+    def _merge_counts():
+        if not applied:
+            delta = verdicts.groupBy("source").agg(
+                F.count("*").alias("n_seen")
+            )
+            counts.merge_batch(
+                delta,
+                batch_id,
+                keys=["source"],
+                add_cols=["n_seen"],
+                max_cols=[],
+            )
+
+    # both mutations consume the checkpointed verdicts and the crash
+    # contract is order-free (fenced merge, idempotent append) — overlap
+    overlap(lambda: verdict_log.append(verdicts, batch_id), _merge_counts)
 
 
 def pattern_streaming_quality_drift(
@@ -1998,16 +2009,24 @@ def quality_drift_batch(
     # an empty retry epoch) aggregates to NULL sums, and Decimal(None)
     # would raise — the empty batch must still emit its (0, 0, 0,
     # drift=false) row
-    row = qs.select(ql.alias("__ql")).agg(
-        F.count("*").alias("n"),
-        F.coalesce(F.sum("__ql"), F.lit(0).cast("decimal(28,6)")).alias("s"),
-        F.coalesce(
-            F.sum(F.when(F.col("__ql") < 0, 1).otherwise(0)), F.lit(0)
-        ).alias("d"),
-    ).first()
-    b_n, b_s, b_d = int(row["n"]), Decimal(row["s"]), int(row["d"])
     applied = cum.last_batch_id() >= batch_id
-    prior = (cum.read_prev() if applied else cum.read()).collect()
+    # the batch aggregation and the prior-state read share nothing —
+    # overlap the two collect jobs
+    row, prior = overlap(
+        lambda: qs.select(ql.alias("__ql"))
+        .agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum("__ql"), F.lit(0).cast("decimal(28,6)")
+            ).alias("s"),
+            F.coalesce(
+                F.sum(F.when(F.col("__ql") < 0, 1).otherwise(0)), F.lit(0)
+            ).alias("d"),
+        )
+        .first(),
+        lambda: (cum.read_prev() if applied else cum.read()).collect(),
+    )
+    b_n, b_s, b_d = int(row["n"]), Decimal(row["s"]), int(row["d"])
     if prior:
         p_n, p_s = int(prior[0]["n_docs"]), Decimal(prior[0]["sum_logit"])
         p_d = int(prior[0]["n_dropped"])
@@ -2020,13 +2039,16 @@ def quality_drift_batch(
         "batch_seq long, n_docs long, sum_logit double,"
         " n_dropped long, drift boolean",
     )
-    verdict_log.append(verdict, batch_id)
-    if not applied:
-        new = spark.createDataFrame(
-            [(p_n + b_n, p_s + b_s, p_d + b_d)],
-            "n_docs long, sum_logit decimal(28,6), n_dropped long",
-        )
-        cum.overwrite(new, batch_id=batch_id)
+    def _roll_cum():
+        if not applied:
+            new = spark.createDataFrame(
+                [(p_n + b_n, p_s + b_s, p_d + b_d)],
+                "n_docs long, sum_logit decimal(28,6), n_dropped long",
+            )
+            cum.overwrite(new, batch_id=batch_id)
+
+    # order-free crash contract (fenced overwrite, idempotent append)
+    overlap(lambda: verdict_log.append(verdict, batch_id), _roll_cum)
 
 
 def neardup_state_logs(spark: SparkSession, run_dir: str):

@@ -2404,26 +2404,39 @@ def ingest_funnel_batch(
     from duckdb_streaming_patterns_spark.operators import textstats
     from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
 
-    b, new_firsts, canon = _dedup_tier(seen_log, batch, batch_id)
+    # The stateless quality+bloom tier (two full text passes) and the
+    # exact-dedup tier (md5 → state probe) share no data — run them on
+    # two threads; the verdict assembly below then joins two evaluated
+    # batch-sized frames in one cheap job.
+    def _quality_bloom():
+        qs = textstats.quality_scores(batch, "doc_id", "text")
+        logit = qc_logit(qs)
+        quality = qs.select(
+            "doc_id",
+            F.round(logit, 6).alias("quality_logit"),
+            (logit >= 0).alias("__q_keep"),
+        )
+        sh = batch.select(
+            "doc_id", shingles(F.col("text")).alias("s")
+        ).filter(F.size("s") >= 1)
+        bloomed = dedup_ops.bloom_flag_docs(sh, bench_bitset).select(
+            "doc_id", "bloom_flagged"
+        )
+        return quality.join(bloomed, "doc_id", "left").localCheckpoint(
+            eager=True
+        )
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=2) as _ex:
+        _f_qb = _ex.submit(_quality_bloom)
+        b, new_firsts, canon = _dedup_tier(seen_log, batch, batch_id)
+        qb = _f_qb.result()
     # canon is batch-sized by construction — pin it as the build side so a
     # planner regression can never flip the join into shuffling anything
     dd = b.join(F.broadcast(canon), "__h").select("doc_id", "canonical_id")
-    qs = textstats.quality_scores(batch, "doc_id", "text")
-    logit = qc_logit(qs)
-    quality = qs.select(
-        "doc_id",
-        F.round(logit, 6).alias("quality_logit"),
-        (logit >= 0).alias("__q_keep"),
-    )
-    sh = batch.select("doc_id", shingles(F.col("text")).alias("s")).filter(
-        F.size("s") >= 1
-    )
-    bloomed = dedup_ops.bloom_flag_docs(sh, bench_bitset).select(
-        "doc_id", "bloom_flagged"
-    )
     verdicts = (
-        dd.join(quality, "doc_id")
-        .join(bloomed, "doc_id", "left")
+        dd.join(qb, "doc_id")
         .withColumn("bloom_flagged", F.coalesce("bloom_flagged", F.lit(False)))
         .withColumn(
             "verdict",

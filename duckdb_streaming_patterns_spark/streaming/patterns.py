@@ -1759,42 +1759,59 @@ def pattern_streaming_full_funnel(
     from duckdb_streaming_patterns_spark.operators import textstats
     from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
 
-    def extend(batch: DataFrame, v: DataFrame) -> DataFrame:
-        qs = textstats.quality_scores(batch, "doc_id", "text")
-        logit = qc_logit(qs)
-        quality = qs.select(
-            "doc_id",
-            F.round(logit, 6).alias("quality_logit"),
-            (logit >= 0).alias("__q_keep"),
-        )
-        sh8 = batch.select(
-            "doc_id", shingles(F.col("text"), k=8).alias("s")
-        ).filter(F.size("s") >= 1)
-        bloomed = dedup_ops.bloom_flag_docs(sh8, bench_bitset).select(
-            "doc_id", "bloom_flagged"
-        )
-        return (
-            v.join(quality, "doc_id")
-            .join(bloomed, "doc_id", "left")
-            .withColumn(
-                "bloom_flagged", F.coalesce("bloom_flagged", F.lit(False))
-            )
-            .withColumn(
-                "verdict",
-                F.when(F.col("verdict") != "keep", F.col("verdict"))
-                .when(~F.col("__q_keep"), "drop_quality")
-                .when(F.col("bloom_flagged"), "flag_contaminated")
-                .otherwise("keep"),
-            )
-            .select(
+    class _Extend:
+        """prepare() is the stateless quality+bloom tier — two full text
+        passes evaluated into one batch-sized frame. neardup_dedup_batch
+        runs it on a spare thread OVERLAPPED with the dedup chains (see
+        its prepare-hook), so the per-batch text passes cost max(chain,
+        tier) instead of their sum; the __call__ assembly then joins two
+        already-evaluated frames."""
+
+        @staticmethod
+        def prepare(batch: DataFrame) -> DataFrame:
+            qs = textstats.quality_scores(batch, "doc_id", "text")
+            logit = qc_logit(qs)
+            quality = qs.select(
                 "doc_id",
-                "verdict",
-                "n_near_matches",
-                "best_jaccard",
-                "quality_logit",
-                "bloom_flagged",
+                F.round(logit, 6).alias("quality_logit"),
+                (logit >= 0).alias("__q_keep"),
             )
-        )
+            sh8 = batch.select(
+                "doc_id", shingles(F.col("text"), k=8).alias("s")
+            ).filter(F.size("s") >= 1)
+            bloomed = dedup_ops.bloom_flag_docs(sh8, bench_bitset).select(
+                "doc_id", "bloom_flagged"
+            )
+            return quality.join(bloomed, "doc_id", "left").localCheckpoint(
+                eager=True
+            )
+
+        def __call__(
+            self, batch: DataFrame, v: DataFrame, prepared=None
+        ) -> DataFrame:
+            qb = prepared if prepared is not None else self.prepare(batch)
+            return (
+                v.join(qb, "doc_id")
+                .withColumn(
+                    "bloom_flagged",
+                    F.coalesce("bloom_flagged", F.lit(False)),
+                )
+                .withColumn(
+                    "verdict",
+                    F.when(F.col("verdict") != "keep", F.col("verdict"))
+                    .when(~F.col("__q_keep"), "drop_quality")
+                    .when(F.col("bloom_flagged"), "flag_contaminated")
+                    .otherwise("keep"),
+                )
+                .select(
+                    "doc_id",
+                    "verdict",
+                    "n_near_matches",
+                    "best_jaccard",
+                    "quality_logit",
+                    "bloom_flagged",
+                )
+            )
 
     return pattern_streaming_neardup_dedup(
         spark,
@@ -1803,7 +1820,7 @@ def pattern_streaming_full_funnel(
         threshold=threshold,
         state_partitions=state_partitions,
         compact_every=compact_every,
-        verdict_extender=extend,
+        verdict_extender=_Extend(),
         extra_cols=("quality_logit", "bloom_flagged"),
         maintain_fanout=maintain_fanout,
     )
@@ -2229,10 +2246,17 @@ def neardup_dedup_batch(
 
     from concurrent.futures import ThreadPoolExecutor
 
-    with ThreadPoolExecutor(max_workers=2) as _ex:
+    # An extender exposing prepare(batch) gets its stateless tier (e.g.
+    # the full funnel's quality+bloom text passes) evaluated on a THIRD
+    # thread here, overlapped with both dedup chains, instead of lazily
+    # inside the verdict-assembly job after them.
+    _prep = getattr(verdict_extender, "prepare", None)
+    with ThreadPoolExecutor(max_workers=3) as _ex:
         _f_exact = _ex.submit(_exact_chain)
+        _f_prep = _ex.submit(_prep, batch) if _prep is not None else None
         batch_sets, batch_bands = _shingle_chain()
         bh, firsts, matched = _f_exact.result()
+        prepared = _f_prep.result() if _f_prep is not None else None
     # batch-internal earlier matches: id_a < id_b ⇒ id_a arrived first.
     # The hot-bucket cap is passed EXPLICITLY (the batch operator's
     # default is uncapped to keep its exact all-pairs oracle honest) —
@@ -2287,7 +2311,11 @@ def neardup_dedup_batch(
     )
     if verdict_extender is not None:
         # downstream tiers (quality/contamination) refine the 'keep' rows
-        verdicts = verdict_extender(batch, verdicts)
+        verdicts = (
+            verdict_extender(batch, verdicts, prepared=prepared)
+            if prepared is not None
+            else verdict_extender(batch, verdicts)
+        )
     verdicts = verdicts.localCheckpoint(eager=True)  # evaluate BEFORE appends
     # the verify-time docs state is the SHINGLE SET, not raw text:
     # nothing re-shingles at verify time, and the at-rest scan is the

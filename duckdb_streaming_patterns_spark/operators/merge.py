@@ -95,6 +95,57 @@ def replace_merge(
     return merged.select(*out_cols)
 
 
+def overlap(*thunks):
+    """Run INDEPENDENT driver-side actions concurrently and return their
+    results in argument order. A micro-batch loop often serializes
+    actions that share no data dependency (state-log merge chains,
+    end-of-batch appends of already-evaluated frames, a verdict-log
+    append beside a fenced summary merge) — each a small Spark job
+    dominated by job-launch latency, so serializing them multiplies
+    that cost. Only pass thunks whose ORDER carries no crash-contract
+    meaning (fenced merges and idempotent per-batch-dir appends
+    qualify: a retry resolves identically whichever subset landed). A
+    thunk's exception propagates, failing the batch exactly like the
+    sequential form.
+
+    Threads are ``pyspark.InheritableThread``, not a bare pool: they
+    inherit the caller's JVM-local properties — the streaming query's
+    job group and scheduler pool, so cancelling the query interrupts
+    the child jobs too — and in py4j pinned-thread mode they clean up
+    their JVM thread on exit instead of leaking one per call on an
+    unbounded stream."""
+    if len(thunks) == 1:
+        return [thunks[0]()]
+    try:
+        from pyspark import InheritableThread as _Thread
+    except ImportError:  # pragma: no cover - ancient pyspark
+        from threading import Thread as _Thread
+
+    results: list = [None] * len(thunks)
+    errors: list = []
+
+    def _runner(i, fn):
+        def run():
+            try:
+                results[i] = fn()
+            except BaseException as e:  # propagate to the caller below
+                errors.append(e)
+
+        return run
+
+    threads = [
+        _Thread(target=_runner(i, fn), daemon=True)
+        for i, fn in enumerate(thunks)
+    ]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    if errors:
+        raise errors[0]
+    return results
+
+
 def maintain_all(
     logs, before_batch: int | None = None, fanout: int = 8
 ) -> int:
@@ -109,23 +160,21 @@ def maintain_all(
     stay sequential — carry propagation is inherently ordered). At
     cluster scale the same holds: state-log maintenance for independent
     tiers should overlap, not queue."""
-    from concurrent.futures import ThreadPoolExecutor
-
     logs = [l for l in logs if l is not None]
-    if len(logs) <= 1:
-        return sum(
-            l.maintain(before_batch=before_batch, fanout=fanout)
-            for l in logs
+    return sum(
+        overlap(
+            *[
+                (
+                    lambda l=l: l.maintain(
+                        before_batch=before_batch, fanout=fanout
+                    )
+                )
+                for l in logs
+            ]
         )
-    with ThreadPoolExecutor(max_workers=len(logs)) as ex:
-        return sum(
-            ex.map(
-                lambda l: l.maintain(
-                    before_batch=before_batch, fanout=fanout
-                ),
-                logs,
-            )
-        )
+        if logs
+        else []
+    )
 
 
 def append_all(writes, batch_id: int) -> None:
@@ -139,36 +188,14 @@ def append_all(writes, batch_id: int) -> None:
     the pre-batch state regardless of WHICH subset of the appends
     landed, because all state reads are before_batch-scoped — the
     sequential order never carried meaning, only cost."""
-    from concurrent.futures import ThreadPoolExecutor
-
     writes = list(writes)
-    if len(writes) <= 1:
-        for log, df in writes:
-            log.append(df, batch_id)
-        return
-    with ThreadPoolExecutor(max_workers=len(writes)) as ex:
-        list(ex.map(lambda w: w[0].append(w[1], batch_id), writes))
-
-
-def overlap(*thunks):
-    """Run INDEPENDENT driver-side actions concurrently and return their
-    results in argument order. The general form of ``append_all`` /
-    ``maintain_all``: a micro-batch loop often ends with two actions
-    that share no data dependency (e.g. a verdict-log append and a
-    fenced summary merge, both consuming an already-checkpointed frame)
-    — each a small Spark job dominated by job-launch latency, and
-    serializing them doubles that cost. Only pass thunks whose ORDER
-    carries no crash-contract meaning (fenced merges and idempotent
-    per-batch-dir appends qualify: a retry resolves identically
-    whichever subset landed). A thunk's exception propagates, failing
-    the batch exactly like the sequential form."""
-    from concurrent.futures import ThreadPoolExecutor
-
-    if len(thunks) == 1:
-        return [thunks[0]()]
-    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
-        futures = [ex.submit(t) for t in thunks]
-        return [f.result() for f in futures]
+    if writes:
+        overlap(
+            *[
+                (lambda log=log, df=df: log.append(df, batch_id))
+                for log, df in writes
+            ]
+        )
 
 
 class UpsertLog:

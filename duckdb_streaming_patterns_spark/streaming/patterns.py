@@ -2244,19 +2244,18 @@ def neardup_dedup_batch(
         ).localCheckpoint(eager=True)
         return batch_sets, batch_bands
 
-    from concurrent.futures import ThreadPoolExecutor
-
     # An extender exposing prepare(batch) gets its stateless tier (e.g.
     # the full funnel's quality+bloom text passes) evaluated on a THIRD
     # thread here, overlapped with both dedup chains, instead of lazily
     # inside the verdict-assembly job after them.
     _prep = getattr(verdict_extender, "prepare", None)
-    with ThreadPoolExecutor(max_workers=3) as _ex:
-        _f_exact = _ex.submit(_exact_chain)
-        _f_prep = _ex.submit(_prep, batch) if _prep is not None else None
-        batch_sets, batch_bands = _shingle_chain()
-        bh, firsts, matched = _f_exact.result()
-        prepared = _f_prep.result() if _f_prep is not None else None
+    _thunks = [_exact_chain, _shingle_chain]
+    if _prep is not None:
+        _thunks.append(lambda: _prep(batch))
+    _res = overlap(*_thunks)
+    bh, firsts, matched = _res[0]
+    batch_sets, batch_bands = _res[1]
+    prepared = _res[2] if _prep is not None else None
     # batch-internal earlier matches: id_a < id_b ⇒ id_a arrived first.
     # The hot-bucket cap is passed EXPLICITLY (the batch operator's
     # default is uncapped to keep its exact all-pairs oracle honest) —
@@ -2454,12 +2453,9 @@ def ingest_funnel_batch(
             eager=True
         )
 
-    from concurrent.futures import ThreadPoolExecutor
-
-    with ThreadPoolExecutor(max_workers=2) as _ex:
-        _f_qb = _ex.submit(_quality_bloom)
-        b, new_firsts, canon = _dedup_tier(seen_log, batch, batch_id)
-        qb = _f_qb.result()
+    qb, (b, new_firsts, canon) = overlap(
+        _quality_bloom, lambda: _dedup_tier(seen_log, batch, batch_id)
+    )
     # canon is batch-sized by construction — pin it as the build side so a
     # planner regression can never flip the join into shuffling anything
     dd = b.join(F.broadcast(canon), "__h").select("doc_id", "canonical_id")

@@ -113,13 +113,22 @@ def overlap(*thunks):
     job group and scheduler pool, so cancelling the query interrupts
     the child jobs too — and in py4j pinned-thread mode they clean up
     their JVM thread on exit instead of leaking one per call on an
-    unbounded stream."""
+    unbounded stream. The LAST thunk runs on the calling thread (it
+    would only idle in join() otherwise), so the common 2-thunk case
+    spawns exactly one thread per call. Under Spark Connect the active
+    session is threaded through as InheritableThread's required
+    ``session``."""
     if len(thunks) == 1:
         return [thunks[0]()]
     try:
         from pyspark import InheritableThread as _Thread
+        from pyspark.sql import SparkSession
+
+        _kw = {"session": SparkSession.getActiveSession()}
     except ImportError:  # pragma: no cover - ancient pyspark
         from threading import Thread as _Thread
+
+        _kw = {}
 
     results: list = [None] * len(thunks)
     errors: list = []
@@ -134,11 +143,12 @@ def overlap(*thunks):
         return run
 
     threads = [
-        _Thread(target=_runner(i, fn), daemon=True)
-        for i, fn in enumerate(thunks)
+        _Thread(target=_runner(i, fn), daemon=True, **_kw)
+        for i, fn in enumerate(thunks[:-1])
     ]
     for t in threads:
         t.start()
+    _runner(len(thunks) - 1, thunks[-1])()
     for t in threads:
         t.join()
     if errors:

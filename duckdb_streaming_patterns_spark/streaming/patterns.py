@@ -1754,10 +1754,6 @@ def pattern_streaming_full_funnel(
     scoped state reads, idempotent per-batch appends) is inherited
     unchanged. Per-batch cost = the near-dup pattern's plus one scan-side
     quality expression and one Arrow bloom pass — nothing new shuffles."""
-    from duckdb_streaming_patterns_spark.functions.text import shingles
-    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
-    from duckdb_streaming_patterns_spark.operators import textstats
-    from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
 
     class _Extend:
         """prepare() is the stateless quality+bloom tier — two full text
@@ -1769,22 +1765,9 @@ def pattern_streaming_full_funnel(
 
         @staticmethod
         def prepare(batch: DataFrame) -> DataFrame:
-            qs = textstats.quality_scores(batch, "doc_id", "text")
-            logit = qc_logit(qs)
-            quality = qs.select(
-                "doc_id",
-                F.round(logit, 6).alias("quality_logit"),
-                (logit >= 0).alias("__q_keep"),
-            )
-            sh8 = batch.select(
-                "doc_id", shingles(F.col("text"), k=8).alias("s")
-            ).filter(F.size("s") >= 1)
-            bloomed = dedup_ops.bloom_flag_docs(sh8, bench_bitset).select(
-                "doc_id", "bloom_flagged"
-            )
-            return quality.join(bloomed, "doc_id", "left").localCheckpoint(
-                eager=True
-            )
+            # the benchmark Bloom unit is the word-8-gram (vs the dedup
+            # tiers' default shingle k)
+            return _quality_bloom_frame(batch, bench_bitset, k=8)
 
         def __call__(
             self, batch: DataFrame, v: DataFrame, prepared=None
@@ -2418,6 +2401,40 @@ def _dedup_tier(seen_log, batch: DataFrame, batch_id: int):
     return b, new_firsts, canon
 
 
+def _quality_bloom_frame(
+    batch: DataFrame, bench_bitset: bytes, k: int = 3
+) -> DataFrame:
+    """The stateless quality+contamination tier shared by the ingest
+    funnel and the full funnel's extender: per-doc logistic quality
+    logit + keep flag, left-joined with the k-gram Bloom contamination
+    flag, evaluated (localCheckpoint) into ONE batch-sized frame so the
+    caller can overlap the two text passes with its dedup chains and
+    assemble verdicts from pre-evaluated inputs. ``k`` is the Bloom
+    shingle unit (the full funnel's benchmark unit is the word 8-gram;
+    the ingest funnel uses the dedup tiers' default)."""
+    from duckdb_streaming_patterns_spark.functions.text import shingles
+    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
+    from duckdb_streaming_patterns_spark.operators import textstats
+    from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
+
+    qs = textstats.quality_scores(batch, "doc_id", "text")
+    logit = qc_logit(qs)
+    quality = qs.select(
+        "doc_id",
+        F.round(logit, 6).alias("quality_logit"),
+        (logit >= 0).alias("__q_keep"),
+    )
+    sh = batch.select(
+        "doc_id", shingles(F.col("text"), k=k).alias("s")
+    ).filter(F.size("s") >= 1)
+    bloomed = dedup_ops.bloom_flag_docs(sh, bench_bitset).select(
+        "doc_id", "bloom_flagged"
+    )
+    return quality.join(bloomed, "doc_id", "left").localCheckpoint(
+        eager=True
+    )
+
+
 def ingest_funnel_batch(
     seen_log, verdict_log, bench_bitset: bytes, batch: DataFrame, batch_id: int
 ) -> None:
@@ -2426,35 +2443,13 @@ def ingest_funnel_batch(
     foreachBatch would. Same before_batch-scoped state read as
     corpus_dedup_batch; quality and bloom tiers are stateless per doc, so
     a retry recomputes them bit-identically."""
-    from duckdb_streaming_patterns_spark.functions.text import shingles
-    from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
-    from duckdb_streaming_patterns_spark.operators import textstats
-    from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
-
     # The stateless quality+bloom tier (two full text passes) and the
     # exact-dedup tier (md5 → state probe) share no data — run them on
     # two threads; the verdict assembly below then joins two evaluated
     # batch-sized frames in one cheap job.
-    def _quality_bloom():
-        qs = textstats.quality_scores(batch, "doc_id", "text")
-        logit = qc_logit(qs)
-        quality = qs.select(
-            "doc_id",
-            F.round(logit, 6).alias("quality_logit"),
-            (logit >= 0).alias("__q_keep"),
-        )
-        sh = batch.select(
-            "doc_id", shingles(F.col("text")).alias("s")
-        ).filter(F.size("s") >= 1)
-        bloomed = dedup_ops.bloom_flag_docs(sh, bench_bitset).select(
-            "doc_id", "bloom_flagged"
-        )
-        return quality.join(bloomed, "doc_id", "left").localCheckpoint(
-            eager=True
-        )
-
     qb, (b, new_firsts, canon) = overlap(
-        _quality_bloom, lambda: _dedup_tier(seen_log, batch, batch_id)
+        lambda: _quality_bloom_frame(batch, bench_bitset),
+        lambda: _dedup_tier(seen_log, batch, batch_id),
     )
     # canon is batch-sized by construction — pin it as the build side so a
     # planner regression can never flip the join into shuffling anything

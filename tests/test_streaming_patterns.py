@@ -624,6 +624,36 @@ def test_maintain_all_is_equivalent_to_sequential_maintains(spark, tmp_path):
         assert n_c == n_s
 
 
+def test_overlap_preserves_order_and_propagates_errors(spark):
+    """overlap()'s contract: results come back in ARGUMENT order (not
+    completion order — the first thunk here finishes last), and any
+    thunk's exception reaches the caller so a micro-batch fails exactly
+    like the sequential form would."""
+    import time as _time
+
+    import pytest
+
+    from duckdb_streaming_patterns_spark.operators.merge import overlap
+
+    def slow_first():
+        _time.sleep(0.3)
+        return "first"
+
+    assert overlap(slow_first, lambda: "second", lambda: "third") == [
+        "first",
+        "second",
+        "third",
+    ]
+
+    def boom():
+        raise RuntimeError("batch tier failed")
+
+    with pytest.raises(RuntimeError, match="batch tier failed"):
+        overlap(slow_first, boom)
+    # single-thunk fast path runs inline
+    assert overlap(lambda: 7) == [7]
+
+
 def test_append_all_is_equivalent_to_sequential_appends(spark, tmp_path):
     """append_all() writes each (log, df) pair from its own thread; the
     resolved reads must equal sequential appends', and a re-delivered

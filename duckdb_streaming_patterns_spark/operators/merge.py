@@ -31,6 +31,8 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..plans.commitio import POSIX_IO
+
 
 def additive_merge(
     dest: DataFrame,
@@ -117,7 +119,15 @@ def overlap(*thunks):
     would only idle in join() otherwise), so the common 2-thunk case
     spawns exactly one thread per call. Under Spark Connect the active
     session is threaded through as InheritableThread's required
-    ``session``."""
+    ``session``.
+
+    When SEVERAL thunks fail, the first (by argument order) is raised
+    and every other failure is attached to it as an exception note with
+    its full traceback — in a crash-retry investigation the suppressed
+    concurrent failure is often the informative one, and silently
+    dropping it costs a repro cycle."""
+    if not thunks:
+        return []
     if len(thunks) == 1:
         return [thunks[0]()]
     try:
@@ -131,14 +141,14 @@ def overlap(*thunks):
         _kw = {}
 
     results: list = [None] * len(thunks)
-    errors: list = []
+    errors: list = [None] * len(thunks)  # slot per thunk: argument order
 
     def _runner(i, fn):
         def run():
             try:
                 results[i] = fn()
             except BaseException as e:  # propagate to the caller below
-                errors.append(e)
+                errors[i] = e
 
         return run
 
@@ -151,8 +161,19 @@ def overlap(*thunks):
     _runner(len(thunks) - 1, thunks[-1])()
     for t in threads:
         t.join()
-    if errors:
-        raise errors[0]
+    failed = [e for e in errors if e is not None]
+    if failed:
+        import traceback as _tb
+
+        primary = failed[0]
+        for other in failed[1:]:
+            # Attach, don't swallow: the note carries the other thunk's
+            # full traceback into the raised exception's rendering.
+            primary.add_note(
+                "overlap(): a concurrent thunk ALSO failed:\n"
+                + "".join(_tb.format_exception(other)).rstrip()
+            )
+        raise primary
     return results
 
 
@@ -254,12 +275,17 @@ class UpsertLog:
         bucket_col: str | None = None,
         n_buckets: int = 16,
         partition_col: str | None = None,
+        io=None,
     ):
         """``partition_col`` hive-partitions every batch dir by that RAW
         column's values (vs ``bucket_col``'s hashed ``__kb``) — for
         naturally low-cardinality layout keys like an IVF cell id, where
         reads pruned to a value subset should touch only those
-        directories. Mutually exclusive with ``bucket_col``."""
+        directories. Mutually exclusive with ``bucket_col``.
+
+        ``io`` is the CommitIO backend (default POSIX) — fold-manifest
+        reads/commits, merged-dir promotion, and GC deletes all go
+        through it (the object-store port seam, SCALE.md §10)."""
         if bucket_col is not None and partition_col is not None:
             raise ValueError("bucket_col and partition_col are exclusive")
         self.spark = spark
@@ -269,7 +295,8 @@ class UpsertLog:
         self.bucket_col = bucket_col
         self.n_buckets = n_buckets
         self.partition_col = partition_col
-        os.makedirs(root, exist_ok=True)
+        self.io = io if io is not None else POSIX_IO
+        self.io.ensure_dir(root)
 
     @property
     def _layout_col(self) -> str | None:
@@ -306,6 +333,16 @@ class UpsertLog:
             writer = batch.write.mode("overwrite")
         writer.parquet(os.path.join(self.root, f"__batch_id={batch_id}"))
 
+    def _batch_dirs(self) -> list[str]:
+        """Full paths of every ``__batch_id=N`` dir, from ONE listing of
+        the log root through the CommitIO backend (the only place the
+        root is ever listed)."""
+        return [
+            os.path.join(self.root, n)
+            for n in self.io.list_names(self.root)
+            if n.startswith("__batch_id=")
+        ]
+
     def _sweep_temp_dirs(self) -> None:
         """Remove orphaned ``.maintain_*`` / ``.compact_*`` temp dirs left
         by a crash after the merged output was written but before its
@@ -315,12 +352,9 @@ class UpsertLog:
         fresh uuid suffix, so nothing ever clobbers it). Single-writer
         discipline makes the wholesale sweep safe: no other maintenance
         can be mid-flight when this one starts."""
-        import glob
-
-        for d in glob.glob(os.path.join(self.root, ".maintain_*")) + glob.glob(
-            os.path.join(self.root, ".compact_*")
-        ):
-            shutil.rmtree(d, ignore_errors=True)
+        for n in self.io.list_names(self.root):
+            if n.startswith((".maintain_", ".compact_")):
+                self.io.delete_tree(os.path.join(self.root, n))
 
     def read_latest(
         self,
@@ -443,17 +477,12 @@ class UpsertLog:
         ``_dead_batch_ids`` / ``_fold_ranges`` / ``_fold_orders`` all
         derive from it; callers with several questions per read (e.g.
         ``read_latest``) scan once and pass the result through."""
-        import glob
-
         out: dict[int, dict] = {}
-        for mf in glob.glob(
-            os.path.join(self.root, "__batch_id=*", "_folds.json")
-        ):
+        for d in self._batch_dirs():
             try:
-                with open(mf) as f:
-                    out[int(os.path.dirname(mf).rsplit("=", 1)[1])] = (
-                        json.load(f)
-                    )
+                m = self.io.try_read_json(os.path.join(d, "_folds.json"))
+                if m is not None:
+                    out[int(d.rsplit("=", 1)[1])] = m
             except (OSError, ValueError):
                 continue
         return out
@@ -565,11 +594,9 @@ class UpsertLog:
           are logically dead no matter how far the GC got. (Spark
           ignores underscore-prefixed files, so the manifest never
           pollutes the scan.)"""
-        import glob
-
         self._sweep_temp_dirs()
         dirs = sorted(
-            glob.glob(os.path.join(self.root, "__batch_id=*")),
+            self._batch_dirs(),
             key=lambda d: int(d.rsplit("=", 1)[1]),
         )
         if before_batch is not None:
@@ -615,9 +642,9 @@ class UpsertLog:
         # not the GC below finishes (see the crash-safety invariants)
         self._write_manifest(tmp, dirs)
         base_dir = os.path.join(self.root, f"__batch_id={base_id}")
-        os.replace(tmp, base_dir)
+        self.io.promote_dir(tmp, base_dir)
         for d in dirs:
-            shutil.rmtree(d)
+            self.io.delete_tree(d)
         self._prune_manifest(base_dir)
 
     @staticmethod
@@ -629,12 +656,10 @@ class UpsertLog:
         survive folds — without it a huge folded base would sit at tier 0
         and get rewritten by every small merge, which is exactly the
         write amplification the tiers exist to avoid."""
-        mf = os.path.join(d, "_folds.json")
-        if not os.path.exists(mf):
-            return 1
         try:
-            with open(mf) as f:
-                m = json.load(f)
+            m = self.io.try_read_json(os.path.join(d, "_folds.json"))
+            if m is None:
+                return 1
             return int(m.get("weight", len(m.get("folded", [])) or 1))
         except (OSError, ValueError):
             return 1
@@ -647,13 +672,9 @@ class UpsertLog:
         are consecutive in the global order, and a merged dir's LWW rank
         is its range top."""
         did = int(d.rsplit("=", 1)[1])
-        mf = os.path.join(d, "_folds.json")
-        if not os.path.exists(mf):
-            return (did, did)
         try:
-            with open(mf) as f:
-                m = json.load(f)
-            rng = m.get("range")
+            m = self.io.try_read_json(os.path.join(d, "_folds.json"))
+            rng = m.get("range") if m is not None else None
             if rng:
                 return (int(rng[0]), int(rng[1]))
         except (OSError, ValueError):
@@ -681,15 +702,12 @@ class UpsertLog:
             if dhi >= 0:  # skip legacy range-less negative bases
                 lo = dlo if lo is None else min(lo, dlo)
                 hi = dhi if hi is None else max(hi, dhi)
-            mf = os.path.join(d, "_folds.json")
-            if os.path.exists(mf):
-                try:
-                    with open(mf) as f:
-                        folded.update(
-                            int(b) for b in json.load(f).get("folded", [])
-                        )
-                except (OSError, ValueError):
-                    pass
+            try:
+                m = self.io.try_read_json(os.path.join(d, "_folds.json"))
+                if m is not None:
+                    folded.update(int(b) for b in m.get("folded", []))
+            except (OSError, ValueError):
+                pass
         manifest: dict = {"folded": sorted(folded), "weight": weight}
         if lo is not None:
             # For LWW logs this span is CONTIGUOUS (the adjacency rule in
@@ -704,8 +722,7 @@ class UpsertLog:
             manifest["range"] = [lo, hi]
         if self.insert_only:
             manifest["insert_only"] = True
-        with open(os.path.join(tmp, "_folds.json"), "w") as f:
-            json.dump(manifest, f)
+        self.io.put_json(os.path.join(tmp, "_folds.json"), manifest)
 
     def _prune_manifest(self, dir_path: str) -> None:
         """After a fold's GC completed, shrink the manifest's death list
@@ -719,22 +736,20 @@ class UpsertLog:
         is preserved — it is the tiering metadata, not a death list."""
         mf = os.path.join(dir_path, "_folds.json")
         try:
-            with open(mf) as f:
-                m = json.load(f)
+            m = self.io.try_read_json(mf)
+            if m is None:
+                return
             alive = [
                 b
                 for b in m.get("folded", [])
-                if os.path.exists(
+                if self.io.exists(
                     os.path.join(self.root, f"__batch_id={int(b)}")
                 )
             ]
             if alive == m.get("folded", []):
                 return
             m["folded"] = alive
-            tmp = mf + ".tmp"
-            with open(tmp, "w") as f:
-                json.dump(m, f)
-            os.replace(tmp, mf)
+            self.io.put_json(mf, m)
         except (OSError, ValueError):
             pass
 
@@ -797,8 +812,6 @@ class UpsertLog:
         same-tier pair separated by a heavier dir is simply not merged
         (the carry stays pending until the gap dir joins the tier) —
         order preservation over merge eagerness."""
-        import glob
-
         if fanout < 2:
             # fanout 1 makes the tier loop (fanout**t <= w) non-terminating
             raise ValueError(f"maintain() fanout must be >= 2, got {fanout}")
@@ -806,16 +819,15 @@ class UpsertLog:
         # finish any crashed GC: dirs covered by a surviving manifest are
         # logically dead — delete them so the candidate set is live-only
         dead = set(self._dead_batch_ids())
-        all_dirs = glob.glob(os.path.join(self.root, "__batch_id=*"))
-        for d in all_dirs:
+        for d in self._batch_dirs():
             if int(d.rsplit("=", 1)[1]) in dead:
-                shutil.rmtree(d, ignore_errors=True)
+                self.io.delete_tree(d)
         merges = 0
         while True:
             dead = set(self._dead_batch_ids())
             live = [
                 d
-                for d in glob.glob(os.path.join(self.root, "__batch_id=*"))
+                for d in self._batch_dirs()
                 if int(d.rsplit("=", 1)[1]) not in dead
             ]
             if before_batch is not None:
@@ -867,12 +879,7 @@ class UpsertLog:
                 if ds is None:
                     return merges  # full tiers exist but none adjacent
             merged_id = (
-                min(
-                    int(d.rsplit("=", 1)[1])
-                    for d in glob.glob(
-                        os.path.join(self.root, "__batch_id=*")
-                    )
-                )
+                min(int(d.rsplit("=", 1)[1]) for d in self._batch_dirs())
                 - 1
             )
             tmp = os.path.join(self.root, f".maintain_{uuid.uuid4().hex[:8]}")
@@ -909,9 +916,9 @@ class UpsertLog:
             self._write_folded_dir(src.drop("__batch_id"), tmp)
             self._write_manifest(tmp, ds)
             new_dir = os.path.join(self.root, f"__batch_id={merged_id}")
-            os.replace(tmp, new_dir)
+            self.io.promote_dir(tmp, new_dir)
             for d in ds:
-                shutil.rmtree(d, ignore_errors=True)
+                self.io.delete_tree(d)
             self._prune_manifest(new_dir)
             merges += 1
 
@@ -952,21 +959,22 @@ class SummaryTable:
     the fence (hard-part 1: idempotent upserts keyed by batch id).
     """
 
-    def __init__(self, spark: SparkSession, root: str, schema_ddl: str):
+    def __init__(self, spark: SparkSession, root: str, schema_ddl: str, io=None):
         self.spark = spark
         self.root = root
         self.schema_ddl = schema_ddl
-        os.makedirs(root, exist_ok=True)
+        self.io = io if io is not None else POSIX_IO
+        self.io.ensure_dir(root)
 
     @property
     def _meta_path(self) -> str:
         return os.path.join(self.root, "_meta.json")
 
     def _meta(self) -> dict:
-        if not os.path.exists(self._meta_path):
-            return {"version": -1, "last_batch_id": -1, "data": None}
-        with open(self._meta_path) as f:
-            return json.load(f)
+        meta = self.io.try_read_json(self._meta_path)
+        return meta if meta is not None else {
+            "version": -1, "last_batch_id": -1, "data": None
+        }
 
     def read(self) -> DataFrame:
         meta = self._meta()
@@ -1008,15 +1016,11 @@ class SummaryTable:
             "prev_data": meta["data"],
             "written_at": time.time(),
         }
-        tmp = self._meta_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(new_meta, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._meta_path)  # atomic pointer swap
+        # atomic pointer swap (CAS against the meta we read)
+        self.io.swap_pointer(self._meta_path, new_meta, expected=meta)
         stale = meta.get("prev_data")
         if stale and stale != data_dir:
-            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+            self.io.delete_tree(os.path.join(self.root, stale))
 
     def merge_batch(
         self,

@@ -24,8 +24,10 @@ the physical partition key, so a CDF read touches only the delta's files
 whole table). Snapshot boundaries coincide with micro-batch commits, which
 keeps the incremental≡batch property exact (SURVEY §7 hard-part 3).
 
-Crash-safety design (each a single atomic rename on the same filesystem):
-- ``append`` stages the batch outside the data dir, then ``os.replace``s it
+Crash-safety design (every transactional step is one CommitIO verb —
+atomic publish, write-once claim, pointer swap, directory promotion — so
+the protocol ports to object storage by swapping the backend, SCALE.md §10):
+- ``append`` stages the batch outside the data dir, then promotes it
   into ``data/snapshot_id=N`` — a foreachBatch retry after a crash *clobbers*
   any orphaned half-append for the same snapshot id instead of appending a
   second copy beside it (exactly-once on the failure path, not just the
@@ -42,14 +44,14 @@ Crash-safety design (each a single atomic rename on the same filesystem):
 from __future__ import annotations
 
 import glob
-import json
 import os
-import shutil
 import time
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from .commitio import POSIX_IO
 
 
 def _ckpt_key(name: str) -> tuple[int, int]:
@@ -75,6 +77,7 @@ class SnapshotTable:
         schema_ddl: str,
         partition_cols: list[str] | None = None,
         checkpoint_every: int = 16,
+        io=None,
     ):
         """``partition_cols`` sub-partitions every snapshot by payload
         columns (``snapshot_id=N/col=V/...``) — a table-level property so
@@ -85,16 +88,22 @@ class SnapshotTable:
         log cleanup): every N loose entry files, ``_commit_ledger`` folds
         the full ledger into one ``checkpoint-<sid>.json`` and deletes the
         loose files it covers, so ``snapshots()`` opens O(N) files instead
-        of O(total snapshots ever) — the long-stream metadata bound."""
+        of O(total snapshots ever) — the long-stream metadata bound.
+
+        ``io`` is the CommitIO backend (default POSIX) — every
+        metadata read/commit, directory promotion, and GC delete goes
+        through it, so porting the transaction protocol to object
+        storage is one new backend, not a rewrite (SCALE.md §10)."""
         self.spark = spark
         self.root = root
         self.schema_ddl = schema_ddl
         self.partition_cols = list(partition_cols or [])
         self.checkpoint_every = max(int(checkpoint_every), 1)
+        self.io = io if io is not None else POSIX_IO
         self.ledger_dir = os.path.join(root, "_snapshots")
         self.tombstone_dir = os.path.join(root, "_tombstones")
-        os.makedirs(self.data_dir, exist_ok=True)
-        os.makedirs(self.ledger_dir, exist_ok=True)
+        self.io.ensure_dir(self.data_dir)
+        self.io.ensure_dir(self.ledger_dir)
 
     # -- generation pointer (compaction support) ---------------------------
 
@@ -103,10 +112,10 @@ class SnapshotTable:
         return os.path.join(self.root, "_data.json")
 
     def _pointer(self) -> dict:
-        if not os.path.exists(self._pointer_path):
-            return {"generation": 0, "data": "data", "prev_data": None}
-        with open(self._pointer_path) as f:
-            return json.load(f)
+        ptr = self.io.try_read_json(self._pointer_path)
+        return ptr if ptr is not None else {
+            "generation": 0, "data": "data", "prev_data": None
+        }
 
     @property
     def data_dir(self) -> str:
@@ -142,8 +151,23 @@ class SnapshotTable:
         files are deleted only at checkpoint time and re-created only by
         a later mutation). Cost: O(checkpoint_every) file opens per call
         regardless of stream age, vs one open per snapshot ever before —
-        a month-old 5 s-tick stream pays ~17 opens, not ~500 k."""
-        names = os.listdir(self.ledger_dir)
+        a month-old 5 s-tick stream pays ~17 opens, not ~500 k.
+
+        Robust against the two benign filesystem races a multi-READER
+        deployment can hit (writes stay single-writer): a stray
+        non-numeric ``.json`` in the ledger dir is skipped, and a loose
+        file deleted by another process's checkpoint cleanup between our
+        listdir and open triggers ONE full re-read — cleanup commits its
+        covering checkpoint (atomic rename) BEFORE deleting any loose
+        file, so the fresh listdir is guaranteed to see a checkpoint
+        that contains the vanished entry."""
+        try:
+            return self._snapshots_scan(strict=True)
+        except FileNotFoundError:
+            return self._snapshots_scan(strict=False)
+
+    def _snapshots_scan(self, strict: bool) -> list[dict]:
+        names = self.io.list_names(self.ledger_dir)
         ckpt_key, ckpt_name = (-1, -1), None
         loose: list[tuple[int, str]] = []
         for name in names:
@@ -154,7 +178,10 @@ class SnapshotTable:
                 if key > ckpt_key:
                     ckpt_key, ckpt_name = key, name
             else:
-                loose.append((int(name[:-len(".json")]), name))
+                try:
+                    loose.append((int(name[:-len(".json")]), name))
+                except ValueError:
+                    continue  # stray non-ledger .json: not ours, skip
         by_id: dict[int, dict] = {}
         if ckpt_name is not None:
             # Checkpoint files are write-once by name (a new checkpoint
@@ -163,19 +190,43 @@ class SnapshotTable:
             # parse is cached per filename —
             # a long-running stream's driver re-parses the (O(age)-sized)
             # checkpoint once per CHECKPOINT, not once per read. Entries
-            # are shallow-copied out so a caller's in-place mutation
-            # (vacuum/expire set flags before re-committing) cannot
-            # alias the cache.
+            # are copied out — including the nested ``partitions`` /
+            # ``columns`` / ``key_cols`` lists — so a caller's in-place
+            # mutation (vacuum/expire set flags before re-committing;
+            # any future caller touching the lists) can never alias the
+            # cache and silently corrupt every later read.
             cached = getattr(self, "_ckpt_cache", None)
             if cached is None or cached[0] != ckpt_name:
-                with open(os.path.join(self.ledger_dir, ckpt_name)) as f:
-                    cached = (ckpt_name, json.load(f))
+                cached = (
+                    ckpt_name,
+                    self.io.read_json(
+                        os.path.join(self.ledger_dir, ckpt_name)
+                    ),
+                )
                 self._ckpt_cache = cached
             for entry in cached[1]:
-                by_id[entry["snapshot_id"]] = dict(entry)
+                e = dict(entry)
+                for k in ("partitions", "columns", "key_cols"):
+                    if k in e:
+                        e[k] = list(e[k])
+                by_id[e["snapshot_id"]] = e
         for sid, name in loose:
-            with open(os.path.join(self.ledger_dir, name)) as f:
-                by_id[sid] = json.load(f)  # loose overrides checkpoint
+            try:
+                # loose overrides checkpoint
+                by_id[sid] = self.io.read_json(
+                    os.path.join(self.ledger_dir, name)
+                )
+            except FileNotFoundError:
+                # Concurrent checkpoint cleanup deleted the loose file
+                # between our listdir and open. strict=True (first
+                # attempt): propagate, the caller re-reads and the fresh
+                # listing must contain the covering checkpoint.
+                # strict=False (the re-read itself raced AGAIN): skip —
+                # the entry is covered by a checkpoint this listing saw
+                # or the next read will.
+                if strict:
+                    raise
+                continue
         return [by_id[sid] for sid in sorted(by_id)]
 
     def max_snapshot_id(self, snaps: list[dict] | None = None) -> int:
@@ -224,8 +275,8 @@ class SnapshotTable:
         # Single-writer: sweep staging wholesale so orphans from crashed
         # prior attempts (which got a different uuid suffix and would never
         # be clobbered by name) cannot accumulate.
-        shutil.rmtree(staging_root, ignore_errors=True)
-        os.makedirs(staging_root, exist_ok=True)
+        self.io.delete_tree(staging_root)
+        self.io.ensure_dir(staging_root)
         staged = os.path.join(staging_root, f"{sid:09d}.{uuid.uuid4().hex[:8]}")
         # snapshot_id is carried by the hive partition directory name, so the
         # staged files hold only the payload columns.
@@ -247,13 +298,12 @@ class SnapshotTable:
         if cols:
             parts = sorted(
                 e
-                for e in os.listdir(staged)
+                for e in self.io.list_names(staged)
                 if "=" in e and not e.startswith((".", "_"))
             )
         final = os.path.join(self.data_dir, f"snapshot_id={sid}")
-        if os.path.exists(final):
-            shutil.rmtree(final)  # orphan from a crashed append: retry clobbers
-        os.replace(staged, final)
+        # orphan from a crashed append: retry clobbers
+        self.io.promote_dir(staged, final)
         entry = {
             "snapshot_id": sid,
             "kind": "insert",
@@ -268,13 +318,12 @@ class SnapshotTable:
         return sid
 
     def _commit_ledger(self, entry: dict) -> None:
+        # put_json (last-writer-wins), not put_json_if_absent: vacuum and
+        # expire legitimately re-publish an existing id with new flags.
         sid = entry["snapshot_id"]
-        tmp = os.path.join(self.ledger_dir, f".{sid:09d}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(entry, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.ledger_dir, f"{sid:09d}.json"))
+        self.io.put_json(
+            os.path.join(self.ledger_dir, f"{sid:09d}.json"), entry
+        )
         self._maybe_checkpoint()
 
     def _maybe_checkpoint(self) -> None:
@@ -288,7 +337,11 @@ class SnapshotTable:
         override rule makes both harmless. A vacuum's in-place rewrite
         of an already-checkpointed entry re-creates its loose file; the
         NEXT checkpoint folds the mutation in and re-deletes it."""
-        names = [n for n in os.listdir(self.ledger_dir) if n.endswith(".json")]
+        names = [
+            n
+            for n in self.io.list_names(self.ledger_dir)
+            if n.endswith(".json")
+        ]
         loose = [n for n in names if not n.startswith("checkpoint-")]
         if len(loose) < self.checkpoint_every:
             return
@@ -314,28 +367,28 @@ class SnapshotTable:
             if prior_k < 0
             else f"checkpoint-{top:09d}.{prior_k + 1:04d}.json"
         )
-        tmp = os.path.join(self.ledger_dir, f".{new_name}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(snaps, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, os.path.join(self.ledger_dir, new_name))
+        # Checkpoint names are write-once: if-absent is the correct verb
+        # (a False means another author already owns this exact name — a
+        # violated single-writer contract surfacing cleanly; their
+        # cleanup covers the loose files, so just stand down).
+        if not self.io.put_json_if_absent(
+            os.path.join(self.ledger_dir, new_name), snaps
+        ):
+            return
         # The writer KNOWS the newest checkpoint's content — refresh the
         # parse cache rather than leaving a stale entry for the next read.
         self._ckpt_cache = (new_name, snaps)
         new_key = _ckpt_key(new_name)
         for n in loose:
-            if int(n[:-len(".json")]) <= top:
-                try:
-                    os.remove(os.path.join(self.ledger_dir, n))
-                except OSError:
-                    pass
+            try:
+                covered = int(n[: -len(".json")]) <= top
+            except ValueError:
+                continue  # stray non-ledger .json: not ours to delete
+            if covered:
+                self.io.delete(os.path.join(self.ledger_dir, n))
         for n in names:
             if n.startswith("checkpoint-") and _ckpt_key(n) < new_key:
-                try:
-                    os.remove(os.path.join(self.ledger_dir, n))
-                except OSError:
-                    pass
+                self.io.delete(os.path.join(self.ledger_dir, n))
 
     def delete(
         self,
@@ -365,8 +418,8 @@ class SnapshotTable:
         cols = key_cols or [c for c in matched.columns if c != "snapshot_id"]
         keys = matched.select(*cols).distinct()
         staging_root = os.path.join(self.root, ".staging")
-        shutil.rmtree(staging_root, ignore_errors=True)
-        os.makedirs(staging_root, exist_ok=True)
+        self.io.delete_tree(staging_root)
+        self.io.ensure_dir(staging_root)
         staged = os.path.join(staging_root, f"{sid:09d}.{uuid.uuid4().hex[:8]}")
         keys.write.mode("overwrite").parquet(staged)
         n = _parquet_row_count(staged)
@@ -377,7 +430,7 @@ class SnapshotTable:
             # even a readable empty dir adds a useless anti-join per read.
             # Commit only the ledger entry (rows=0, no data dir) so the
             # batch-id fence still holds; _tombstones() skips it.
-            shutil.rmtree(staging_root, ignore_errors=True)
+            self.io.delete_tree(staging_root)
             self._commit_ledger(
                 {
                     "snapshot_id": sid,
@@ -389,11 +442,9 @@ class SnapshotTable:
                 }
             )
             return sid
-        os.makedirs(self.tombstone_dir, exist_ok=True)
+        self.io.ensure_dir(self.tombstone_dir)
         final = os.path.join(self.tombstone_dir, f"snapshot_id={sid}")
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(staged, final)
+        self.io.promote_dir(staged, final)
         self._commit_ledger(
             {
                 "snapshot_id": sid,
@@ -558,7 +609,7 @@ class SnapshotTable:
                 ]
             else:
                 cand = [snap_dir]
-            out.extend(p for p in cand if os.path.exists(p))
+            out.extend(p for p in cand if self.io.exists(p))
         return out
 
     def table_changes(
@@ -579,7 +630,11 @@ class SnapshotTable:
         DuckLake-style ``_change_type`` column is added and tombstone key
         rows in range are unioned in (non-key payload columns null, as
         for a key-scoped delete). ``partition_values`` scopes the scan
-        to named leaf partitions via the ledger's dir manifest.
+        to named leaf partitions via the ledger's dir manifest — on BOTH
+        sides of the feed: tombstone key rows are filtered on any
+        requested partition column that is among their key columns
+        (a tombstone keyed without the partition column cannot be
+        scoped and is emitted whole).
 
         Schema evolution: when snapshots in the ledger carry different
         column sets (a later batch appended with new columns), the scan
@@ -593,8 +648,32 @@ class SnapshotTable:
         evolution probe, column projection, tombstone scoping — reads the
         ledger exactly ONCE (one listdir + O(checkpoint_every) opens),
         whether passed in by a caller that already holds it or loaded
-        here."""
+        here.
+
+        Expiry guard (mirrors ``read_as_of``): an INCREMENTAL cursor
+        (``from_snapshot >= 0``) below the ``expire_snapshots`` horizon
+        raises — the fold re-stamped all folded history at the fold id,
+        so such a consumer (exactly the reference pattern_1_2.py
+        MERGE-on-table_changes loop) would re-receive rows it already
+        consumed as "new" changes and silently double-count. A full read
+        (``from_snapshot == -1``) is by definition not incremental and
+        stays valid at any horizon."""
         snaps = self.snapshots() if snaps is None else snaps
+        if from_snapshot >= 0:
+            horizon = max(
+                (s.get("expired_through", -1) for s in snaps), default=-1
+            )
+            if from_snapshot < horizon:
+                raise ValueError(
+                    f"table_changes(from_snapshot={from_snapshot}): "
+                    f"history expired through snapshot {horizon} "
+                    "(expire_snapshots retention) — the folded rows were "
+                    f"re-stamped at {horizon}, so resuming this cursor "
+                    "would double-count them. Re-read the full table "
+                    "(from_snapshot=-1) and reset the watermark to "
+                    f"{horizon}, or expire with a horizon that never "
+                    "crosses a live consumer's cursor."
+                )
         paths = (
             []
             if to_snapshot <= from_snapshot or self.max_snapshot_id(snaps) < 0
@@ -652,6 +731,18 @@ class SnapshotTable:
             if sid <= from_snapshot:
                 continue
             row = keys
+            if partition_values:
+                # Scope the DELETE side too: without this, tombstone key
+                # rows from other partitions leak into a partition-scoped
+                # change feed (the insert base above is filtered, the
+                # union must match). Only possible when the partition
+                # column is among the tombstone's key columns — a
+                # tombstone keyed without it genuinely cannot be scoped
+                # (its keys say nothing about partition membership), so
+                # those rows pass through whole, documented above.
+                for pcol, pvals in partition_values.items():
+                    if pcol in cols:
+                        row = row.filter(F.col(pcol).isin(list(pvals)))
             for c in payload:
                 if c == "snapshot_id":
                     row = row.withColumn(c, F.lit(sid).cast("int"))
@@ -728,17 +819,13 @@ class SnapshotTable:
             .parquet(new_dir)
         )
         new_ptr = {"generation": new_gen, "data": new_name, "prev_data": ptr["data"]}
-        tmp = self._pointer_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(new_ptr, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer_path)  # atomic generation swap
+        # atomic generation swap (CAS against the pointer we read)
+        self.io.swap_pointer(self._pointer_path, new_ptr, expected=ptr)
         # Deferred GC: drop the generation BEFORE the one we just replaced —
         # in-flight readers of ptr["data"] are still scanning it.
         stale = ptr.get("prev_data")
         if stale and stale != new_name:
-            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+            self.io.delete_tree(os.path.join(self.root, stale))
 
     def expire_snapshots(
         self, through: int | None = None, target_files: int = 1
@@ -817,13 +904,12 @@ class SnapshotTable:
         fold_entry["columns"] = [
             c for c in folded.columns if c != "snapshot_id"
         ]
-        if self.partition_cols and os.path.isdir(fold_dir):
+        if self.partition_cols and self.io.exists(fold_dir):
             fold_entry["partitions"] = sorted(
                 e
-                for e in os.listdir(fold_dir)
+                for e in self.io.list_names(fold_dir)
                 if "=" in e and not e.startswith((".", "_"))
             )
-        fold_entry["expired_through"] = fold_id
         self._commit_ledger(fold_entry)
         # (3) atomic generation swap
         new_ptr = {
@@ -831,13 +917,20 @@ class SnapshotTable:
             "data": new_name,
             "prev_data": ptr["data"],
         }
-        tmp = self._pointer_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(new_ptr, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer_path)
-        # (4) mark folded inserts expired, retire consumed tombstones
+        # (3) atomic generation swap (CAS against the pointer we read)
+        self.io.swap_pointer(self._pointer_path, new_ptr, expected=ptr)
+        # (4) stamp the time-travel horizon, mark folded inserts expired,
+        # retire consumed tombstones. The expired_through stamp comes
+        # AFTER the pointer swap deliberately: before the swap the live
+        # generation still holds every folded snapshot intact, and a
+        # crash in that window must not leave read_as_of permanently
+        # refusing history that is fully readable. Post-swap the history
+        # is genuinely gone, and a crash before the stamp lands merely
+        # leaves pre-fold read_as_of returning the stat-dropped (empty)
+        # dirs until the expiry is retried — the same transient step-4
+        # window the expired flags already have.
+        fold_entry["expired_through"] = fold_id
+        self._commit_ledger(fold_entry)
         for s in snaps:
             sid = s["snapshot_id"]
             if (
@@ -854,14 +947,13 @@ class SnapshotTable:
             ):
                 s["vacuumed"] = True
                 self._commit_ledger(s)
-                shutil.rmtree(
-                    os.path.join(self.tombstone_dir, f"snapshot_id={sid}"),
-                    ignore_errors=True,
+                self.io.delete_tree(
+                    os.path.join(self.tombstone_dir, f"snapshot_id={sid}")
                 )
         # (5) deferred GC, as compact()
         stale = ptr.get("prev_data")
         if stale and stale != new_name:
-            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+            self.io.delete_tree(os.path.join(self.root, stale))
         return fold_id
 
     def vacuum(self, target_files: int = 1) -> None:
@@ -886,12 +978,8 @@ class SnapshotTable:
             .parquet(new_dir)
         )
         new_ptr = {"generation": new_gen, "data": new_name, "prev_data": ptr["data"]}
-        tmp = self._pointer_path + ".tmp"
-        with open(tmp, "w") as f:
-            json.dump(new_ptr, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, self._pointer_path)
+        # atomic generation swap (CAS against the pointer we read)
+        self.io.swap_pointer(self._pointer_path, new_ptr, expected=ptr)
         # Tombstones ≤ high are folded into the new generation: retire
         # them (ledger entries stay — history metadata survives, data
         # files do not, exactly like snapshot expiry).
@@ -907,15 +995,14 @@ class SnapshotTable:
                 # entry pointing at a missing dir — a read-time error).
                 s["vacuumed"] = True
                 self._commit_ledger(s)
-                shutil.rmtree(
+                self.io.delete_tree(
                     os.path.join(
                         self.tombstone_dir, f"snapshot_id={s['snapshot_id']}"
-                    ),
-                    ignore_errors=True,
+                    )
                 )
         stale = ptr.get("prev_data")
         if stale and stale != new_name:
-            shutil.rmtree(os.path.join(self.root, stale), ignore_errors=True)
+            self.io.delete_tree(os.path.join(self.root, stale))
 
 
 def _parquet_row_count(directory: str) -> int:

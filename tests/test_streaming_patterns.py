@@ -2849,6 +2849,190 @@ def test_expire_snapshots_folds_history_and_bounds_paths(spark, tmp_path):
     } == before
 
 
+def test_expire_crash_before_swap_keeps_history_travellable(
+    spark, tmp_path, monkeypatch
+):
+    """Round-9 (ADVICE): expired_through must stamp AFTER the generation
+    swap. A crash after the fold rewrite but BEFORE the pointer swap
+    leaves every folded snapshot intact in the still-live old
+    generation — read_as_of must keep serving it, not raise on a
+    horizon that never actually advanced."""
+    import pytest
+
+    root = str(tmp_path / "expcrash")
+    t = SnapshotTable(spark, root, "id long, v long")
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+            batch_id=i,
+        )
+
+    real_replace = os.replace
+
+    def crash_on_pointer_swap(src, dst):
+        if dst == t._pointer_path:
+            raise OSError("injected crash at pointer swap")
+        return real_replace(src, dst)
+
+    monkeypatch.setattr(os, "replace", crash_on_pointer_swap)
+    with pytest.raises(OSError, match="injected crash"):
+        t.expire_snapshots(through=2)
+    monkeypatch.undo()
+
+    # The old generation is still live and fully intact: time travel to
+    # pre-fold history works, full read unchanged, and NO horizon stamp
+    # leaked into the ledger.
+    assert t.read_as_of(1).count() == 2
+    assert t.read().count() == 4
+    assert all(
+        s.get("expired_through", -1) == -1 and not s.get("expired")
+        for s in t.snapshots()
+    )
+    # Retrying the expiry (the crash-retry shape) completes and only
+    # then advances the horizon.
+    assert t.expire_snapshots(through=2) == 2
+    with pytest.raises(ValueError, match="expired"):
+        t.read_as_of(1)
+    assert t.read().count() == 4
+
+
+def test_table_changes_guards_expired_incremental_cursor(spark, tmp_path):
+    """Round-9 (ADVICE medium): an incremental CDF cursor below the
+    expire_snapshots horizon raises instead of silently double-counting
+    the folded history (which was re-stamped at the fold id). Full
+    reads (from=-1) and cursors at/after the horizon stay valid."""
+    import pytest
+
+    root = str(tmp_path / "cdfguard")
+    t = SnapshotTable(spark, root, "id long, v long")
+    for i in range(5):
+        t.append(
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+            batch_id=i,
+        )
+    # an incremental consumer consumed through snapshot 1...
+    assert t.table_changes(1, 4).count() == 3
+    # ...then retention folds history through snapshot 3
+    assert t.expire_snapshots(through=3) == 3
+    # resuming the stale cursor would re-receive snapshots 0-3's rows
+    # re-stamped at 3: refuse it
+    with pytest.raises(ValueError, match="double-count"):
+        t.table_changes(1, 4)
+    # full read and at-horizon cursor both fine and exact
+    assert t.table_changes(-1, 4).count() == 5
+    assert t.table_changes(3, 4).count() == 1
+
+
+def test_table_changes_partition_scopes_delete_side(spark, tmp_path):
+    """Round-9 (ADVICE): partition_values must scope BOTH sides of the
+    change feed — tombstone key rows from other partitions must not
+    leak into a partition-scoped include_deletes read (when the
+    partition column is among the tombstone's key columns)."""
+    root = str(tmp_path / "cdfdelscope")
+    t = SnapshotTable(
+        spark, root, "id long, cell long", partition_cols=["cell"]
+    )
+    t.append(
+        spark.createDataFrame(
+            [(i, i % 2) for i in range(8)], "id long, cell long"
+        ),
+        batch_id=0,
+    )
+    # tombstone keyed WITH the partition column: one key per cell
+    t.delete(F.col("id").isin(0, 1), key_cols=["id", "cell"], batch_id=1)
+    feed = t.table_changes(
+        0, t.max_snapshot_id(), include_deletes=True,
+        partition_values={"cell": [1]},
+    )
+    rows = feed.collect()
+    # only the cell-1 tombstone key row; the cell-0 one (id 0) is scoped out
+    assert len(rows) == 1
+    assert rows[0]["_change_type"] == "delete"
+    assert rows[0]["id"] == 1 and rows[0]["cell"] == 1
+    # tombstone keyed WITHOUT the partition column cannot be scoped:
+    # its key rows are emitted whole (documented pass-through)
+    t.delete(F.col("id") == 7, key_cols=["id"], batch_id=2)
+    feed2 = t.table_changes(
+        1, t.max_snapshot_id(), include_deletes=True,
+        partition_values={"cell": [1]},
+    )
+    assert [r["id"] for r in feed2.collect()] == [7]
+
+
+def test_snapshots_checkpoint_cache_is_mutation_proof(spark, tmp_path):
+    """Round-9: entries served from the checkpoint parse-cache must not
+    alias it — a caller mutating a returned entry's nested lists
+    (partitions/columns) in place must not corrupt later reads."""
+    root = str(tmp_path / "ckptcache")
+    t = SnapshotTable(
+        spark, root, "id long, cell long",
+        partition_cols=["cell"], checkpoint_every=2,
+    )
+    for i in range(4):  # enough commits to cross the checkpoint cadence
+        t.append(
+            spark.createDataFrame(
+                [(i, 0), (i + 10, 1)], "id long, cell long"
+            ),
+            batch_id=i,
+        )
+    assert any(
+        n.startswith("checkpoint-") for n in os.listdir(t.ledger_dir)
+    )
+    snaps = t.snapshots()
+    served_from_ckpt = snaps[0]
+    before_parts = list(served_from_ckpt["partitions"])
+    before_cols = list(served_from_ckpt["columns"])
+    # hostile in-place mutation of every nested field
+    served_from_ckpt["partitions"].clear()
+    served_from_ckpt["columns"].append("evil")
+    served_from_ckpt["rows"] = 999999
+    again = t.snapshots()[0]
+    assert again["partitions"] == before_parts
+    assert again["columns"] == before_cols
+    assert again["rows"] != 999999
+    # and the partition-scoped read path (which consumes the manifest)
+    # still prunes correctly
+    got = t.read(partition_values={"cell": [1]})
+    assert {r["cell"] for r in got.collect()} == {1}
+
+
+def test_snapshots_skips_stray_json_in_ledger_dir(spark, tmp_path):
+    """Round-9 (ADVICE): a stray non-numeric .json dropped into
+    _snapshots (an editor artifact, a foreign tool's marker) must not
+    crash every read."""
+    root = str(tmp_path / "strayjson")
+    t = SnapshotTable(spark, root, "id long")
+    t.append(spark.createDataFrame([(1,)], "id long"), batch_id=0)
+    with open(os.path.join(t.ledger_dir, "notes.json"), "w") as f:
+        f.write("{}")
+    snaps = t.snapshots()
+    assert [s["snapshot_id"] for s in snaps] == [0]
+    assert t.read().count() == 1
+
+
+def test_overlap_empty_and_multi_error_aggregation(spark):
+    """Round-9: overlap() with zero thunks returns [] (public helper,
+    obscure IndexError otherwise); when SEVERAL thunks fail, the first
+    by argument order raises and the others ride along as exception
+    notes with their tracebacks — not silently swallowed."""
+    import pytest
+
+    from duckdb_streaming_patterns_spark.operators.merge import overlap
+
+    assert overlap() == []
+
+    def boom_a():
+        raise RuntimeError("failure alpha")
+
+    def boom_b():
+        raise ValueError("failure beta")
+
+    with pytest.raises(RuntimeError, match="failure alpha") as exc_info:
+        overlap(boom_a, boom_b)
+    notes = "".join(getattr(exc_info.value, "__notes__", []))
+    assert "failure beta" in notes and "ValueError" in notes
+
+
 def test_ann_index_results_are_expiry_invariant(spark, sf_small, tmp_path):
     """pattern_streaming_ann_index with expire_every=2 (the registered
     driver form) must return exactly the no-expiry result — the probe

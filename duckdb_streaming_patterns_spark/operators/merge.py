@@ -647,8 +647,7 @@ class UpsertLog:
             self.io.delete_tree(d)
         self._prune_manifest(base_dir)
 
-    @staticmethod
-    def _dir_weight(d: str) -> int:
+    def _dir_weight(self, d: str) -> int:
         """How many RAW batch directories a dir represents: 1 for an
         engine-written batch dir, the recorded constituent count for a
         folded dir (its manifest's ``weight``). The tiered ``maintain``

@@ -207,26 +207,61 @@ def _warm_session(spark) -> None:
         pass
 
 
+def _calibrate(spark) -> float:
+    """Time a FIXED, engine-independent reference workload (built-ins
+    over ``spark.range`` — scan + codegen hash + small shuffle agg) and
+    return its seconds. This measures the HOST AND WINDOW, not the
+    engine: the workload never changes across rounds, so the ratio of
+    two rounds' calibration times is the load/variance factor between
+    their windows (this machine's background load drifts by tens of
+    percent across minutes — round 8 measured 1.35x driver-vs-builder
+    and >2x back-to-back variance on identical code, which made two
+    consecutive cross-round diffs unanswerable). Runs once per
+    subprocess after warm-up and twice (start/end) in the shared
+    session; ``_diff_against_previous_round`` divides raw timings by
+    the calibration ratio before flagging moves."""
+    from pyspark.sql import functions as F
+
+    t0 = time.perf_counter()
+    (
+        spark.range(30_000_000)
+        .selectExpr("xxhash64(id) AS h", "id % 997 AS k")
+        .groupBy("k")
+        .agg(F.bit_xor("h").alias("x"))
+        .agg(F.count("*").alias("n"), F.bit_xor("x"))
+        .first()
+    )
+    return round(time.perf_counter() - t0, 4)
+
+
 def _run_one(name: str, sf_dir: str) -> None:
     """Subprocess entry (``bench.py --one <query>``): fresh session, full
-    warm-up untimed, ONE cold query timed, one JSON line on stdout."""
+    warm-up untimed, one calibration probe (untimed window of its own),
+    ONE cold query timed, one JSON line on stdout."""
     spark = get_spark(app_name=f"dsp-bench-{name}")
     _warm_session(spark)
+    cal = _calibrate(spark)
     fn, _ = QUERIES[name]
     t0 = time.perf_counter()
     df = fn(spark, sf_dir)
     n = force_eval(df)
     sec = round(time.perf_counter() - t0, 4)
-    print(json.dumps({"query": name, "sec": sec, "rows": int(n)}))
+    print(
+        json.dumps(
+            {"query": name, "sec": sec, "rows": int(n), "cal_sec": cal}
+        )
+    )
 
 
-def _run_isolated(name: str, sf_dir: str) -> tuple[float | None, str | None]:
+def _run_isolated(
+    name: str, sf_dir: str
+) -> tuple[float | None, float | None, str | None]:
     """Run one query via ``--one`` in a fresh subprocess and return
-    ``(timed_seconds, None)`` — or ``(None, error_tail)`` if the child
-    failed. One broken query must not abort the whole isolated block
-    (ADVICE r6 low #4): the caller records the error and keeps timing
-    the rest, so a single regression costs one number, not the round's
-    entire bench tail."""
+    ``(timed_seconds, calibration_seconds, None)`` — or
+    ``(None, None, error_tail)`` if the child failed. One broken query
+    must not abort the whole isolated block (ADVICE r6 low #4): the
+    caller records the error and keeps timing the rest, so a single
+    regression costs one number, not the round's entire bench tail."""
     import subprocess
 
     env = dict(os.environ, SPARK_GRAFT_SF_DIR=sf_dir)
@@ -242,10 +277,10 @@ def _run_isolated(name: str, sf_dir: str) -> tuple[float | None, str | None]:
         except json.JSONDecodeError:
             continue
         if d.get("query") == name:
-            return float(d["sec"]), None
+            return float(d["sec"]), d.get("cal_sec"), None
     err = f"exit {res.returncode}: {res.stderr[-2000:]}"
     print(f"[bench] isolated run of {name} failed ({err})", file=sys.stderr)
-    return None, err
+    return None, None, err
 
 
 def main() -> None:
@@ -289,16 +324,22 @@ def main() -> None:
     isolated_names = set(HEADLINE[isolate_idx:])
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
+    # calibration probes: the shared session samples the window at the
+    # start and end of its block; each isolated subprocess samples its
+    # own window (the bench runs ~15 min and the load drifts within it)
+    calibration: dict[str, float] = {"__start__": _calibrate(spark)}
     for name in HEADLINE:
         if name not in QUERIES:
             continue
         if name in isolated_names:
             # fresh subprocess per streaming pattern — see ISOLATE_FROM
-            sec, err = _run_isolated(name, sf_dir)
+            sec, cal, err = _run_isolated(name, sf_dir)
             if err is not None:
                 errors[name] = err
             else:
                 timings[name] = round(sec, 4)
+                if cal is not None:
+                    calibration[name] = cal
             continue
         fn, _ = QUERIES[name]
         t0 = time.perf_counter()
@@ -323,6 +364,7 @@ def main() -> None:
         except Exception:
             pass
 
+    calibration["__end__"] = _calibrate(spark)
     total = round(sum(timings.values()), 4)
     # Derived throughput vs BASELINE.md's envelope (reference ceiling:
     # ~100 events/s): events ingested+aggregated per second through the
@@ -343,6 +385,12 @@ def main() -> None:
         # (since r6 — session startup/warm-up excluded from timed window)
         "gc_between_queries": True,
         "isolated_subprocess": sorted(n for n in timings if n in isolated_names),
+        # window-load calibration (round-9 brief item 2): the fixed
+        # reference workload's seconds at the session's start/end and in
+        # each isolated subprocess — divide two rounds' timings by their
+        # calibration ratio before reading a cross-round diff (see
+        # _calibrate's docstring for the measured variance history)
+        "calibration_sec": calibration,
     }
     if errors:
         # An errored query contributes nothing to `value`, which would
@@ -355,7 +403,7 @@ def main() -> None:
     if p11:
         n_events = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).count()
         out["ingest_events_per_sec"] = round(n_events / p11, 1)
-    _diff_against_previous_round(timings, sf, isolated_names)
+    _diff_against_previous_round(timings, sf, isolated_names, calibration)
     # The driver records only a tail of stdout, which truncates the
     # per-query dict on long runs (the r6↔r7 diff lost its first ~33
     # queries twice) — persist the COMPLETE result to the repo so every
@@ -368,12 +416,46 @@ def main() -> None:
     print(json.dumps(out))
 
 
+def _norm_factor(
+    name: str,
+    isolated: set[str],
+    cal: dict[str, float] | None,
+    prev_cal: dict[str, float] | None,
+) -> float | None:
+    """Window-load normalization factor for one query: current-round
+    calibration seconds over previous-round's, using the per-subprocess
+    probe for isolated queries (falling back to the session probes) and
+    the session start/end mean for in-session ones. None when either
+    round lacks the probe (pre-round-10 artifacts)."""
+
+    def probe(c: dict[str, float] | None) -> float | None:
+        if not c:
+            return None
+        if name in c:
+            return c[name]
+        vals = [c[k] for k in ("__start__", "__end__") if c.get(k)]
+        return sum(vals) / len(vals) if vals else None
+
+    cur, prev = probe(cal), probe(prev_cal)
+    if not cur or not prev:
+        return None
+    return cur / prev
+
+
 def _diff_against_previous_round(
-    timings: dict[str, float], sf: float, isolated: set[str]
+    timings: dict[str, float],
+    sf: float,
+    isolated: set[str],
+    calibration: dict[str, float] | None = None,
 ) -> None:
     """Regression gate: diff per-query timings against the newest
     BENCH_r*.json at the repo root (same sf only) and report >3 s moves —
-    the measured run-to-run noise bound — to stderr. Queries whose
+    the measured run-to-run noise bound — to stderr. When BOTH rounds
+    carry calibration probes, timings are first divided by the
+    window-load ratio (see _calibrate) and the normalized number is
+    reported alongside the raw one — a uniform across-the-board shift
+    with a metadata-only diff then reads as ~1.0x normalized instead of
+    as 70 phantom regressions (the r8→r9 situation). Queries whose
     ISOLATION status changed since that round are skipped: an in-session
     (warm, debris-exposed) number and a fresh-subprocess (cold) number
     measure different things, and diffing them manufactures phantom
@@ -395,15 +477,26 @@ def _diff_against_previous_round(
         return
     prev_q = prev.get("queries", {})
     prev_iso = set(prev.get("isolated_subprocess", []))
+    prev_cal = prev.get("calibration_sec")
     for name, t in timings.items():
         if (name in isolated) != (name in prev_iso):
             continue  # methodology changed for this query — not comparable
         p = prev_q.get(name)
-        if p is not None and abs(t - p) > 3.0:
-            direction = "slower" if t > p else "faster"
+        if p is None:
+            continue
+        factor = _norm_factor(name, isolated, calibration, prev_cal)
+        t_norm = t / factor if factor else t
+        if abs(t_norm - p) > 3.0:
+            direction = "slower" if t_norm > p else "faster"
+            norm_note = (
+                f" (load-normalized {t_norm:.1f}s at window factor "
+                f"{factor:.2f})"
+                if factor
+                else " (no calibration in prior round — raw compare)"
+            )
             print(
                 f"[bench-diff vs {os.path.basename(candidates[-1])}] {name}: "
-                f"{p:.1f}s -> {t:.1f}s ({direction})",
+                f"{p:.1f}s -> {t:.1f}s ({direction}){norm_note}",
                 file=sys.stderr,
             )
     # a query that timed last round but errored/vanished this round is a

@@ -110,20 +110,31 @@ class PosixCommitIO:
         claim-with-content (fails with FileExistsError if the name is
         taken, and a winner is never observable empty or partial). S3:
         PUT with ``If-None-Match: *`` is the same one-call atomic
-        claim+content."""
+        claim+content.
+
+        Backend contract note: this implementation REQUIRES hard-link
+        support in the target filesystem (some network/FUSE mounts lack
+        it — ``os.link`` raises OSError there). Such mounts are object
+        stores in spirit and should get the conditional-PUT backend, not
+        this one. The temp is removed on EVERY exit path — including a
+        failed write — so a crash mid-dump never leaks ``.{name}.*.tmp``
+        litter into the ledger dir for ``list_names`` to trip on."""
         d, name = os.path.split(path)
         tmp = os.path.join(d, f".{name}.{os.getpid()}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(obj, f)
-            f.flush()
-            os.fsync(f.fileno())
         try:
+            with open(tmp, "w") as f:
+                json.dump(obj, f)
+                f.flush()
+                os.fsync(f.fileno())
             os.link(tmp, path)
             return True
         except FileExistsError:
             return False
         finally:
-            os.remove(tmp)
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
 
     def swap_pointer(self, path: str, obj, expected=None) -> None:
         """Install a new generation pointer. ``expected`` is the pointer

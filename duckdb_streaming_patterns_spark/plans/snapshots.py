@@ -123,17 +123,25 @@ class SnapshotTable:
 
     def _rewrite_layout(self, df: DataFrame, target_files: int) -> DataFrame:
         """Distribution for a maintenance rewrite (compact/vacuum/expire).
-        ``target_files=1`` (the default everywhere) repartitions by the
-        leaf-partition columns: one file per leaf dir AND one task per
-        leaf — a 100 TB rewrite parallelizes across the cluster, where
-        the old ``coalesce(1)`` serialized the entire table through a
-        single task (fine at fixture scale, fatal at the real one).
-        Larger ``target_files`` keeps the coalesce knob (an explicit
-        small-scale file-count choice)."""
+        ``target_files=1`` (the default everywhere) REBALANCES on the
+        leaf-partition columns — AQE's RebalancePartitions shuffles by
+        (snapshot_id, partition cols) like a plain repartition, then
+        SPLITS any leaf bigger than the advisory partition size across
+        tasks and coalesces small ones. A plain ``repartition`` funnels
+        each leaf through exactly one task, which is precisely wrong for
+        ``expire_snapshots``: the fold re-stamps ALL folded history at
+        ONE snapshot_id, so an unpartitioned table's entire history —
+        potentially ~the whole 100 TB table — would hash to a single
+        task (round-9 brief item 8; measured: scripts/expiry_skew_demo.py
+        / SCALE.md §11). The cost is that a skewed leaf may hold several
+        part files instead of one — readers glob, nothing depends on the
+        count. (The pre-round-7 ``coalesce(1)`` was the same single-task
+        funnel for EVERY rewrite.) Larger ``target_files`` keeps the
+        coalesce knob (an explicit small-scale file-count choice)."""
         if target_files == 1:
-            return df.repartition(
-                F.col("snapshot_id"),
-                *[F.col(c) for c in self.partition_cols],
+            return df.hint(
+                "rebalance",
+                *["snapshot_id", *self.partition_cols],
             )
         return df.coalesce(target_files)
 
@@ -153,18 +161,27 @@ class SnapshotTable:
         regardless of stream age, vs one open per snapshot ever before —
         a month-old 5 s-tick stream pays ~17 opens, not ~500 k.
 
-        Robust against the two benign filesystem races a multi-READER
+        Robust against the benign filesystem races a multi-READER
         deployment can hit (writes stay single-writer): a stray
-        non-numeric ``.json`` in the ledger dir is skipped, and a loose
-        file deleted by another process's checkpoint cleanup between our
-        listdir and open triggers ONE full re-read — cleanup commits its
-        covering checkpoint (atomic rename) BEFORE deleting any loose
-        file, so the fresh listdir is guaranteed to see a checkpoint
-        that contains the vanished entry."""
-        try:
-            return self._snapshots_scan(strict=True)
-        except FileNotFoundError:
-            return self._snapshots_scan(strict=False)
+        non-numeric ``.json`` in the ledger dir is skipped, and a file
+        deleted by another process's checkpoint cleanup between our
+        listdir and open — a covered LOOSE entry or an older CHECKPOINT
+        (cleanup deletes both) — triggers a full re-read. Cleanup
+        commits its covering checkpoint (atomic rename) BEFORE deleting
+        anything, so a fresh listdir is guaranteed to see a checkpoint
+        that contains every vanished entry; each retry therefore means
+        a WHOLE checkpoint cycle (``checkpoint_every`` commits) landed
+        mid-read, which bounds the loop in practice. The final pass
+        skips vanished loose entries (the checkpoint that same listing
+        saw covers them), but a vanished checkpoint still raises — a
+        silently incomplete ledger view is never returned (it would
+        corrupt ``max_snapshot_id`` and every fence built on it)."""
+        for _ in range(3):
+            try:
+                return self._snapshots_scan(strict=True)
+            except FileNotFoundError:
+                continue
+        return self._snapshots_scan(strict=False)
 
     def _snapshots_scan(self, strict: bool) -> list[dict]:
         names = self.io.list_names(self.ledger_dir)
@@ -657,11 +674,32 @@ class SnapshotTable:
         MERGE-on-table_changes loop) would re-receive rows it already
         consumed as "new" changes and silently double-count. A full read
         (``from_snapshot == -1``) is by definition not incremental and
-        stays valid at any horizon."""
+        stays valid at any horizon.
+
+        The guard honors ``pending_expired_through`` — the marker an
+        in-flight ``expire_snapshots`` commits BEFORE its generation
+        swap — as well as the final stamp, so it is armed across the
+        whole expiry, including a crash between the swap (history
+        physically folded) and the ``expired_through`` stamp. The cost
+        is deliberate conservatism in the mirror window: after a crash
+        BEFORE the swap (history still intact) cursors below the marker
+        raise until the expiry is retried or abandoned — a full re-read
+        is a correct, always-available recovery; a silent double-count
+        is not. ``read_as_of`` ignores the marker for exactly the same
+        asymmetry: refusing readable history is recoverable, silently
+        returning a partial table is not, and post-swap its transient
+        empty-dir window is closed by the retry."""
         snaps = self.snapshots() if snaps is None else snaps
         if from_snapshot >= 0:
             horizon = max(
-                (s.get("expired_through", -1) for s in snaps), default=-1
+                (
+                    max(
+                        s.get("expired_through", -1),
+                        s.get("pending_expired_through", -1),
+                    )
+                    for s in snaps
+                ),
+                default=-1,
             )
             if from_snapshot < horizon:
                 raise ValueError(
@@ -910,6 +948,15 @@ class SnapshotTable:
                 for e in self.io.list_names(fold_dir)
                 if "=" in e and not e.startswith((".", "_"))
             )
+        # (2b) pending-expiry marker, committed in the SAME pre-swap
+        # ledger write: the table_changes double-count guard honors it
+        # (conservatively — see the guard), so a crash in the post-swap /
+        # pre-stamp window below can never leave a stale incremental
+        # cursor silently re-receiving the re-stamped fold as "new"
+        # rows. read_as_of IGNORES it, so the mirror-image pre-swap
+        # crash (history still fully intact) never refuses readable
+        # history — the retry clears it by completing.
+        fold_entry["pending_expired_through"] = fold_id
         self._commit_ledger(fold_entry)
         # (3) atomic generation swap
         new_ptr = {
@@ -928,7 +975,10 @@ class SnapshotTable:
         # is genuinely gone, and a crash before the stamp lands merely
         # leaves pre-fold read_as_of returning the stat-dropped (empty)
         # dirs until the expiry is retried — the same transient step-4
-        # window the expired flags already have.
+        # window the expired flags already have. Incremental cursors are
+        # NOT exposed to that window: the pending marker from (2b) keeps
+        # the table_changes guard armed throughout.
+        fold_entry.pop("pending_expired_through", None)
         fold_entry["expired_through"] = fold_id
         self._commit_ledger(fold_entry)
         for s in snaps:

@@ -261,8 +261,14 @@ def q_pattern_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     chunks = staging.stage_event_chunks(
         spark, sf_dir, run, n_chunks=5, order_col="ts"
     )
+    # cadence 2: the 5-batch replay fires the pair-log's tiered
+    # maintenance mid-stream (batches 2 and 4) — the driver hash gate
+    # proves the maintained log holds every matched pair; the production
+    # default (8) would never trigger at fixture scale and the green row
+    # would not distinguish "maintenance works" from "maintenance never ran"
     return patterns.pattern_stream_stream_join(
-        spark, chunks, run, state_partitions=_JOIN_STATE_PARTS
+        spark, chunks, run, state_partitions=_JOIN_STATE_PARTS,
+        compact_every=2,
     )
 
 
@@ -489,8 +495,11 @@ def q_pattern_streaming_ingest_funnel(
         .distinct()
     )
     bitset = dedup_ops.bloom_build(bench_g, "g")
+    # cadence 2 (vs production default 8): both seen/verdict logs get
+    # mid-stream tiered maintenance at fixture scale, so the oracle hash
+    # exercises the maintained-log read path, not only raw appends
     return patterns.pattern_streaming_ingest_funnel(
-        spark, chunks, run, bitset, state_partitions=4
+        spark, chunks, run, bitset, state_partitions=4, compact_every=2
     )
 
 # The streaming index trains its quantizer on micro-batch 0 — the first
@@ -654,8 +663,13 @@ def q_pattern_streaming_semdedup(
     proof. See streaming/patterns.pattern_streaming_semdedup."""
     run = staging.new_run_dir("psem")
     chunks = staging.stage_embedding_chunks(spark, sf_dir, run, n_chunks=5)
+    # cadence 2: the epoch RETRAIN folds (batches 1/2/4) fire regardless,
+    # but the non-retrain tiered maintain_all tick only fires below the
+    # production default of 8 at 5-batch fixture scale — pin it so the
+    # verdict-log maintenance path is inside the driver hash too
     return patterns.pattern_streaming_semdedup(
-        spark, chunks, run, threshold=0.35, n_cells=16, state_partitions=4
+        spark, chunks, run, threshold=0.35, n_cells=16, state_partitions=4,
+        compact_every=2,
     )
 
 
@@ -702,8 +716,11 @@ def q_pattern_streaming_quality_drift(
     See streaming/patterns.pattern_streaming_quality_drift."""
     run = staging.new_run_dir("pdrift")
     chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    # cadence 2: fires the verdict-log maintenance mid-replay (see the
+    # stream-stream join form for why the production default of 8 would
+    # make this row maintenance-blind at 5-chunk fixture scale)
     return patterns.pattern_streaming_quality_drift(
-        spark, chunks, run, tol="0.5", state_partitions=4
+        spark, chunks, run, tol="0.5", state_partitions=4, compact_every=2
     )
 
 
@@ -732,8 +749,10 @@ def q_pattern_streaming_source_caps(
     decisions. See streaming/patterns.pattern_streaming_source_caps."""
     run = staging.new_run_dir("pcaps")
     chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    # cadence 2: fires the verdict-log maintenance mid-replay (see the
+    # stream-stream join form for the rationale)
     return patterns.pattern_streaming_source_caps(
-        spark, chunks, run, cap=20, state_partitions=4
+        spark, chunks, run, cap=20, state_partitions=4, compact_every=2
     )
 
 

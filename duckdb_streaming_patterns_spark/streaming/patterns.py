@@ -598,6 +598,7 @@ def pattern_stream_stream_join(
     join_window: str = "1 day",
     delay: str = "2 days",
     state_partitions: int | None = None,
+    compact_every: int = 8,
 ) -> DataFrame:
     """Stream-stream interval join (SURVEY §2.9's missing join surface):
     click events joined to the view events that preceded them within
@@ -660,7 +661,7 @@ def pattern_stream_stream_join(
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         # same tiered sink-log maintenance as the dedup patterns: the
         # matched-pair log accumulates one dir per batch on a firehose
-        if batch_id > 0 and batch_id % 8 == 0:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
             pairs.maintain(before_batch=batch_id)
         pairs.append(batch, batch_id)
 

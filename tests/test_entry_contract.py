@@ -53,7 +53,16 @@ def test_first_50_cover_every_family():
             "knn_ivf_ann",
             "pattern_streaming_ann_index_expiring",
         },
-        "multimodal": {"multimodal_decode_features"},
+        "multimodal": {
+            "multimodal_decode_features",
+            # r10 rotation: the cross-modal ANN row
+            "multimodal_ann_retrieval",
+        },
+        "observability": {
+            # r10 rotation: streaming drift monitor + its maintained
+            # verdict log (cadence-pinned — see the cadence test below)
+            "pattern_streaming_quality_drift",
+        },
         "text": {"text_unigram_surprisal", "text_language_id"},
         "funnel": {"pattern_streaming_full_funnel", "corpus_build_shards"},
         "pipeline": {
@@ -71,3 +80,35 @@ def test_first_50_cover_every_family():
 def test_oracle_order_matches_query_order():
     qnames = [n for n in entry_mod.queries() if n in entry_mod.oracle_sql()]
     assert qnames == list(entry_mod.oracle_sql())
+
+
+def test_registered_streaming_forms_pin_maintenance_cadence():
+    """The sf fixtures replay 5 micro-batches, so the production
+    maintenance cadence (every 8 batches) never fires at test scale — a
+    green driver row then cannot distinguish "maintenance works" from
+    "maintenance never ran" (round 9 shipped exactly that blind spot:
+    four patterns stayed green while every maintain() call crashed
+    unconditionally). Every registered form that owns an in-loop
+    UpsertLog maintenance tick must pin compact_every=2 so the tick
+    fires at batches 2 and 4 and the oracle hash covers the maintained
+    read path."""
+    import inspect
+
+    qs = entry_mod.queries()
+    owners = [
+        "pattern_streaming_sessionization",
+        "pattern_stream_stream_join",
+        "pattern_streaming_corpus_dedup",
+        "pattern_streaming_neardup_dedup",
+        "pattern_streaming_semdedup",
+        "pattern_streaming_full_funnel",
+        "pattern_streaming_ingest_funnel",
+        "pattern_streaming_source_caps",
+        "pattern_streaming_quality_drift",
+    ]
+    for name in owners:
+        src = inspect.getsource(qs[name])
+        assert "compact_every=2" in src, (
+            f"{name}'s registered form does not pin compact_every=2 — "
+            "its maintenance tick never fires on the 5-batch fixtures"
+        )

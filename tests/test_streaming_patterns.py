@@ -1586,13 +1586,16 @@ def test_snapshot_compact_preserves_partition_cols(spark, tmp_path):
 
 
 def test_maintenance_rewrite_is_parallel_and_one_file_per_leaf(spark, tmp_path):
-    """target_files=1 means one parquet part per LEAF directory written by
-    a parallel per-leaf shuffle (``_rewrite_layout``), not coalesce(1)'s
-    single task funnelling the whole table. Asserts both halves: the
-    distribution is a RepartitionByExpression over (snapshot_id,
-    partition cols) spanning >1 shuffle partition, and the on-disk result
-    still lands exactly one part file in every snapshot_id=*/cell_id=*
-    leaf (the layout compaction-era readers and DPP pruning depend on)."""
+    """target_files=1 means a REBALANCE shuffle on (snapshot_id,
+    partition cols) (``_rewrite_layout``), not coalesce(1)'s single task
+    funnelling the whole table — and since round 10 not a plain
+    repartition either, because the expire fold re-stamps all history at
+    ONE snapshot_id and a per-key repartition would funnel that through
+    one task (AQE's rebalance splits such a skewed leaf). Asserts the
+    plan is the rebalance shuffle, never a Coalesce; on-disk, each tiny
+    fixture leaf still lands one part file (AQE coalesces small
+    partitions — at scale a skewed leaf may legitimately hold several,
+    readers glob)."""
     import contextlib as _contextlib
     import glob as _glob
     import io as _io
@@ -1618,10 +1621,11 @@ def test_maintenance_rewrite_is_parallel_and_one_file_per_leaf(spark, tmp_path):
     with _contextlib.redirect_stdout(buf):
         shaped.explain("formatted")
     plan = buf.getvalue()
-    # The distribution must be a hash shuffle over the leaf key (AQE then
-    # right-sizes the partition count — at fixture scale it may coalesce
-    # to 1, at 100 TB it fans out), never a Coalesce funnel.
-    assert "REPARTITION_BY_COL" in plan, plan
+    # The distribution must be the AQE rebalance shuffle over the leaf
+    # key (right-sizes partition count AND splits skewed leaves — at
+    # fixture scale it may coalesce to 1, at 100 TB it fans out), never
+    # a Coalesce funnel and never a one-task-per-key repartition.
+    assert "REBALANCE_PARTITIONS_BY_COL" in plan, plan
     assert "hashpartitioning(snapshot_id" in plan, plan
     assert "Coalesce" not in plan, plan
 
@@ -2896,6 +2900,63 @@ def test_expire_crash_before_swap_keeps_history_travellable(
     assert t.read().count() == 4
 
 
+def test_expire_crash_after_swap_keeps_cdf_guard_armed(spark, tmp_path):
+    """Round-10 (ADVICE): a crash between the generation swap (folded
+    history physically gone) and the expired_through stamp used to leave
+    the table_changes double-count guard inert — a stale incremental
+    cursor would silently re-receive the re-stamped fold as "new" rows.
+    The pending_expired_through marker commits BEFORE the swap, so the
+    guard is armed across the whole window; read_as_of ignores the
+    marker (its transient empty-history window is closed by the retry,
+    and refusing READABLE history after a pre-swap crash would be the
+    worse failure)."""
+    import pytest
+
+    root = str(tmp_path / "expcrash2")
+    t = SnapshotTable(spark, root, "id long, v long")
+    for i in range(4):
+        t.append(
+            spark.createDataFrame([(i, i * 10)], "id long, v long"),
+            batch_id=i,
+        )
+
+    real_io = t.io
+
+    class CrashAfterSwapIO:
+        def __getattr__(self, name):
+            return getattr(real_io, name)
+
+        def swap_pointer(self, path, obj, expected=None):
+            real_io.swap_pointer(path, obj, expected=expected)
+            raise OSError("injected crash after pointer swap")
+
+    t.io = CrashAfterSwapIO()
+    with pytest.raises(OSError, match="after pointer swap"):
+        t.expire_snapshots(through=2)
+    t.io = real_io
+
+    # The swap landed: current reads serve the folded generation intact.
+    assert t.read().count() == 4
+    # expired_through never stamped — but the guard must STILL refuse
+    # the stale cursor (this was the silent-double-count hole).
+    snaps = t.snapshots()
+    assert max(s.get("expired_through", -1) for s in snaps) == -1
+    assert max(s.get("pending_expired_through", -1) for s in snaps) == 2
+    with pytest.raises(ValueError, match="double-count"):
+        t.table_changes(1, 3)
+    # full reads and at/after-horizon cursors stay valid
+    assert t.table_changes(-1, 3).count() == 4
+    assert t.table_changes(2, 3).count() == 1
+    # the retry completes, clears the marker, and stamps for real
+    assert t.expire_snapshots(through=2) == 2
+    snaps = t.snapshots()
+    assert max(s.get("expired_through", -1) for s in snaps) == 2
+    assert max(s.get("pending_expired_through", -1) for s in snaps) == -1
+    with pytest.raises(ValueError, match="double-count"):
+        t.table_changes(1, 3)
+    assert t.read().count() == 4
+
+
 def test_table_changes_guards_expired_incremental_cursor(spark, tmp_path):
     """Round-9 (ADVICE medium): an incremental CDF cursor below the
     expire_snapshots horizon raises instead of silently double-counting
@@ -3008,6 +3069,57 @@ def test_snapshots_skips_stray_json_in_ledger_dir(spark, tmp_path):
     snaps = t.snapshots()
     assert [s["snapshot_id"] for s in snaps] == [0]
     assert t.read().count() == 1
+
+
+def test_snapshots_survives_checkpoint_cleanup_race(spark, tmp_path):
+    """Round-10 (ADVICE): another process's checkpoint cleanup can delete
+    an OLDER checkpoint between a reader's listdir and open — not just a
+    loose entry. The read must re-list and retry (cleanup commits the
+    newer covering checkpoint before deleting, so a fresh listing always
+    has a complete view), and a persistently vanishing checkpoint must
+    RAISE rather than return a silently incomplete ledger (which would
+    corrupt max_snapshot_id and every fence built on it)."""
+    import pytest
+
+    from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
+    from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
+
+    root = str(tmp_path / "ckptrace")
+    t = SnapshotTable(spark, root, "id long", checkpoint_every=2)
+    for i in range(4):
+        t.append(spark.createDataFrame([(i,)], "id long"), batch_id=i)
+    assert any(
+        n.startswith("checkpoint-") for n in os.listdir(t.ledger_dir)
+    )
+
+    class FlakyCkptIO:
+        """Delegates to POSIX_IO but makes the first ``fails`` checkpoint
+        reads vanish, simulating the cleanup race from a reader's view."""
+
+        def __init__(self, fails: int):
+            self.fails_left = fails
+
+        def __getattr__(self, name):
+            return getattr(POSIX_IO, name)
+
+        def read_json(self, path):
+            if (
+                os.path.basename(path).startswith("checkpoint-")
+                and self.fails_left > 0
+            ):
+                self.fails_left -= 1
+                raise FileNotFoundError(path)
+            return POSIX_IO.read_json(path)
+
+    # a fresh reader (no parse cache) racing two consecutive cleanups
+    reader = SnapshotTable(spark, root, "id long", io=FlakyCkptIO(2))
+    assert [s["snapshot_id"] for s in reader.snapshots()] == [0, 1, 2, 3]
+
+    # pathological: the checkpoint vanishes on EVERY attempt — raise,
+    # never a silent loose-entries-only view
+    reader_bad = SnapshotTable(spark, root, "id long", io=FlakyCkptIO(99))
+    with pytest.raises(FileNotFoundError):
+        reader_bad.snapshots()
 
 
 def test_overlap_empty_and_multi_error_aggregation(spark):

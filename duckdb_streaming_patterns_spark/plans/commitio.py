@@ -91,14 +91,24 @@ class PosixCommitIO:
         last-writer-wins (ledger entries are re-published in place when
         vacuum/expire mutate flags). POSIX: temp + fsync + rename in the
         same directory. Object store: PUT (atomic by nature; durability
-        is the store's contract, no fsync analogue needed)."""
+        is the store's contract, no fsync analogue needed). A failed
+        write removes its temp (same hygiene as put_json_if_absent —
+        the fixed temp name would self-heal on the next attempt, but
+        until then it is litter in a dir other readers list)."""
         d, name = os.path.split(path)
         tmp = os.path.join(d, f".{name}.tmp")
-        with open(tmp, "w") as f:
-            json.dump(obj, f)
-            f.flush()
-            os.fsync(f.fileno())
-        os.replace(tmp, path)
+        try:
+            with open(tmp, "w") as f:
+                json.dump(obj, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except OSError:
+                pass
+            raise
 
     def put_json_if_absent(self, path: str, obj) -> bool:
         """Publish ``obj`` at ``path`` only if no document exists there;

@@ -342,3 +342,77 @@ def test_remove_duplicated_spans_matches_python_reference(spark, texts):
     }
     want = {d: v for d, v in enumerate(_py_remove_spans(texts, n=3))}
     assert got == want
+
+
+# -- UpsertLog LWW x maintenance algebra (round 10) ------------------------
+# The machinery that regressed in round 9: random emission schedules,
+# cadences, and fanouts; the maintained log must resolve every key to
+# its LAST emission, exactly as an unmaintained replay would.
+
+_schedules = st.lists(
+    st.lists(
+        st.integers(min_value=0, max_value=15), min_size=1, max_size=8
+    ).map(lambda ks: sorted(set(ks))),
+    min_size=2,
+    max_size=6,
+)
+
+
+@settings(**_SETTINGS)
+@given(_schedules, st.sampled_from([1, 2, 3]), st.sampled_from([2, 3]))
+def test_upsert_log_lww_invariant_under_random_maintenance(
+    spark, schedule, cadence, fanout
+):
+    """For ANY emission schedule and ANY maintenance cadence/fanout:
+    read_latest() == {key: last batch that emitted it}; a terminal full
+    compact() preserves it; and a mid-stream scoped read either equals
+    the prefix reference or raises the documented span-straddle error —
+    never a silently wrong prefix."""
+    import shutil
+    import tempfile
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    root = tempfile.mkdtemp(prefix="lww_prop_")
+    try:
+        log = UpsertLog(spark, root, keys=["key"])
+        expected: dict[int, int] = {}
+        for b, keys in enumerate(schedule):
+            if b > 0 and b % cadence == 0:
+                log.maintain(before_batch=b, fanout=fanout)
+            log.append(
+                spark.createDataFrame(
+                    [(k, b) for k in keys], "key long, emitted_in long"
+                ),
+                b,
+            )
+            for k in keys:
+                expected[k] = b
+        got = {
+            r["key"]: r["emitted_in"] for r in log.read_latest().collect()
+        }
+        assert got == expected
+
+        mid = len(schedule) // 2
+        prefix = {}
+        for b, keys in enumerate(schedule[:mid]):
+            for k in keys:
+                prefix[k] = b
+        try:
+            got_mid = {
+                r["key"]: r["emitted_in"]
+                for r in log.read_latest(before_batch=mid).collect()
+            }
+            assert got_mid == prefix
+        except RuntimeError as e:
+            # documented contract (r8 item 3): a scope boundary inside a
+            # merged span REFUSES rather than leaking post-boundary rows
+            assert "straddle" in str(e)
+
+        log.compact()
+        got2 = {
+            r["key"]: r["emitted_in"] for r in log.read_latest().collect()
+        }
+        assert got2 == expected
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

@@ -1942,6 +1942,51 @@ def test_semdedup_stream_retry_is_idempotent_and_matches_all_prior(
         assert got[20] == ("drop_semantic", 2)  # matches v0 AND v10
 
 
+def test_source_caps_production_cadence_fires_past_batch_8(spark, sf_small):
+    """Round-10: the registered forms pin compact_every=2 so the driver
+    gate exercises maintenance at 5-batch fixture scale — this test
+    covers the other half: the PRODUCTION default (cadence 8) on a
+    replay long enough to reach it. 12 micro-batches fire the verdict
+    log's tiered maintain() at batch 8 mid-stream; every quota verdict
+    must still equal the batch arrival-rank reference. Without this, no
+    test ran any pattern past its default cadence (the round-9 blind
+    spot, from the other direction)."""
+    from pyspark.sql import Window
+
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    run = staging.new_run_dir("t_caps_c8")
+    chunks = staging.stage_document_chunks(spark, sf_small, run, n_chunks=12)
+    got = patterns.pattern_streaming_source_caps(
+        spark, chunks, run, cap=20, state_partitions=4
+    )  # compact_every stays the default 8
+    docs = load_table(spark, sf_small, "documents")
+    w = Window.partitionBy("source").orderBy("doc_id")
+    ref = docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).cast("long").alias("src_rank"),
+        (F.row_number().over(w) <= 20).alias("keep"),
+    )
+    assert got.count() == docs.count()
+    assert (
+        got.join(
+            ref, ["doc_id", "source", "src_rank", "keep"], "inner"
+        ).count()
+        == docs.count()
+    )
+    # and the maintenance actually ran: the verdict log holds at least
+    # one fold-produced (negative-id) dir
+    import glob as _glob
+
+    folded = [
+        d
+        for d in _glob.glob(os.path.join(run, "**", "__batch_id=-*"))
+        + _glob.glob(os.path.join(run, "**", "**", "__batch_id=-*"))
+    ]
+    assert folded, "cadence-8 maintenance never produced a fold dir"
+
+
 def test_source_caps_retry_is_idempotent(spark, tmp_path):
     """pattern_streaming_source_caps under foreachBatch retries, both
     crash windows: (a) verdicts appended but the counts merge not yet

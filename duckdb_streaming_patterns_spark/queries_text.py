@@ -833,3 +833,145 @@ def q_source_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval (round 10): the classic lexical ranking a corpus pipeline
+# uses for benchmark-decontamination triage and eval-set retrieval. Every
+# input to the score is an exact integer (tf, df, dl, N) or a ratio of
+# exact integers (avgdl = sum(dl)/N), so the per-term score is a pure
+# function both engines compute from identical doubles; per-term scores
+# are quantized to DECIMAL(18,6) before the per-doc sum (the quality-drift
+# trick) so the aggregate is order-free and the oracle hash exact.
+# ---------------------------------------------------------------------------
+
+_BM25_QUERIES = [
+    (0, "hash join merge"),
+    (1, "window sort order"),
+    (2, "stream batch spark"),
+]
+_BM25_K1, _BM25_B = "1.2", "0.75"
+
+# identical arithmetic text in both engines: constant folding then runs on
+# the same doubles (ln is natural log in both)
+_BM25_SCORE_EXPR = (
+    "ln((n_docs - df + 0.5) / (df + 0.5) + 1) * (tf * ({k1} + 1)) / "
+    "(tf + {k1} * (1 - {b} + {b} * dl / avgdl))"
+).format(k1=_BM25_K1, b=_BM25_B)
+
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{tok}')"
+    for qid, qtext in _BM25_QUERIES
+    for tok in dict.fromkeys(qtext.split())
+)
+
+_BM25_ORACLE = rf"""
+    WITH dl AS (SELECT doc_id,
+                       len(string_split_regex(trim(text), '\s+')) AS dl
+                FROM documents),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS n_docs
+              FROM dl),
+    q AS (SELECT * FROM (VALUES {_BM25_VALUES}) AS t(query_id, tok)),
+    toks AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(text), '\s+')) AS tok
+             FROM documents),
+    tf AS (SELECT doc_id, tok, count(*) AS tf
+           FROM toks WHERE tok IN (SELECT tok FROM q)
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (SELECT q.query_id, tf.doc_id,
+                      CAST(ROUND({_BM25_SCORE_EXPR}, 6) AS DECIMAL(18,6))
+                        AS s
+               FROM q
+               JOIN tf USING (tok)
+               JOIN dfreq USING (tok)
+               JOIN dl ON tf.doc_id = dl.doc_id, stats),
+    agg AS (SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+            FROM scored GROUP BY query_id, doc_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           score,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY score DESC, doc_id) AS rank
+          FROM agg)
+    WHERE rank <= 5
+"""
+
+
+@register("text_bm25_topk", _BM25_ORACLE)
+def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-5 documents per query (k1=1.2, b=0.75, plus-one IDF).
+
+    Scale shape (designed for the 100 TB corpus, not the 500-doc
+    fixture): the exploded token stream is filtered to the BROADCAST
+    query-term set BEFORE the tf shuffle, so the only wide exchange is
+    O(matching tokens), never O(corpus tokens); df is then a tiny
+    aggregate over that candidate tf (df is only needed for query
+    terms); doc length and avgdl come from size() on the token array —
+    no explode, one scan, two scalar literals (bounded 1-row collect,
+    same class as the md5-anchor probes). Final ranking is one window
+    over O(queries x matching docs)."""
+    from duckdb_streaming_patterns_spark.functions.text import tokens
+
+    docs = _t(spark, sf_dir, "documents")
+    qterms = spark.createDataFrame(
+        [
+            (qid, tok)
+            for qid, qtext in _BM25_QUERIES
+            for tok in dict.fromkeys(qtext.split())
+        ],
+        "query_id long, tok string",
+    )
+    qtok_list = sorted(
+        {tok for _, qtext in _BM25_QUERIES for tok in qtext.split()}
+    )
+
+    dl = docs.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("dl")
+    )
+    sl, n_docs = dl.agg(
+        F.sum("dl").alias("sl"), F.count("*").alias("n")
+    ).first()
+    avgdl = float(sl) / float(n_docs)  # exact ints -> one IEEE divide
+
+    tf = (
+        docs.select(
+            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        )
+        .filter(F.col("tok").isin(qtok_list))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("n_docs", F.lit(int(n_docs)))
+        .withColumn("avgdl", F.lit(avgdl))
+        .withColumn(
+            "s",
+            F.expr(f"CAST(ROUND({_BM25_SCORE_EXPR}, 6) AS DECIMAL(18,6))"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s").cast("double").alias("score")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -243,3 +243,84 @@ def test_bloom_gate_has_no_false_negatives(spark, sf_oracle):
         n_flagged, flagged = bloom[doc_id]
         assert flagged, f"false negative: doc {doc_id} shares {n_shared} grams"
         assert n_flagged >= n_shared
+
+
+def test_bm25_matches_python_reference(spark, sf_oracle):
+    """text_bm25_topk against a from-scratch Python BM25 (k1=1.2, b=0.75,
+    plus-one IDF) over the same fixture — independent of both the Spark
+    expression tree and the DuckDB oracle text."""
+    import math
+    import re
+    from collections import Counter
+
+    from duckdb_streaming_patterns_spark.queries_text import _BM25_QUERIES
+
+    docs = {
+        r["doc_id"]: re.split(r"\s+", r["text"].strip())
+        for r in load_table(spark, sf_oracle, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    n = len(docs)
+    avgdl = sum(len(t) for t in docs.values()) / n
+    k1, b = 1.2, 0.75
+    expected = {}
+    for qid, qtext in _BM25_QUERIES:
+        terms = list(dict.fromkeys(qtext.split()))
+        df = {
+            t: sum(1 for toks in docs.values() if t in toks) for t in terms
+        }
+        scores = {}
+        for d, toks in docs.items():
+            tf = Counter(toks)
+            s = 0.0
+            for t in terms:
+                if tf[t] == 0 or df[t] == 0:
+                    continue
+                idf = math.log((n - df[t] + 0.5) / (df[t] + 0.5) + 1)
+                term = (
+                    idf
+                    * (tf[t] * (k1 + 1))
+                    / (tf[t] + k1 * (1 - b + b * len(toks) / avgdl))
+                )
+                s += round(term, 6)  # mirror the decimal quantization
+            if s > 0:
+                scores[d] = round(s, 6)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        for rank, (d, s) in enumerate(top, start=1):
+            expected[(qid, d)] = (rank, s)
+
+    fn, _ = QUERIES["text_bm25_topk"]
+    got = {
+        (r["query_id"], r["doc_id"]): (r["rank"], round(r["score"], 6))
+        for r in fn(spark, sf_oracle).collect()
+    }
+    assert got == expected
+
+
+def test_bm25_filters_tokens_before_the_tf_shuffle(spark, sf_oracle):
+    """The only wide exchange must be over the query-term-filtered token
+    stream: the physical plan pushes the isin filter below the first
+    aggregate, so at 100 TB the shuffle is O(matching tokens), never
+    O(corpus tokens)."""
+    import contextlib
+    import io
+
+    fn, _ = QUERIES["text_bm25_topk"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        fn(spark, sf_oracle).explain("formatted")
+    plan = buf.getvalue()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+    # operator order on the tf branch: Generate (explode) -> Filter
+    # (query-term isin) -> partial HashAggregate -> first Exchange; the
+    # filter discarding non-query tokens must sit BELOW the shuffle
+    gen_idx = plan.find("Generate")
+    filt_idx = plan.find("Filter", gen_idx)
+    exch_idx = plan.find("Exchange", gen_idx)
+    assert 0 <= gen_idx < filt_idx < exch_idx, plan[:3000]
+    # the rank<=5 filter is pushed into the window sort as a group-limit
+    # (Spark 3.5+ WindowGroupLimit), so the final stage never
+    # materializes full per-query rankings
+    assert "WindowGroupLimit" in plan

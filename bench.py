@@ -77,6 +77,7 @@ HEADLINE = [
     "text_language_id",
     "text_repetition_stats",
     "text_unigram_surprisal",
+    "text_bm25_topk",
     "text_duplicated_spans",
     "text_remove_duplicated_spans",
     "doc_fingerprint",

@@ -264,6 +264,24 @@ class UpsertLog:
     instead of the whole accumulated corpus. Size n_buckets so one
     bucket ≈ a few files at the target state size (at 100 TB of state:
     tens of thousands of buckets; the default 16 fits the test SFs).
+
+    Concurrency contract, stated explicitly (it differs from
+    SnapshotTable's): reads, appends, and maintenance on ONE log are
+    serialized by the owning driver (foreachBatch runs them in
+    sequence; ``maintain_all``/``append_all`` overlap only ACROSS
+    logs). EXTERNAL processes reading a log that is concurrently
+    maintained can transiently fail: ``maintain``/``compact`` GC their
+    folded source dirs in place, so a reader that file-listed before
+    the fold can hit missing files mid-scan — unlike SnapshotTable,
+    whose generation swap keeps a live directory for in-flight
+    readers. The failure is clean (fold manifests commit BEFORE any
+    delete, so a re-read resolves; dead dirs that survive a crashed GC
+    are excluded by the manifest's dead-id filter, never double-read)
+    — the same retry discipline as ``snapshots()``. A deployment that
+    needs lock-free external readers should defer the GC by a grace
+    period (results are already correct with dead dirs present; only
+    the deletes race) — on the object-store port that is one flag on
+    the sweep, not a redesign.
     """
 
     def __init__(

@@ -553,7 +553,16 @@ def q_pattern_streaming_ann_index_expiring(
     mid-stream merges. Registered separately (rather than folded into
     the bench form) because each toy-scale fold is a full-table rewrite
     whose ~5 s fixed Spark-job cost would dominate the bench number;
-    the amortization story lives at stream depth (SCALE.md §8)."""
+    the amortization story lives at stream depth (SCALE.md §8).
+
+    checkpoint_every=2 (vs the production default 16): the 5 appends
+    plus the expiry's entry re-commits cross the checkpoint cadence
+    several times at fixture scale, so this hash row also proves the
+    ledger-checkpoint path end to end — checkpoint write, checkpointed
+    read, AND the loose-overrides-checkpoint rule (expiry re-publishes
+    already-checkpointed entries as loose files). With the default 16
+    no driver row ever wrote a checkpoint (the round-10 sibling of the
+    maintenance-cadence blind spot)."""
     from duckdb_streaming_patterns_spark.sources.tables import load_table
 
     run = staging.new_run_dir("panx")
@@ -563,7 +572,7 @@ def q_pattern_streaming_ann_index_expiring(
     )
     return patterns.pattern_streaming_ann_index(
         spark, chunks, run, queries_df, k=10, n_cells=16, n_probe=8,
-        state_partitions=4, expire_every=2,
+        state_partitions=4, expire_every=2, checkpoint_every=2,
     )
 
 

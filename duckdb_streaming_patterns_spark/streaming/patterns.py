@@ -1029,6 +1029,7 @@ def pattern_streaming_ann_index(
     n_probe: int = 8,
     state_partitions: int | None = None,
     expire_every: int = 0,
+    checkpoint_every: int = 16,
 ) -> DataFrame:
     """Streaming ANN-index maintenance: an IVF index built INCREMENTALLY
     as embedding batches land, then probed — the continuous-ingestion
@@ -1072,6 +1073,7 @@ def pattern_streaming_ann_index(
         os.path.join(run_dir, "ivf_index"),
         "vec_id long, embedding array<float>, cell_id long",
         partition_cols=["cell_id"],
+        checkpoint_every=checkpoint_every,
     )
     anchors_path = os.path.join(run_dir, "anchors.json")
 

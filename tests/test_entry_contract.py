@@ -112,3 +112,9 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
             f"{name}'s registered form does not pin compact_every=2 — "
             "its maintenance tick never fires on the 5-batch fixtures"
         )
+    # the sibling blind spot for the ledger CHECKPOINT cadence: the
+    # expiring ANN-index row pins checkpoint_every=2 so the driver hash
+    # covers checkpoint write + checkpointed read + loose-override
+    # (default 16 is never reached by any fixture-scale ledger)
+    src = inspect.getsource(qs["pattern_streaming_ann_index_expiring"])
+    assert "checkpoint_every=2" in src

@@ -148,11 +148,17 @@ def q_pattern_gdpr_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     older event half for user_id%7==4) and the delete change feed drives a
     recompute of ONLY the affected groups. Oracle = batch aggregation over
     the surviving events — proves tombstone reads, delete CDF, and
-    propagation agree with the ground truth."""
+    propagation agree with the ground truth.
+
+    vacuum_after=True (round 10): phase 4 physically vacuums the table
+    and re-derives the affected groups from the vacuumed scan before
+    returning, so this hash row also proves the generation-swap rewrite
+    preserved exactly the surviving rows — vacuum() previously had unit
+    tests but no driver-hash coverage (the maintenance-blind-spot family)."""
     run = staging.new_run_dir("pgdpr")
     chunks = staging.stage_event_chunks(spark, sf_dir, run, n_chunks=5)
     return patterns.pattern_delete_propagation(
-        spark, chunks, run, state_partitions=_STATE_PARTS
+        spark, chunks, run, state_partitions=_STATE_PARTS, vacuum_after=True
     )
 
 

@@ -248,6 +248,7 @@ def pattern_delete_propagation(
     chunks_dir: str,
     run_dir: str,
     state_partitions: int | None = None,
+    vacuum_after: bool = False,
 ) -> DataFrame:
     """GDPR-style delete propagation over the CDF surface (the delete half
     of DuckLake's ``table_changes`` the reference never exercises, and the
@@ -353,6 +354,42 @@ def pattern_delete_propagation(
         add_cols=["count_of_clicks"],
         max_cols=["updated_at"],
     )
+    if vacuum_after:
+        # -- Phase 4 (registered form): physical vacuum, made
+        # LOAD-BEARING for the driver hash. vacuum() rewrites the table
+        # into a new generation with the tombstoned rows physically
+        # removed; by contract reads are vacuum-invariant, so the oracle
+        # is unchanged — but an invariant nobody reads through proves
+        # nothing. Re-deriving the affected groups FROM THE VACUUMED
+        # table and re-merging (idempotent: same values) makes the
+        # returned summary numerically depend on the post-vacuum fast
+        # scan (insert-only path, no anti-join): a vacuum that lost
+        # surviving rows lowers the recomputed counts, one that
+        # resurrected deleted rows raises them — either flips the hash.
+        # Pin the affected-key set to storage FIRST: `affected` is a
+        # lazy plan over the delete change feed, i.e. over tombstone
+        # parquet files — exactly what vacuum() is about to physically
+        # delete. Re-evaluating it post-vacuum fails with
+        # FAILED_READ_FILE (caught by this pattern's own smoke run);
+        # localCheckpoint materializes the O(affected-groups) keys and
+        # severs the lineage to the retired files.
+        affected = affected.localCheckpoint(eager=True)
+        raw.vacuum()
+        recomputed_post = _delta_agg(
+            raw.read().join(F.broadcast(affected), "user_id", "semi")
+        )
+        summary.delete_keys(
+            _user_name(affected),
+            batch_id=current + 2,
+            keys=["user_id", "user_name"],
+        )
+        summary.merge_batch(
+            recomputed_post,
+            current + 3,
+            keys=["user_id", "user_name"],
+            add_cols=["count_of_clicks"],
+            max_cols=["updated_at"],
+        )
     return summary.read()
 
 

@@ -118,3 +118,7 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
     # (default 16 is never reached by any fixture-scale ledger)
     src = inspect.getsource(qs["pattern_streaming_ann_index_expiring"])
     assert "checkpoint_every=2" in src
+    # and the physical-vacuum path: the GDPR row re-derives its affected
+    # groups from the vacuumed table, so vacuum() has a hash row too
+    src = inspect.getsource(qs["pattern_gdpr_delete_propagation"])
+    assert "vacuum_after=True" in src

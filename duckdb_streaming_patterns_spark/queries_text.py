@@ -928,6 +928,14 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         {tok for _, qtext in _BM25_QUERIES for tok in qtext.split()}
     )
 
+    # The corpus is tokenized three times (scalar probe, dl join side,
+    # tf explode). Measured negative result (round 10, interleaved A/B
+    # at sf0.1): localCheckpoint-ing the (doc_id, dl) frame to fold the
+    # probe and join scans into one materialization is FLAT-TO-SLOWER
+    # (5.1/6.0/6.6 s vs 5.6/5.0/5.0 s) — the eager block-manager write
+    # costs more than the saved re-scan here, so the lazy form stays.
+    # On a real 100 TB corpus, persist dl (two longs per doc) before
+    # this point; the crossover favors it as scan cost grows.
     dl = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("dl")
     )

@@ -114,6 +114,7 @@ HEADLINE = [
     "pattern_streaming_source_caps",
     "pattern_streaming_quality_drift",
     "pattern_streaming_ingest_funnel",
+    "pattern_streaming_bm25_index",
     "pattern_streaming_full_funnel",
     "pattern_bootstrap_then_stream",
     "corpus_build_shards",

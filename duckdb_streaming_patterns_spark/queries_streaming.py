@@ -902,3 +902,31 @@ def q_pattern_streaming_neardup_dedup(
         spark, chunks, run, threshold=0.7, state_partitions=4,
         compact_every=2, maintain_fanout=2,
     )
+
+
+from duckdb_streaming_patterns_spark.queries_text import (  # noqa: E402
+    _BM25_ORACLE,
+    _BM25_QUERIES,
+    _BM25_SCORE_EXPR,
+)
+
+
+@register("pattern_streaming_bm25_index", _BM25_ORACLE)
+def q_pattern_streaming_bm25_index(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Continuous-ingestion BM25 index (round 10): documents replayed as
+    5 micro-batches; tf and doc-length state accumulate in insert-only
+    UpsertLogs (tf hash-bucketed BY TOKEN), queries answered at the end
+    via a DPP-pruned read of exactly the query terms' buckets. Oracle =
+    the batch BM25 (identical SQL to text_bm25_topk) — under monotone
+    chunking the accumulated index IS the corpus index, so streaming ≡
+    batch for ranked retrieval, and the hash gate additionally pins the
+    token-bucketed layout's merge path (cadence 2 fires maintain_all at
+    batches 2 and 4). See streaming/patterns.pattern_streaming_bm25_index."""
+    run = staging.new_run_dir("pbm25")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_streaming_bm25_index(
+        spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2,
+    )

@@ -2533,3 +2533,157 @@ def corpus_dedup_batch(seen_log, verdict_log, batch: DataFrame, batch_id: int) -
         .localCheckpoint(eager=True)
     )
     append_all([(seen_log, new_firsts), (verdict_log, verdicts)], batch_id)
+
+
+def pattern_streaming_bm25_index(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    queries: list,
+    score_expr: str,
+    k: int = 5,
+    state_partitions: int | None = None,
+    compact_every: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Continuous-ingestion BM25 index: documents land as micro-batches;
+    each batch's term frequencies and doc length append to LSM state in
+    O(batch) work (nothing is ever re-indexed); queries are answered at
+    the end from the accumulated state — the streaming form of
+    ``text_bm25_topk``, closing the batch→continuous loop for the
+    lexical-retrieval family the way pattern_streaming_semdedup does for
+    embeddings. ``queries`` is [(query_id, qtext)]; ``score_expr`` the
+    shared BM25 arithmetic text (the oracle replays it bit-for-bit).
+
+    Shape (designed for a 100 TB corpus firehose):
+    - tf state is an insert-only UpsertLog keyed (doc_id, tok),
+      hash-BUCKETED BY TOKEN (``bucket_col="tok"``): per-batch ingest is
+      one explode + one O(batch-tokens) aggregate + a partitioned
+      append, and query-time retrieval joins the state on
+      (tok, __kb) with __kb derived on the BROADCAST query side — Spark
+      inserts a dynamic-partition-pruning subquery and reads ONLY the
+      buckets the query terms live in, O(|q| buckets) I/O against an
+      arbitrarily large index (the near-dup verify-fetch mechanism,
+      applied to retrieval);
+    - doc-length state is a two-longs-per-doc insert-only log; avgdl =
+      sum/count over it (exact integers, one IEEE divide — identical in
+      both engines);
+    - df comes from the pruned candidate tf rows themselves (df is only
+      needed for query terms), never a corpus-wide pass;
+    - the two per-batch appends overlap (``append_all``), and the logs
+      take the tiered ``maintain_all`` tick on the ``compact_every``
+      cadence — O(log batches) dir counts at any stream age.
+
+    Exactly-once: appends are per-batch-dir idempotent and both logs are
+    insert-only ((doc_id, tok) and doc_id arrive exactly once under the
+    staging contract), so a foreachBatch retry rewrites its own dirs
+    bit-identically — no fence needed, same contract as the corpus-dedup
+    seen log."""
+    from duckdb_streaming_patterns_spark.functions.text import tokens
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        UpsertLog,
+        append_all,
+        maintain_all,
+    )
+
+    tf_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "tf"),
+        keys=["doc_id", "tok"],
+        insert_only=True,
+        bucket_col="tok",
+        n_buckets=n_buckets,
+    )
+    dl_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "dl"),
+        keys=["doc_id"],
+        insert_only=True,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            maintain_all([tf_log, dl_log], before_batch=batch_id)
+        tf = (
+            batch.select(
+                "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+            )
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+        dl = batch.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("dl")
+        ).localCheckpoint(eager=True)
+        append_all([(tf_log, tf), (dl_log, dl)], batch_id)
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_document_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    # -- query phase over the accumulated index -------------------------
+    qterms = spark.createDataFrame(
+        [
+            (qid, tok)
+            for qid, qtext in queries
+            for tok in dict.fromkeys(qtext.split())
+        ],
+        "query_id long, tok string",
+    )
+    dl_state = dl_log.read_latest()
+    sl, n_docs = dl_state.agg(
+        F.sum("dl").alias("sl"), F.count("*").alias("n")
+    ).first()
+    avgdl = float(sl) / float(n_docs)
+
+    # DPP-pruned candidate fetch: __kb derived on the broadcast query
+    # side; the length() filter is the comparison-shaped predicate
+    # Spark's PartitionPruning rule requires before inserting the
+    # subquery (same trick as the dedup matched-state fetch)
+    q_keys = (
+        qterms.filter(F.length(F.col("tok")) > 0)
+        .withColumn("__kb", tf_log.bucket_of(F.col("tok")))
+    )
+    cand = tf_log.read_latest(keep_bucket=True).join(
+        F.broadcast(q_keys), ["tok", "__kb"]
+    )
+    dfreq = (
+        cand.select("doc_id", "tok")
+        .distinct()
+        .groupBy("tok")
+        .agg(F.count("*").alias("df"))
+    )
+    scored = (
+        cand.join(F.broadcast(dfreq), "tok")
+        .join(dl_state, "doc_id")
+        .withColumn("n_docs", F.lit(int(n_docs)))
+        .withColumn("avgdl", F.lit(avgdl))
+        .withColumn(
+            "s",
+            F.expr(f"CAST(ROUND({score_expr}, 6) AS DECIMAL(18,6))"),
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s").cast("double").alias("score")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("doc_id")
+    )
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

@@ -105,6 +105,7 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
         "pattern_streaming_ingest_funnel",
         "pattern_streaming_source_caps",
         "pattern_streaming_quality_drift",
+        "pattern_streaming_bm25_index",
     ]
     for name in owners:
         src = inspect.getsource(qs[name])

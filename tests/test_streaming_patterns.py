@@ -3225,3 +3225,35 @@ def test_ann_index_results_are_expiry_invariant(spark, sf_small, tmp_path):
         os.path.join(idx_root, ptr["data"], "snapshot_id=*")
     )
     assert len(live) <= 3, live
+
+
+def test_streaming_bm25_equals_batch_and_prunes_query_buckets(
+    spark, sf_small
+):
+    """pattern_streaming_bm25_index: (a) the accumulated-index answer
+    equals the batch text_bm25_topk result row-for-row (streaming ≡
+    batch for ranked retrieval under monotone chunking); (b) the
+    query-phase candidate fetch carries a dynamic-partition-pruning
+    subquery on the token-bucketed tf state — at 100 TB the read is
+    O(|q| buckets), never an index scan."""
+    import contextlib
+    import io
+
+    from duckdb_streaming_patterns_spark.queries import QUERIES
+    from duckdb_streaming_patterns_spark.queries_streaming import (
+        q_pattern_streaming_bm25_index,
+    )
+
+    got = q_pattern_streaming_bm25_index(spark, sf_small)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+
+    batch_fn, _ = QUERIES["text_bm25_topk"]
+    want = batch_fn(spark, sf_small)
+    cols = ["query_id", "doc_id", "score", "rank"]
+    got_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    want_rows = sorted(tuple(r[c] for c in cols) for r in want.collect())
+    assert got_rows == want_rows

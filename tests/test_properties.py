@@ -416,3 +416,77 @@ def test_upsert_log_lww_invariant_under_random_maintenance(
         assert got2 == expected
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+# -- SnapshotTable time-travel x tombstone algebra (round 10) ---------------
+# Randomized coverage of the CDF core: for ANY interleaving of appends
+# and key-scoped deletes, read_as_of(s) equals a plain-Python replay of
+# the history through s ("a tombstone kills matching rows from snapshots
+# BEFORE it; a later re-insert of the same key survives").
+
+_snap_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.just("ins"),
+            st.lists(
+                st.integers(min_value=0, max_value=15),
+                min_size=1,
+                max_size=6,
+            ).map(lambda ks: sorted(set(ks))),
+        ),
+        st.tuples(st.just("del"), st.integers(min_value=0, max_value=15)),
+    ),
+    min_size=2,
+    max_size=6,
+).filter(lambda ops: ops[0][0] == "ins")  # a table starts with an insert
+
+
+@settings(**_SETTINGS)
+@given(_snap_ops)
+def test_snapshot_time_travel_matches_replay_under_deletes(spark, ops):
+    import shutil
+    import tempfile
+
+    from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="snap_prop_")
+    try:
+        t = SnapshotTable(spark, root, "id long, v long")
+        history: list[set] = []  # visible (id, v) multiset-as-set per snapshot
+        live: set = set()
+        committed = 0
+        for b, (kind, arg) in enumerate(ops):
+            if kind == "ins":
+                t.append(
+                    spark.createDataFrame(
+                        [(k, b) for k in arg], "id long, v long"
+                    ),
+                    batch_id=b,
+                )
+                live = live | {(k, b) for k in arg}
+                committed += 1
+                history.append(set(live))
+            else:
+                sid = t.delete(
+                    F.col("id") == arg, key_cols=["id"], batch_id=b
+                )
+                assert sid >= 0  # batch ids here are unique -> never fenced
+                # a no-match delete still commits a (rows=0) tombstone
+                # snapshot; its visible state simply equals the prior one
+                live = {(k, v) for (k, v) in live if k != arg}
+                committed += 1
+                history.append(set(live))
+        # every committed snapshot time-travels to its replay state
+        snaps = [s["snapshot_id"] for s in t.snapshots()]
+        assert len(snaps) == committed
+        for idx, sid in enumerate(snaps):
+            got = {
+                (r["id"], r["v"]) for r in t.read_as_of(sid).collect()
+            }
+            assert got == history[idx], (sid, ops)
+        # and the current read is the final state
+        assert {
+            (r["id"], r["v"]) for r in t.read().collect()
+        } == live
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

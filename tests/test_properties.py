@@ -490,3 +490,58 @@ def test_snapshot_time_travel_matches_replay_under_deletes(spark, ops):
         } == live
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+@settings(**_SETTINGS)
+@given(_snap_ops)
+def test_change_feed_replay_reconstructs_any_snapshot(spark, ops):
+    """The incremental-consumer invariant (the reference's whole
+    pattern-1.2 loop): for every committed snapshot a, applying the
+    include_deletes change feed (a, head] IN SNAPSHOT ORDER to
+    read_as_of(a) reconstructs read_as_of(head) — on arbitrary
+    interleavings of appends and key-scoped deletes. A feed that
+    dropped a change, replayed one out of order, or leaked a
+    tombstone's kill across a later re-insert would break some prefix."""
+    import shutil
+    import tempfile
+
+    from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="cdf_prop_")
+    try:
+        t = SnapshotTable(spark, root, "id long, v long")
+        for b, (kind, arg) in enumerate(ops):
+            if kind == "ins":
+                t.append(
+                    spark.createDataFrame(
+                        [(k, b) for k in arg], "id long, v long"
+                    ),
+                    batch_id=b,
+                )
+            else:
+                t.delete(
+                    F.col("id") == arg, key_cols=["id"], batch_id=b
+                )
+        snaps = [s["snapshot_id"] for s in t.snapshots()]
+        head = snaps[-1]
+        want = {(r["id"], r["v"]) for r in t.read_as_of(head).collect()}
+        for a in snaps[:-1]:
+            state = {
+                (r["id"], r["v"]) for r in t.read_as_of(a).collect()
+            }
+            feed = t.table_changes(a, head, include_deletes=True).collect()
+            by_sid: dict[int, list] = {}
+            for r in feed:
+                by_sid.setdefault(r["snapshot_id"], []).append(r)
+            for sid in sorted(by_sid):
+                for r in by_sid[sid]:
+                    if r["_change_type"] == "delete":
+                        state = {
+                            (k, v) for (k, v) in state if k != r["id"]
+                        }
+                for r in by_sid[sid]:
+                    if r["_change_type"] == "insert":
+                        state.add((r["id"], r["v"]))
+            assert state == want, (a, head, ops)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

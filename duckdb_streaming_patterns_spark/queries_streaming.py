@@ -349,6 +349,59 @@ def q_snapshot_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cdf_table(spark, sf_dir).read_as_of(2)
 
 
+_EVO_TABLES: dict = {}
+
+
+def _evo_table(spark: SparkSession, sf_dir: str):
+    """Memoized 4-snapshot events table whose LAST TWO snapshots carry an
+    extra ``bonus`` column (= user_id * 2): the schema-evolution fixture
+    for the registered evolution read (built once per sf, like
+    _cdf_table)."""
+    t = _EVO_TABLES.get(sf_dir)
+    if t is not None:
+        return t
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.count()
+    per = (rows + 3) // 4
+    run = staging.new_run_dir("evoq")
+    t = SnapshotTable(spark, _os.path.join(run, "evo"), staging.EVENT_SCHEMA)
+    for k in range(4):
+        chunk = ev.filter((F.col("event_id") / F.lit(per)).cast("int") == k)
+        if k >= 2:
+            chunk = chunk.withColumn(
+                "bonus", (F.col("user_id") * 2).cast("long")
+            )
+        t.append(chunk, batch_id=k)
+    _EVO_TABLES[sf_dir] = t
+    return t
+
+
+_EVO_PER = "CAST(ceil(count(*) / 4.0) AS BIGINT)"
+
+
+@register(
+    "snapshot_schema_evolution_read",
+    f"""
+    WITH p AS (SELECT {_EVO_PER} AS per FROM events)
+    SELECT e.*, CAST(floor(e.event_id / p.per) AS INT) AS snapshot_id,
+           CASE WHEN floor(e.event_id / p.per) >= 2
+                THEN CAST(e.user_id * 2 AS BIGINT) END AS bonus
+    FROM events e, p
+    """,
+)
+def q_snapshot_schema_evolution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S6's schema evolution as a registered query (round 10): snapshots
+    2-3 append with a new ``bonus`` column; the full read spans the union
+    schema with nulls for pre-evolution rows. Previously unit-tested only
+    — this hash row makes the ledger's per-snapshot column recording and
+    the union projection driver-verified (the footer-merge read path)."""
+    return _evo_table(spark, sf_dir).read()
+
+
 @register(
     "pattern_streaming_corpus_dedup",
     """

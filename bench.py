@@ -420,15 +420,15 @@ def main() -> None:
 
 def _norm_factor(
     name: str,
-    isolated: set[str],
     cal: dict[str, float] | None,
     prev_cal: dict[str, float] | None,
 ) -> float | None:
     """Window-load normalization factor for one query: current-round
-    calibration seconds over previous-round's, using the per-subprocess
-    probe for isolated queries (falling back to the session probes) and
-    the session start/end mean for in-session ones. None when either
-    round lacks the probe (pre-round-10 artifacts)."""
+    calibration seconds over previous-round's. Selection is purely by
+    name membership in the calibration dict — a per-subprocess probe
+    when the round recorded one for this query (isolated runs do), else
+    the session start/end mean. None when either round lacks any probe
+    (pre-round-10 artifacts)."""
 
     def probe(c: dict[str, float] | None) -> float | None:
         if not c:
@@ -486,7 +486,7 @@ def _diff_against_previous_round(
         p = prev_q.get(name)
         if p is None:
             continue
-        factor = _norm_factor(name, isolated, calibration, prev_cal)
+        factor = _norm_factor(name, calibration, prev_cal)
         t_norm = t / factor if factor else t
         if abs(t_norm - p) > 3.0:
             direction = "slower" if t_norm > p else "faster"

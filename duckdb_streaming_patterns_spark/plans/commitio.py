@@ -126,9 +126,13 @@ class PosixCommitIO:
         support in the target filesystem (some network/FUSE mounts lack
         it — ``os.link`` raises OSError there). Such mounts are object
         stores in spirit and should get the conditional-PUT backend, not
-        this one. The temp is removed on EVERY exit path — including a
+        this one. The temp is removed on every exit path — including a
         failed write — so a crash mid-dump never leaks ``.{name}.*.tmp``
-        litter into the ledger dir for ``list_names`` to trip on."""
+        litter into the ledger dir for ``list_names`` to trip on. Only
+        FileNotFoundError is suppressed on that cleanup (the one benign
+        case: the write failed before creating the temp); any other
+        unlink failure — e.g. EACCES on a misbehaving mount — DOES leave
+        litter, and propagates so the condition is seen, not hidden."""
         d, name = os.path.split(path)
         tmp = os.path.join(d, f".{name}.{os.getpid()}.tmp")
         try:
@@ -143,7 +147,7 @@ class PosixCommitIO:
         finally:
             try:
                 os.remove(tmp)
-            except OSError:
+            except FileNotFoundError:
                 pass
 
     def swap_pointer(self, path: str, obj, expected=None) -> None:

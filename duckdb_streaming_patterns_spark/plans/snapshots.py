@@ -172,9 +172,17 @@ class SnapshotTable:
         that contains every vanished entry; each retry therefore means
         a WHOLE checkpoint cycle (``checkpoint_every`` commits) landed
         mid-read, which bounds the loop in practice. The final pass
-        skips vanished loose entries (the checkpoint that same listing
-        saw covers them), but a vanished checkpoint still raises — a
-        silently incomplete ledger view is never returned (it would
+        handles a vanished loose entry by RE-LISTING and rescanning
+        (round-11 ADVICE: cleanup may commit its covering checkpoint
+        AFTER our listing and delete the loose file before our open —
+        skipping would serve the stale pre-override checkpointed copy,
+        e.g. missing a re-published ``expired`` flag; the fresh listing
+        sees the newer covering checkpoint). Only when that rescan
+        budget is ALSO exhausted — seven consecutive race losses, each
+        requiring a whole checkpoint cycle to land mid-read — is the
+        entry skipped, and the residual staleness is bounded to that
+        one entry's flag mutations. A vanished checkpoint still raises —
+        a silently incomplete ledger view is never returned (it would
         corrupt ``max_snapshot_id`` and every fence built on it)."""
         for _ in range(3):
             try:
@@ -183,7 +191,7 @@ class SnapshotTable:
                 continue
         return self._snapshots_scan(strict=False)
 
-    def _snapshots_scan(self, strict: bool) -> list[dict]:
+    def _snapshots_scan(self, strict: bool, relists: int = 3) -> list[dict]:
         names = self.io.list_names(self.ledger_dir)
         ckpt_key, ckpt_name = (-1, -1), None
         loose: list[tuple[int, str]] = []
@@ -238,11 +246,21 @@ class SnapshotTable:
                 # between our listdir and open. strict=True (first
                 # attempt): propagate, the caller re-reads and the fresh
                 # listing must contain the covering checkpoint.
-                # strict=False (the re-read itself raced AGAIN): skip —
-                # the entry is covered by a checkpoint this listing saw
-                # or the next read will.
+                # strict=False: re-list and rescan — the covering
+                # checkpoint committed AFTER our listing (cleanup
+                # commits it before deleting), so a fresh listing sees
+                # it; serving this listing's OLDER checkpointed copy
+                # could miss a flag mutation the vanished loose file
+                # carried (vacuum/expire re-publish entries in place).
+                # Budget exhausted (another full checkpoint cycle landed
+                # mid-read, per attempt): skip — staleness is bounded to
+                # this entry's flags and heals on the next read.
                 if strict:
                     raise
+                if relists > 0:
+                    return self._snapshots_scan(
+                        strict=False, relists=relists - 1
+                    )
                 continue
         return [by_id[sid] for sid in sorted(by_id)]
 
@@ -501,15 +519,35 @@ class SnapshotTable:
         snapshots <= the asked version; tombstones committed by then are
         applied, later ones are not (deletes time-travel too). History
         folded away by ``expire_snapshots`` cannot be travelled to —
-        that raises rather than silently returning a partial table."""
+        that raises rather than silently returning a partial table.
+
+        The guard honors ``pending_expired_through`` — the marker an
+        in-flight expiry commits BEFORE its generation swap — exactly as
+        ``table_changes`` does (round-11 ADVICE): in the post-swap /
+        pre-stamp crash window the folded snapshot dirs are already
+        gone, so a pre-fold time travel would otherwise stat-drop them
+        and silently return a PARTIAL table — the unrecoverable failure
+        class. The cost is the same deliberate conservatism as the CDF
+        guard: after a pre-swap crash (history physically intact) the
+        read refuses until the expiry is retried, trading a recoverable
+        refusal for closing the silent-partial window."""
         snaps = self.snapshots()
         horizon = max(
-            (s.get("expired_through", -1) for s in snaps), default=-1
+            (
+                max(
+                    s.get("expired_through", -1),
+                    s.get("pending_expired_through", -1),
+                )
+                for s in snaps
+            ),
+            default=-1,
         )
         if snapshot_id < horizon:
             raise ValueError(
                 f"read_as_of({snapshot_id}): history expired through "
-                f"snapshot {horizon} (expire_snapshots retention)"
+                f"snapshot {horizon} (expire_snapshots retention, "
+                "committed or in flight — retry an interrupted expiry "
+                "to settle the horizon)"
             )
         return self._read_visible(snapshot_id, snaps=snaps)
 
@@ -685,10 +723,11 @@ class SnapshotTable:
         BEFORE the swap (history still intact) cursors below the marker
         raise until the expiry is retried or abandoned — a full re-read
         is a correct, always-available recovery; a silent double-count
-        is not. ``read_as_of`` ignores the marker for exactly the same
-        asymmetry: refusing readable history is recoverable, silently
-        returning a partial table is not, and post-swap its transient
-        empty-dir window is closed by the retry."""
+        is not. ``read_as_of`` honors the marker for exactly the same
+        asymmetry (round-11 ADVICE): post-swap/pre-stamp its folded
+        dirs are already gone and a pre-fold travel would silently
+        return a partial table, so it too trades a recoverable pre-swap
+        refusal for closing that window."""
         snaps = self.snapshots() if snaps is None else snaps
         if from_snapshot >= 0:
             horizon = max(

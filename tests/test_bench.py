@@ -57,18 +57,20 @@ def test_run_isolated_parses_success_line(monkeypatch):
 
 
 def test_norm_factor_prefers_per_query_probe():
-    """Isolated queries normalize by their own subprocess's window probe;
-    in-session ones by the session start/end mean; missing probes on
-    either side (pre-round-10 artifacts) mean no normalization."""
+    """A query with its own subprocess probe in the calibration dict
+    normalizes by it; others by the session start/end mean; missing
+    probes on either side (pre-round-10 artifacts) mean no
+    normalization. Selection is purely by dict membership (round-11
+    ADVICE: the old `isolated` parameter was dead and dropped)."""
     cur = {"__start__": 2.0, "__end__": 4.0, "q_iso": 6.0}
     prev = {"__start__": 1.0, "__end__": 1.0, "q_iso": 2.0}
-    assert bench._norm_factor("q_iso", {"q_iso"}, cur, prev) == 3.0
-    assert bench._norm_factor("q_sess", set(), cur, prev) == 3.0
-    # isolated query missing its own probe falls back to session probes
-    assert bench._norm_factor("q_other", {"q_other"}, cur, prev) == 3.0
-    assert bench._norm_factor("q", set(), cur, None) is None
-    assert bench._norm_factor("q", set(), None, prev) is None
-    assert bench._norm_factor("q", set(), {}, {}) is None
+    assert bench._norm_factor("q_iso", cur, prev) == 3.0
+    assert bench._norm_factor("q_sess", cur, prev) == 3.0
+    # query missing its own probe falls back to session probes
+    assert bench._norm_factor("q_other", cur, prev) == 3.0
+    assert bench._norm_factor("q", cur, None) is None
+    assert bench._norm_factor("q", None, prev) is None
+    assert bench._norm_factor("q", {}, {}) is None
 
 
 def test_bench_diff_normalizes_with_calibration(tmp_path, capsys):

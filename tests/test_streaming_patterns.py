@@ -2902,10 +2902,12 @@ def test_expire_crash_before_swap_keeps_history_travellable(
     spark, tmp_path, monkeypatch
 ):
     """Round-9 (ADVICE): expired_through must stamp AFTER the generation
-    swap. A crash after the fold rewrite but BEFORE the pointer swap
-    leaves every folded snapshot intact in the still-live old
-    generation — read_as_of must keep serving it, not raise on a
-    horizon that never actually advanced."""
+    swap — a pre-swap crash leaves every folded snapshot intact in the
+    still-live old generation, and a full read must keep serving it.
+    Round-11 (ADVICE): read_as_of now honors the pending marker the
+    crashed expiry left behind, so pre-fold time travel REFUSES until
+    the expiry is retried (the recoverable trade that closes the
+    post-swap silent-partial window the sibling test covers)."""
     import pytest
 
     root = str(tmp_path / "expcrash")
@@ -2928,15 +2930,22 @@ def test_expire_crash_before_swap_keeps_history_travellable(
         t.expire_snapshots(through=2)
     monkeypatch.undo()
 
-    # The old generation is still live and fully intact: time travel to
-    # pre-fold history works, full read unchanged, and NO horizon stamp
-    # leaked into the ledger.
-    assert t.read_as_of(1).count() == 2
+    # The old generation is still live and fully intact: full read
+    # unchanged, and no FINAL horizon stamp leaked into the ledger.
     assert t.read().count() == 4
     assert all(
         s.get("expired_through", -1) == -1 and not s.get("expired")
         for s in t.snapshots()
     )
+    # But the in-flight marker committed pre-swap, so pre-fold time
+    # travel refuses (conservative: the history is readable, the refusal
+    # recoverable) until the expiry settles; at/after the fold id works.
+    assert max(
+        s.get("pending_expired_through", -1) for s in t.snapshots()
+    ) == 2
+    with pytest.raises(ValueError, match="expired"):
+        t.read_as_of(1)
+    assert t.read_as_of(2).count() == 3
     # Retrying the expiry (the crash-retry shape) completes and only
     # then advances the horizon.
     assert t.expire_snapshots(through=2) == 2
@@ -2951,10 +2960,10 @@ def test_expire_crash_after_swap_keeps_cdf_guard_armed(spark, tmp_path):
     the table_changes double-count guard inert — a stale incremental
     cursor would silently re-receive the re-stamped fold as "new" rows.
     The pending_expired_through marker commits BEFORE the swap, so the
-    guard is armed across the whole window; read_as_of ignores the
-    marker (its transient empty-history window is closed by the retry,
-    and refusing READABLE history after a pre-swap crash would be the
-    worse failure)."""
+    guard is armed across the whole window. Round-11 (ADVICE):
+    read_as_of honors the marker too — in THIS window the folded dirs
+    are physically gone, so a pre-fold travel would stat-drop them and
+    silently return a partial (here: empty) table."""
     import pytest
 
     root = str(tmp_path / "expcrash2")
@@ -2989,6 +2998,11 @@ def test_expire_crash_after_swap_keeps_cdf_guard_armed(spark, tmp_path):
     assert max(s.get("pending_expired_through", -1) for s in snaps) == 2
     with pytest.raises(ValueError, match="double-count"):
         t.table_changes(1, 3)
+    # read_as_of below the pending horizon refuses too — its folded
+    # dirs are gone; without the guard this returned an EMPTY table.
+    with pytest.raises(ValueError, match="expired"):
+        t.read_as_of(1)
+    assert t.read_as_of(2).count() == 3
     # full reads and at/after-horizon cursors stay valid
     assert t.table_changes(-1, 3).count() == 4
     assert t.table_changes(2, 3).count() == 1

@@ -133,6 +133,16 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     cross-modal row (image-feature query vectors against the text
 #     embedding index), so §2.11-multimodal is driver-verified beyond
 #     the decode path.
+# Round-11 rotation (round-10 verdict item 1) — the round-10 flagship
+# family (BM25 lexical retrieval) gets its CORRECTNESS rows:
+#   dedup_simhash (banded near-dup family stays pinned by
+#     dedup_minhash_lsh + dedup_minhash_clusters; stays exact-checked
+#     locally) → text_bm25_topk, batch BM25 top-k retrieval;
+#   knn_bruteforce (the exact-cosine machinery stays driver-pinned
+#     inside multimodal_ann_retrieval, which composes it; stays
+#     exact-checked locally) → pattern_streaming_bm25_index, the
+#     streaming-maintained BM25 index (token-bucketed tf UpsertLog,
+#     DPP-pruned query reads) proven streaming ≡ batch.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -159,12 +169,10 @@ _PRIORITY = [
     "pattern_streaming_neardup_dedup",
     "text_remove_duplicated_spans",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "dedup_minhash_clusters",
     "corpus_build_shards",
     "dedup_incremental_verdicts",
     # similarity search (§2.11)
-    "knn_bruteforce",
     "semdedup_prune",
     "pattern_streaming_semdedup",
     "knn_ivf_ann",
@@ -178,6 +186,8 @@ _PRIORITY = [
     "pattern_streaming_full_funnel",
     "text_language_id",
     "source_topk_docs",
+    "text_bm25_topk",
+    "pattern_streaming_bm25_index",
     # corpus pipeline (§2.11)
     "pack_token_bins",
     "contamination_ngram_overlap",

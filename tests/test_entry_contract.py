@@ -39,15 +39,19 @@ def test_first_50_cover_every_family():
             "pattern_streaming_neardup_dedup",
             "text_remove_duplicated_spans",
             "dedup_minhash_lsh",
-            "dedup_simhash",
+            # dedup_simhash rotated out in r11 (banded near-dup family
+            # stays pinned by minhash_lsh + minhash_clusters); the batch
+            # BM25 row took the slot — see text family
             "dedup_minhash_clusters",
             "dedup_incremental_verdicts",
         },
         "similarity": {
             # knn_lsh_ann rotated out in r8 (its _lsh_keys machinery is
             # pinned by dedup_minhash_lsh + knn_ivf_ann); the Bloom
-            # membership gate took the slot — see pipeline family
-            "knn_bruteforce",
+            # membership gate took the slot — see pipeline family.
+            # knn_bruteforce rotated out in r11 (exact-cosine machinery
+            # stays driver-pinned inside multimodal_ann_retrieval, which
+            # composes it); the streaming BM25 row took the slot
             "knn_pq_adc",
             "semdedup_prune",
             "knn_ivf_ann",
@@ -63,7 +67,14 @@ def test_first_50_cover_every_family():
             # verdict log (cadence-pinned — see the cadence test below)
             "pattern_streaming_quality_drift",
         },
-        "text": {"text_unigram_surprisal", "text_language_id"},
+        "text": {
+            "text_unigram_surprisal",
+            "text_language_id",
+            # r11 rotation: the round-10 BM25 flagship family gets its
+            # driver hash rows (batch + streaming)
+            "text_bm25_topk",
+            "pattern_streaming_bm25_index",
+        },
         "funnel": {"pattern_streaming_full_funnel", "corpus_build_shards"},
         "pipeline": {
             "pack_token_bins",

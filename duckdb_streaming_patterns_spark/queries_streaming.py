@@ -959,6 +959,7 @@ def q_pattern_streaming_neardup_dedup(
 
 from duckdb_streaming_patterns_spark.queries_text import (  # noqa: E402
     _BM25_ORACLE,
+    _BM25_PREFIX_ORACLE,
     _BM25_QUERIES,
     _BM25_SCORE_EXPR,
 )
@@ -982,4 +983,25 @@ def q_pattern_streaming_bm25_index(
     return patterns.pattern_streaming_bm25_index(
         spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
         state_partitions=4, compact_every=2,
+    )
+
+
+@register("pattern_streaming_bm25_midstream", _BM25_PREFIX_ORACLE)
+def q_pattern_streaming_bm25_midstream(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Mid-stream BM25 serving (round 11): the SAME streaming index run,
+    but the queries are answered right after batch 3 of 5 lands — while
+    ingestion is still in flight — and the probe's answer is the row.
+    Oracle = batch BM25 over the 3-chunk document PREFIX, so the hash
+    proves streaming ≡ batch at an INTERMEDIATE point of the stream (the
+    property every other maintained-state pattern pins only at the
+    drain). The probe runs on maintained state (cadence 2 folds at batch
+    2, right before the probe) and on the O(1) stats row as of that
+    batch. See streaming/patterns.pattern_streaming_bm25_index."""
+    run = staging.new_run_dir("pbm25m")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_streaming_bm25_index(
+        spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2, probe_at_batch=2,
     )

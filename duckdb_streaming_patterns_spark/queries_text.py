@@ -865,17 +865,23 @@ _BM25_VALUES = ", ".join(
     for tok in dict.fromkeys(qtext.split())
 )
 
-_BM25_ORACLE = rf"""
-    WITH dl AS (SELECT doc_id,
-                       len(string_split_regex(trim(text), '\s+')) AS dl
-                FROM documents),
+def _bm25_oracle_sql(docs_source: str = "documents") -> str:
+    """The batch BM25 oracle over an arbitrary document source expression
+    (a table name or a parenthesized subquery) — the streaming midstream
+    row oracles against the 3-chunk PREFIX of the corpus by passing the
+    chunking arithmetic as a subquery."""
+    return rf"""
+    WITH docs AS (SELECT * FROM {docs_source}),
+    dl AS (SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+')) AS dl
+           FROM docs),
     stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
                      count(*) AS n_docs
               FROM dl),
     q AS (SELECT * FROM (VALUES {_BM25_VALUES}) AS t(query_id, tok)),
     toks AS (SELECT doc_id,
                     unnest(string_split_regex(trim(text), '\s+')) AS tok
-             FROM documents),
+             FROM docs),
     tf AS (SELECT doc_id, tok, count(*) AS tf
            FROM toks WHERE tok IN (SELECT tok FROM q)
            GROUP BY doc_id, tok),
@@ -898,6 +904,17 @@ _BM25_ORACLE = rf"""
           FROM agg)
     WHERE rank <= 5
 """
+
+
+_BM25_ORACLE = _bm25_oracle_sql("documents")
+
+# The 3-of-5-chunk prefix a midstream probe sees: stage_document_chunks
+# assigns chunk = doc_id div ceil(n/5) (doc_id dense from 0), so batches
+# 0..2 hold exactly doc_id < 3 * ceil(n/5).
+_BM25_PREFIX_ORACLE = _bm25_oracle_sql(
+    "(SELECT * FROM documents WHERE doc_id < "
+    "3 * (((SELECT count(*) FROM documents) + 4) // 5))"
+)
 
 
 @register("text_bm25_topk", _BM25_ORACLE)

@@ -2535,99 +2535,44 @@ def corpus_dedup_batch(seen_log, verdict_log, batch: DataFrame, batch_id: int) -
     append_all([(seen_log, new_firsts), (verdict_log, verdicts)], batch_id)
 
 
-def pattern_streaming_bm25_index(
+_BM25_STATS_DDL = "k long, sum_dl long, n_docs long"
+_BM25_OUT_DDL = (
+    "query_id bigint, doc_id bigint, score double, rank bigint"
+)
+
+
+def _bm25_serve(
     spark: SparkSession,
-    chunks_dir: str,
-    run_dir: str,
+    tf_log,
+    dl_log,
+    stats,
     queries: list,
     score_expr: str,
-    k: int = 5,
-    state_partitions: int | None = None,
-    compact_every: int = 8,
-    n_buckets: int = 16,
+    k: int,
 ) -> DataFrame:
-    """Continuous-ingestion BM25 index: documents land as micro-batches;
-    each batch's term frequencies and doc length append to LSM state in
-    O(batch) work (nothing is ever re-indexed); queries are answered at
-    the end from the accumulated state — the streaming form of
-    ``text_bm25_topk``, closing the batch→continuous loop for the
-    lexical-retrieval family the way pattern_streaming_semdedup does for
-    embeddings. ``queries`` is [(query_id, qtext)]; ``score_expr`` the
-    shared BM25 arithmetic text (the oracle replays it bit-for-bit).
+    """Answer BM25 queries from the accumulated index state — callable at
+    ANY point of the stream (mid-stream probes and the final drain run
+    the identical plan). Read shape at 100 TB:
 
-    Shape (designed for a 100 TB corpus firehose):
-    - tf state is an insert-only UpsertLog keyed (doc_id, tok),
-      hash-BUCKETED BY TOKEN (``bucket_col="tok"``): per-batch ingest is
-      one explode + one O(batch-tokens) aggregate + a partitioned
-      append, and query-time retrieval joins the state on
-      (tok, __kb) with __kb derived on the BROADCAST query side — Spark
-      inserts a dynamic-partition-pruning subquery and reads ONLY the
-      buckets the query terms live in, O(|q| buckets) I/O against an
-      arbitrarily large index (the near-dup verify-fetch mechanism,
-      applied to retrieval);
-    - doc-length state is a two-longs-per-doc insert-only log; avgdl =
-      sum/count over it (exact integers, one IEEE divide — identical in
-      both engines);
-    - df comes from the pruned candidate tf rows themselves (df is only
-      needed for query terms), never a corpus-wide pass;
-    - the two per-batch appends overlap (``append_all``), and the logs
-      take the tiered ``maintain_all`` tick on the ``compact_every``
-      cadence — O(log batches) dir counts at any stream age.
+    - corpus stats are ONE fenced SummaryTable row (sum_dl, n_docs)
+      maintained per micro-batch — O(1) metadata-sized read here, never
+      an aggregate over the corpus-sized dl log (round-10 verdict
+      finding #2: the old query-time sum/count was the one O(corpus)
+      term in an otherwise pruned read path);
+    - candidate tf fetch: state is hive-bucketed by token; __kb derived
+      on the BROADCAST query side inserts a dynamic-partition-pruning
+      subquery — O(|q| buckets) I/O;
+    - candidate LENGTH fetch: the dl log is hive-bucketed by doc_id and
+      probed the same way, broadcast candidate doc_ids + derived __kb —
+      O(candidate buckets) I/O, degrading gracefully to a full read only
+      when the posting lists themselves span every bucket. The broadcast
+      is O(Σ posting lists of the query's terms) — the standard retrieval
+      working set; a production deployment caps or drops stop-word-grade
+      terms before this point."""
+    row = stats.read().first()
+    sum_dl, n_docs = int(row["sum_dl"]), int(row["n_docs"])
+    avgdl = float(sum_dl) / float(n_docs)  # exact ints -> one IEEE divide
 
-    Exactly-once: appends are per-batch-dir idempotent and both logs are
-    insert-only ((doc_id, tok) and doc_id arrive exactly once under the
-    staging contract), so a foreachBatch retry rewrites its own dirs
-    bit-identically — no fence needed, same contract as the corpus-dedup
-    seen log."""
-    from duckdb_streaming_patterns_spark.functions.text import tokens
-    from duckdb_streaming_patterns_spark.operators.merge import (
-        UpsertLog,
-        append_all,
-        maintain_all,
-    )
-
-    tf_log = UpsertLog(
-        spark,
-        os.path.join(run_dir, "tf"),
-        keys=["doc_id", "tok"],
-        insert_only=True,
-        bucket_col="tok",
-        n_buckets=n_buckets,
-    )
-    dl_log = UpsertLog(
-        spark,
-        os.path.join(run_dir, "dl"),
-        keys=["doc_id"],
-        insert_only=True,
-    )
-
-    def apply_batch(batch: DataFrame, batch_id: int) -> None:
-        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            maintain_all([tf_log, dl_log], before_batch=batch_id)
-        tf = (
-            batch.select(
-                "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-            )
-            .groupBy("doc_id", "tok")
-            .agg(F.count("*").alias("tf"))
-            .localCheckpoint(eager=True)
-        )
-        dl = batch.select(
-            "doc_id", F.size(tokens(F.col("text"))).alias("dl")
-        ).localCheckpoint(eager=True)
-        append_all([(tf_log, tf), (dl_log, dl)], batch_id)
-
-    with _state_partitions(spark, state_partitions):
-        q = (
-            staging.read_document_stream(spark, chunks_dir)
-            .writeStream.foreachBatch(apply_batch)
-            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination()
-
-    # -- query phase over the accumulated index -------------------------
     qterms = spark.createDataFrame(
         [
             (qid, tok)
@@ -2636,12 +2581,6 @@ def pattern_streaming_bm25_index(
         ],
         "query_id long, tok string",
     )
-    dl_state = dl_log.read_latest()
-    sl, n_docs = dl_state.agg(
-        F.sum("dl").alias("sl"), F.count("*").alias("n")
-    ).first()
-    avgdl = float(sl) / float(n_docs)
-
     # DPP-pruned candidate fetch: __kb derived on the broadcast query
     # side; the length() filter is the comparison-shaped predicate
     # Spark's PartitionPruning rule requires before inserting the
@@ -2659,10 +2598,22 @@ def pattern_streaming_bm25_index(
         .groupBy("tok")
         .agg(F.count("*").alias("df"))
     )
+    # pruned length fetch: same DPP recipe, keyed by candidate doc_id
+    cand_keys = (
+        cand.select("doc_id")
+        .distinct()
+        .filter(F.col("doc_id") >= 0)
+        .withColumn("__kb", dl_log.bucket_of(F.col("doc_id")))
+    )
+    dl_fetch = (
+        dl_log.read_latest(keep_bucket=True)
+        .join(F.broadcast(cand_keys), ["doc_id", "__kb"])
+        .select("doc_id", "dl")
+    )
     scored = (
         cand.join(F.broadcast(dfreq), "tok")
-        .join(dl_state, "doc_id")
-        .withColumn("n_docs", F.lit(int(n_docs)))
+        .join(dl_fetch, "doc_id")
+        .withColumn("n_docs", F.lit(n_docs))
         .withColumn("avgdl", F.lit(avgdl))
         .withColumn(
             "s",
@@ -2686,4 +2637,138 @@ def pattern_streaming_bm25_index(
             "score",
             F.col("rank").cast("bigint").alias("rank"),
         )
+    )
+
+
+def pattern_streaming_bm25_index(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    queries: list,
+    score_expr: str,
+    k: int = 5,
+    state_partitions: int | None = None,
+    compact_every: int = 8,
+    n_buckets: int = 16,
+    probe_at_batch: int | None = None,
+) -> DataFrame:
+    """Continuous-ingestion BM25 index: documents land as micro-batches;
+    each batch's term frequencies and doc length append to LSM state in
+    O(batch) work (nothing is ever re-indexed); queries are answered
+    from the accumulated state — the streaming form of
+    ``text_bm25_topk``, closing the batch→continuous loop for the
+    lexical-retrieval family the way pattern_streaming_semdedup does for
+    embeddings. ``queries`` is [(query_id, qtext)]; ``score_expr`` the
+    shared BM25 arithmetic text (the oracle replays it bit-for-bit).
+
+    Shape (designed for a 100 TB corpus firehose):
+    - tf state is an insert-only UpsertLog keyed (doc_id, tok),
+      hash-BUCKETED BY TOKEN (``bucket_col="tok"``): per-batch ingest is
+      one explode + one O(batch-tokens) aggregate + a partitioned
+      append, and query-time retrieval reads ONLY the buckets the query
+      terms live in under dynamic partition pruning (see _bm25_serve);
+    - doc-length state is a two-longs-per-doc insert-only log,
+      hash-bucketed BY DOC_ID so the query phase fetches candidate
+      lengths pruned the same way (round-10 verdict finding #2);
+    - corpus stats (sum_dl, n_docs) are maintained per micro-batch as
+      one fenced SummaryTable row — integer-additive, so the served
+      avgdl is bit-identical to the batch engine's sum/count, and the
+      query phase never aggregates the dl log;
+    - df comes from the pruned candidate tf rows themselves (df is only
+      needed for query terms), never a corpus-wide pass;
+    - the two per-batch appends overlap (``append_all``), and the logs
+      take the tiered ``maintain_all`` tick on the ``compact_every``
+      cadence — O(log batches) dir counts at any stream age.
+
+    ``probe_at_batch`` serves the queries MID-STREAM, right after that
+    batch id is applied (index = the stream prefix through it), and the
+    pattern returns the probe's answer instead of the final one —
+    streaming ≡ batch at every point, not just at the drain. The probe
+    is collected eagerly (bounded: len(queries) × k rows) because later
+    maintenance ticks GC state dirs a lazy plan would still reference
+    (the round-10 vacuum lesson).
+
+    Exactly-once: appends are per-batch-dir idempotent, both logs are
+    insert-only ((doc_id, tok) and doc_id arrive exactly once under the
+    staging contract), and the stats row is batch-id fenced — a
+    foreachBatch retry rewrites its dirs bit-identically and skips the
+    already-applied stats merge."""
+    from duckdb_streaming_patterns_spark.functions.text import tokens
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        SummaryTable,
+        UpsertLog,
+        append_all,
+        maintain_all,
+    )
+
+    tf_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "tf"),
+        keys=["doc_id", "tok"],
+        insert_only=True,
+        bucket_col="tok",
+        n_buckets=n_buckets,
+    )
+    dl_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "dl"),
+        keys=["doc_id"],
+        insert_only=True,
+        bucket_col="doc_id",
+        n_buckets=n_buckets,
+    )
+    stats = SummaryTable(
+        spark, os.path.join(run_dir, "stats"), _BM25_STATS_DDL
+    )
+    probe_rows: list = []
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            maintain_all([tf_log, dl_log], before_batch=batch_id)
+        tf = (
+            batch.select(
+                "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+            )
+            .groupBy("doc_id", "tok")
+            .agg(F.count("*").alias("tf"))
+            .localCheckpoint(eager=True)
+        )
+        dl = batch.select(
+            "doc_id", F.size(tokens(F.col("text"))).alias("dl")
+        ).localCheckpoint(eager=True)
+        append_all([(tf_log, tf), (dl_log, dl)], batch_id)
+        # O(1) corpus stats: fold this batch's (sum_dl, n_docs) into the
+        # single fenced summary row. The agg runs over the already-
+        # materialized dl frame; integer addition keeps avgdl exact.
+        s, n = dl.agg(F.sum("dl"), F.count("*")).first()
+        stats.merge_batch(
+            spark.createDataFrame(
+                [(0, int(s or 0), int(n))], _BM25_STATS_DDL
+            ),
+            batch_id,
+            keys=["k"],
+            add_cols=["sum_dl", "n_docs"],
+            max_cols=[],
+        )
+        if probe_at_batch is not None and batch_id == probe_at_batch:
+            probe_rows.extend(
+                _bm25_serve(
+                    spark, tf_log, dl_log, stats, queries, score_expr, k
+                ).collect()
+            )
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_document_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    if probe_at_batch is not None:
+        return spark.createDataFrame(probe_rows, _BM25_OUT_DDL)
+    return _bm25_serve(
+        spark, tf_log, dl_log, stats, queries, score_expr, k
     )

@@ -3248,10 +3248,16 @@ def test_streaming_bm25_equals_batch_and_prunes_query_buckets(
     equals the batch text_bm25_topk result row-for-row (streaming ≡
     batch for ranked retrieval under monotone chunking); (b) the
     query-phase candidate fetch carries a dynamic-partition-pruning
-    subquery on the token-bucketed tf state — at 100 TB the read is
-    O(|q| buckets), never an index scan."""
+    subquery on the token-bucketed tf state AND the candidate-length
+    fetch one on the doc_id-bucketed dl state (round-11: two pruned
+    probes) — at 100 TB the read is O(|q| + candidate buckets), never an
+    index scan; (c) the query phase carries NO aggregate over the dl
+    log — corpus stats come from the O(1) maintained summary row, so no
+    sum/count over `dl` appears anywhere in the served plan (the per-doc
+    lengths join through, but are never aggregated)."""
     import contextlib
     import io
+    import re
 
     from duckdb_streaming_patterns_spark.queries import QUERIES
     from duckdb_streaming_patterns_spark.queries_streaming import (
@@ -3263,7 +3269,11 @@ def test_streaming_bm25_equals_batch_and_prunes_query_buckets(
     with contextlib.redirect_stdout(buf):
         got.explain("formatted")
     plan = buf.getvalue()
-    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    assert plan.lower().count("dynamicpruning") >= 2, plan[:3000]
+    # no full-log stats aggregate in the query phase: every HashAggregate
+    # in the served plan is the tf/df/score machinery — none aggregates
+    # the dl column
+    assert not re.search(r"(?i)(sum|count)\(dl[#)]", plan), plan[:3000]
 
     batch_fn, _ = QUERIES["text_bm25_topk"]
     want = batch_fn(spark, sf_small)
@@ -3271,3 +3281,110 @@ def test_streaming_bm25_equals_batch_and_prunes_query_buckets(
     got_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
     want_rows = sorted(tuple(r[c] for c in cols) for r in want.collect())
     assert got_rows == want_rows
+
+
+def test_streaming_bm25_midstream_probe_equals_batch_prefix(
+    spark, sf_small, tmp_path
+):
+    """Round-11: serving the BM25 queries at batch 3 of 5 — while
+    ingestion is still in flight, on state that took a maintenance fold
+    at batch 2 — returns exactly the batch BM25 answer over the 3-chunk
+    document prefix (streaming ≡ batch at every point of the stream, not
+    just at the drain). Also pins the maintained stats row: after the
+    probe run, (sum_dl, n_docs) equals the corpus totals, proving the
+    per-batch integer folds accumulated exactly."""
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.functions.text import tokens
+    from duckdb_streaming_patterns_spark.operators.merge import SummaryTable
+    from duckdb_streaming_patterns_spark.queries_streaming import (
+        q_pattern_streaming_bm25_midstream,
+    )
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from duckdb_streaming_patterns_spark.streaming import patterns, staging
+
+    got = q_pattern_streaming_bm25_midstream(spark, sf_small)
+
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    per = (n + 4) // 5
+    prefix = docs.filter(F.col("doc_id") < 3 * per)
+    want = _bm25_reference(spark, prefix, _BM25_QUERIES, _BM25_SCORE_EXPR)
+    cols = ["query_id", "doc_id", "score", "rank"]
+    got_rows = sorted(tuple(r[c] for c in cols) for r in got.collect())
+    want_rows = sorted(tuple(r[c] for c in cols) for r in want.collect())
+    assert got_rows == want_rows
+
+    # stats row accumulated exactly across the 5 batches
+    total_dl = docs.select(
+        F.sum(F.size(tokens(F.col("text")))).alias("s")
+    ).first()["s"]
+    # probe a fresh full run's stats table
+    run2 = str(tmp_path / "bm25stats")
+    chunks2 = staging.stage_document_chunks(spark, sf_small, run2, n_chunks=5)
+    patterns.pattern_streaming_bm25_index(
+        spark, chunks2, run2, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2,
+    ).collect()
+    stats = SummaryTable(
+        spark, os.path.join(run2, "stats"), patterns._BM25_STATS_DDL
+    )
+    row = stats.read().first()
+    assert (row["sum_dl"], row["n_docs"]) == (total_dl, n)
+
+
+def _bm25_reference(spark, docs, queries, score_expr, k=5):
+    """Batch BM25 over an arbitrary docs frame — the same plan as
+    text_bm25_topk, parameterized by source (prefix-oracle helper)."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.functions.text import tokens
+
+    qterms = spark.createDataFrame(
+        [
+            (qid, tok)
+            for qid, qtext in queries
+            for tok in dict.fromkeys(qtext.split())
+        ],
+        "query_id long, tok string",
+    )
+    qtok_list = sorted({t for _, q in queries for t in q.split()})
+    dl = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("dl"))
+    sl, n_docs = dl.agg(F.sum("dl"), F.count("*")).first()
+    avgdl = float(sl) / float(n_docs)
+    tf = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .filter(F.col("tok").isin(qtok_list))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    scored = (
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(dfreq), "tok")
+        .join(dl, "doc_id")
+        .withColumn("n_docs", F.lit(int(n_docs)))
+        .withColumn("avgdl", F.lit(avgdl))
+        .withColumn(
+            "s", F.expr(f"CAST(ROUND({score_expr}, 6) AS DECIMAL(18,6))")
+        )
+    )
+    agg = scored.groupBy("query_id", "doc_id").agg(
+        F.sum("s").cast("double").alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("doc_id"))
+    return (
+        agg.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )

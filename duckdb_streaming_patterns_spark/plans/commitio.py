@@ -54,6 +54,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 
 
 class PosixCommitIO:
@@ -194,6 +195,181 @@ class PosixCommitIO:
 
     def ensure_dir(self, path: str) -> None:
         """mkdir -p. Object store: no-op (prefixes need no creation)."""
+        os.makedirs(path, exist_ok=True)
+
+
+class PointerCasError(RuntimeError):
+    """swap_pointer lost a compare-and-swap race: the pointer on the
+    store no longer matches the value the writer read. The loser must
+    re-read the pointer and re-plan — never retry blind (SCALE.md
+    §10.2: a 412 on the conditional PUT means a concurrent maintainer
+    won)."""
+
+
+class ObjectStoreSimIO:
+    """Object-store-SEMANTICS CommitIO backend over a local directory —
+    the executable form of the SCALE.md §10 port spec. It restricts
+    itself to the verbs an S3/GCS client has and enforces their
+    semantics, so every ledger/fold/checkpoint/expiry code path that
+    passes the contract tests on this backend is exercising exactly the
+    protocol the real ``S3CommitIO`` would run:
+
+    - **No rename, no hard links, ever.** ``promote_dir`` COPIES each
+      staged object to the final prefix (the ``CopyObject`` mapping) and
+      deletes the staged prefix; ``put_json_if_absent`` is a conditional
+      PUT, not an ``os.link`` claim. (``os.replace`` appears below ONLY
+      as the local stand-in for the store's atomic whole-object PUT
+      visibility — a reader sees the old or the new complete document,
+      never a torn one, which is precisely what a single PUT gives. No
+      object is ever moved between names with it.)
+    - **Write-once fence** = conditional PUT (``If-None-Match: *`` /
+      ``x-goog-if-generation-match: 0``): exactly one writer per name
+      succeeds; the loser writes nothing. The store's server-side
+      check-and-commit atomicity is simulated with a process-wide lock —
+      the sim models one store endpoint per process, which covers the
+      single-writer deployment contract plus the reader/maintainer
+      threads the tests spawn.
+    - **Pointer CAS** (``If-Match: <etag>`` / generation match): a
+      mismatch raises :class:`PointerCasError` instead of silently
+      dropping a generation. ``expected`` carries the pointer VALUE the
+      writer last read (absent reads come back as their bootstrap
+      default, which never equals a stored document, so a racing first
+      committer is caught too).
+    - **LIST + GET reads**: ``list_names`` never shows the PUT
+      simulation's in-flight temps (a real store has no temps at all —
+      dot-prefixed names are reserved to the backend); ``exists`` is a
+      HEAD-shaped stat.
+
+    The multi-object ``promote_dir`` copy is not atomic — and does not
+    need to be: readers never list data directories, they construct
+    paths from ledger entries / fold manifests committed AFTER the
+    promote returns (§10.3 — the metadata commit is the visibility
+    point; an interrupted copy is an unreferenced orphan prefix swept by
+    the next promote to the same name or by GC). The real port gets the
+    same guarantee cheaper with unique final prefixes; the copy form is
+    the drop-in that keeps deterministic path construction.
+    """
+
+    def __init__(self) -> None:
+        # the "server side" of conditional operations: one endpoint per
+        # process, serializing check-and-commit pairs
+        self._lock = threading.Lock()
+
+    # -- small-JSON metadata plane ----------------------------------------
+
+    def list_names(self, dir_path: str) -> list[str]:
+        """LIST with prefix: every completed PUT under the prefix, no
+        in-flight temps (dot-names are backend-reserved)."""
+        try:
+            return [
+                n for n in os.listdir(dir_path) if not n.startswith(".")
+            ]
+        except FileNotFoundError:
+            return []
+
+    def read_json(self, path: str):
+        """GET (404 propagates as FileNotFoundError)."""
+        with open(path) as f:
+            return json.load(f)
+
+    def try_read_json(self, path: str):
+        try:
+            return self.read_json(path)
+        except FileNotFoundError:
+            return None
+
+    def _atomic_put(self, path: str, obj) -> None:
+        """Atomic whole-object PUT: the document becomes visible
+        complete or not at all. Locally simulated with a reserved
+        dot-temp + one ``os.replace`` — the stand-in for the store's
+        PUT atomicity, not a semantic rename (see class docstring)."""
+        d, name = os.path.split(path)
+        tmp = os.path.join(d, f".{name}.{os.getpid()}.put")
+        try:
+            with open(tmp, "w") as f:
+                json.dump(obj, f)
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, path)
+        except BaseException:
+            try:
+                os.remove(tmp)
+            except FileNotFoundError:
+                pass
+            raise
+
+    def put_json(self, path: str, obj) -> None:
+        """Unconditional PUT, last-writer-wins."""
+        self._atomic_put(path, obj)
+
+    def put_json_if_absent(self, path: str, obj) -> bool:
+        """Conditional PUT (``If-None-Match: *``): claims name + content
+        in one atomic step; returns False (writing NOTHING) when the
+        name is taken. The lock is the store's server-side atomicity."""
+        with self._lock:
+            if os.path.exists(path):
+                return False
+            self._atomic_put(path, obj)
+            return True
+
+    def swap_pointer(self, path: str, obj, expected=None) -> None:
+        """Pointer CAS (``If-Match: <etag>``): install ``obj`` only if
+        the stored pointer still equals ``expected`` (the value the
+        writer read; its bootstrap default when it read absence).
+        Raises :class:`PointerCasError` on mismatch — the lost-update
+        race between two maintainers surfaces as an error, never as a
+        silently dropped generation. ``expected=None`` is an explicit
+        unconditional install (callers that own the pointer outright)."""
+        with self._lock:
+            if expected is not None:
+                current = self.try_read_json(path)
+                if current is not None and current != expected:
+                    raise PointerCasError(
+                        f"swap_pointer({path}): pointer changed since it "
+                        f"was read (CAS expected {expected!r}, found "
+                        f"{current!r}) — re-read and re-plan"
+                    )
+            self._atomic_put(path, obj)
+
+    def delete(self, path: str) -> None:
+        """DELETE — idempotent, absence is the goal."""
+        try:
+            os.remove(path)
+        except OSError:
+            pass
+
+    # -- data-directory plane ----------------------------------------------
+
+    def promote_dir(self, staged: str, final: str) -> None:
+        """Make a staged prefix live under ``final`` with object-store
+        verbs only: delete any orphan at the final prefix (a crashed
+        prior attempt — unreferenced, hence invisible), then COPY each
+        staged object to the final prefix (``CopyObject``: GET+PUT
+        server-side, one object at a time, each atomic), then delete the
+        staged prefix. Never a rename."""
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        for root, _dirs, files in os.walk(staged):
+            rel = os.path.relpath(root, staged)
+            dest = final if rel == "." else os.path.join(final, rel)
+            os.makedirs(dest, exist_ok=True)
+            for name in files:
+                shutil.copyfile(
+                    os.path.join(root, name), os.path.join(dest, name)
+                )
+        shutil.rmtree(staged, ignore_errors=True)
+
+    def delete_tree(self, path: str) -> None:
+        """Paged LIST + batched DELETE over the prefix."""
+        shutil.rmtree(path, ignore_errors=True)
+
+    def exists(self, path: str) -> bool:
+        """HEAD on the object / zero-key LIST on the prefix."""
+        return os.path.exists(path)
+
+    def ensure_dir(self, path: str) -> None:
+        """No-op on a real store (prefixes need no creation); locally the
+        directory must exist for the simulation's files to land."""
         os.makedirs(path, exist_ok=True)
 
 

@@ -1,6 +1,8 @@
-"""PosixCommitIO contract tests (plans/commitio.py, SCALE.md §10) — no
+"""CommitIO backend-contract tests (plans/commitio.py, SCALE.md §10) — no
 Spark session needed; these pin the invariants any backend port must
-honor and the POSIX implementation's crash hygiene."""
+honor and each implementation's crash hygiene. Parametrized over BOTH
+backends (round-11): the POSIX one and the object-store-semantics
+simulation, so the §10 contract is executed, not just specified."""
 
 from __future__ import annotations
 
@@ -9,12 +11,18 @@ import os
 
 import pytest
 
-from duckdb_streaming_patterns_spark.plans.commitio import PosixCommitIO
+from duckdb_streaming_patterns_spark.plans.commitio import (
+    ObjectStoreSimIO,
+    PointerCasError,
+    PosixCommitIO,
+)
 
 
-@pytest.fixture()
-def io():
-    return PosixCommitIO()
+@pytest.fixture(params=["posix", "objstore"])
+def io(request):
+    return (
+        PosixCommitIO() if request.param == "posix" else ObjectStoreSimIO()
+    )
 
 
 def test_put_json_atomic_and_readable(io, tmp_path):
@@ -92,3 +100,73 @@ def test_swap_pointer_roundtrip(io, tmp_path):
     io.swap_pointer(p, {"generation": 1}, expected=None)
     io.swap_pointer(p, {"generation": 2}, expected={"generation": 1})
     assert io.read_json(p) == {"generation": 2}
+
+
+def test_objstore_swap_pointer_cas_rejects_lost_update(tmp_path):
+    """The object-store backend enforces the §10.2 CAS: a maintainer
+    whose read of the pointer went stale (a concurrent maintainer won)
+    raises instead of silently dropping the winner's generation. A
+    first-install race is caught the same way — the loser's bootstrap
+    `expected` never equals a stored document."""
+    io = ObjectStoreSimIO()
+    p = str(tmp_path / "ptr.json")
+    bootstrap = {"generation": 0, "data": "data", "prev_data": None}
+    # writer A: read absence (bootstrap), install gen 1 — fine
+    io.swap_pointer(p, {"generation": 1, "data": "g1"}, expected=bootstrap)
+    # writer B: ALSO read absence before A won — must lose loudly
+    with pytest.raises(PointerCasError, match="re-read"):
+        io.swap_pointer(
+            p, {"generation": 1, "data": "g1b"}, expected=bootstrap
+        )
+    # writer C: read gen 1, swaps to gen 2 — fine; stale D then loses
+    cur = io.read_json(p)
+    io.swap_pointer(p, {"generation": 2, "data": "g2"}, expected=cur)
+    with pytest.raises(PointerCasError):
+        io.swap_pointer(p, {"generation": 2, "data": "g2d"}, expected=cur)
+    assert io.read_json(p)["data"] == "g2"
+
+
+def test_objstore_never_renames_or_links(tmp_path, monkeypatch):
+    """The simulation's contract verbs use object-store primitives only:
+    promote_dir copies (CopyObject), never renames; the write-once fence
+    is a conditional PUT, never a hard link. (os.replace inside
+    _atomic_put is the local stand-in for single-PUT atomicity — it is
+    allowed for document PUTs, forbidden as a directory/claim verb.)"""
+    io = ObjectStoreSimIO()
+    staged = tmp_path / "staged"
+    os.makedirs(staged / "sub")
+    (staged / "part-0.parquet").write_text("a")
+    (staged / "sub" / "part-1.parquet").write_text("b")
+
+    def forbid(*a, **k):  # any rename of the staged tree = contract breach
+        raise AssertionError("rename/link used by object-store backend")
+
+    monkeypatch.setattr(os, "rename", forbid)
+    monkeypatch.setattr(os, "replace", forbid)
+    monkeypatch.setattr(os, "link", forbid)
+    monkeypatch.setattr("shutil.move", forbid)
+    io.promote_dir(str(staged), str(tmp_path / "final"))
+    assert (tmp_path / "final" / "part-0.parquet").read_text() == "a"
+    assert (tmp_path / "final" / "sub" / "part-1.parquet").read_text() == "b"
+    assert not staged.exists()
+    # the write-once fence works with os.link forbidden (PUT atomicity
+    # may use replace; the claim must not need links)
+    monkeypatch.undo()
+    monkeypatch.setattr(os, "link", forbid)
+    p = str(tmp_path / "ckpt.json")
+    assert io.put_json_if_absent(p, {"w": 1}) is True
+    assert io.put_json_if_absent(p, {"w": 2}) is False
+    assert io.read_json(p) == {"w": 1}
+
+
+def test_objstore_list_hides_inflight_temps(tmp_path):
+    """LIST shows completed PUTs only — a real store has no client temps;
+    the simulation reserves dot-names and must never leak them into a
+    ledger listing (snapshots() trips on unparseable names)."""
+    io = ObjectStoreSimIO()
+    d = str(tmp_path)
+    io.put_json(os.path.join(d, "0.json"), {"snapshot_id": 0})
+    # an in-flight temp from a crashed writer of another process
+    with open(os.path.join(d, ".1.json.9999.put"), "w") as f:
+        f.write("{torn")
+    assert io.list_names(d) == ["0.json"]

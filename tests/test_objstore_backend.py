@@ -1,0 +1,112 @@
+"""Execute the SCALE.md §10 object-store port contract (round 11):
+re-run the SnapshotTable / UpsertLog ledger, fold, checkpoint, vacuum,
+and expiry CRASH-WINDOW tests with every table defaulting to the
+object-store-semantics CommitIO backend (no rename, no hard links,
+conditional-PUT fence, pointer CAS, copy-based promote) instead of the
+POSIX one. Each wrapper delegates to the existing test function — the
+scenario logic is identical; only the transaction-protocol substrate
+changes — so a green run here means the metadata plane's whole verb
+protocol survives on primitives an S3/GCS client actually has.
+
+The backend swap is the module-level default (POSIX_IO rebind) rather
+than per-constructor io= so the streaming patterns' internally
+constructed logs are covered too.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from duckdb_streaming_patterns_spark.operators import merge as merge_mod
+from duckdb_streaming_patterns_spark.plans import snapshots as snaps_mod
+from duckdb_streaming_patterns_spark.plans.commitio import ObjectStoreSimIO
+
+from tests import test_streaming_patterns as tsp
+
+
+@pytest.fixture()
+def objstore(monkeypatch):
+    sim = ObjectStoreSimIO()
+    monkeypatch.setattr(snaps_mod, "POSIX_IO", sim)
+    monkeypatch.setattr(merge_mod, "POSIX_IO", sim)
+    return sim
+
+
+# -- UpsertLog fold/compact crash windows -----------------------------------
+
+def test_upsert_compact_crash_window(spark, tmp_path, objstore):
+    tsp.test_upsert_log_compact_crash_window_is_consistent(spark, tmp_path)
+
+
+def test_upsert_maintain_survives_gc_crash(spark, tmp_path, objstore):
+    tsp.test_upsert_log_maintain_survives_gc_crash(spark, tmp_path)
+
+
+def test_upsert_maintain_every_gc_crash_point(spark, tmp_path, objstore):
+    tsp.test_upsert_log_maintain_every_gc_crash_point(spark, tmp_path)
+
+
+def test_upsert_lww_maintain_survives_gc_crash(spark, tmp_path, objstore):
+    tsp.test_upsert_log_lww_maintain_survives_gc_crash(spark, tmp_path)
+
+
+def test_insert_only_compact_crash_mid_gc(spark, tmp_path, objstore):
+    tsp.test_insert_only_compact_crash_mid_gc_has_no_duplicates(
+        spark, tmp_path
+    )
+
+
+# -- SnapshotTable ledger / checkpoint / vacuum / expiry ---------------------
+
+def test_ledger_scoped_reads(spark, tmp_path, objstore):
+    tsp.test_snapshot_reads_are_ledger_scoped_never_list_data_dir(
+        spark, tmp_path
+    )
+
+
+def test_ledger_checkpointing_bounds_opens(spark, tmp_path, objstore):
+    tsp.test_ledger_checkpointing_bounds_opens_per_read(spark, tmp_path)
+
+
+def test_vacuum_flag_survives_checkpoint_fold(spark, tmp_path, objstore):
+    tsp.test_vacuum_flag_survives_checkpoint_fold(spark, tmp_path)
+
+
+def test_maintenance_only_checkpoint_windows(spark, tmp_path, objstore):
+    tsp.test_maintenance_only_checkpoint_windows_never_serve_or_bake_stale_state(
+        spark, tmp_path
+    )
+
+
+def test_expire_flags_after_maintenance_checkpoint(spark, tmp_path, objstore):
+    tsp.test_expire_flags_visible_after_maintenance_only_checkpoint(
+        spark, tmp_path
+    )
+
+
+def test_vacuum_applies_tombstones_physically(spark, tmp_path, objstore):
+    tsp.test_snapshot_vacuum_applies_tombstones_physically(spark, tmp_path)
+
+
+def test_vacuum_then_append_and_cdf_continue(spark, tmp_path, objstore):
+    tsp.test_vacuum_then_append_and_cdf_continue(spark, tmp_path)
+
+
+def test_expire_folds_history_and_bounds_paths(spark, tmp_path, objstore):
+    tsp.test_expire_snapshots_folds_history_and_bounds_paths(spark, tmp_path)
+
+
+def test_expire_crash_before_swap(spark, tmp_path, monkeypatch, objstore):
+    tsp.test_expire_crash_before_swap_keeps_history_travellable(
+        spark, tmp_path, monkeypatch
+    )
+
+
+def test_expire_crash_after_swap(spark, tmp_path, objstore):
+    tsp.test_expire_crash_after_swap_keeps_cdf_guard_armed(spark, tmp_path)
+
+
+def test_snapshots_survives_checkpoint_cleanup_race(
+    spark, tmp_path, objstore
+):
+    tsp.test_snapshots_survives_checkpoint_cleanup_race(spark, tmp_path)

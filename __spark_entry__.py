@@ -142,7 +142,14 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     inside multimodal_ann_retrieval, which composes it; stays
 #     exact-checked locally) → pattern_streaming_bm25_index, the
 #     streaming-maintained BM25 index (token-bucketed tf UpsertLog,
-#     DPP-pruned query reads) proven streaming ≡ batch.
+#     DPP-pruned query reads) proven streaming ≡ batch;
+#   knn_ivf_ann (its md5-anchor IVF machinery — codebook, assignment,
+#     probe, rerank — stays driver-pinned TWICE: inside the new
+#     multimodal_ann_ivf, which composes it against the at-rest
+#     partitioned index, and pattern_streaming_ann_index_expiring; stays
+#     exact-checked locally) → multimodal_ann_ivf, the index-backed
+#     cross-modal retrieval (partition-pruned probe of the materialized
+#     image index — the 100 TB serving path, round-10 finding #3).
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -175,12 +182,12 @@ _PRIORITY = [
     # similarity search (§2.11)
     "semdedup_prune",
     "pattern_streaming_semdedup",
-    "knn_ivf_ann",
     "contamination_bloom_flags",
     # multimodal (§2.11)
     "knn_pq_adc",
     "multimodal_decode_features",
     "multimodal_ann_retrieval",
+    "multimodal_ann_ivf",
     # text analysis (§2.11)
     "text_unigram_surprisal",
     "pattern_streaming_full_funnel",

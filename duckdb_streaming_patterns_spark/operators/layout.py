@@ -119,6 +119,51 @@ def ivf_partitioned_embeddings(
     return path, centroids
 
 
+_XMODAL_IVF: dict[tuple, tuple[str, list]] = {}
+
+
+def ivf_anchor_partitioned_images(
+    spark: SparkSession, sf_dir: str, n_cells: int = 8
+):
+    """The image-modality embedding corpus written AT REST partitioned by
+    its md5-anchor IVF cell (memoized); returns (path, anchor_rows).
+
+    This is the index-backed form of the cross-modal retrieval
+    composition (round-10 verdict finding #3): the quantizer is the
+    deterministic md5-anchor codebook (similarity.md5_anchor_rows), so
+    cell assignment — hence the whole layout and every probe decision —
+    replays exactly in SQL, while the physical shape is the production
+    one: a probe for n_probe of n_cells is a PARTITION-PRUNED scan
+    reading n_probe/n_cells of the index, never an assignment pass over
+    the corpus. anchor_rows are returned so probes quantize with the
+    codebook the layout was built with (same contract as
+    ivf_partitioned_embeddings)."""
+    from duckdb_streaming_patterns_spark.operators import (
+        multimodal,
+        similarity,
+    )
+
+    key = (sf_dir, n_cells)
+    cached = _XMODAL_IVF.get(key)
+    if cached and os.path.isdir(cached[0]):
+        return cached
+    docs = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    media = multimodal.attach_payloads(docs, "doc_id", "text")
+    images = media.filter(F.col("media_type") == "image").select(
+        F.col("doc_id").alias("vec_id")
+    )
+    corpus = emb.join(images, "vec_id")
+    anchor_rows = similarity.md5_anchor_rows(corpus, n=n_cells)
+    assigned = similarity.anchor_cells(corpus, anchor_rows).join(
+        corpus, "vec_id"
+    )
+    path = os.path.join(LAYOUT_ROOT, _tag(sf_dir), f"xmodal_ivf{n_cells}")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    _XMODAL_IVF[key] = (path, anchor_rows)
+    return path, anchor_rows
+
+
 def bucketed_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by order status through the bucketed pair. The ``merge``
     hint pins SortMergeJoin (a broadcast would hide the layout win at

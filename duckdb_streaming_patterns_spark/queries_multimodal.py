@@ -168,3 +168,143 @@ def q_multimodal_ann_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "query_id", "neighbor_id", "cosine", "rank", "n_bytes", "payload_md5"
     )
+
+
+# ---------------------------------------------------------------------------
+# Index-backed cross-modal retrieval (round 11, verdict finding #3): the
+# serving path a 100 TB corpus actually runs — the image-modality index is
+# MATERIALIZED AT REST partitioned by its md5-anchor IVF cell, and a query
+# reads only its probed cells' directories (static partition pruning,
+# plan-asserted). The brute-force row above stays the exact-cosine oracle
+# anchor; this row proves the same composition index-backed, hash-exact
+# because the md5-anchor quantizer replays in SQL.
+# ---------------------------------------------------------------------------
+
+_XIVF_CELLS, _XIVF_PROBE = 8, 4
+
+_XMODAL_IVF_ORACLE = f"""
+    WITH img AS (SELECT e.vec_id, e.embedding,
+                        CAST(octet_length(encode(d.text)) AS BIGINT) AS n_bytes,
+                        md5(d.text) AS payload_md5
+                 FROM embeddings e JOIN documents d ON e.vec_id = d.doc_id
+                 WHERE d.doc_id % 3 = 0),
+         a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+               FROM img ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+               LIMIT {_XIVF_CELLS}),
+         s AS (SELECT i.vec_id, a.aid,
+                      {duckdb_cosine("i.embedding", "a.a_vec")} AS cos
+               FROM img i CROSS JOIN a),
+         r AS (SELECT vec_id, aid,
+                      row_number() OVER (PARTITION BY vec_id
+                                         ORDER BY cos DESC, aid) AS rn
+               FROM s),
+         cells AS (SELECT vec_id, aid AS cell_id FROM r WHERE rn = 1),
+         qs AS (SELECT vec_id AS query_id, embedding AS q_vec
+                FROM embeddings WHERE vec_id < 3),
+         qsim AS (SELECT q.query_id, a.aid,
+                         {duckdb_cosine("q.q_vec", "a.a_vec")} AS cos
+                  FROM qs q CROSS JOIN a),
+         probes AS (SELECT query_id, aid AS cell_id
+                    FROM (SELECT query_id, aid,
+                                 row_number() OVER (PARTITION BY query_id
+                                                    ORDER BY cos DESC, aid)
+                                   AS rn
+                          FROM qsim)
+                    WHERE rn <= {_XIVF_PROBE}),
+         cand AS (SELECT p.query_id, c.vec_id AS neighbor_id
+                  FROM probes p JOIN cells c USING (cell_id)
+                  WHERE c.vec_id <> p.query_id),
+         rer AS (SELECT cand.query_id, cand.neighbor_id,
+                        {duckdb_cosine("q.q_vec", "i.embedding")} AS cosine,
+                        i.n_bytes, i.payload_md5
+                 FROM cand
+                 JOIN qs q ON q.query_id = cand.query_id
+                 JOIN img i ON i.vec_id = cand.neighbor_id)
+    SELECT query_id, neighbor_id, ROUND(cosine, 6) AS cosine,
+           CAST(rank AS BIGINT) AS rank, n_bytes, payload_md5
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY cosine DESC, neighbor_id)
+                      AS rank
+          FROM rer)
+    WHERE rank <= 5
+"""
+
+
+@register("multimodal_ann_ivf", _XMODAL_IVF_ORACLE)
+def q_multimodal_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-modal retrieval through the AT-REST IVF index: the image
+    index lives on disk partitioned by md5-anchor cell
+    (layout.ivf_anchor_partitioned_images); each query quantizes against
+    the same codebook, the probed cell ids are collected (bounded:
+    n_queries × n_probe longs) into a STATIC isin partition filter, and
+    the candidate scan reads only those directories — PartitionFilters
+    in the plan, n_probe/n_cells of the index's bytes, never an
+    assignment pass over the corpus. Exact cosine re-rank inside the
+    probed cells; payload metadata (n_bytes, md5) joins onto the top-k
+    ids only. Recall vs the brute-force row is pinned in
+    tests/test_multimodal.py."""
+    from duckdb_streaming_patterns_spark.functions.vectors import (
+        dot_double,
+        l2_norm,
+        to_double_array,
+    )
+    from duckdb_streaming_patterns_spark.operators import layout
+
+    path, anchor_rows = layout.ivf_anchor_partitioned_images(
+        spark, sf_dir, n_cells=_XIVF_CELLS
+    )
+    probe = similarity.anchor_cell_udf(anchor_rows, n_probe=_XIVF_PROBE)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        to_double_array(F.col("embedding")).alias("q_vec"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+        F.explode(probe(F.col("embedding"))).alias("cell_id"),
+    )
+    probed = sorted(
+        r["cell_id"] for r in q.select("cell_id").distinct().collect()
+    )
+    at_rest = spark.read.parquet(path).filter(F.col("cell_id").isin(probed))
+    cells = at_rest.select(
+        F.col("vec_id").alias("neighbor_id"),
+        "cell_id",
+        to_double_array(F.col("embedding")).alias("c_vec"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell_id")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn(
+            "cosine",
+            dot_double(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id")
+    )
+    hits = (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+    docs = _t(spark, sf_dir, "documents")
+    media = multimodal.attach_payloads(docs, "doc_id", "text")
+    meta = media.filter(F.col("media_type") == "image").select(
+        F.col("doc_id").alias("neighbor_id"),
+        F.octet_length("payload").cast("bigint").alias("n_bytes"),
+        F.md5("payload").alias("payload_md5"),
+    )
+    # top-k ids are the broadcast side; the corpus-sized metadata frame
+    # is only ever probed, exactly like the brute-force row
+    return meta.join(F.broadcast(hits), "neighbor_id").select(
+        "query_id", "neighbor_id", "cosine", "rank", "n_bytes", "payload_md5"
+    )

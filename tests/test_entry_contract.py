@@ -51,16 +51,20 @@ def test_first_50_cover_every_family():
             # membership gate took the slot — see pipeline family.
             # knn_bruteforce rotated out in r11 (exact-cosine machinery
             # stays driver-pinned inside multimodal_ann_retrieval, which
-            # composes it); the streaming BM25 row took the slot
+            # composes it); the streaming BM25 row took the slot.
+            # knn_ivf_ann rotated out in r11 too (anchor-IVF machinery
+            # stays pinned by multimodal_ann_ivf + the expiring ANN
+            # index row); the index-backed cross-modal row took the slot
             "knn_pq_adc",
             "semdedup_prune",
-            "knn_ivf_ann",
             "pattern_streaming_ann_index_expiring",
         },
         "multimodal": {
             "multimodal_decode_features",
-            # r10 rotation: the cross-modal ANN row
+            # r10 rotation: the cross-modal ANN row; r11: its
+            # index-backed (partition-pruned at-rest probe) sibling
             "multimodal_ann_retrieval",
+            "multimodal_ann_ivf",
         },
         "observability": {
             # r10 rotation: streaming drift monitor + its maintained

@@ -66,3 +66,39 @@ def test_frame_sample_covers_payload(spark, sf_small):
     assert {r["doc_id"] for r in sizes} == set(orig)
     for r in sizes:
         assert r["total"] == orig[r["doc_id"]]
+
+
+def test_xmodal_ivf_probe_is_partition_pruned_and_recall_pinned(
+    spark, sf_small
+):
+    """Round-11 (verdict finding #3): the index-backed cross-modal row
+    probes the AT-REST cell-partitioned image index — the candidate scan
+    carries a STATIC PartitionFilters on cell_id listing only the probed
+    cells (n_probe/n_cells of the index's bytes read), and its result set
+    keeps >= 0.6 recall@5 against the exact brute-force row on the
+    fixture corpus."""
+    import contextlib
+    import io
+
+    from duckdb_streaming_patterns_spark.queries import QUERIES
+    from duckdb_streaming_patterns_spark.queries_multimodal import (
+        q_multimodal_ann_ivf,
+        q_multimodal_ann_retrieval,
+    )
+
+    got = q_multimodal_ann_ivf(spark, sf_small)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        got.explain("formatted")
+    plan = buf.getvalue()
+    # the probed-cell scan: a non-empty static partition filter on cell_id
+    assert "PartitionFilters" in plan, plan[:3000]
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*cell_id[^\]]*)\]", plan)
+    assert m and m.group(1).strip(), plan[:3000]
+
+    bf = q_multimodal_ann_retrieval(spark, sf_small)
+    iv = {(r["query_id"], r["neighbor_id"]) for r in got.collect()}
+    bv = {(r["query_id"], r["neighbor_id"]) for r in bf.collect()}
+    assert len(iv & bv) / len(bv) >= 0.6

@@ -67,6 +67,41 @@ def _ckpt_key(name: str) -> tuple[int, int]:
     return (int(sid), int(k) if k else 0)
 
 
+#: Numeric widening lattice for schema TYPE evolution (round 11) — the
+#: DuckLake surface: INT→BIGINT and the standard SQL promotions. Rank
+#: orders each chain; mixing the integer and floating chains widens to
+#: double (the SQL least-upper-bound, same rule both engines apply).
+_WIDEN_RANK = {
+    "tinyint": 0,
+    "smallint": 1,
+    "int": 2,
+    "bigint": 3,
+    "float": 0,
+    "double": 1,
+}
+_INT_CHAIN = {"tinyint", "smallint", "int", "bigint"}
+_FLOAT_CHAIN = {"float", "double"}
+
+
+def _widen_type(types: set[str]) -> str:
+    """Least upper bound of one column's types across eras. Identical
+    types pass through untouched (any type, not just numeric); genuine
+    widening is supported for the numeric chains only — anything else
+    raises, loudly, rather than guessing a lossy cast."""
+    if len(types) == 1:
+        return next(iter(types))
+    if not types <= (_INT_CHAIN | _FLOAT_CHAIN):
+        raise ValueError(
+            f"unsupported column type evolution {sorted(types)}: only "
+            "numeric widening (tinyint→smallint→int→bigint, float→double, "
+            "int/float mix→double) is readable across eras"
+        )
+    if types & _INT_CHAIN and types & _FLOAT_CHAIN:
+        return "double"
+    chain = _INT_CHAIN if types <= _INT_CHAIN else _FLOAT_CHAIN
+    return max(types & chain, key=_WIDEN_RANK.get)
+
+
 class SnapshotTable:
     """Append-only, snapshot-stamped, hive-partitioned parquet table."""
 
@@ -234,6 +269,12 @@ class SnapshotTable:
                 for k in ("partitions", "columns", "key_cols"):
                     if k in e:
                         e[k] = list(e[k])
+                if "column_types" in e:
+                    # nested [name, type] pairs — copy BOTH levels, or a
+                    # caller's in-place type mutation (expire's widening
+                    # re-stamp) aliases the parse cache (the round-9 bug
+                    # class, one level deeper)
+                    e["column_types"] = [list(ct) for ct in e["column_types"]]
                 by_id[e["snapshot_id"]] = e
         for sid, name in loose:
             try:
@@ -345,6 +386,13 @@ class SnapshotTable:
             "batch_id": batch_id,
             "rows": n,
             "columns": list(df.columns),
+            # per-snapshot column TYPES (round 11): the ledger records the
+            # era's schema, so the union read can detect TYPE evolution
+            # (INT→BIGINT widening, DuckLake's second evolution axis) and
+            # time travel can serve era-correct types — see table_changes
+            "column_types": [
+                [f.name, f.dataType.simpleString()] for f in df.schema
+            ],
             "committed_at": time.time(),
         }
         if parts is not None:
@@ -697,6 +745,11 @@ class SnapshotTable:
         the columns that existed in the queried range — so a time-travel
         read returns the schema of that era, and pre-evolution rows show
         the later columns as null only when the range spans the change.
+        TYPE evolution (round 11, DuckLake's widening axis): a range
+        spanning snapshots whose recorded column types differ is read
+        era by era and unioned under an explicit cast to the numeric
+        least upper bound (INT→BIGINT, float→double, mixed→double);
+        a single-era range returns that era's own types untouched.
         Homogeneous tables keep their original single-footer plan.
 
         ``snaps`` memoizes the ledger: the whole call — path enumeration,
@@ -771,15 +824,79 @@ class SnapshotTable:
                 all(c is not None for c in col_sets)
                 and len({tuple(c) for c in col_sets}) > 1
             )
-            reader = self.spark.read.option("basePath", self.data_dir)
-            if evolved:
-                reader = reader.option("mergeSchema", "true")
-            df = reader.parquet(*paths)
+            # TYPE evolution (round 11): when the queried range spans
+            # snapshots whose recorded column TYPES differ (a later era
+            # widened INT→BIGINT etc.), footer-merge cannot reconcile the
+            # conflict — the range is read ERA BY ERA (one scan per
+            # distinct type signature, each a plain single-footer plan
+            # over only that era's ledger paths) and unioned with an
+            # explicit cast to the per-column least upper bound. A range
+            # confined to one era never pays this: it keeps the plain
+            # read and returns that era's own types (time travel is
+            # era-correct).
+            readable = [
+                s
+                for s in snaps
+                if s.get("kind", "insert") == "insert"
+                and not s.get("expired")
+                and s.get("rows")
+                and from_snapshot < s["snapshot_id"] <= to_snapshot
+            ]
+            by_sig: dict[tuple, list] = {}
+            if readable and all(
+                s.get("column_types") is not None for s in readable
+            ):
+                for s in readable:
+                    sig = tuple(tuple(ct) for ct in s["column_types"])
+                    by_sig.setdefault(sig, []).append(s)
+            col_types: dict[str, set] = {}
+            for sig in by_sig:
+                for name, t in sig:
+                    col_types.setdefault(name, set()).add(t)
+            types_differ = any(len(ts) > 1 for ts in col_types.values())
+            if len(by_sig) > 1 and types_differ:
+                targets = {
+                    name: _widen_type(ts) for name, ts in col_types.items()
+                }
+                frames = []
+                for members in by_sig.values():
+                    era_paths = self._ledger_paths(
+                        from_snapshot,
+                        to_snapshot,
+                        partition_values,
+                        snaps=members,
+                    )
+                    if not era_paths:
+                        continue
+                    edf = self.spark.read.option(
+                        "basePath", self.data_dir
+                    ).parquet(*era_paths)
+                    sel = []
+                    for fld in edf.schema.fields:
+                        tgt = targets.get(fld.name)
+                        if (
+                            tgt is not None
+                            and fld.dataType.simpleString() != tgt
+                        ):
+                            sel.append(
+                                F.col(fld.name).cast(tgt).alias(fld.name)
+                            )
+                        else:
+                            sel.append(F.col(fld.name))
+                    frames.append(edf.select(*sel))
+                df = frames[0]
+                for f in frames[1:]:
+                    df = df.unionByName(f, allowMissingColumns=True)
+            else:
+                reader = self.spark.read.option("basePath", self.data_dir)
+                if evolved:
+                    reader = reader.option("mergeSchema", "true")
+                df = reader.parquet(*paths)
             base = df.filter(
                 (F.col("snapshot_id") > from_snapshot)
                 & (F.col("snapshot_id") <= to_snapshot)
             )
-            if evolved:
+            if evolved or len(by_sig) > 1:
                 want: list[str] = []
                 for s in snaps:
                     if (
@@ -981,6 +1098,14 @@ class SnapshotTable:
         fold_entry["columns"] = [
             c for c in folded.columns if c != "snapshot_id"
         ]
+        # the rewrite physically normalizes every surviving dir to the
+        # union frame's schema — record the fold era's (possibly widened)
+        # types so the ledger keeps describing the bytes on disk
+        fold_entry["column_types"] = [
+            [f.name, f.dataType.simpleString()]
+            for f in newdf.schema.fields
+            if f.name != "snapshot_id"
+        ]
         if self.partition_cols and self.io.exists(fold_dir):
             fold_entry["partitions"] = sorted(
                 e
@@ -992,9 +1117,10 @@ class SnapshotTable:
         # (conservatively — see the guard), so a crash in the post-swap /
         # pre-stamp window below can never leave a stale incremental
         # cursor silently re-receiving the re-stamped fold as "new"
-        # rows. read_as_of IGNORES it, so the mirror-image pre-swap
-        # crash (history still fully intact) never refuses readable
-        # history — the retry clears it by completing.
+        # rows. read_as_of honors it too (round-11 ADVICE): post-swap
+        # its folded dirs are gone and a pre-fold travel would silently
+        # return a partial table; the pre-swap cost is a recoverable
+        # refusal the retry clears by completing.
         fold_entry["pending_expired_through"] = fold_id
         self._commit_ledger(fold_entry)
         # (3) atomic generation swap
@@ -1020,6 +1146,9 @@ class SnapshotTable:
         fold_entry.pop("pending_expired_through", None)
         fold_entry["expired_through"] = fold_id
         self._commit_ledger(fold_entry)
+        union_types = {
+            f.name: f.dataType.simpleString() for f in newdf.schema.fields
+        }
         for s in snaps:
             sid = s["snapshot_id"]
             if (
@@ -1028,6 +1157,22 @@ class SnapshotTable:
                 and not s.get("expired")
             ):
                 s["expired"] = True
+                self._commit_ledger(s)
+            elif (
+                s.get("kind", "insert") == "insert"
+                and sid > fold_id
+                and s.get("column_types") is not None
+                and any(
+                    union_types.get(n, t) != t for n, t in s["column_types"]
+                )
+            ):
+                # the rewrite normalized the tail dirs' physical schema
+                # to the union frame's (possibly widened) types — re-stamp
+                # the entry's recorded types so era signatures keep
+                # matching the bytes on disk
+                s["column_types"] = [
+                    [n, union_types.get(n, t)] for n, t in s["column_types"]
+                ]
                 self._commit_ledger(s)
             elif (
                 s.get("kind") == "delete"

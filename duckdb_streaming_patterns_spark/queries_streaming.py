@@ -402,6 +402,73 @@ def q_snapshot_schema_evolution(
     return _evo_table(spark, sf_dir).read()
 
 
+_WIDEN_TABLES: dict = {}
+
+
+def _widen_table(spark: SparkSession, sf_dir: str):
+    """Events replayed as 4 snapshots onto a SnapshotTable whose
+    ``amount`` column WIDENS from INT to BIGINT at snapshot 2 (with
+    values that genuinely exceed int32, so a narrow read would be
+    wrong, not just mistyped) — the DuckLake type-evolution axis
+    (round 11; the column-ADD axis is _evo_table's)."""
+    t = _WIDEN_TABLES.get(sf_dir)
+    if t is not None:
+        return t
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    rows = ev.count()
+    per = (rows + 3) // 4
+    run = staging.new_run_dir("widenq")
+    t = SnapshotTable(
+        spark,
+        _os.path.join(run, "widen"),
+        "event_id long, user_id long, amount int",
+    )
+    for k in range(4):
+        chunk = ev.filter(
+            (F.col("event_id") / F.lit(per)).cast("int") == k
+        ).select("event_id", "user_id")
+        if k < 2:
+            chunk = chunk.withColumn(
+                "amount", F.col("user_id").cast("int")
+            )
+        else:
+            chunk = chunk.withColumn(
+                "amount",
+                F.col("user_id").cast("bigint") + F.lit(5_000_000_000),
+            )
+        t.append(chunk, batch_id=k)
+    _WIDEN_TABLES[sf_dir] = t
+    return t
+
+
+@register(
+    "snapshot_type_widening_read",
+    f"""
+    WITH p AS (SELECT {_EVO_PER} AS per FROM events)
+    SELECT e.event_id, e.user_id,
+           CASE WHEN floor(e.event_id / p.per) >= 2
+                THEN CAST(e.user_id AS BIGINT) + 5000000000
+                ELSE CAST(e.user_id AS BIGINT) END AS amount,
+           CAST(floor(e.event_id / p.per) AS INT) AS snapshot_id
+    FROM events e, p
+    """,
+)
+def q_snapshot_type_widening(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """S6's TYPE evolution as a registered query (round 11): snapshots
+    0-1 append ``amount`` as INT, snapshots 2-3 as BIGINT with values
+    beyond int32 range; the full read spans the eras and returns the
+    widened BIGINT column (era-grouped scans + explicit LUB cast —
+    footer-merge alone cannot reconcile conflicting primitive types).
+    The CASE/CAST oracle replays the widening; time-travel era
+    correctness (a pre-widening read returns INT) is pinned in
+    tests/test_streaming_patterns.py."""
+    return _widen_table(spark, sf_dir).read()
+
+
 @register(
     "pattern_streaming_corpus_dedup",
     """

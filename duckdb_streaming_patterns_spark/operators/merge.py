@@ -278,10 +278,12 @@ class UpsertLog:
     delete, so a re-read resolves; dead dirs that survive a crashed GC
     are excluded by the manifest's dead-id filter, never double-read)
     — the same retry discipline as ``snapshots()``. A deployment that
-    needs lock-free external readers should defer the GC by a grace
-    period (results are already correct with dead dirs present; only
-    the deletes race) — on the object-store port that is one flag on
-    the sweep, not a redesign.
+    needs lock-free external readers sets ``deferred_gc=True`` (round
+    11): folds PARK their dead sources for one maintenance cycle —
+    results are already correct with dead dirs present, only the
+    deletes raced — and the next call's sweep collects them; a reader
+    thread across a fold is green under the flag
+    (tests/test_streaming_patterns.py deferred-gc tests).
     """
 
     def __init__(
@@ -294,6 +296,7 @@ class UpsertLog:
         n_buckets: int = 16,
         partition_col: str | None = None,
         io=None,
+        deferred_gc: bool = False,
     ):
         """``partition_col`` hive-partitions every batch dir by that RAW
         column's values (vs ``bucket_col``'s hashed ``__kb``) — for
@@ -303,7 +306,20 @@ class UpsertLog:
 
         ``io`` is the CommitIO backend (default POSIX) — fold-manifest
         reads/commits, merged-dir promotion, and GC deletes all go
-        through it (the object-store port seam, SCALE.md §10)."""
+        through it (the object-store port seam, SCALE.md §10).
+
+        ``deferred_gc`` (round 11): park folded source dirs for ONE
+        maintenance cycle instead of deleting them at the end of the
+        fold that killed them — the next maintain()/compact() call's
+        dead-dir sweep collects them. The dirs are logically dead the
+        moment the fold manifest commits (read_latest filters their
+        ids), so correctness is unchanged; what the flag buys is
+        EXTERNAL-reader friendliness: a concurrent reader that listed
+        the log before the fold can still finish scanning those dirs,
+        the same grace SnapshotTable's generation swap gives its
+        readers (README concurrency contract). This is also the right
+        default posture for the object-store port, where readers in
+        other processes are the norm and LIST+scan is not atomic."""
         if bucket_col is not None and partition_col is not None:
             raise ValueError("bucket_col and partition_col are exclusive")
         self.spark = spark
@@ -314,6 +330,7 @@ class UpsertLog:
         self.n_buckets = n_buckets
         self.partition_col = partition_col
         self.io = io if io is not None else POSIX_IO
+        self.deferred_gc = deferred_gc
         self.io.ensure_dir(root)
 
     @property
@@ -613,6 +630,14 @@ class UpsertLog:
           ignores underscore-prefixed files, so the manifest never
           pollutes the scan.)"""
         self._sweep_temp_dirs()
+        # collect dirs a prior fold already killed (crash-window debris,
+        # or deferred_gc's parked sources from the previous cycle) so
+        # they are neither re-folded nor left to accumulate — the same
+        # sweep maintain() opens with
+        dead = set(self._dead_batch_ids())
+        for d in self._batch_dirs():
+            if int(d.rsplit("=", 1)[1]) in dead:
+                self.io.delete_tree(d)
         dirs = sorted(
             self._batch_dirs(),
             key=lambda d: int(d.rsplit("=", 1)[1]),
@@ -661,8 +686,9 @@ class UpsertLog:
         self._write_manifest(tmp, dirs)
         base_dir = os.path.join(self.root, f"__batch_id={base_id}")
         self.io.promote_dir(tmp, base_dir)
-        for d in dirs:
-            self.io.delete_tree(d)
+        if not self.deferred_gc:
+            for d in dirs:
+                self.io.delete_tree(d)
         self._prune_manifest(base_dir)
 
     def _dir_weight(self, d: str) -> int:
@@ -934,8 +960,13 @@ class UpsertLog:
             self._write_manifest(tmp, ds)
             new_dir = os.path.join(self.root, f"__batch_id={merged_id}")
             self.io.promote_dir(tmp, new_dir)
-            for d in ds:
-                self.io.delete_tree(d)
+            # deferred_gc parks the sources instead: logically dead via
+            # the manifest, excluded from the candidate set by the
+            # per-iteration dead filter, collected by the NEXT call's
+            # dead-dir sweep
+            if not self.deferred_gc:
+                for d in ds:
+                    self.io.delete_tree(d)
             self._prune_manifest(new_dir)
             merges += 1
 

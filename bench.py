@@ -91,6 +91,7 @@ HEADLINE = [
     "pack_token_bins",
     "mix_token_budget",
     "multimodal_payload_stats",
+    "multimodal_ann_ivf",
     # physical layout
     "bucketed_join_revenue",
     "partition_pruned_daily_clicks",

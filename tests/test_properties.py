@@ -545,3 +545,69 @@ def test_change_feed_replay_reconstructs_any_snapshot(spark, ops):
             assert state == want, (a, head, ops)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_widen_eras = st.lists(
+    st.tuples(
+        st.sampled_from(["int", "bigint"]),  # era type of the v column
+        st.integers(min_value=1, max_value=4),  # rows in the era's batch
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@settings(**_SETTINGS)
+@given(_widen_eras)
+def test_type_widened_reads_match_replay_at_every_snapshot(spark, eras):
+    """Round-11 property: under ARBITRARY per-batch type choices for a
+    column (widening, narrowing back, alternating — not just the
+    monotone INT→BIGINT story), every read_as_of(k) returns exactly the
+    replayed rows AND carries the least-upper-bound type of the eras
+    inside its range: 'bigint' iff any batch ≤ k appended bigint, else
+    'int'. Values are era-stamped so a cast that dropped or mangled an
+    era would change the set, and bigint eras include a value beyond
+    int32 so a narrow read could not even represent the data."""
+    import shutil
+    import tempfile
+
+    from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
+
+    root = tempfile.mkdtemp(prefix="widen_prop_")
+    try:
+        t = SnapshotTable(spark, root, "id long, v int")
+        expected: list[set] = []
+        live: set = set()
+        next_id = 0
+        for b, (typ, n) in enumerate(eras):
+            rows = []
+            for i in range(n):
+                v = next_id * 10 + b
+                if typ == "bigint" and i == 0:
+                    v += 5_000_000_000  # unrepresentable in int32
+                rows.append((next_id, v))
+                next_id += 1
+            t.append(
+                spark.createDataFrame(rows, f"id long, v {typ}"),
+                batch_id=b,
+            )
+            live = live | set(rows)
+            expected.append(set(live))
+        snaps = [s["snapshot_id"] for s in t.snapshots()]
+        assert len(snaps) == len(eras)
+        for idx, sid in enumerate(snaps):
+            got_df = t.read_as_of(sid)
+            vt = {
+                f.name: f.dataType.simpleString()
+                for f in got_df.schema.fields
+            }["v"]
+            lub = (
+                "bigint"
+                if any(typ == "bigint" for typ, _ in eras[: idx + 1])
+                else "int"
+            )
+            assert vt == lub, (sid, eras)
+            got = {(r["id"], r["v"]) for r in got_df.collect()}
+            assert got == expected[idx], (sid, eras)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)

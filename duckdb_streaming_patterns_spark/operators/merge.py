@@ -386,9 +386,20 @@ class UpsertLog:
         unbounded on a long-running stream (each crashed attempt gets a
         fresh uuid suffix, so nothing ever clobbers it). Single-writer
         discipline makes the wholesale sweep safe: no other maintenance
-        can be mid-flight when this one starts."""
+        can be mid-flight when this one starts.
+
+        Also swept (round 11): MANIFEST-LESS negative-id dirs — on a
+        copy-based object-store backend a promote that crashed mid-copy
+        leaves a partial merged dir without its (strictly-last-ordered)
+        ``_folds.json``; readers already treat it as invisible, and its
+        sources are all still live, so deleting it is a pure retry
+        cleanup (the re-run merges the same sources again)."""
         for n in self.io.list_names(self.root):
             if n.startswith((".maintain_", ".compact_")):
+                self.io.delete_tree(os.path.join(self.root, n))
+            elif n.startswith("__batch_id=-") and not self.io.exists(
+                os.path.join(self.root, n, "_folds.json")
+            ):
                 self.io.delete_tree(os.path.join(self.root, n))
 
     def read_latest(
@@ -421,12 +432,32 @@ class UpsertLog:
         contract — nothing to resolve); otherwise one window computes
         last-writer-wins, which shuffles the scanned state on every call
         — the price of re-emitting keys."""
-        log = self.spark.read.parquet(self.root)  # partition col __batch_id
-        # One manifest scan serves the dead-dir prune, the straddle
-        # guard, and the LWW rank map below — each open is a small-file
-        # round trip (3× listing+GET latency per micro-batch read on
-        # object storage if scanned per consumer).
+        # One manifest scan serves the uncommitted-dir prune, the
+        # dead-dir prune, the straddle guard, and the LWW rank map below
+        # — each open is a small-file round trip (3× listing+GET latency
+        # per micro-batch read on object storage if scanned per
+        # consumer). It runs BEFORE the Spark file listing on purpose
+        # (round 11): a merged dir's COMMIT POINT is its manifest, which
+        # a copy-based object-store promote orders strictly LAST — so a
+        # manifest seen here guarantees the later listing sees that
+        # dir's data complete, and a manifest NOT seen here means the
+        # dir's sources are all still live and whatever partial data the
+        # listing picks up is excluded by the whitelist filter below.
+        # (Listing first inverts the guarantee: a manifest landing
+        # between the two reads kills the sources while the listing only
+        # saw the partial merge — an empty/short read.)
         manifests = self._read_fold_manifests()
+        log = self.spark.read.parquet(self.root)  # partition col __batch_id
+        # Negative-id (merged) dirs are visible ONLY through their
+        # manifest: in-flight or aborted promotes (possible on object
+        # stores; POSIX's atomic rename never exposes one) read as
+        # absent, and their sources stay live — never a duplicate, never
+        # a partial merge. Aborted leftovers are swept by the next
+        # maintenance call.
+        neg_ok = F.col("__batch_id") >= 0
+        if manifests:
+            neg_ok = neg_ok | F.col("__batch_id").isin(list(manifests))
+        log = log.filter(neg_ok)
         dead = self._dead_batch_ids(manifests)
         if dead:
             # source dirs a surviving folded base already covers (compact

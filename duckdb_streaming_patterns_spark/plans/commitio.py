@@ -346,17 +346,51 @@ class ObjectStoreSimIO:
         prior attempt — unreferenced, hence invisible), then COPY each
         staged object to the final prefix (``CopyObject``: GET+PUT
         server-side, one object at a time, each atomic), then delete the
-        staged prefix. Never a rename."""
+        staged prefix. Never a rename.
+
+        Copy ORDER is part of the contract (round 11 — found by the
+        deferred-GC concurrent-reader test, the §10.3 atomicity nuance
+        made executable): data objects first, underscore-prefixed
+        metadata next, ``_folds.json`` strictly LAST. A multi-object
+        copy is not atomic, so the manifest — the single object whose
+        appearance readers treat as the merged dir's COMMIT POINT
+        (UpsertLog ignores manifest-less merged dirs) — must become
+        visible only after every data object it describes. POSIX's
+        atomic rename got this for free; a copy-based backend must
+        order."""
         if os.path.exists(final):
             shutil.rmtree(final)
+        data: list[tuple[str, str]] = []
+        meta: list[tuple[str, str]] = []
+        manifest: list[tuple[str, str]] = []
         for root, _dirs, files in os.walk(staged):
             rel = os.path.relpath(root, staged)
             dest = final if rel == "." else os.path.join(final, rel)
             os.makedirs(dest, exist_ok=True)
             for name in files:
-                shutil.copyfile(
-                    os.path.join(root, name), os.path.join(dest, name)
-                )
+                pair = (os.path.join(root, name), os.path.join(dest, name))
+                if name == "_folds.json":
+                    manifest.append(pair)
+                elif name.startswith(("_", ".")):
+                    meta.append(pair)
+                else:
+                    data.append(pair)
+        for src, dst in data + meta + manifest:
+            # each object lands atomically (a real CopyObject is): local
+            # stand-in = copy to a reserved dot-temp beside the target,
+            # then one replace — a concurrent lister never sees a torn
+            # object, only present-or-absent
+            d, name = os.path.split(dst)
+            tmp = os.path.join(d, f".{name}.{os.getpid()}.put")
+            try:
+                shutil.copyfile(src, tmp)
+                os.replace(tmp, dst)
+            except BaseException:
+                try:
+                    os.remove(tmp)
+                except FileNotFoundError:
+                    pass
+                raise
         shutil.rmtree(staged, ignore_errors=True)
 
     def delete_tree(self, path: str) -> None:

@@ -110,3 +110,25 @@ def test_snapshots_survives_checkpoint_cleanup_race(
     spark, tmp_path, objstore
 ):
     tsp.test_snapshots_survives_checkpoint_cleanup_race(spark, tmp_path)
+
+
+# -- a full streaming pattern on the simulated backend -----------------------
+# (UpsertLog appends + tiered maintenance + SummaryTable fenced stats +
+# DPP-pruned reads, end-to-end through object-store verbs only)
+
+def test_streaming_bm25_pattern(spark, sf_small, objstore):
+    tsp.test_streaming_bm25_equals_batch_and_prunes_query_buckets(
+        spark, sf_small
+    )
+
+
+def test_streaming_bm25_midstream_probe(spark, sf_small, tmp_path, objstore):
+    tsp.test_streaming_bm25_midstream_probe_equals_batch_prefix(
+        spark, sf_small, tmp_path
+    )
+
+
+def test_deferred_gc_parks_dirs(spark, tmp_path, objstore):
+    tsp.test_upsert_log_deferred_gc_parks_folded_dirs_one_cycle(
+        spark, tmp_path
+    )

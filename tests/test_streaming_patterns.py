@@ -500,22 +500,35 @@ def test_upsert_log_compact_survives_retry_of_last_batch(spark, tmp_path):
 
 
 def test_upsert_log_compact_crash_window_is_consistent(spark, tmp_path):
-    """Mid-compact crash simulation: once the negative-id base lands, any
-    surviving subset of the old batch dirs resolves to the same state
-    (old dirs outrank the base and re-apply identical values)."""
+    """Mid-compact crash simulation: once the negative-id base COMMITS —
+    which since the fold-manifest contract means base data + its
+    ``_folds.json`` land together (compact writes both into the temp, so
+    they become visible atomically) — any surviving subset of the old
+    batch dirs resolves to the same state (the manifest marks them dead).
+    A base dir WITHOUT its manifest is the round-11 opposite case: an
+    in-flight/aborted copy-based promote, which readers treat as
+    invisible (the sources are all still live), so both halves of the
+    crash window resolve to exactly ``want``."""
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
 
     log = UpsertLog(spark, str(tmp_path / "log"), keys=["k"])
     log.append(spark.createDataFrame([(1, "a0"), (2, "b0")], "k long, v string"), 0)
     log.append(spark.createDataFrame([(1, "a1")], "k long, v string"), 1)
     want = {tuple(r) for r in log.read_latest().collect()}
-    # materialize the base exactly as compact() does, but "crash" before
-    # deleting any old dir
-    log.read_latest().write.mode("overwrite").parquet(
-        os.path.join(str(tmp_path / "log"), "__batch_id=-1")
-    )
+    base = os.path.join(str(tmp_path / "log"), "__batch_id=-1")
+    src_dirs = [
+        os.path.join(str(tmp_path / "log"), f"__batch_id={b}") for b in (0, 1)
+    ]
+    # pre-commit half: base data written but manifest not yet visible
+    # (crash mid-promote on a copy-based backend) — the base is ignored,
+    # the sources resolve
+    log.read_latest().write.mode("overwrite").parquet(base)
     assert {tuple(r) for r in log.read_latest().collect()} == want
-    # ...and after deleting only ONE old dir
+    # commit point: the manifest lands (as compact's atomic temp+rename
+    # makes it, together with the data) — sources now logically dead
+    log._write_manifest(base, src_dirs)
+    assert {tuple(r) for r in log.read_latest().collect()} == want
+    # ...and after the GC deleted only ONE old dir
     import shutil
 
     shutil.rmtree(os.path.join(str(tmp_path / "log"), "__batch_id=0"))

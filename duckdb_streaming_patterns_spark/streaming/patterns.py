@@ -2697,8 +2697,8 @@ def pattern_streaming_bm25_index(
     from duckdb_streaming_patterns_spark.operators.merge import (
         SummaryTable,
         UpsertLog,
-        append_all,
         maintain_all,
+        overlap,
     )
 
     tf_log = UpsertLog(
@@ -2736,19 +2736,31 @@ def pattern_streaming_bm25_index(
         dl = batch.select(
             "doc_id", F.size(tokens(F.col("text"))).alias("dl")
         ).localCheckpoint(eager=True)
-        append_all([(tf_log, tf), (dl_log, dl)], batch_id)
-        # O(1) corpus stats: fold this batch's (sum_dl, n_docs) into the
-        # single fenced summary row. The agg runs over the already-
-        # materialized dl frame; integer addition keeps avgdl exact.
-        s, n = dl.agg(F.sum("dl"), F.count("*")).first()
-        stats.merge_batch(
-            spark.createDataFrame(
-                [(0, int(s or 0), int(n))], _BM25_STATS_DDL
-            ),
-            batch_id,
-            keys=["k"],
-            add_cols=["sum_dl", "n_docs"],
-            max_cols=[],
+
+        def _fold_stats() -> None:
+            # O(1) corpus stats: fold this batch's (sum_dl, n_docs) into
+            # the single fenced summary row. The agg runs over the
+            # already-materialized dl frame; integer addition keeps
+            # avgdl exact. Fenced (merge_batch skips an applied id), so
+            # overlapping it with the idempotent appends carries no
+            # crash-contract meaning — only latency (the r8 overlap
+            # rule; measured: the serialized form cost ~2 s/5 batches
+            # of pure job-launch latency at sf0.1).
+            s, n = dl.agg(F.sum("dl"), F.count("*")).first()
+            stats.merge_batch(
+                spark.createDataFrame(
+                    [(0, int(s or 0), int(n))], _BM25_STATS_DDL
+                ),
+                batch_id,
+                keys=["k"],
+                add_cols=["sum_dl", "n_docs"],
+                max_cols=[],
+            )
+
+        overlap(
+            lambda: tf_log.append(tf, batch_id),
+            lambda: dl_log.append(dl, batch_id),
+            _fold_stats,
         )
         if probe_at_batch is not None and batch_id == probe_at_batch:
             probe_rows.extend(

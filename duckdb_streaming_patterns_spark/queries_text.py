@@ -930,6 +930,13 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode, one scan, two scalar literals (bounded 1-row collect,
     same class as the md5-anchor probes). Final ranking is one window
     over O(queries x matching docs)."""
+    return _bm25_ranked(spark, sf_dir, k=5)
+
+
+def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
+    """The batch BM25 plan with a parameterized rank cutoff — shared by
+    the registered top-5 row and the hybrid-RRF fusion (which pools a
+    deeper top-k from each retriever before fusing)."""
     from duckdb_streaming_patterns_spark.functions.text import tokens
 
     docs = _t(spark, sf_dir, "documents")
@@ -992,11 +999,147 @@ def q_text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         agg.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .filter(F.col("rank") <= k)
         .select(
             F.col("query_id").cast("bigint").alias("query_id"),
             F.col("doc_id").cast("bigint").alias("doc_id"),
             "score",
+            F.col("rank").cast("bigint").alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval (round 11): reciprocal-rank fusion of the two retriever
+# families the registry already pins — lexical BM25 over the text and exact
+# cosine over the embedding column — the standard hybrid-search composition
+# (RRF, Cormack et al. 2009; the fusion Elasticsearch/Vespa/OpenSearch all
+# ship). Query i pairs _BM25_QUERIES[i]'s text with embedding vec_id=i as
+# its vector. RRF is rank-arithmetic only (score = Σ 1/(60+rank) over the
+# lists that retrieved the doc), so the fused ranking is hash-exact: ranks
+# are integers in both engines, each term is one exact IEEE divide, and the
+# sum has at most two addends.
+# ---------------------------------------------------------------------------
+
+from duckdb_streaming_patterns_spark.functions.vectors import (  # noqa: E402
+    duckdb_cosine,
+)
+
+_RRF_K, _RRF_POOL = 60, 20
+
+_HYBRID_RRF_ORACLE = rf"""
+    WITH docs AS (SELECT * FROM documents),
+    dl AS (SELECT doc_id,
+                  len(string_split_regex(trim(text), '\s+')) AS dl
+           FROM docs),
+    stats AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl,
+                     count(*) AS n_docs
+              FROM dl),
+    q AS (SELECT * FROM (VALUES {_BM25_VALUES}) AS t(query_id, tok)),
+    toks AS (SELECT doc_id,
+                    unnest(string_split_regex(trim(text), '\s+')) AS tok
+             FROM docs),
+    tf AS (SELECT doc_id, tok, count(*) AS tf
+           FROM toks WHERE tok IN (SELECT tok FROM q)
+           GROUP BY doc_id, tok),
+    dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY tok),
+    scored AS (SELECT q.query_id, tf.doc_id,
+                      CAST(ROUND({_BM25_SCORE_EXPR}, 6) AS DECIMAL(18,6))
+                        AS s
+               FROM q
+               JOIN tf USING (tok)
+               JOIN dfreq USING (tok)
+               JOIN dl ON tf.doc_id = dl.doc_id, stats),
+    bagg AS (SELECT query_id, doc_id, CAST(sum(s) AS DOUBLE) AS score
+             FROM scored GROUP BY query_id, doc_id),
+    brank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY score DESC, doc_id)
+                       AS lex_rank
+              FROM bagg),
+    bpool AS (SELECT * FROM brank WHERE lex_rank <= {_RRF_POOL}),
+    qv AS (SELECT vec_id AS query_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 3),
+    cos AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                   {duckdb_cosine("qv.q_vec", "e.embedding")} AS cosine
+            FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id),
+    crank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, doc_id)
+                       AS vec_rank
+              FROM cos),
+    cpool AS (SELECT * FROM crank WHERE vec_rank <= {_RRF_POOL}),
+    fused AS (SELECT COALESCE(b.query_id, c.query_id) AS query_id,
+                     COALESCE(b.doc_id, c.doc_id) AS doc_id,
+                     b.lex_rank, c.vec_rank,
+                     COALESCE(1.0 / ({_RRF_K} + b.lex_rank), 0)
+                     + COALESCE(1.0 / ({_RRF_K} + c.vec_rank), 0) AS rrf
+              FROM bpool b
+              FULL OUTER JOIN cpool c
+                ON b.query_id = c.query_id AND b.doc_id = c.doc_id)
+    SELECT CAST(query_id AS BIGINT) AS query_id,
+           CAST(doc_id AS BIGINT) AS doc_id,
+           rrf AS rrf_score,
+           CAST(lex_rank AS BIGINT) AS lex_rank,
+           CAST(vec_rank AS BIGINT) AS vec_rank,
+           CAST(rank AS BIGINT) AS rank
+    FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+                                       ORDER BY rrf DESC, doc_id) AS rank
+          FROM fused)
+    WHERE rank <= 5
+"""
+
+
+@register("hybrid_rrf_retrieval", _HYBRID_RRF_ORACLE)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: top-5 per query by reciprocal-rank fusion of the
+    BM25 lexical ranking (text queries) and the exact-cosine embedding
+    ranking (paired query vectors), each pooled to its top-20. Scale
+    shape: both retrievers keep their own pruned plans (BM25's
+    broadcast-term filter, kNN's broadcast query side); the fusion
+    itself joins two (queries × pool)-sized rank lists — KB-scale at
+    any corpus size — and never touches text or vectors again. At
+    100 TB the ANN side swaps to the at-rest IVF probe
+    (multimodal_ann_ivf's layout) with identical fusion arithmetic;
+    the brute-force side is registered because it keeps the whole row
+    hash-exact."""
+    from duckdb_streaming_patterns_spark.operators import similarity
+
+    lex = (
+        _bm25_ranked(spark, sf_dir, k=_RRF_POOL)
+        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = similarity.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 3), k=_RRF_POOL
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").withColumn(
+        "rrf_score",
+        F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)
+        )
+        + F.coalesce(
+            F.lit(1.0) / (F.lit(_RRF_K) + F.col("vec_rank")), F.lit(0.0)
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("rrf_score").desc(), F.col("doc_id")
+    )
+    return (
+        fused.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("doc_id").cast("bigint").alias("doc_id"),
+            "rrf_score",
+            F.col("lex_rank").cast("bigint").alias("lex_rank"),
+            F.col("vec_rank").cast("bigint").alias("vec_rank"),
             F.col("rank").cast("bigint").alias("rank"),
         )
     )

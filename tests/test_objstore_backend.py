@@ -132,3 +132,14 @@ def test_deferred_gc_parks_dirs(spark, tmp_path, objstore):
     tsp.test_upsert_log_deferred_gc_parks_folded_dirs_one_cycle(
         spark, tmp_path
     )
+
+
+def test_lww_property_suite(spark, objstore):
+    """The hypothesis LWW invariant (random schedules/cadence/fanout)
+    executed on object-store verbs — the property suite, not just the
+    scenario tests, holds on the simulated backend."""
+    tsp_prop = __import__(
+        "tests.test_properties", fromlist=["x"]
+    )
+    # hypothesis wraps the test function; call the wrapped property
+    tsp_prop.test_upsert_log_lww_invariant_under_random_maintenance(spark)

@@ -92,6 +92,7 @@ HEADLINE = [
     "mix_token_budget",
     "multimodal_payload_stats",
     "multimodal_ann_ivf",
+    "hybrid_rrf_retrieval",
     # physical layout
     "bucketed_join_revenue",
     "partition_pruned_daily_clicks",

@@ -128,27 +128,48 @@ def test_objstore_swap_pointer_cas_rejects_lost_update(tmp_path):
 
 def test_objstore_never_renames_or_links(tmp_path, monkeypatch):
     """The simulation's contract verbs use object-store primitives only:
-    promote_dir copies (CopyObject), never renames; the write-once fence
-    is a conditional PUT, never a hard link. (os.replace inside
-    _atomic_put is the local stand-in for single-PUT atomicity — it is
-    allowed for document PUTs, forbidden as a directory/claim verb.)"""
+    promote_dir copies object by object (CopyObject), never moves the
+    staged tree or any directory; the write-once fence is a conditional
+    PUT, never a hard link. os.replace IS allowed — but only as the
+    per-object atomic-PUT stand-in: every call must install a single
+    FILE from a reserved dot-temp beside it, never a directory and
+    never anything from the staged prefix (asserted on each call), and
+    the manifest must be the last object to land (round 11: the merged
+    dir's commit point)."""
     io = ObjectStoreSimIO()
     staged = tmp_path / "staged"
     os.makedirs(staged / "sub")
     (staged / "part-0.parquet").write_text("a")
     (staged / "sub" / "part-1.parquet").write_text("b")
+    (staged / "_folds.json").write_text('{"folded": []}')
 
-    def forbid(*a, **k):  # any rename of the staged tree = contract breach
+    def forbid(*a, **k):  # any rename/move/link = contract breach
         raise AssertionError("rename/link used by object-store backend")
 
+    landed: list = []
+    real_replace = os.replace
+
+    def put_only(src, dst):
+        assert str(src).rsplit("/", 1)[-1].startswith("."), (
+            "replace src must be a reserved dot-temp, got " + str(src)
+        )
+        assert not str(src).startswith(str(staged)), (
+            "staged prefix must be copied, never renamed: " + str(src)
+        )
+        assert not os.path.isdir(src), "directory rename is forbidden"
+        landed.append(os.path.basename(dst))
+        return real_replace(src, dst)
+
     monkeypatch.setattr(os, "rename", forbid)
-    monkeypatch.setattr(os, "replace", forbid)
+    monkeypatch.setattr(os, "replace", put_only)
     monkeypatch.setattr(os, "link", forbid)
     monkeypatch.setattr("shutil.move", forbid)
     io.promote_dir(str(staged), str(tmp_path / "final"))
     assert (tmp_path / "final" / "part-0.parquet").read_text() == "a"
     assert (tmp_path / "final" / "sub" / "part-1.parquet").read_text() == "b"
     assert not staged.exists()
+    # data first, manifest strictly last — the commit-point ordering
+    assert landed[-1] == "_folds.json" and len(landed) == 3
     # the write-once fence works with os.link forbidden (PUT atomicity
     # may use replace; the claim must not need links)
     monkeypatch.undo()

@@ -149,7 +149,15 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     partitioned index, and pattern_streaming_ann_index_expiring; stays
 #     exact-checked locally) → multimodal_ann_ivf, the index-backed
 #     cross-modal retrieval (partition-pruned probe of the materialized
-#     image index — the 100 TB serving path, round-10 finding #3).
+#     image index — the 100 TB serving path, round-10 finding #3);
+#   reaggregate_partials (batch re-aggregation of partial aggregates —
+#     the A6/A7 additive machinery is driver-pinned by
+#     pattern_1_1_incremental_merge and pattern_2_complete_overwrite,
+#     and multi-key aggregation by user_clicks/distinct_users_per_type;
+#     stays exact-checked locally) → snapshot_type_widening_read, the
+#     S6 TYPE-evolution axis (INT→BIGINT era reads under a LUB cast,
+#     era-correct time travel) — reference DuckLake surface, new this
+#     round.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -160,7 +168,7 @@ _PRIORITY = [
     "events_json_extract",
     "pattern_streaming_ann_index_expiring",
     "distinct_users_per_type",
-    "reaggregate_partials",
+    "snapshot_type_widening_read",
     # streaming patterns (SURVEY §3, §2.9)
     "pattern_1_1_incremental_merge",
     "pattern_1_2_cdf_merge",

@@ -21,7 +21,10 @@ def test_priority_names_all_registered():
 def test_first_50_cover_every_family():
     first50 = set(list(entry_mod.queries())[:50])
     families = {
-        "base": {"user_clicks", "reaggregate_partials"},
+        # reaggregate_partials rotated out in r11 (additive re-agg
+        # machinery stays pinned by pattern_1_1 + pattern_2_complete);
+        # the S6 type-widening row took the slot
+        "base": {"user_clicks", "snapshot_type_widening_read"},
         "streaming": {
             "pattern_1_1_incremental_merge",
             "pattern_1_2_cdf_merge",

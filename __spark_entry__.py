@@ -158,6 +158,22 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     S6 TYPE-evolution axis (INT→BIGINT era reads under a LUB cast,
 #     era-correct time travel) — reference DuckLake surface, new this
 #     round.
+# Round-12 rotation (round-11 verdict item 1) — the two round-11 operators
+# without CORRECTNESS rows get them:
+#   multimodal_ann_retrieval (brute-force cross-modal composition —
+#     subsumed by the driver-pinned multimodal_ann_ivf, which runs the
+#     same query-feature extraction against the at-rest index, and by the
+#     exact-cosine machinery inside knn_pq_adc's re-rank; stays
+#     exact-checked locally) → hybrid_rrf_retrieval, BM25 ⊕ dense-ANN
+#     reciprocal-rank fusion — the retrieval composition a RAG corpus
+#     pipeline actually serves;
+#   text_remove_duplicated_spans (the keep-first span REWRITE — its
+#     gram-ranking machinery is driver-pinned INSIDE corpus_build_shards,
+#     whose hash row composes funnel keep set → in-corpus span removal →
+#     shard manifest; stays exact-checked locally) →
+#     pattern_streaming_bm25_midstream, the mid-stream BM25 serve (probe
+#     at batch 2 ≡ batch BM25 over the 3-chunk prefix) — proving the
+#     index answers DURING ingestion, not only at drain.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -182,7 +198,6 @@ _PRIORITY = [
     # deduplication + fingerprinting (§2.11)
     "pattern_streaming_corpus_dedup",
     "pattern_streaming_neardup_dedup",
-    "text_remove_duplicated_spans",
     "dedup_minhash_lsh",
     "dedup_minhash_clusters",
     "corpus_build_shards",
@@ -194,7 +209,6 @@ _PRIORITY = [
     # multimodal (§2.11)
     "knn_pq_adc",
     "multimodal_decode_features",
-    "multimodal_ann_retrieval",
     "multimodal_ann_ivf",
     # text analysis (§2.11)
     "text_unigram_surprisal",
@@ -203,6 +217,8 @@ _PRIORITY = [
     "source_topk_docs",
     "text_bm25_topk",
     "pattern_streaming_bm25_index",
+    "pattern_streaming_bm25_midstream",
+    "hybrid_rrf_retrieval",
     # corpus pipeline (§2.11)
     "pack_token_bins",
     "contamination_ngram_overlap",

@@ -31,7 +31,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..plans.commitio import POSIX_IO
+from ..plans.commitio import POSIX_IO, PosixCommitIO, READ_ABSENT
 
 
 def additive_merge(
@@ -296,7 +296,7 @@ class UpsertLog:
         n_buckets: int = 16,
         partition_col: str | None = None,
         io=None,
-        deferred_gc: bool = False,
+        deferred_gc: bool | None = None,
     ):
         """``partition_col`` hive-partitions every batch dir by that RAW
         column's values (vs ``bucket_col``'s hashed ``__kb``) — for
@@ -317,9 +317,17 @@ class UpsertLog:
         EXTERNAL-reader friendliness: a concurrent reader that listed
         the log before the fold can still finish scanning those dirs,
         the same grace SnapshotTable's generation swap gives its
-        readers (README concurrency contract). This is also the right
-        default posture for the object-store port, where readers in
-        other processes are the norm and LIST+scan is not atomic."""
+        readers (README concurrency contract).
+
+        Default (round 12): ``None`` resolves by BACKEND — ``False`` on
+        the POSIX backend (single-process deployments where in-place GC
+        is reader-safe by the deployment contract and promptest),
+        ``True`` on any other CommitIO (object-store semantics: promote
+        is a non-atomic multi-object copy and cross-process readers are
+        the norm, so in-place fold GC can transiently fail an external
+        reader — the race the round-11 sim backend exposed must be
+        impossible to recreate by default). Pass an explicit bool to
+        override either way."""
         if bucket_col is not None and partition_col is not None:
             raise ValueError("bucket_col and partition_col are exclusive")
         self.spark = spark
@@ -330,7 +338,15 @@ class UpsertLog:
         self.n_buckets = n_buckets
         self.partition_col = partition_col
         self.io = io if io is not None else POSIX_IO
-        self.deferred_gc = deferred_gc
+        # backend-resolved default: reader-safe by construction on any
+        # non-POSIX CommitIO (see docstring); wrappers around POSIX get
+        # the conservative True too — deferred GC is always CORRECT,
+        # prompt GC is the POSIX-only optimization
+        self.deferred_gc = (
+            deferred_gc
+            if deferred_gc is not None
+            else not isinstance(self.io, PosixCommitIO)
+        )
         self.io.ensure_dir(root)
 
     @property
@@ -1051,8 +1067,12 @@ class SummaryTable:
 
     def _meta(self) -> dict:
         meta = self.io.try_read_json(self._meta_path)
+        # READ_ABSENT marks the bootstrap as synthesized-from-absence so
+        # swap_pointer's CAS maps it to a conditional CREATE, not an
+        # If-Match against a value that was never stored (commitio)
         return meta if meta is not None else {
-            "version": -1, "last_batch_id": -1, "data": None
+            "version": -1, "last_batch_id": -1, "data": None,
+            READ_ABSENT: True,
         }
 
     def read(self) -> DataFrame:

@@ -206,6 +206,19 @@ class PointerCasError(RuntimeError):
     won)."""
 
 
+#: Marker key a pointer READER stamps into the bootstrap default it
+#: synthesizes when the pointer object is ABSENT. ``swap_pointer`` uses
+#: it to pick the right conditional verb: an absence-read ``expected``
+#: maps to a conditional CREATE (``If-None-Match: *`` — succeeds only
+#: while the pointer is still absent), a value-read ``expected`` maps to
+#: ``If-Match`` — which a real store FAILS with 404/412 when the object
+#: has meanwhile been deleted. Without the distinction the sim was more
+#: permissive than the protocol it claims to enforce: a stale writer
+#: racing a pointer delete would install silently (round-12, ADVICE).
+#: The marker never reaches disk — writers always install fresh dicts.
+READ_ABSENT = "__read_absent__"
+
+
 class ObjectStoreSimIO:
     """Object-store-SEMANTICS CommitIO backend over a local directory —
     the executable form of the SCALE.md §10 port spec. It restricts
@@ -313,17 +326,41 @@ class ObjectStoreSimIO:
             return True
 
     def swap_pointer(self, path: str, obj, expected=None) -> None:
-        """Pointer CAS (``If-Match: <etag>``): install ``obj`` only if
-        the stored pointer still equals ``expected`` (the value the
-        writer read; its bootstrap default when it read absence).
-        Raises :class:`PointerCasError` on mismatch — the lost-update
-        race between two maintainers surfaces as an error, never as a
-        silently dropped generation. ``expected=None`` is an explicit
-        unconditional install (callers that own the pointer outright)."""
+        """Pointer CAS: install ``obj`` only if the store still holds
+        what the writer read. Two conditional verbs, picked by what the
+        read observed (see :data:`READ_ABSENT`):
+
+        - ``expected`` read from a STORED pointer → ``If-Match: <etag>``:
+          raises :class:`PointerCasError` when the stored value changed
+          — or when the object is now ABSENT (a real store answers
+          If-Match on a missing object with 404/412; a pointer deleted
+          under a stale writer must not be silently re-installed).
+        - ``expected`` synthesized from an ABSENT read (carries the
+          ``READ_ABSENT`` marker) → conditional CREATE
+          (``If-None-Match: *``): succeeds only while the pointer is
+          still absent, so a racing first committer loses loudly.
+        - ``expected=None`` is an explicit unconditional install
+          (callers that own the pointer outright)."""
         with self._lock:
             if expected is not None:
                 current = self.try_read_json(path)
-                if current is not None and current != expected:
+                absent_read = (
+                    isinstance(expected, dict) and expected.get(READ_ABSENT)
+                )
+                if absent_read:
+                    if current is not None:
+                        raise PointerCasError(
+                            f"swap_pointer({path}): first-install race — "
+                            f"the pointer was absent when read but now "
+                            f"holds {current!r} — re-read and re-plan"
+                        )
+                elif current is None:
+                    raise PointerCasError(
+                        f"swap_pointer({path}): pointer deleted since it "
+                        f"was read (If-Match expected {expected!r}, found "
+                        f"absence) — re-read and re-plan"
+                    )
+                elif current != expected:
                     raise PointerCasError(
                         f"swap_pointer({path}): pointer changed since it "
                         f"was read (CAS expected {expected!r}, found "
@@ -405,6 +442,96 @@ class ObjectStoreSimIO:
         """No-op on a real store (prefixes need no creation); locally the
         directory must exist for the simulation's files to land."""
         os.makedirs(path, exist_ok=True)
+
+
+class CountingCommitIO:
+    """Request-counting decorator over any CommitIO backend — makes the
+    SCALE.md §10.4 request budget EXECUTABLE (round 12). Every verb call
+    is one would-be store request (GET/PUT/LIST/HEAD/DELETE round-trip),
+    counted per verb name, so tests can pin the metadata-plane request
+    complexity of an operation — "one append is O(1) PUTs", "a
+    snapshots() read is 1 LIST + ≤checkpoint_every GETs flat in table
+    age" — and catch a change that quietly goes O(depth) on the request
+    plane (the ledger-checkpoint test bounds file OPENS, which is only
+    the same thing on POSIX).
+
+    ``promote_dir`` / ``delete_tree`` count as ONE verb call each: their
+    fan-out (a CopyObject / DELETE per object) is data-plane and
+    proportional to batch file count, which the budget accounts
+    separately — the metadata budget pins how often the protocol
+    reaches for them, not the object count inside.
+    """
+
+    def __init__(self, inner) -> None:
+        self.inner = inner
+        self.counts: dict[str, int] = {}
+
+    def _tick(self, verb: str) -> None:
+        self.counts[verb] = self.counts.get(verb, 0) + 1
+
+    # -- bookkeeping -------------------------------------------------------
+
+    def snapshot(self) -> dict[str, int]:
+        return dict(self.counts)
+
+    def since(self, before: dict[str, int]) -> dict[str, int]:
+        """Per-verb request deltas vs an earlier :meth:`snapshot`."""
+        return {
+            verb: n - before.get(verb, 0)
+            for verb, n in self.counts.items()
+            if n - before.get(verb, 0)
+        }
+
+    def reset(self) -> None:
+        self.counts.clear()
+
+    # -- counted verbs -----------------------------------------------------
+
+    def list_names(self, dir_path: str) -> list[str]:
+        self._tick("list_names")
+        return self.inner.list_names(dir_path)
+
+    def read_json(self, path: str):
+        self._tick("read_json")
+        return self.inner.read_json(path)
+
+    def try_read_json(self, path: str):
+        # one GET regardless of outcome — a 404 is still a request
+        self._tick("try_read_json")
+        return self.inner.try_read_json(path)
+
+    def put_json(self, path: str, obj) -> None:
+        self._tick("put_json")
+        self.inner.put_json(path, obj)
+
+    def put_json_if_absent(self, path: str, obj) -> bool:
+        self._tick("put_json_if_absent")
+        return self.inner.put_json_if_absent(path, obj)
+
+    def swap_pointer(self, path: str, obj, expected=None) -> None:
+        self._tick("swap_pointer")
+        self.inner.swap_pointer(path, obj, expected=expected)
+
+    def delete(self, path: str) -> None:
+        self._tick("delete")
+        self.inner.delete(path)
+
+    def promote_dir(self, staged: str, final: str) -> None:
+        self._tick("promote_dir")
+        self.inner.promote_dir(staged, final)
+
+    def delete_tree(self, path: str) -> None:
+        self._tick("delete_tree")
+        self.inner.delete_tree(path)
+
+    def exists(self, path: str) -> bool:
+        self._tick("exists")
+        return self.inner.exists(path)
+
+    def ensure_dir(self, path: str) -> None:
+        # no-op on a real store (§10.2) — counted for completeness
+        self._tick("ensure_dir")
+        self.inner.ensure_dir(path)
 
 
 #: Shared default instance — stateless, so one is enough for every table.

@@ -51,7 +51,7 @@ import uuid
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .commitio import POSIX_IO
+from .commitio import POSIX_IO, READ_ABSENT
 
 
 def _ckpt_key(name: str) -> tuple[int, int]:
@@ -148,8 +148,12 @@ class SnapshotTable:
 
     def _pointer(self) -> dict:
         ptr = self.io.try_read_json(self._pointer_path)
+        # READ_ABSENT marks the bootstrap as synthesized-from-absence so
+        # swap_pointer's CAS maps it to a conditional CREATE, not an
+        # If-Match against a value that was never stored (commitio)
         return ptr if ptr is not None else {
-            "generation": 0, "data": "data", "prev_data": None
+            "generation": 0, "data": "data", "prev_data": None,
+            READ_ABSENT: True,
         }
 
     @property
@@ -677,6 +681,12 @@ class SnapshotTable:
             (col, vals), = partition_values.items()
             want = {f"{col}={v}" for v in vals}
         out: list[str] = []
+        # ONE generation-pointer read for the whole enumeration: data_dir
+        # is a property backed by a GET, and resolving it per snapshot
+        # made a full-range read cost O(range) pointer round-trips on an
+        # object store (found by the round-12 CountingCommitIO budget
+        # probe — ~20-60 ms each on a real store)
+        data_dir = self.data_dir
         for s in self.snapshots() if snaps is None else snaps:
             sid = s["snapshot_id"]
             if s.get("kind", "insert") != "insert":
@@ -693,7 +703,7 @@ class SnapshotTable:
                 # folded into a later snapshot's base dir by
                 # expire_snapshots — its own dir no longer exists
                 continue
-            snap_dir = os.path.join(self.data_dir, f"snapshot_id={sid}")
+            snap_dir = os.path.join(data_dir, f"snapshot_id={sid}")
             parts = s.get("partitions")
             if (
                 want is not None
@@ -842,22 +852,68 @@ class SnapshotTable:
                 and s.get("rows")
                 and from_snapshot < s["snapshot_id"] <= to_snapshot
             ]
+            known = [s for s in readable if s.get("column_types") is not None]
+            unknown = [s for s in readable if s.get("column_types") is None]
             by_sig: dict[tuple, list] = {}
-            if readable and all(
-                s.get("column_types") is not None for s in readable
-            ):
-                for s in readable:
-                    sig = tuple(tuple(ct) for ct in s["column_types"])
-                    by_sig.setdefault(sig, []).append(s)
+            for s in known:
+                sig = tuple(tuple(ct) for ct in s["column_types"])
+                by_sig.setdefault(sig, []).append(s)
             col_types: dict[str, set] = {}
             for sig in by_sig:
                 for name, t in sig:
                     col_types.setdefault(name, set()).add(t)
+            # Pre-round-11 ledger entries carry no column_types. When they
+            # coexist with typed entries, each becomes its OWN era whose
+            # footer schema contributes to the LUB — lumping them into a
+            # plain merged read could fail or silently mis-type a
+            # genuinely-divergent legacy file (round-12, ADVICE). A table
+            # with no typed entries at all keeps the legacy plain read:
+            # there is nothing recorded to widen against.
+            unknown_eras: list[DataFrame] = []
+            if known and unknown:
+                for s in unknown:
+                    era_paths = self._ledger_paths(
+                        from_snapshot,
+                        to_snapshot,
+                        partition_values,
+                        snaps=[s],
+                    )
+                    if not era_paths:
+                        continue
+                    edf = self.spark.read.option(
+                        "basePath", self.data_dir
+                    ).parquet(*era_paths)
+                    for fld in edf.schema.fields:
+                        if fld.name != "snapshot_id":
+                            col_types.setdefault(fld.name, set()).add(
+                                fld.dataType.simpleString()
+                            )
+                    unknown_eras.append(edf)
             types_differ = any(len(ts) > 1 for ts in col_types.values())
-            if len(by_sig) > 1 and types_differ:
+            era_read = types_differ and (len(by_sig) + len(unknown_eras)) > 1
+            if era_read:
+                # _widen_type raises on a non-numeric conflict — the loud
+                # failure an untyped legacy era with incompatible footer
+                # types must produce, never a null-producing cast.
                 targets = {
                     name: _widen_type(ts) for name, ts in col_types.items()
                 }
+
+                def _cast_to_targets(edf: DataFrame) -> DataFrame:
+                    sel = []
+                    for fld in edf.schema.fields:
+                        tgt = targets.get(fld.name)
+                        if (
+                            tgt is not None
+                            and fld.dataType.simpleString() != tgt
+                        ):
+                            sel.append(
+                                F.col(fld.name).cast(tgt).alias(fld.name)
+                            )
+                        else:
+                            sel.append(F.col(fld.name))
+                    return edf.select(*sel)
+
                 frames = []
                 for members in by_sig.values():
                     era_paths = self._ledger_paths(
@@ -871,22 +927,19 @@ class SnapshotTable:
                     edf = self.spark.read.option(
                         "basePath", self.data_dir
                     ).parquet(*era_paths)
-                    sel = []
-                    for fld in edf.schema.fields:
-                        tgt = targets.get(fld.name)
-                        if (
-                            tgt is not None
-                            and fld.dataType.simpleString() != tgt
-                        ):
-                            sel.append(
-                                F.col(fld.name).cast(tgt).alias(fld.name)
-                            )
-                        else:
-                            sel.append(F.col(fld.name))
-                    frames.append(edf.select(*sel))
-                df = frames[0]
-                for f in frames[1:]:
-                    df = df.unionByName(f, allowMissingColumns=True)
+                    frames.append(_cast_to_targets(edf))
+                frames.extend(_cast_to_targets(e) for e in unknown_eras)
+                if frames:
+                    df = frames[0]
+                    for f in frames[1:]:
+                        df = df.unionByName(f, allowMissingColumns=True)
+                else:
+                    # every per-era re-enumeration came back empty — a
+                    # concurrent expiry/vacuum deleted the dirs between
+                    # the initial `paths` enumeration and the per-era
+                    # re-stat (round-12, ADVICE): the range is readably
+                    # empty now, not an IndexError
+                    df = self._empty()
             else:
                 reader = self.spark.read.option("basePath", self.data_dir)
                 if evolved:
@@ -896,7 +949,7 @@ class SnapshotTable:
                 (F.col("snapshot_id") > from_snapshot)
                 & (F.col("snapshot_id") <= to_snapshot)
             )
-            if evolved or len(by_sig) > 1:
+            if evolved or era_read:
                 want: list[str] = []
                 for s in snaps:
                     if (

@@ -25,22 +25,16 @@ from pyspark.sql import Window as W
 from duckdb_streaming_patterns_spark.operators import summary
 from duckdb_streaming_patterns_spark.sources.tables import load_table
 
-SparkQuery = Callable[[SparkSession, str], DataFrame]
-
-# name -> (spark_fn, oracle_sql | None)
-QUERIES: dict[str, tuple[SparkQuery, str | None]] = {}
-
-
-def register(name: str, oracle: str | None):
-    def deco(fn: SparkQuery) -> SparkQuery:
-        QUERIES[name] = (fn, oracle)
-        return fn
-
-    return deco
-
-
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return load_table(spark, sf_dir, name)
+# The registry itself lives in the leaf module ``registry`` (round 12:
+# breaks the family-module import cycle); re-exported here so external
+# callers keep their one import site — and importing THIS module is what
+# populates the registry (the family imports at the tail).
+from duckdb_streaming_patterns_spark.registry import (  # noqa: F401
+    QUERIES,
+    SparkQuery,
+    _t,
+    register,
+)
 
 
 # ---------------------------------------------------------------------------

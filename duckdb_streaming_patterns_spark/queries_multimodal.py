@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_streaming_patterns_spark.queries import register, _t
+from duckdb_streaming_patterns_spark.registry import register, _t
 from duckdb_streaming_patterns_spark.operators import multimodal
 
 

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_streaming_patterns_spark.functions.text import distinct_tokens
-from duckdb_streaming_patterns_spark.queries import register, _t
+from duckdb_streaming_patterns_spark.registry import register, _t
 
 
 def _hash_digit(key):
@@ -855,7 +855,7 @@ def q_quality_classifier_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-from duckdb_streaming_patterns_spark.queries import QUERIES as _QP  # noqa: E402
+from duckdb_streaming_patterns_spark.registry import QUERIES as _QP  # noqa: E402
 
 _QC_ORACLE = f"""
     WITH qs AS ({_QP["text_quality_scores"][1]})

@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
-from duckdb_streaming_patterns_spark.queries import register, _t
+from duckdb_streaming_patterns_spark.registry import register, _t
 
 
 # ---------------------------------------------------------------------------

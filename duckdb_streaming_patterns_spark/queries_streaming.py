@@ -9,7 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from duckdb_streaming_patterns_spark.queries import register
+from duckdb_streaming_patterns_spark.registry import register
 from duckdb_streaming_patterns_spark.streaming import patterns, staging
 
 # State-store partition count for these fixture-scale runs: the summaries
@@ -542,7 +542,7 @@ _NEARDUP_STREAM_ORACLE = rf"""
 from duckdb_streaming_patterns_spark.queries_sim import (  # noqa: E402
     ivf_oracle_sql,
 )
-from duckdb_streaming_patterns_spark.queries import QUERIES as _Q  # noqa: E402
+from duckdb_streaming_patterns_spark.registry import QUERIES as _Q  # noqa: E402
 from duckdb_streaming_patterns_spark.operators.dedup import (  # noqa: E402
     DUCKDB_BLOOM_POS as _BLOOM_POS,
 )
@@ -984,7 +984,7 @@ def q_pattern_streaming_full_funnel(
     )
 
 
-from duckdb_streaming_patterns_spark.queries import QUERIES as _QS  # noqa: E402
+from duckdb_streaming_patterns_spark.registry import QUERIES as _QS  # noqa: E402
 
 _QS["pattern_streaming_full_funnel"] = (
     _QS["pattern_streaming_full_funnel"][0],

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from duckdb_streaming_patterns_spark.functions.text import DUCKDB_SHINGLE_SET_CTE
-from duckdb_streaming_patterns_spark.queries import register, _t
+from duckdb_streaming_patterns_spark.registry import register, _t
 from duckdb_streaming_patterns_spark.operators import dedup, textstats
 
 _SW = textstats.STOPWORDS
@@ -650,7 +650,7 @@ def q_quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # assemble the funnel oracle by wrapping the quality-scores oracle —
 # guarantees both run the exact same stage definitions
-from duckdb_streaming_patterns_spark.queries import QUERIES as _Q  # noqa: E402
+from duckdb_streaming_patterns_spark.registry import QUERIES as _Q  # noqa: E402
 
 _FUNNEL_ORACLE = f"""
     WITH qs AS ({_Q["text_quality_scores"][1]})
@@ -789,7 +789,7 @@ _SOURCE_CAP = 20
 # ql replays the registered quality oracle + the shared logit literals, so
 # the ranking key is bit-identical on both engines (same arithmetic over
 # the same round-4 feature values the funnel oracles already hash-prove).
-from duckdb_streaming_patterns_spark.queries import QUERIES as _QREG  # noqa: E402
+from duckdb_streaming_patterns_spark.registry import QUERIES as _QREG  # noqa: E402
 
 _SOURCE_TOPK_ORACLE = f"""
     WITH qs AS ({{quality_sql}}),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from duckdb_streaming_patterns_spark.queries import register, _t
+from duckdb_streaming_patterns_spark.registry import register, _t
 
 def _rev():
     # built lazily — Column construction needs an active SparkContext

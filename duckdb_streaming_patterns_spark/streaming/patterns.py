@@ -2570,6 +2570,14 @@ def _bm25_serve(
       working set; a production deployment caps or drops stop-word-grade
       terms before this point."""
     row = stats.read().first()
+    if row is None or not row["n_docs"]:
+        # A probe before any documents landed (probe_at_batch=0 over an
+        # empty first chunk, or a stats fold that crashed pre-commit):
+        # an empty index answers every query with an empty top-k, not a
+        # TypeError/ZeroDivisionError (round-12, ADVICE).
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank long"
+        )
     sum_dl, n_docs = int(row["sum_dl"]), int(row["n_docs"])
     avgdl = float(sum_dl) / float(n_docs)  # exact ints -> one IEEE divide
 

@@ -15,6 +15,7 @@ from duckdb_streaming_patterns_spark.plans.commitio import (
     ObjectStoreSimIO,
     PointerCasError,
     PosixCommitIO,
+    READ_ABSENT,
 )
 
 
@@ -105,12 +106,15 @@ def test_swap_pointer_roundtrip(io, tmp_path):
 def test_objstore_swap_pointer_cas_rejects_lost_update(tmp_path):
     """The object-store backend enforces the §10.2 CAS: a maintainer
     whose read of the pointer went stale (a concurrent maintainer won)
-    raises instead of silently dropping the winner's generation. A
-    first-install race is caught the same way — the loser's bootstrap
-    `expected` never equals a stored document."""
+    raises instead of silently dropping the winner's generation. An
+    absence-read bootstrap (READ_ABSENT marker) maps to a conditional
+    CREATE, so a first-install race is caught the same way."""
     io = ObjectStoreSimIO()
     p = str(tmp_path / "ptr.json")
-    bootstrap = {"generation": 0, "data": "data", "prev_data": None}
+    bootstrap = {
+        "generation": 0, "data": "data", "prev_data": None,
+        READ_ABSENT: True,
+    }
     # writer A: read absence (bootstrap), install gen 1 — fine
     io.swap_pointer(p, {"generation": 1, "data": "g1"}, expected=bootstrap)
     # writer B: ALSO read absence before A won — must lose loudly
@@ -124,6 +128,28 @@ def test_objstore_swap_pointer_cas_rejects_lost_update(tmp_path):
     with pytest.raises(PointerCasError):
         io.swap_pointer(p, {"generation": 2, "data": "g2d"}, expected=cur)
     assert io.read_json(p)["data"] == "g2"
+
+
+def test_objstore_swap_pointer_if_match_fails_on_deleted_pointer(tmp_path):
+    """Round-12 (ADVICE): If-Match against a MISSING object is a 404/412
+    on a real store — a stale writer racing a pointer delete must not
+    silently re-install. Only an absence-read expected (the READ_ABSENT
+    bootstrap) may install over absence."""
+    io = ObjectStoreSimIO()
+    p = str(tmp_path / "ptr.json")
+    io.put_json(p, {"generation": 3, "data": "g3"})
+    cur = io.read_json(p)  # a value-read: no marker
+    io.delete(p)  # pointer deleted under the writer
+    with pytest.raises(PointerCasError, match="deleted"):
+        io.swap_pointer(p, {"generation": 4, "data": "g4"}, expected=cur)
+    assert io.try_read_json(p) is None  # loser wrote nothing
+    # a fresh absence-read CAN claim the now-absent name
+    io.swap_pointer(
+        p,
+        {"generation": 1, "data": "fresh"},
+        expected={"generation": 0, "data": "data", READ_ABSENT: True},
+    )
+    assert io.read_json(p)["data"] == "fresh"
 
 
 def test_objstore_never_renames_or_links(tmp_path, monkeypatch):

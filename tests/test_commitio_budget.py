@@ -1,0 +1,103 @@
+"""SCALE.md §10.4 request budget, EXECUTED (round 12, verdict item 2):
+CountingCommitIO wraps ObjectStoreSimIO and counts every would-be store
+round-trip per verb, and these tests pin the metadata-plane request
+complexity of the four hot operations — one append, one maintenance
+tick, one snapshots() read, one read_latest — at depth ~64. The ledger
+CHECKPOINT test bounds file OPENS, which is only the same thing on
+POSIX; this is the guard that catches a change quietly going O(depth)
+on the REQUEST plane (e.g. the per-snapshot generation-pointer GET this
+wrapper's first probe found in _ledger_paths).
+
+Budget being pinned (measured round 12, ObjectStoreSimIO):
+- SnapshotTable.append: ~7 requests flat in table age; a checkpoint
+  tick adds ≤ checkpoint_every loose-entry GCs + 1 conditional PUT.
+- snapshots(): 1 LIST + ≤ checkpoint_every GETs regardless of age
+  (parse-cached checkpoint → usually 1 LIST total on a warm reader).
+- full-range read: 1 pointer GET + 1 LIST + O(range) HEADs (path
+  construction is per-snapshot by design; the pointer GET must not be).
+- UpsertLog append+maintain tick: bursty (carry cascades), amortized
+  sub-linear in depth (manifest planning is O(live dirs) = O(log B)).
+- read_latest: 1 LIST + O(live dirs) manifest GETs — flat in depth.
+"""
+
+from __future__ import annotations
+
+import os
+
+from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+from duckdb_streaming_patterns_spark.plans.commitio import (
+    CountingCommitIO,
+    ObjectStoreSimIO,
+)
+from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
+
+
+def _total(d: dict) -> int:
+    return sum(d.values())
+
+
+def test_snapshot_table_append_and_reads_are_request_flat(spark, tmp_path):
+    io = CountingCommitIO(ObjectStoreSimIO())
+    t = SnapshotTable(
+        spark, str(tmp_path / "snap"), "id long", io=io, checkpoint_every=4
+    )
+    deltas = []
+    for i in range(24):
+        before = io.snapshot()
+        t.append(spark.createDataFrame([(i,)], "id long"), batch_id=i)
+        deltas.append(io.since(before))
+    # non-checkpoint appends: O(1) requests, identical early and late
+    plain = [d for d in deltas if "put_json_if_absent" not in d]
+    assert len(plain) >= 12
+    assert all(_total(d) <= 10 for d in plain), plain[-1]
+    assert _total(plain[-1]) <= _total(plain[2]) + 2, (plain[2], plain[-1])
+    # checkpoint ticks: bounded by checkpoint_every (loose-entry GC +
+    # one conditional PUT + the covering re-read), never by table age
+    ckpt = [d for d in deltas if "put_json_if_absent" in d]
+    assert ckpt, "checkpoint cadence never fired"
+    assert all(_total(d) <= 25 for d in ckpt), ckpt[-1]
+    assert _total(ckpt[-1]) <= _total(ckpt[0]) + 4, (ckpt[0], ckpt[-1])
+    # snapshots() read: 1 LIST + <= checkpoint_every GETs, flat in age
+    before = io.snapshot()
+    t.snapshots()
+    d = io.since(before)
+    assert d.get("list_names", 0) == 1 and _total(d) <= 2 + 4, d
+    # full-range read: exactly ONE generation-pointer GET for the whole
+    # enumeration (the round-12 hoist — this was O(range) before), plus
+    # the per-snapshot HEADs path construction is documented to cost
+    before = io.snapshot()
+    assert t.read().count() == 24
+    d = io.since(before)
+    assert d.get("try_read_json", 0) <= 3, d
+    assert d.get("exists", 0) <= 24 + 2, d
+
+
+def test_upsert_log_tick_and_serve_request_budget(spark, tmp_path):
+    io = CountingCommitIO(ObjectStoreSimIO())
+    log = UpsertLog(
+        spark, str(tmp_path / "log"), keys=["k"], insert_only=True, io=io
+    )
+    assert log.deferred_gc is True  # backend-resolved default
+    ticks = []
+    serve = {}
+    for i in range(64):
+        before = io.snapshot()
+        log.append(spark.createDataFrame([(i,)], "k long"), i)
+        log.maintain(before_batch=i + 1, fanout=2)
+        ticks.append(_total(io.since(before)))
+        if i in (15, 31, 63):
+            before = io.snapshot()
+            assert log.read_latest().count() == i + 1
+            serve[i + 1] = io.since(before)
+    # read_latest: 1 LIST + O(live dirs) manifest GETs — FLAT in stream
+    # depth (live dirs is tier-bounded at O(fanout·log B))
+    assert all(d.get("list_names", 0) == 1 for d in serve.values()), serve
+    assert _total(serve[64]) <= _total(serve[16]) + 8, serve
+    assert _total(serve[64]) <= 30, serve
+    # maintenance ticks are bursty (carry cascades) but amortized
+    # sub-linear in depth: doubling the depth must not double the mean
+    # request count per tick (O(depth) on the request plane fails this)
+    early = sum(ticks[16:32]) / 16
+    late = sum(ticks[48:64]) / 16
+    assert late <= early * 2.0, (early, late)
+    assert max(ticks) <= 400, max(ticks)

@@ -40,7 +40,10 @@ def test_first_50_cover_every_family():
         "dedup": {
             "pattern_streaming_corpus_dedup",
             "pattern_streaming_neardup_dedup",
-            "text_remove_duplicated_spans",
+            # text_remove_duplicated_spans rotated out in r12 (its
+            # gram-ranking span-removal machinery stays driver-pinned
+            # inside corpus_build_shards' composition hash); the
+            # mid-stream BM25 serve row took the slot — see text family
             "dedup_minhash_lsh",
             # dedup_simhash rotated out in r11 (banded near-dup family
             # stays pinned by minhash_lsh + minhash_clusters); the batch
@@ -64,9 +67,10 @@ def test_first_50_cover_every_family():
         },
         "multimodal": {
             "multimodal_decode_features",
-            # r10 rotation: the cross-modal ANN row; r11: its
-            # index-backed (partition-pruned at-rest probe) sibling
-            "multimodal_ann_retrieval",
+            # multimodal_ann_retrieval rotated out in r12 (its brute
+            # composition is subsumed by the index-backed sibling below
+            # plus knn_pq_adc's exact-cosine re-rank); the hybrid-RRF
+            # retrieval row took the slot — see text family
             "multimodal_ann_ivf",
         },
         "observability": {
@@ -78,9 +82,12 @@ def test_first_50_cover_every_family():
             "text_unigram_surprisal",
             "text_language_id",
             # r11 rotation: the round-10 BM25 flagship family gets its
-            # driver hash rows (batch + streaming)
+            # driver hash rows (batch + streaming); r12 completes the
+            # retrieval surface: mid-stream serving + hybrid RRF fusion
             "text_bm25_topk",
             "pattern_streaming_bm25_index",
+            "pattern_streaming_bm25_midstream",
+            "hybrid_rrf_retrieval",
         },
         "funnel": {"pattern_streaming_full_funnel", "corpus_build_shards"},
         "pipeline": {
@@ -124,6 +131,7 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
         "pattern_streaming_source_caps",
         "pattern_streaming_quality_drift",
         "pattern_streaming_bm25_index",
+        "pattern_streaming_bm25_midstream",
     ]
     for name in owners:
         src = inspect.getsource(qs[name])

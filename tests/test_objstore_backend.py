@@ -134,6 +134,40 @@ def test_deferred_gc_parks_dirs(spark, tmp_path, objstore):
     )
 
 
+def test_deferred_gc_defaults_on_by_backend(spark, tmp_path, objstore):
+    """Round-12 (verdict item 3): constructing an UpsertLog over a
+    non-POSIX CommitIO is reader-safe BY CONSTRUCTION — deferred_gc
+    resolves to True without being asked for, so a fold parks its
+    sources and a stale pre-fold reader plan still collects. POSIX keeps
+    the prompt-GC default; an explicit bool overrides either way."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+    from duckdb_streaming_patterns_spark.plans.commitio import PosixCommitIO
+
+    log = UpsertLog(
+        spark, str(tmp_path / "d"), keys=["k"], insert_only=True
+    )  # io= defaulted — the monkeypatched module POSIX_IO is the sim
+    assert log.io is objstore and log.deferred_gc is True
+    posix_log = UpsertLog(
+        spark, str(tmp_path / "p"), keys=["k"], io=PosixCommitIO()
+    )
+    assert posix_log.deferred_gc is False
+    assert (
+        UpsertLog(
+            spark, str(tmp_path / "o"), keys=["k"], deferred_gc=False
+        ).deferred_gc
+        is False
+    )
+    # the reader-safety the default buys, end-to-end: a lazy plan whose
+    # file listing predates the fold survives it (with prompt GC this
+    # same sequence dies on deleted files — the round-11 race)
+    for b in range(4):
+        log.append(spark.range(b * 10, b * 10 + 10).selectExpr("id AS k"), b)
+    stale = log.read_latest()
+    assert log.maintain(fanout=2) >= 1
+    assert stale.count() == 40
+    assert log.read_latest().count() == 40
+
+
 def test_lww_property_suite(spark, objstore):
     """The hypothesis LWW invariant (random schedules/cadence/fanout)
     executed on object-store verbs — the property suite, not just the

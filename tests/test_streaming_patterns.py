@@ -705,8 +705,12 @@ def test_upsert_log_maintain_survives_gc_crash(spark, tmp_path):
     from duckdb_streaming_patterns_spark.operators import merge as merge_mod
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
 
+    # deferred_gc pinned OFF: this test is specifically about the
+    # in-place fold-GC crash window (the objstore wrapper re-runs it;
+    # the backend-resolved default there would park sources instead)
     log = UpsertLog(
-        spark, str(tmp_path / "log"), keys=["k"], insert_only=True
+        spark, str(tmp_path / "log"), keys=["k"], insert_only=True,
+        deferred_gc=False,
     )
     for i in range(4):
         log.append(
@@ -753,7 +757,10 @@ def test_upsert_log_maintain_every_gc_crash_point(spark, tmp_path):
 
     for crash_after in range(4):
         root = str(tmp_path / f"log{crash_after}")
-        log = UpsertLog(spark, root, keys=["k"], insert_only=True)
+        # in-place GC path pinned (see gc-crash test above)
+        log = UpsertLog(
+            spark, root, keys=["k"], insert_only=True, deferred_gc=False
+        )
         for i in range(4):
             log.append(
                 spark.createDataFrame(
@@ -901,7 +908,10 @@ def test_upsert_log_lww_maintain_survives_gc_crash(spark, tmp_path):
     from duckdb_streaming_patterns_spark.operators import merge as merge_mod
     from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
 
-    log = UpsertLog(spark, str(tmp_path / "lwwcrash"), keys=["k"])
+    # in-place GC path pinned (see gc-crash test above)
+    log = UpsertLog(
+        spark, str(tmp_path / "lwwcrash"), keys=["k"], deferred_gc=False
+    )
     for i in range(4):
         log.append(
             spark.createDataFrame(
@@ -2246,7 +2256,11 @@ def test_insert_only_compact_crash_mid_gc_has_no_duplicates(spark, tmp_path):
 
     from duckdb_streaming_patterns_spark.operators import merge as merge_mod
 
-    log = UpsertLog(spark, str(tmp_path / "io"), keys=["id"], insert_only=True)
+    # in-place GC path pinned (see gc-crash test above)
+    log = UpsertLog(
+        spark, str(tmp_path / "io"), keys=["id"], insert_only=True,
+        deferred_gc=False,
+    )
     r0 = spark.range(0, 4).select("id", (F.col("id") * 10).alias("v"))
     r1 = spark.range(4, 8).select("id", (F.col("id") * 10).alias("v"))
     log.append(r0, 0)
@@ -3456,6 +3470,124 @@ def test_type_widening_read_and_era_correct_travel(spark, tmp_path):
               batch_id=1)
     with pytest.raises(ValueError, match="unsupported column type"):
         t2.read().collect()
+
+
+def test_type_widening_groups_legacy_untyped_entries_as_own_eras(
+    spark, tmp_path
+):
+    """Round-12 (ADVICE): ledger entries written before column_types
+    existed (pre-round-11) must not DISABLE era grouping for the typed
+    entries around them — each untyped entry becomes its own era whose
+    parquet FOOTER types join the LUB computation, so a legacy INT file
+    between two typed eras still reads widened instead of failing (or
+    mis-typing) under the plain single-footer read."""
+    root = str(tmp_path / "legacy")
+    t = SnapshotTable(spark, root, "id long, v int")
+    t.append(spark.createDataFrame([(0, 10)], "id long, v int"), batch_id=0)
+    # strip the recorded types from entry 0 — the pre-round-11 ledger shape
+    entry_path = os.path.join(t.ledger_dir, "000000000.json")
+    import json as _json
+
+    with open(entry_path) as f:
+        e = _json.load(f)
+    del e["column_types"]
+    with open(entry_path, "w") as f:
+        _json.dump(e, f)
+    t.append(
+        spark.createDataFrame([(1, 7_000_000_000)], "id long, v bigint"),
+        batch_id=1,
+    )
+    full = t.read()
+    types = {f.name: f.dataType.simpleString() for f in full.schema.fields}
+    assert types["v"] == "bigint"
+    assert sorted(r["v"] for r in full.collect()) == [10, 7_000_000_000]
+    # a legacy entry whose footer type CONFLICTS non-numerically with the
+    # typed eras fails loudly (the _widen_type contract), never a
+    # null-producing cast
+    t2 = SnapshotTable(spark, str(tmp_path / "legacy2"), "id long, v string")
+    t2.append(spark.createDataFrame([(0, "x")], "id long, v string"),
+              batch_id=0)
+    ep2 = os.path.join(t2.ledger_dir, "000000000.json")
+    with open(ep2) as f:
+        e2 = _json.load(f)
+    del e2["column_types"]
+    with open(ep2, "w") as f:
+        _json.dump(e2, f)
+    t2.append(spark.createDataFrame([(1, 1)], "id long, v int"), batch_id=1)
+    import pytest
+
+    with pytest.raises(ValueError, match="unsupported column type"):
+        t2.read().collect()
+
+
+def test_type_widening_era_read_survives_concurrent_dir_loss(
+    spark, tmp_path
+):
+    """Round-12 (ADVICE): in the era-by-era branch, every per-era
+    _ledger_paths re-enumeration coming back empty (a concurrent
+    expiry/vacuum deleted the dirs between the initial enumeration and
+    the per-era re-stat) must yield an EMPTY result, not IndexError on
+    frames[0]."""
+    root = str(tmp_path / "race")
+    t = SnapshotTable(spark, root, "id long, v int")
+    t.append(spark.createDataFrame([(0, 1)], "id long, v int"), batch_id=0)
+    t.append(
+        spark.createDataFrame([(1, 5_000_000_000)], "id long, v bigint"),
+        batch_id=1,
+    )
+    real = t._ledger_paths
+    calls = {"n": 0}
+
+    def racy(*a, **kw):
+        calls["n"] += 1
+        # first call = the initial full-range enumeration (non-empty);
+        # every per-era re-enumeration finds its dirs vanished
+        return real(*a, **kw) if calls["n"] == 1 else []
+
+    t._ledger_paths = racy
+    try:
+        got = t.read()
+        assert got.count() == 0
+    finally:
+        t._ledger_paths = real
+    assert calls["n"] >= 3  # initial + one per era: the era path ran
+    # and the undamaged table still reads widened
+    assert sorted(r["v"] for r in t.read().collect()) == [1, 5_000_000_000]
+
+
+def test_bm25_serve_empty_index_returns_empty_topk(spark, tmp_path):
+    """Round-12 (ADVICE): probing the streaming BM25 index before any
+    document landed (probe_at_batch=0 over an empty first chunk, or a
+    stats fold that crashed pre-commit) answers with an EMPTY top-k of
+    the serve schema — not TypeError on a missing stats row or
+    ZeroDivisionError on n_docs=0."""
+    from duckdb_streaming_patterns_spark.operators.merge import SummaryTable
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        _BM25_STATS_DDL,
+        _bm25_serve,
+    )
+    from duckdb_streaming_patterns_spark.queries_text import _BM25_SCORE_EXPR
+
+    stats = SummaryTable(
+        spark, str(tmp_path / "stats"), _BM25_STATS_DDL
+    )  # never written: read() is empty, first() is None
+    got = _bm25_serve(
+        spark, None, None, stats, [(0, "hello world")], _BM25_SCORE_EXPR, 5
+    )
+    assert got.count() == 0
+    assert [f.name for f in got.schema.fields] == [
+        "query_id", "doc_id", "score", "rank",
+    ]
+    # n_docs=0 row (a crashed stats fold's zero state) takes the same guard
+    stats.overwrite(
+        spark.createDataFrame([(0, 0, 0)], _BM25_STATS_DDL), batch_id=0
+    )
+    assert (
+        _bm25_serve(
+            spark, None, None, stats, [(0, "hello")], _BM25_SCORE_EXPR, 5
+        ).count()
+        == 0
+    )
 
 
 def test_upsert_log_deferred_gc_parks_folded_dirs_one_cycle(

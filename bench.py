@@ -117,6 +117,7 @@ HEADLINE = [
     "pattern_streaming_quality_drift",
     "pattern_streaming_ingest_funnel",
     "pattern_streaming_bm25_index",
+    "pattern_streaming_bm25_midstream",
     "pattern_streaming_full_funnel",
     "pattern_bootstrap_then_stream",
     "corpus_build_shards",
@@ -395,6 +396,26 @@ def main() -> None:
         # calibration ratio before reading a cross-round diff (see
         # _calibrate's docstring for the measured variance history)
         "calibration_sec": calibration,
+    }
+    # The §13 (SCALE.md) comparability gate, stated mechanically in the
+    # artifact (round-12 verdict item 8): calibration normalization is
+    # trustworthy only to ~2x — the probe is a point sample, load
+    # arriving mid-run is invisible to it — so cross-round comparisons
+    # must DROP queries whose window read cal_sec >= 2.0 rather than
+    # normalize through the load. `loaded` lists exactly those queries.
+    cal_vals = [v for v in calibration.values() if v is not None]
+    cal_vals.sort()
+    out["cal_gate"] = {
+        "rule": "cross-round comparable iff window cal_sec < threshold",
+        "threshold": 2.0,
+        "median_cal": (
+            round(cal_vals[len(cal_vals) // 2], 3) if cal_vals else None
+        ),
+        "loaded": sorted(
+            n
+            for n, v in calibration.items()
+            if v is not None and v >= 2.0
+        ),
     }
     if errors:
         # An errored query contributes nothing to `value`, which would

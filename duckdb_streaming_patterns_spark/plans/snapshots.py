@@ -45,6 +45,7 @@ from __future__ import annotations
 
 import glob
 import os
+import re
 import time
 import uuid
 
@@ -81,21 +82,55 @@ _WIDEN_RANK = {
 }
 _INT_CHAIN = {"tinyint", "smallint", "int", "bigint"}
 _FLOAT_CHAIN = {"float", "double"}
+#: Decimal digits needed to represent each integer type exactly — the
+#: SQL mapping used when an era mixes integers with DECIMAL(p,s).
+_INT_DIGITS = {"tinyint": 3, "smallint": 5, "int": 10, "bigint": 19}
+_DECIMAL_RE = re.compile(r"decimal\((\d+),(\d+)\)")
 
 
 def _widen_type(types: set[str]) -> str:
     """Least upper bound of one column's types across eras. Identical
     types pass through untouched (any type, not just numeric); genuine
     widening is supported for the numeric chains only — anything else
-    raises, loudly, rather than guessing a lossy cast."""
+    raises, loudly, rather than guessing a lossy cast.
+
+    DECIMAL(p,s) (round 12 — the other common lakehouse evolution):
+    the LUB keeps max integer digits AND max scale —
+    ``decimal(p, s) = (max(pᵢ-sᵢ) + max(sᵢ), max(sᵢ))`` — so every era's
+    values fit exactly; integers join the lattice at their exact digit
+    width (int→10, bigint→19). A LUB that would exceed DECIMAL's max
+    precision 38 RAISES (a loud refusal, never a silent truncation),
+    and mixing decimal with the float chain widens to double — the same
+    union-type reconciliation rule Spark and DuckDB both apply."""
     if len(types) == 1:
         return next(iter(types))
-    if not types <= (_INT_CHAIN | _FLOAT_CHAIN):
+    decs = {t for t in types if _DECIMAL_RE.fullmatch(t)}
+    rest = types - decs
+    if not rest <= (_INT_CHAIN | _FLOAT_CHAIN):
         raise ValueError(
             f"unsupported column type evolution {sorted(types)}: only "
             "numeric widening (tinyint→smallint→int→bigint, float→double, "
-            "int/float mix→double) is readable across eras"
+            "decimal(p,s) precision/scale growth, int/float/decimal "
+            "mixes) is readable across eras"
         )
+    if decs:
+        if rest & _FLOAT_CHAIN:
+            return "double"
+        parts = [
+            (int(m[1]) - int(m[2]), int(m[2]))
+            for m in (_DECIMAL_RE.fullmatch(t) for t in decs)
+        ]
+        parts.extend((_INT_DIGITS[t], 0) for t in rest)
+        int_digits = max(i for i, _ in parts)
+        scale = max(s for _, s in parts)
+        if int_digits + scale > 38:
+            raise ValueError(
+                f"decimal widening of {sorted(types)} needs "
+                f"decimal({int_digits + scale},{scale}) — exceeds the "
+                "maximum precision 38; refusing a lossy cast (re-type "
+                "the column explicitly instead)"
+            )
+        return f"decimal({int_digits + scale},{scale})"
     if types & _INT_CHAIN and types & _FLOAT_CHAIN:
         return "double"
     chain = _INT_CHAIN if types <= _INT_CHAIN else _FLOAT_CHAIN

@@ -168,6 +168,113 @@ def test_deferred_gc_defaults_on_by_backend(spark, tmp_path, objstore):
     assert log.read_latest().count() == 40
 
 
+class _GatedPointerIO:
+    """Interposer for ONE maintainer in the CAS race test: its first
+    read of the generation pointer signals `read_evt` and then blocks
+    until `commit_evt` — deterministically freezing this maintainer
+    between its pointer read and its swap while the rival commits.
+    Everything else passes through to the SHARED store endpoint."""
+
+    def __init__(self, inner, pointer_path, read_evt, commit_evt):
+        self._inner = inner
+        self._pointer_path = pointer_path
+        self._read_evt = read_evt
+        self._commit_evt = commit_evt
+        # armed explicitly AFTER table construction — the constructor
+        # itself reads the pointer, which must pass through
+        self._armed = False
+
+    def arm(self):
+        self._armed = True
+
+    def try_read_json(self, path):
+        val = self._inner.try_read_json(path)
+        if self._armed and path == self._pointer_path:
+            self._armed = False
+            self._read_evt.set()
+            assert self._commit_evt.wait(timeout=120)
+        return val
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
+def test_two_maintainer_pointer_cas_race_loses_loudly_and_replans(
+    spark, tmp_path, objstore
+):
+    """Round-12 (verdict item 6): the SCALE §10.2 scenario END-TO-END —
+    two real maintenance passes race on one table's generation pointer
+    on object-store verbs. Exactly one fold wins per generation; the
+    loser's swap raises PointerCasError (never silently dropping the
+    winner's generation), and its re-read + re-plan (a fresh compact)
+    wins the NEXT generation. No snapshot is lost at any point."""
+    import threading
+
+    import pytest
+
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        PointerCasError,
+    )
+    from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
+
+    root = str(tmp_path / "race")
+    t2 = SnapshotTable(spark, root, "id long", io=objstore)
+    for i in range(3):
+        t2.append(
+            spark.createDataFrame([(i * 10,), (i * 10 + 1,)], "id long"),
+            batch_id=i,
+        )
+    want = sorted(r["id"] for r in t2.read().collect())
+    t2.compact()  # pointer now EXISTS at generation 1 (value-CAS arm)
+    assert t2._pointer()["generation"] == 1
+
+    read_evt, commit_evt = threading.Event(), threading.Event()
+    gated = _GatedPointerIO(objstore, t2._pointer_path, read_evt, commit_evt)
+    t1 = SnapshotTable(spark, root, "id long", io=gated)
+    gated.arm()
+    caught: list = []
+
+    def loser():
+        try:
+            t1.compact()
+        except Exception as e:  # noqa: BLE001 — the test records it
+            caught.append(e)
+
+    th = threading.Thread(target=loser)
+    th.start()
+    assert read_evt.wait(timeout=120)  # t1 holds its gen-1 pointer read
+    t2.compact()  # the rival wins generation 2
+    assert t2._pointer()["generation"] == 2
+    commit_evt.set()
+    th.join(timeout=300)
+    assert not th.is_alive()
+    # exactly one winner per generation: the loser raised, wrote nothing
+    assert len(caught) == 1 and isinstance(caught[0], PointerCasError)
+    assert t2._pointer()["generation"] == 2
+    # no snapshot lost through the race
+    assert sorted(r["id"] for r in t2.read().collect()) == want
+    assert t2.max_snapshot_id(t2.snapshots()) == 2
+    # the loser re-reads and re-plans: a fresh compact wins generation 3
+    t1.compact()
+    assert t2._pointer()["generation"] == 3
+    assert sorted(r["id"] for r in t2.read().collect()) == want
+    # the first-install arm of the same race: two maintainers both read
+    # ABSENCE (a brand-new table), one installs first, the stale twin
+    # must lose loudly too (conditional CREATE, not blind PUT)
+    root2 = str(tmp_path / "race2")
+    a = SnapshotTable(spark, root2, "id long", io=objstore)
+    a.append(spark.createDataFrame([(1,)], "id long"), batch_id=0)
+    stale_bootstrap = a._pointer()  # read absence
+    a.compact()  # installs generation 1
+    with pytest.raises(PointerCasError, match="first-install"):
+        objstore.swap_pointer(
+            a._pointer_path,
+            {"generation": 1, "data": "dup", "prev_data": None},
+            expected=stale_bootstrap,
+        )
+    assert a._pointer()["data"] != "dup"
+
+
 def test_lww_property_suite(spark, objstore):
     """The hypothesis LWW invariant (random schedules/cadence/fanout)
     executed on object-store verbs — the property suite, not just the

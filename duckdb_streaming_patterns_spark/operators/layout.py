@@ -164,6 +164,36 @@ def ivf_anchor_partitioned_images(
     return path, anchor_rows
 
 
+_EMB_ANCHOR_IVF: dict[tuple, tuple[str, list]] = {}
+
+
+def ivf_anchor_partitioned_embeddings(
+    spark: SparkSession, sf_dir: str, n_cells: int = 8
+):
+    """The FULL embedding corpus written AT REST partitioned by its
+    md5-anchor IVF cell (memoized); returns (path, anchor_rows) — the
+    dense-retrieval sibling of ``ivf_anchor_partitioned_images`` (round
+    12: the index the hybrid-RRF row probes at scale). Same contract:
+    the deterministic md5-anchor codebook makes cell assignment — hence
+    every probe decision — replay exactly in SQL, while a probe for
+    n_probe of n_cells is a PARTITION-PRUNED scan of the index."""
+    from duckdb_streaming_patterns_spark.operators import similarity
+
+    key = (sf_dir, n_cells)
+    cached = _EMB_ANCHOR_IVF.get(key)
+    if cached and os.path.isdir(cached[0]):
+        return cached
+    corpus = load_table(spark, sf_dir, "embeddings")
+    anchor_rows = similarity.md5_anchor_rows(corpus, n=n_cells)
+    assigned = similarity.anchor_cells(corpus, anchor_rows).join(
+        corpus, "vec_id"
+    )
+    path = os.path.join(LAYOUT_ROOT, _tag(sf_dir), f"emb_aivf{n_cells}")
+    assigned.write.mode("overwrite").partitionBy("cell_id").parquet(path)
+    _EMB_ANCHOR_IVF[key] = (path, anchor_rows)
+    return path, anchor_rows
+
+
 def bucketed_revenue_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue by order status through the bucketed pair. The ``merge``
     hint pins SortMergeJoin (a broadcast would hide the layout win at

@@ -1027,8 +1027,10 @@ from duckdb_streaming_patterns_spark.functions.vectors import (  # noqa: E402
 
 _RRF_K, _RRF_POOL = 60, 20
 
-_HYBRID_RRF_ORACLE = rf"""
-    WITH docs AS (SELECT * FROM documents),
+# BM25 pool + fusion tail shared by the exact and the IVF-probed hybrid
+# oracles — byte-identical SQL so both rows rank the lexical side the
+# same way and fuse with the same arithmetic.
+_HYBRID_BM25_CTES = rf"""docs AS (SELECT * FROM documents),
     dl AS (SELECT doc_id,
                   len(string_split_regex(trim(text), '\s+')) AS dl
            FROM docs),
@@ -1057,18 +1059,9 @@ _HYBRID_RRF_ORACLE = rf"""
                                         ORDER BY score DESC, doc_id)
                        AS lex_rank
               FROM bagg),
-    bpool AS (SELECT * FROM brank WHERE lex_rank <= {_RRF_POOL}),
-    qv AS (SELECT vec_id AS query_id, embedding AS q_vec
-           FROM embeddings WHERE vec_id < 3),
-    cos AS (SELECT qv.query_id, e.vec_id AS doc_id,
-                   {duckdb_cosine("qv.q_vec", "e.embedding")} AS cosine
-            FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id),
-    crank AS (SELECT query_id, doc_id,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY cosine DESC, doc_id)
-                       AS vec_rank
-              FROM cos),
-    cpool AS (SELECT * FROM crank WHERE vec_rank <= {_RRF_POOL}),
+    bpool AS (SELECT * FROM brank WHERE lex_rank <= {_RRF_POOL})"""
+
+_HYBRID_FUSE_TAIL = f"""
     fused AS (SELECT COALESCE(b.query_id, c.query_id) AS query_id,
                      COALESCE(b.doc_id, c.doc_id) AS doc_id,
                      b.lex_rank, c.vec_rank,
@@ -1089,34 +1082,27 @@ _HYBRID_RRF_ORACLE = rf"""
     WHERE rank <= 5
 """
 
+_HYBRID_RRF_ORACLE = rf"""
+    WITH {_HYBRID_BM25_CTES},
+    qv AS (SELECT vec_id AS query_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 3),
+    cos AS (SELECT qv.query_id, e.vec_id AS doc_id,
+                   {duckdb_cosine("qv.q_vec", "e.embedding")} AS cosine
+            FROM qv JOIN embeddings e ON e.vec_id <> qv.query_id),
+    crank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, doc_id)
+                       AS vec_rank
+              FROM cos),
+    cpool AS (SELECT * FROM crank WHERE vec_rank <= {_RRF_POOL}),
+    {_HYBRID_FUSE_TAIL}"""
 
-@register("hybrid_rrf_retrieval", _HYBRID_RRF_ORACLE)
-def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Hybrid search: top-5 per query by reciprocal-rank fusion of the
-    BM25 lexical ranking (text queries) and the exact-cosine embedding
-    ranking (paired query vectors), each pooled to its top-20. Scale
-    shape: both retrievers keep their own pruned plans (BM25's
-    broadcast-term filter, kNN's broadcast query side); the fusion
-    itself joins two (queries × pool)-sized rank lists — KB-scale at
-    any corpus size — and never touches text or vectors again. At
-    100 TB the ANN side swaps to the at-rest IVF probe
-    (multimodal_ann_ivf's layout) with identical fusion arithmetic;
-    the brute-force side is registered because it keeps the whole row
-    hash-exact."""
-    from duckdb_streaming_patterns_spark.operators import similarity
 
-    lex = (
-        _bm25_ranked(spark, sf_dir, k=_RRF_POOL)
-        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
-    )
-    emb = _t(spark, sf_dir, "embeddings")
-    vec = similarity.knn_bruteforce(
-        emb, emb.filter(F.col("vec_id") < 3), k=_RRF_POOL
-    ).select(
-        "query_id",
-        F.col("neighbor_id").alias("doc_id"),
-        F.col("rank").alias("vec_rank"),
-    )
+def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
+    """Reciprocal-rank fusion of a (query_id, doc_id, lex_rank) pool and
+    a (query_id, doc_id, vec_rank) pool — the shared tail of both hybrid
+    rows. Joins two (queries × pool)-sized rank lists — KB-scale at any
+    corpus size — and never touches text or vectors."""
     fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").withColumn(
         "rrf_score",
         F.coalesce(
@@ -1143,3 +1129,148 @@ def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank").cast("bigint").alias("rank"),
         )
     )
+
+
+@register("hybrid_rrf_retrieval", _HYBRID_RRF_ORACLE)
+def q_hybrid_rrf_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid search: top-5 per query by reciprocal-rank fusion of the
+    BM25 lexical ranking (text queries) and the exact-cosine embedding
+    ranking (paired query vectors), each pooled to its top-20. Scale
+    shape: both retrievers keep their own pruned plans (BM25's
+    broadcast-term filter, kNN's broadcast query side); the fusion
+    itself joins two (queries × pool)-sized rank lists — KB-scale at
+    any corpus size — and never touches text or vectors again. At
+    100 TB the ANN side swaps to the at-rest IVF probe with identical
+    fusion arithmetic — that form is REGISTERED as
+    ``hybrid_rrf_retrieval_ivf`` (round 12), partition-pruned and
+    hash-exact; this brute-force row stays the exact-recall anchor the
+    IVF row's recall pin compares against."""
+    from duckdb_streaming_patterns_spark.operators import similarity
+
+    lex = (
+        _bm25_ranked(spark, sf_dir, k=_RRF_POOL)
+        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    )
+    emb = _t(spark, sf_dir, "embeddings")
+    vec = similarity.knn_bruteforce(
+        emb, emb.filter(F.col("vec_id") < 3), k=_RRF_POOL
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    return _rrf_fuse(lex, vec)
+
+
+_HIVF_CELLS, _HIVF_PROBE = 8, 4
+
+_HYBRID_RRF_IVF_ORACLE = rf"""
+    WITH {_HYBRID_BM25_CTES},
+    a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+          FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+          LIMIT {_HIVF_CELLS}),
+    asim AS (SELECT e.vec_id, a.aid,
+                    {duckdb_cosine("e.embedding", "a.a_vec")} AS cos
+             FROM embeddings e CROSS JOIN a),
+    cells AS (SELECT vec_id, aid AS cell_id
+              FROM (SELECT vec_id, aid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cos DESC, aid) AS rn
+                    FROM asim)
+              WHERE rn = 1),
+    qv AS (SELECT vec_id AS query_id, embedding AS q_vec
+           FROM embeddings WHERE vec_id < 3),
+    qsim AS (SELECT q.query_id, a.aid,
+                    {duckdb_cosine("q.q_vec", "a.a_vec")} AS cos
+             FROM qv q CROSS JOIN a),
+    probes AS (SELECT query_id, aid AS cell_id
+               FROM (SELECT query_id, aid,
+                            row_number() OVER (PARTITION BY query_id
+                                               ORDER BY cos DESC, aid) AS rn
+                     FROM qsim)
+               WHERE rn <= {_HIVF_PROBE}),
+    cand AS (SELECT p.query_id, c.vec_id AS doc_id
+             FROM probes p JOIN cells c USING (cell_id)
+             WHERE c.vec_id <> p.query_id),
+    ccos AS (SELECT cand.query_id, cand.doc_id,
+                    {duckdb_cosine("q.q_vec", "e.embedding")} AS cosine
+             FROM cand
+             JOIN qv q ON q.query_id = cand.query_id
+             JOIN embeddings e ON e.vec_id = cand.doc_id),
+    crank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, doc_id)
+                       AS vec_rank
+              FROM ccos),
+    cpool AS (SELECT * FROM crank WHERE vec_rank <= {_RRF_POOL}),
+    {_HYBRID_FUSE_TAIL}"""
+
+
+@register("hybrid_rrf_retrieval_ivf", _HYBRID_RRF_IVF_ORACLE)
+def q_hybrid_rrf_retrieval_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-backed hybrid search (round 12, verdict item 4) — the form
+    the exact row's docstring promises at 100 TB: the dense side probes
+    the AT-REST md5-anchor-cell-partitioned embedding index
+    (layout.ivf_anchor_partitioned_embeddings) instead of brute-forcing
+    the corpus. Each query quantizes against the same codebook the
+    layout was built with, the probed cell ids are collected (bounded:
+    n_queries × n_probe longs) into a STATIC isin partition filter, and
+    the candidate scan reads only those directories — PartitionFilters
+    plan-asserted, n_probe/n_cells of the index's bytes. Exact cosine
+    re-rank inside the probed cells feeds the same top-20 pool and the
+    same RRF arithmetic as the exact row; hash-exact because the
+    md5-anchor quantizer replays in SQL, and recall vs the exact hybrid
+    is additionally pinned in tests."""
+    from duckdb_streaming_patterns_spark.functions.vectors import (
+        dot_double,
+        l2_norm,
+        to_double_array,
+    )
+    from duckdb_streaming_patterns_spark.operators import layout, similarity
+
+    lex = (
+        _bm25_ranked(spark, sf_dir, k=_RRF_POOL)
+        .select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    )
+    path, anchor_rows = layout.ivf_anchor_partitioned_embeddings(
+        spark, sf_dir, n_cells=_HIVF_CELLS
+    )
+    probe = similarity.anchor_cell_udf(anchor_rows, n_probe=_HIVF_PROBE)
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").cast("long").alias("query_id"),
+        to_double_array(F.col("embedding")).alias("q_vec"),
+        l2_norm(F.col("embedding")).alias("q_norm"),
+        F.explode(probe(F.col("embedding"))).alias("cell_id"),
+    )
+    probed = sorted(
+        r["cell_id"] for r in q.select("cell_id").distinct().collect()
+    )
+    at_rest = spark.read.parquet(path).filter(F.col("cell_id").isin(probed))
+    cells = at_rest.select(
+        F.col("vec_id").cast("long").alias("doc_id"),
+        "cell_id",
+        to_double_array(F.col("embedding")).alias("c_vec"),
+        l2_norm(F.col("embedding")).alias("c_norm"),
+    )
+    scored = (
+        cells.join(F.broadcast(q), "cell_id")
+        .filter(F.col("query_id") != F.col("doc_id"))
+        .withColumn(
+            "cosine",
+            dot_double(F.col("q_vec"), F.col("c_vec"))
+            / F.col("q_norm")
+            / F.col("c_norm"),
+        )
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("doc_id")
+    )
+    vec = (
+        scored.withColumn("vec_rank", F.row_number().over(w))
+        .filter(F.col("vec_rank") <= _RRF_POOL)
+        .select("query_id", "doc_id", "vec_rank")
+    )
+    return _rrf_fuse(lex, vec)

@@ -553,14 +553,18 @@ class UpsertLog:
             .drop("__rn", *drop_cols)
         )
 
-    def _read_fold_manifests(self) -> dict[int, dict]:
+    def _read_fold_manifests(
+        self, dirs: list[str] | None = None
+    ) -> dict[int, dict]:
         """dir id → parsed ``_folds.json`` for every live merged dir —
         THE single driver-side glob+open pass over fold manifests.
         ``_dead_batch_ids`` / ``_fold_ranges`` / ``_fold_orders`` all
         derive from it; callers with several questions per read (e.g.
-        ``read_latest``) scan once and pass the result through."""
+        ``read_latest``, ``maintain``'s per-iteration planning) scan once
+        and pass the result through. ``dirs`` reuses a caller's existing
+        ``_batch_dirs()`` listing (one LIST saved per call)."""
         out: dict[int, dict] = {}
-        for d in self._batch_dirs():
+        for d in self._batch_dirs() if dirs is None else dirs:
             try:
                 m = self.io.try_read_json(os.path.join(d, "_folds.json"))
                 if m is not None:
@@ -738,7 +742,22 @@ class UpsertLog:
                 self.io.delete_tree(d)
         self._prune_manifest(base_dir)
 
-    def _dir_weight(self, d: str) -> int:
+    def _manifest_of(self, d: str, manifests: dict[int, dict] | None):
+        """One dir's parsed fold manifest: from the caller's
+        ``_read_fold_manifests`` pass when provided (the request-plane
+        fast path — maintain() reads every manifest ONCE per iteration,
+        round 12), else one GET. None for raw batch dirs."""
+        did = int(d.rsplit("=", 1)[1])
+        if manifests is not None:
+            return manifests.get(did)
+        try:
+            return self.io.try_read_json(os.path.join(d, "_folds.json"))
+        except (OSError, ValueError):
+            return None
+
+    def _dir_weight(
+        self, d: str, manifests: dict[int, dict] | None = None
+    ) -> int:
         """How many RAW batch directories a dir represents: 1 for an
         engine-written batch dir, the recorded constituent count for a
         folded dir (its manifest's ``weight``). The tiered ``maintain``
@@ -746,15 +765,14 @@ class UpsertLog:
         survive folds — without it a huge folded base would sit at tier 0
         and get rewritten by every small merge, which is exactly the
         write amplification the tiers exist to avoid."""
-        try:
-            m = self.io.try_read_json(os.path.join(d, "_folds.json"))
-            if m is None:
-                return 1
-            return int(m.get("weight", len(m.get("folded", [])) or 1))
-        except (OSError, ValueError):
+        m = self._manifest_of(d, manifests)
+        if m is None:
             return 1
+        return int(m.get("weight", len(m.get("folded", [])) or 1))
 
-    def _dir_range(self, d: str) -> tuple[int, int]:
+    def _dir_range(
+        self, d: str, manifests: dict[int, dict] | None = None
+    ) -> tuple[int, int]:
         """The contiguous RAW batch-id range a dir represents: (id, id)
         for an engine-written batch dir, the recorded ``range`` for a
         merged dir. The range is the adjacency metadata of the LWW
@@ -762,16 +780,15 @@ class UpsertLog:
         are consecutive in the global order, and a merged dir's LWW rank
         is its range top."""
         did = int(d.rsplit("=", 1)[1])
-        try:
-            m = self.io.try_read_json(os.path.join(d, "_folds.json"))
-            rng = m.get("range") if m is not None else None
-            if rng:
-                return (int(rng[0]), int(rng[1]))
-        except (OSError, ValueError):
-            pass
+        m = self._manifest_of(d, manifests)
+        rng = m.get("range") if m is not None else None
+        if rng:
+            return (int(rng[0]), int(rng[1]))
         return (did, did)
 
-    def _write_manifest(self, tmp: str, dirs: list) -> None:
+    def _write_manifest(
+        self, tmp: str, dirs: list, manifests: dict[int, dict] | None = None
+    ) -> None:
         """Fold manifest for a merged/base dir written into its temp dir
         (commits atomically with the rename): ``folded`` lists the source
         dir ids TRANSITIVELY (each source's own dead list is unioned in,
@@ -786,18 +803,25 @@ class UpsertLog:
         weight = 0
         lo = hi = None
         for d in dirs:
-            folded.add(int(d.rsplit("=", 1)[1]))
-            weight += self._dir_weight(d)
-            dlo, dhi = self._dir_range(d)
+            did = int(d.rsplit("=", 1)[1])
+            folded.add(did)
+            # ONE manifest lookup per source dir serves weight, range,
+            # and the transitive death list (was three separate GETs —
+            # round-12 request-plane fix)
+            m = self._manifest_of(d, manifests)
+            if m is None:
+                weight += 1
+                dlo = dhi = did
+            else:
+                weight += int(m.get("weight", len(m.get("folded", [])) or 1))
+                rng = m.get("range")
+                dlo, dhi = (
+                    (int(rng[0]), int(rng[1])) if rng else (did, did)
+                )
+                folded.update(int(b) for b in m.get("folded", []))
             if dhi >= 0:  # skip legacy range-less negative bases
                 lo = dlo if lo is None else min(lo, dlo)
                 hi = dhi if hi is None else max(hi, dhi)
-            try:
-                m = self.io.try_read_json(os.path.join(d, "_folds.json"))
-                if m is not None:
-                    folded.update(int(b) for b in m.get("folded", []))
-            except (OSError, ValueError):
-                pass
         manifest: dict = {"folded": sorted(folded), "weight": weight}
         if lo is not None:
             # For LWW logs this span is CONTIGUOUS (the adjacency rule in
@@ -914,11 +938,16 @@ class UpsertLog:
                 self.io.delete_tree(d)
         merges = 0
         while True:
-            dead = set(self._dead_batch_ids())
+            # ONE manifest pass per iteration feeds the dead filter, the
+            # weight tiering, the LWW adjacency sort, and the merged
+            # dir's manifest write — each used to pay its own O(dirs)
+            # GETs, ~4x the request count on an object store (round-12
+            # CountingCommitIO finding)
+            all_dirs = self._batch_dirs()
+            manifests = self._read_fold_manifests(dirs=all_dirs)
+            dead = set(self._dead_batch_ids(manifests))
             live = [
-                d
-                for d in self._batch_dirs()
-                if int(d.rsplit("=", 1)[1]) not in dead
+                d for d in all_dirs if int(d.rsplit("=", 1)[1]) not in dead
             ]
             if before_batch is not None:
                 live = [
@@ -929,7 +958,7 @@ class UpsertLog:
             tier_of: dict[str, int] = {}
             tiers: dict[int, list] = {}
             for d in live:
-                w = self._dir_weight(d)
+                w = self._dir_weight(d, manifests)
                 t = 0
                 while fanout**(t + 1) <= w:
                     t += 1
@@ -953,7 +982,9 @@ class UpsertLog:
                 # >= fanout consecutive dirs in the lowest full tier
                 # that has one; excluded newer batches (before_batch)
                 # are a suffix in this order, so they never split a run.
-                ordered = sorted(live, key=lambda d: self._dir_range(d)[0])
+                ordered = sorted(
+                    live, key=lambda d: self._dir_range(d, manifests)[0]
+                )
                 for t in full:
                     run: list = []
                     for d in ordered:
@@ -969,8 +1000,7 @@ class UpsertLog:
                 if ds is None:
                     return merges  # full tiers exist but none adjacent
             merged_id = (
-                min(int(d.rsplit("=", 1)[1]) for d in self._batch_dirs())
-                - 1
+                min(int(d.rsplit("=", 1)[1]) for d in all_dirs) - 1
             )
             tmp = os.path.join(self.root, f".maintain_{uuid.uuid4().hex[:8]}")
             ids = [int(d.rsplit("=", 1)[1]) for d in ds]
@@ -984,7 +1014,8 @@ class UpsertLog:
                 from pyspark.sql import Window as W
 
                 rank = {
-                    did: self._dir_range(d)[1] for did, d in zip(ids, ds)
+                    did: self._dir_range(d, manifests)[1]
+                    for did, d in zip(ids, ds)
                 }
                 m = F.create_map(
                     *[
@@ -1004,7 +1035,7 @@ class UpsertLog:
                     .drop("__rn")
                 )
             self._write_folded_dir(src.drop("__batch_id"), tmp)
-            self._write_manifest(tmp, ds)
+            self._write_manifest(tmp, ds, manifests)
             new_dir = os.path.join(self.root, f"__batch_id={merged_id}")
             self.io.promote_dir(tmp, new_dir)
             # deferred_gc parks the sources instead: logically dead via

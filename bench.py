@@ -119,6 +119,7 @@ HEADLINE = [
     "pattern_streaming_ingest_funnel",
     "pattern_streaming_bm25_index",
     "pattern_streaming_bm25_midstream",
+    "pattern_streaming_hybrid_retrieval",
     "pattern_streaming_full_funnel",
     "pattern_bootstrap_then_stream",
     "corpus_build_shards",

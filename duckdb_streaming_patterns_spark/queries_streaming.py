@@ -1029,6 +1029,8 @@ from duckdb_streaming_patterns_spark.queries_text import (  # noqa: E402
     _BM25_PREFIX_ORACLE,
     _BM25_QUERIES,
     _BM25_SCORE_EXPR,
+    _HYBRID_BM25_CTES,
+    _HYBRID_FUSE_TAIL,
 )
 
 
@@ -1071,4 +1073,75 @@ def q_pattern_streaming_bm25_midstream(
     return patterns.pattern_streaming_bm25_index(
         spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
         state_partitions=4, compact_every=2, probe_at_batch=2,
+    )
+
+
+# Streaming hybrid: BM25 pool (shared CTEs) fused with the
+# frozen-first-chunk-quantizer IVF probe pool — the dense-side CTEs
+# mirror _STREAM_IVF_ORACLE's quantizer arithmetic but pool to the
+# hybrid's top-20 per query over the vec_id < 3 query set.
+_STREAM_HYBRID_ORACLE = rf"""
+    WITH {_HYBRID_BM25_CTES},
+    p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per
+          FROM embeddings),
+    a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+          FROM embeddings, p WHERE vec_id < p.per
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+          LIMIT 16),
+    asim AS (SELECT e.vec_id, a.aid,
+                    {_dd_cosine("e.embedding", "a.a_vec")} AS cos
+             FROM embeddings e CROSS JOIN a),
+    ar AS (SELECT vec_id, aid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, aid) AS rn
+           FROM asim),
+    cells AS (SELECT vec_id, aid AS cell_id FROM ar WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, aid AS cell_id
+               FROM ar WHERE vec_id < 3 AND rn <= 8),
+    cand AS (SELECT p2.query_id, c.vec_id AS doc_id
+             FROM probes p2 JOIN cells c USING (cell_id)
+             WHERE c.vec_id <> p2.query_id),
+    ccos AS (SELECT cand.query_id, cand.doc_id,
+                    {_dd_cosine("qe.embedding", "e.embedding")} AS cosine
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = cand.query_id
+             JOIN embeddings e ON e.vec_id = cand.doc_id),
+    crank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, doc_id)
+                       AS vec_rank
+              FROM ccos),
+    cpool AS (SELECT * FROM crank WHERE vec_rank <= 20),
+    {_HYBRID_FUSE_TAIL}"""
+
+
+@register("pattern_streaming_hybrid_retrieval", _STREAM_HYBRID_ORACLE)
+def q_pattern_streaming_hybrid_retrieval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Hybrid retrieval served entirely from streaming-maintained index
+    state (round 12): the document stream maintains the BM25 index, the
+    embedding stream maintains the frozen-quantizer IVF index, each
+    serves its top-20 pool through its own pruned plan, and the pools
+    fuse with reciprocal-rank arithmetic. Oracle = the batch hybrid
+    with the identical first-chunk quantizer — streaming-hybrid ≡
+    batch-hybrid in one hash row. compact_every=2 pins the BM25 logs'
+    mid-stream maintenance at fixture scale (the cadence contract). See
+    streaming/patterns.pattern_streaming_hybrid_retrieval."""
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    run = staging.new_run_dir("phyb")
+    # separate staging dirs: both helpers write to <out>/chunks
+    doc_chunks = staging.stage_document_chunks(
+        spark, sf_dir, staging.new_run_dir("phybd"), n_chunks=5
+    )
+    emb_chunks = staging.stage_embedding_chunks(
+        spark, sf_dir, staging.new_run_dir("phybe"), n_chunks=5
+    )
+    queries_df = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    return patterns.pattern_streaming_hybrid_retrieval(
+        spark, doc_chunks, emb_chunks, run, _BM25_QUERIES, queries_df,
+        _BM25_SCORE_EXPR, state_partitions=4, compact_every=2,
     )

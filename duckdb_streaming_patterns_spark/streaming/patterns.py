@@ -2792,3 +2792,70 @@ def pattern_streaming_bm25_index(
     return _bm25_serve(
         spark, tf_log, dl_log, stats, queries, score_expr, k
     )
+
+
+def pattern_streaming_hybrid_retrieval(
+    spark: SparkSession,
+    doc_chunks: str,
+    emb_chunks: str,
+    run_dir: str,
+    queries: list,
+    queries_df: DataFrame,
+    score_expr: str,
+    pool: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    state_partitions: int | None = None,
+    compact_every: int = 8,
+) -> DataFrame:
+    """Hybrid retrieval served ENTIRELY from continuously-maintained
+    index state — the streaming form of ``hybrid_rrf_retrieval``: the
+    document stream maintains the BM25 index (token-bucketed tf log +
+    doc_id-bucketed dl log + fenced stats row,
+    :func:`pattern_streaming_bm25_index`) while the embedding stream
+    maintains the frozen-quantizer IVF index
+    (:func:`pattern_streaming_ann_index`); at the drain each side serves
+    its top-``pool`` through its own pruned plan (BM25: DPP-pruned
+    bucket fetches; ANN: ledger-scoped partition-pruned probed cells)
+    and the pools fuse with reciprocal-rank arithmetic — two
+    (queries × pool)-sized rank lists, KB-scale at any corpus.
+
+    This is the composition a production RAG corpus serves at 100 TB:
+    neither retriever re-touches raw text or vectors after its pool, no
+    index is ever rebuilt from scratch, and every step (BM25 decimal
+    sums, anchor assignment, cosine re-rank, rank fusion) uses the
+    sequential-fold arithmetic the DuckDB oracle replays bit-for-bit —
+    so streaming-hybrid ≡ batch-hybrid is one driver hash row.
+
+    The two ingest loops are INDEPENDENT streams over disjoint state
+    roots and run sequentially here (overlapping them shares the
+    session's shuffle-partition conf mid-restore — a perf-only race not
+    worth the review burden at fixture scale; a deployment runs them as
+    two jobs)."""
+    lex = pattern_streaming_bm25_index(
+        spark,
+        doc_chunks,
+        os.path.join(run_dir, "lex"),
+        queries,
+        score_expr,
+        k=pool,
+        state_partitions=state_partitions,
+        compact_every=compact_every,
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    vec = pattern_streaming_ann_index(
+        spark,
+        emb_chunks,
+        os.path.join(run_dir, "vec"),
+        queries_df,
+        k=pool,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        state_partitions=state_partitions,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    from duckdb_streaming_patterns_spark.queries_text import _rrf_fuse
+
+    return _rrf_fuse(lex, vec)

@@ -132,6 +132,7 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
         "pattern_streaming_quality_drift",
         "pattern_streaming_bm25_index",
         "pattern_streaming_bm25_midstream",
+        "pattern_streaming_hybrid_retrieval",
     ]
     for name in owners:
         src = inspect.getsource(qs[name])

@@ -165,6 +165,40 @@ def pii_scan(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: Redaction order is part of the contract: email first (its local part
+#: may contain digits a later pattern would eat), then IPv4, then SSN,
+#: then the greedy phone shape — and the placeholder tokens are
+#: digit-free, so no later pattern can match inside an earlier
+#: replacement. Both engines replace leftmost-greedy non-overlapping,
+#: so a fixed order makes the rewrite engine-identical.
+PII_REDACT_ORDER = ["email", "ipv4", "ssn", "phone"]
+PII_PLACEHOLDERS = {
+    "email": "<EMAIL>",
+    "ipv4": "<IP>",
+    "ssn": "<SSN>",
+    "phone": "<PHONE>",
+}
+
+
+def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """The REWRITE half of the PII gate (``pii_scan`` is the detector):
+    every email / IPv4 / SSN-shaped / phone-shaped span replaced with a
+    digit-free placeholder token, emitted as ``clean_text`` with a
+    ``redacted`` flag. Chained ``regexp_replace`` projection — codegen'd,
+    one scan, no shuffle; at 100 TB this is the map-only pass that runs
+    right before text leaves the ingest boundary."""
+    clean = F.col(text_col)
+    for name in PII_REDACT_ORDER:
+        clean = F.regexp_replace(
+            clean, PII_PATTERNS[name], PII_PLACEHOLDERS[name]
+        )
+    return df.select(
+        F.col(id_col),
+        clean.alias("clean_text"),
+        (clean != F.col(text_col)).alias("redacted"),
+    )
+
+
 def tfidf_top_terms(
     df: DataFrame,
     group_col: str,

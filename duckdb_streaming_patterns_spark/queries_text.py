@@ -515,6 +515,40 @@ def q_text_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textstats.pii_scan(_t(spark, sf_dir, "documents"), "doc_id", "text")
 
 
+# Same engine-agreement argument as the scan oracle: the fixture corpus
+# is digit-free so every row passes through unredacted, which still pins
+# regexp_replace semantics (leftmost-greedy, non-overlapping, global)
+# identical engine-to-engine over the full corpus; the positive-match
+# evidence (emails/SSNs/phones actually rewritten, in order) lives in
+# tests/test_pipeline_queries.py on synthetic PII text.
+_PII_REDACT_ORACLE = rf"""
+    WITH r AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '{textstats.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+               '{textstats.PII_PATTERNS["ipv4"]}', '<IP>', 'g'),
+               '{textstats.PII_PATTERNS["ssn"]}', '<SSN>', 'g'),
+               '{textstats.PII_PATTERNS["phone"]}', '<PHONE>', 'g')
+               AS clean_text,
+             text
+      FROM documents
+    )
+    SELECT doc_id, clean_text, clean_text <> text AS redacted FROM r
+"""
+
+
+@register("text_pii_redact", _PII_REDACT_ORACLE)
+def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rewrite half of the PII gate (round 12): every email / IPv4 /
+    SSN-shaped / phone-shaped span replaced with a digit-free placeholder,
+    in a fixed order that makes the chained leftmost-greedy replace
+    engine-identical. Map-only projection — the 100 TB shape is a scan."""
+    return textstats.pii_redact(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 _TFIDF_ORACLE = r"""
     WITH docs AS (
       SELECT lang,

@@ -357,3 +357,35 @@ def test_hybrid_ivf_probe_is_partition_pruned_and_recall_pinned(
     iv = {(r["query_id"], r["doc_id"]) for r in got.collect()}
     bv = {(r["query_id"], r["doc_id"]) for r in exact.collect()}
     assert len(iv & bv) / len(bv) >= 0.6, (iv, bv)
+
+
+def test_pii_redact_rewrites_synthetic_pii(spark):
+    """Positive-match evidence for text_pii_redact (the fixture corpus is
+    digit-free, so the oracle row only pins engine agreement): emails,
+    IPv4s, SSNs, and phone shapes are actually replaced, in the fixed
+    order that keeps the chained rewrite deterministic, and clean text
+    passes through byte-identical with redacted=false."""
+    from duckdb_streaming_patterns_spark.operators.textstats import (
+        pii_redact,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail me at jo.doe+x@corp.example.org please"),
+            (1, "server 10.0.255.3 rebooted"),
+            (2, "ssn 123-45-6789 on file"),
+            (3, "call +1 (415) 555-0199 now"),
+            (4, "a perfectly clean sentence"),
+            (5, "mixed: a@b.co then 1.2.3.4 then 987-65-4321"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in pii_redact(df, "doc_id", "text").collect()}
+    assert got[0]["clean_text"] == "mail me at <EMAIL> please"
+    assert got[1]["clean_text"] == "server <IP> rebooted"
+    assert got[2]["clean_text"] == "ssn <SSN> on file"
+    assert got[3]["clean_text"] == "call <PHONE> now"
+    assert got[4]["clean_text"] == "a perfectly clean sentence"
+    assert got[4]["redacted"] is False
+    assert got[5]["clean_text"] == "mixed: <EMAIL> then <IP> then <SSN>"
+    assert all(got[i]["redacted"] for i in (0, 1, 2, 3, 5))

@@ -549,27 +549,56 @@ def test_change_feed_replay_reconstructs_any_snapshot(spark, ops):
 
 _widen_eras = st.lists(
     st.tuples(
-        st.sampled_from(["int", "bigint"]),  # era type of the v column
+        # era type of the v column — the two integer widths plus the two
+        # decimal shapes (round 12: the DECIMAL(p,s) LUB joins the
+        # lattice; scale growth AND precision/int mixes are exercised)
+        st.sampled_from(["int", "bigint", "decimal(10,2)", "decimal(12,4)"]),
         st.integers(min_value=1, max_value=4),  # rows in the era's batch
     ),
     min_size=1,
     max_size=5,
 )
 
+_INT_DIGITS_SPEC = {"int": 10, "bigint": 19}
+
+
+def _expected_lub(types: set[str]) -> str:
+    """Independent restatement of the widening spec (NOT the
+    implementation): identical types pass through; integer-only mixes
+    take the wider integer; any decimal in the mix keeps max integer
+    digits + max scale, with integers joining at their exact width."""
+    if len(types) == 1:
+        return next(iter(types))
+    if not any(t.startswith("decimal") for t in types):
+        return "bigint" if "bigint" in types else "int"
+    parts = []
+    for t in types:
+        if t.startswith("decimal"):
+            p, s = (int(x) for x in t[8:-1].split(","))
+            parts.append((p - s, s))
+        else:
+            parts.append((_INT_DIGITS_SPEC[t], 0))
+    i = max(a for a, _ in parts)
+    s = max(b for _, b in parts)
+    return f"decimal({i + s},{s})"
+
 
 @settings(**_SETTINGS)
 @given(_widen_eras)
 def test_type_widened_reads_match_replay_at_every_snapshot(spark, eras):
-    """Round-11 property: under ARBITRARY per-batch type choices for a
-    column (widening, narrowing back, alternating — not just the
-    monotone INT→BIGINT story), every read_as_of(k) returns exactly the
-    replayed rows AND carries the least-upper-bound type of the eras
-    inside its range: 'bigint' iff any batch ≤ k appended bigint, else
-    'int'. Values are era-stamped so a cast that dropped or mangled an
-    era would change the set, and bigint eras include a value beyond
-    int32 so a narrow read could not even represent the data."""
+    """Round-11 property (decimal eras added round 12): under ARBITRARY
+    per-batch type choices for a column (widening, narrowing back,
+    alternating, int/decimal mixes — not just the monotone INT→BIGINT
+    story), every read_as_of(k) returns exactly the replayed rows AND
+    carries the least-upper-bound type of the eras inside its range
+    (checked against an independent restatement of the LUB spec).
+    Values are era-stamped so a cast that dropped or mangled an era
+    would change the set; bigint eras include a value beyond int32 and
+    decimal eras carry exact fractional digits a narrower scale could
+    not represent."""
     import shutil
     import tempfile
+    from decimal import Decimal
 
     from duckdb_streaming_patterns_spark.plans.snapshots import SnapshotTable
 
@@ -585,12 +614,19 @@ def test_type_widened_reads_match_replay_at_every_snapshot(spark, eras):
                 v = next_id * 10 + b
                 if typ == "bigint" and i == 0:
                     v += 5_000_000_000  # unrepresentable in int32
+                if typ == "decimal(10,2)":
+                    v = Decimal(v) + Decimal("0.25")
+                elif typ == "decimal(12,4)":
+                    v = Decimal(v) + Decimal("0.0625")
                 rows.append((next_id, v))
                 next_id += 1
             t.append(
                 spark.createDataFrame(rows, f"id long, v {typ}"),
                 batch_id=b,
             )
+            # Decimal compares and hashes by numeric value (== across
+            # int/Decimal and across scales), so one set serves every
+            # LUB the prefix can resolve to
             live = live | set(rows)
             expected.append(set(live))
         snaps = [s["snapshot_id"] for s in t.snapshots()]
@@ -601,11 +637,7 @@ def test_type_widened_reads_match_replay_at_every_snapshot(spark, eras):
                 f.name: f.dataType.simpleString()
                 for f in got_df.schema.fields
             }["v"]
-            lub = (
-                "bigint"
-                if any(typ == "bigint" for typ, _ in eras[: idx + 1])
-                else "int"
-            )
+            lub = _expected_lub({typ for typ, _ in eras[: idx + 1]})
             assert vt == lub, (sid, eras)
             got = {(r["id"], r["v"]) for r in got_df.collect()}
             assert got == expected[idx], (sid, eras)

@@ -684,13 +684,17 @@ class UpsertLog:
         # collect dirs a prior fold already killed (crash-window debris,
         # or deferred_gc's parked sources from the previous cycle) so
         # they are neither re-folded nor left to accumulate — the same
-        # sweep maintain() opens with
-        dead = set(self._dead_batch_ids())
-        for d in self._batch_dirs():
+        # sweep maintain() opens with. One listing + one manifest pass
+        # serves the sweep, the fold candidate set, AND the base's
+        # manifest write (the round-12 request-plane discipline).
+        all_dirs = self._batch_dirs()
+        manifests = self._read_fold_manifests(dirs=all_dirs)
+        dead = set(self._dead_batch_ids(manifests))
+        for d in all_dirs:
             if int(d.rsplit("=", 1)[1]) in dead:
                 self.io.delete_tree(d)
         dirs = sorted(
-            self._batch_dirs(),
+            (d for d in all_dirs if int(d.rsplit("=", 1)[1]) not in dead),
             key=lambda d: int(d.rsplit("=", 1)[1]),
         )
         if before_batch is not None:
@@ -734,7 +738,7 @@ class UpsertLog:
         # the fold manifest commits ATOMICALLY with the base's rename —
         # after the rename the source dirs are logically dead whether or
         # not the GC below finishes (see the crash-safety invariants)
-        self._write_manifest(tmp, dirs)
+        self._write_manifest(tmp, dirs, manifests)
         base_dir = os.path.join(self.root, f"__batch_id={base_id}")
         self.io.promote_dir(tmp, base_dir)
         if not self.deferred_gc:

@@ -417,3 +417,64 @@ def q_embedding_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("vec_id"),
         F.col("cluster").cast("long").alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Index observability (round 12): per-cell occupancy of the AT-REST
+# anchor-IVF embedding index — cell-size imbalance is the operational
+# metric that predicts probe-latency skew (a hot cell makes every probe
+# touching it pay its size; the mitigation is re-anchoring or splitting).
+# The oracle replays the md5-anchor assignment in SQL, so the whole
+# health report is hash-exact. Counts are read from the index's OWN
+# partition layout (one pruned-column scan), never recomputed from raw
+# vectors — at 100 TB this is footer-sized work per cell directory.
+# ---------------------------------------------------------------------------
+
+_IVF_CELL_STATS_ORACLE = f"""
+    WITH a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+               FROM embeddings ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+               LIMIT 8),
+    asim AS (SELECT e.vec_id, a.aid,
+                    {duckdb_cosine("e.embedding", "a.a_vec")} AS cos
+             FROM embeddings e CROSS JOIN a),
+    cells AS (SELECT vec_id, aid AS cell_id
+              FROM (SELECT vec_id, aid,
+                           row_number() OVER (PARTITION BY vec_id
+                                              ORDER BY cos DESC, aid) AS rn
+                    FROM asim)
+              WHERE rn = 1),
+    c AS (SELECT cell_id, count(*) AS n_vecs FROM cells GROUP BY cell_id),
+    t AS (SELECT sum(n_vecs) AS total FROM c)
+    SELECT CAST(cell_id AS BIGINT) AS cell_id,
+           CAST(n_vecs AS BIGINT) AS n_vecs,
+           ROUND(CAST(n_vecs AS DOUBLE) / total, 6) AS share
+    FROM c, t
+"""
+
+
+@register("ann_index_cell_stats", _IVF_CELL_STATS_ORACLE)
+def q_ann_index_cell_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF index health report: per-cell vector count and corpus share
+    over the at-rest md5-anchor-partitioned embedding index (the layout
+    hybrid_rrf_retrieval_ivf probes — memoized, so this row reads the
+    index that already exists). The aggregate is cell-count-sized (index
+    WIDTH, not corpus size), so the unpartitioned share window is
+    metadata-scale at any corpus."""
+    from duckdb_streaming_patterns_spark.operators import layout
+
+    path, _anchors = layout.ivf_anchor_partitioned_embeddings(
+        spark, sf_dir, n_cells=8
+    )
+    c = (
+        spark.read.parquet(path)
+        .groupBy("cell_id")
+        .agg(F.count("*").alias("n_vecs"))
+    )
+    from pyspark.sql import Window as W
+
+    total = F.sum("n_vecs").over(W.partitionBy())
+    return c.select(
+        F.col("cell_id").cast("bigint").alias("cell_id"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.round(F.col("n_vecs").cast("double") / total, 6).alias("share"),
+    )

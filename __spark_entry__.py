@@ -174,6 +174,26 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     pattern_streaming_bm25_midstream, the mid-stream BM25 serve (probe
 #     at batch 2 ≡ batch BM25 over the 3-chunk prefix) — proving the
 #     index answers DURING ingestion, not only at drain.
+# Round-12 second rotation — the round's three new operators get driver
+# rows:
+#   hybrid_rrf_retrieval (exact-dense fusion — its RRF rank arithmetic
+#     and BM25 pool are pinned INSIDE hybrid_rrf_retrieval_ivf, which
+#     fuses the same lexical pool with the partition-pruned IVF probe;
+#     stays exact-checked locally) → hybrid_rrf_retrieval_ivf, the
+#     100 TB serving form (at-rest cell-partitioned dense index);
+#   pattern_streaming_bm25_index (drain-time serve — subsumed by the
+#     driver-pinned midstream row, which serves the SAME streaming index
+#     through the same pruned plan at batch 3 of 5; stays exact-checked
+#     locally) → pattern_streaming_hybrid_retrieval, hybrid served
+#     entirely from streaming-maintained state (BM25 logs + the
+#     frozen-quantizer IVF index) — the round-12 capstone;
+#   dedup_minhash_lsh (banded-pair generation — pinned by
+#     dedup_minhash_clusters, which consumes the same banded pairs into
+#     connected components, and by pattern_streaming_neardup_dedup's
+#     at-rest band-index tier; stays exact-checked locally) →
+#     text_pii_redact, the PII REWRITE half (the scan half had no
+#     driver row either — the redact row hash-covers both the span
+#     grammar and the rewrite order).
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -198,7 +218,7 @@ _PRIORITY = [
     # deduplication + fingerprinting (§2.11)
     "pattern_streaming_corpus_dedup",
     "pattern_streaming_neardup_dedup",
-    "dedup_minhash_lsh",
+    "text_pii_redact",
     "dedup_minhash_clusters",
     "corpus_build_shards",
     "dedup_incremental_verdicts",
@@ -216,9 +236,9 @@ _PRIORITY = [
     "text_language_id",
     "source_topk_docs",
     "text_bm25_topk",
-    "pattern_streaming_bm25_index",
+    "pattern_streaming_hybrid_retrieval",
     "pattern_streaming_bm25_midstream",
-    "hybrid_rrf_retrieval",
+    "hybrid_rrf_retrieval_ivf",
     # corpus pipeline (§2.11)
     "pack_token_bins",
     "contamination_ngram_overlap",

@@ -96,6 +96,10 @@ _NAME_OVERRIDES: dict[str, str] = {
     "top_bigrams_per_lang": "text-analysis",
     "quality_classifier_scores": "text-analysis",
     "quality_filter_funnel": "text-analysis",
+    # sketch module (round 12): the streaming KMV fold is a streaming
+    # pattern, the runtime-bloom join a join-strategy surface
+    "pattern_streaming_distinct_kmv": "streaming-patterns",
+    "runtime_bloom_join_revenue": "advanced-sql",
 }
 
 _MODULE_DEFAULTS: dict[str, str] = {
@@ -109,6 +113,7 @@ _MODULE_DEFAULTS: dict[str, str] = {
     "queries_sim": "similarity-ann",
     "queries_pipeline": "corpus-pipeline",
     "queries_multimodal": "multimodal",
+    "queries_sketch": "corpus-pipeline",
 }
 
 

@@ -258,3 +258,4 @@ from duckdb_streaming_patterns_spark import queries_streaming  # noqa: E402,F401
 from duckdb_streaming_patterns_spark import queries_multimodal  # noqa: E402,F401
 from duckdb_streaming_patterns_spark import queries_advanced  # noqa: E402,F401
 from duckdb_streaming_patterns_spark import queries_pipeline  # noqa: E402,F401
+from duckdb_streaming_patterns_spark import queries_sketch  # noqa: E402,F401

@@ -2859,3 +2859,129 @@ def pattern_streaming_hybrid_retrieval(
     from duckdb_streaming_patterns_spark.queries_text import _rrf_fuse
 
     return _rrf_fuse(lex, vec)
+
+
+def pattern_streaming_distinct_kmv(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    k: int = 64,
+    state_partitions: int | None = 4,
+    compact_every: int = 8,
+) -> DataFrame:
+    """Streaming approximate-cardinality maintenance: a KMV (k-minimum-
+    values) sketch of distinct users per event type, folded per micro-
+    batch — the mergeable-sketch counterpart of the reference's running
+    aggregation (pattern_1_1.py:96-116 keeps exact per-user counts; at
+    100 TB the DISTINCT-user question needs a sketch whose state does
+    not grow with the user population).
+
+    Per batch: the batch's distinct (event_type, md5(user_id)) hashes
+    union with the accumulated k-min set and the k smallest survive —
+    KMV's merge law (k-min of a union == k-min of the merged k-min
+    sets) makes the maintained sketch EQUAL to the batch sketch over
+    the prefix, not merely approximately so. Each batch appends durable
+    (batch_seq, event_type, est_users) rows — the estimate trajectory a
+    monitoring surface reads — where est = (k-1)·2^60/h_(k) on the same
+    portable md5/60-bit family every dedup/sampling operator uses
+    (operators/dedup.py:spark_h60), so the whole trajectory is
+    oracle-hash-exact (``approx_distinct_users_kmv`` pins the batch
+    formula; this pattern pins its streaming maintenance at EVERY
+    prefix).
+
+    State: ≤ k rows × n_types in a fenced SummaryTable (atomic swap,
+    batch-id fence) + an insert-only verdict log. Per-batch cost: one
+    O(batch) map-side-combined distinct + a window over ≤ (k·n_types +
+    batch-distinct) rows — independent of corpus size. Exactly-once:
+    the same two-crash-window contract as quality_drift (fenced
+    overwrite; a retry whose swap already applied recomputes from
+    SummaryTable.read_prev; the verdict append is batch-id fenced)."""
+    state = SummaryTable(
+        spark,
+        os.path.join(run_dir, "kmv"),
+        "event_type string, hx string, h60 long",
+    )
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    verdict_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "estimates"),
+        keys=["batch_seq", "event_type"],
+        insert_only=True,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            verdict_log.maintain(before_batch=batch_id)
+        distinct_kmv_batch(state, verdict_log, batch, batch_id, k)
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_event_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return verdict_log.read_latest().select(
+        "batch_seq", "event_type", "est_users"
+    )
+
+
+def distinct_kmv_batch(
+    state, verdict_log, batch: DataFrame, batch_id: int, k: int
+) -> None:
+    """One micro-batch of the KMV fold — module-level for the retry
+    tests. See pattern_streaming_distinct_kmv for the contract."""
+    from pyspark.sql import Window as W
+
+    applied = state.last_batch_id() >= batch_id
+    prior = state.read_prev() if applied else state.read()
+    bd = (
+        batch.select(
+            "event_type",
+            F.md5(F.col("user_id").cast("string")).alias("hx"),
+        )
+        .distinct()
+        .withColumn(
+            "h60", F.conv(F.substring("hx", 1, 15), 16, 10).cast("long")
+        )
+    )
+    merged = prior.unionByName(bd).dropDuplicates(["event_type", "hx"])
+    w = W.partitionBy("event_type").orderBy("h60", "hx")
+    ranked = merged.select(
+        "event_type", "hx", "h60", F.row_number().over(w).alias("__rn")
+    ).where(F.col("__rn") <= k)
+    # the k-min survivors are BOTH the new state and the estimate's
+    # input — localCheckpoint pins one copy (≤ k rows per type) so the
+    # two consumers below don't recompute the window
+    kept = ranked.localCheckpoint(eager=True)
+    est = (
+        kept.groupBy("event_type")
+        .agg(
+            F.count("*").alias("__m"),
+            F.max(F.when(F.col("__rn") == k, F.col("h60"))).alias("__kth"),
+        )
+        .select(
+            F.lit(batch_id).cast("long").alias("batch_seq"),
+            "event_type",
+            F.when(F.col("__m") < k, F.col("__m").cast("double"))
+            .otherwise(
+                F.round(
+                    F.lit(float(k - 1))
+                    * F.pow(F.lit(2.0), F.lit(60))
+                    / F.col("__kth"),
+                    2,
+                )
+            )
+            .alias("est_users"),
+        )
+    )
+
+    def _roll_state():
+        if not applied:
+            state.overwrite(kept.drop("__rn"), batch_id=batch_id)
+
+    # order-free crash contract (fenced overwrite, idempotent append)
+    overlap(lambda: verdict_log.append(est, batch_id), _roll_state)

@@ -43,8 +43,11 @@ def test_first_50_cover_every_family():
             # text_remove_duplicated_spans rotated out in r12 (its
             # gram-ranking span-removal machinery stays driver-pinned
             # inside corpus_build_shards' composition hash); the
-            # mid-stream BM25 serve row took the slot — see text family
-            "dedup_minhash_lsh",
+            # mid-stream BM25 serve row took the slot — see text family.
+            # dedup_minhash_lsh rotated out in r12 too (banded-pair
+            # generation stays pinned by minhash_clusters, which consumes
+            # the same pairs, and by the streaming near-dup band tier);
+            # the PII-redact row took the slot — see text family
             # dedup_simhash rotated out in r11 (banded near-dup family
             # stays pinned by minhash_lsh + minhash_clusters); the batch
             # BM25 row took the slot — see text family
@@ -83,11 +86,17 @@ def test_first_50_cover_every_family():
             "text_language_id",
             # r11 rotation: the round-10 BM25 flagship family gets its
             # driver hash rows (batch + streaming); r12 completes the
-            # retrieval surface: mid-stream serving + hybrid RRF fusion
+            # retrieval surface: mid-stream serving + hybrid fusion in
+            # its 100 TB (IVF-probed) and fully-streaming forms.
+            # pattern_streaming_bm25_index rotated out late-r12 (the
+            # midstream row serves the same streaming index through the
+            # same pruned plan); hybrid_rrf_retrieval likewise (its RRF
+            # arithmetic + BM25 pool are inside the _ivf row)
             "text_bm25_topk",
-            "pattern_streaming_bm25_index",
             "pattern_streaming_bm25_midstream",
-            "hybrid_rrf_retrieval",
+            "hybrid_rrf_retrieval_ivf",
+            "pattern_streaming_hybrid_retrieval",
+            "text_pii_redact",
         },
         "funnel": {"pattern_streaming_full_funnel", "corpus_build_shards"},
         "pipeline": {
@@ -133,6 +142,7 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
         "pattern_streaming_bm25_index",
         "pattern_streaming_bm25_midstream",
         "pattern_streaming_hybrid_retrieval",
+        "pattern_streaming_distinct_kmv",
     ]
     for name in owners:
         src = inspect.getsource(qs[name])

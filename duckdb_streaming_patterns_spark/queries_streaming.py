@@ -1145,3 +1145,36 @@ def q_pattern_streaming_hybrid_retrieval(
         spark, doc_chunks, emb_chunks, run, _BM25_QUERIES, queries_df,
         _BM25_SCORE_EXPR, state_partitions=4, compact_every=2,
     )
+
+
+@register(
+    "pattern_streaming_asof_enrichment",
+    """
+    WITH p AS (SELECT event_id, user_id, ts FROM events
+               WHERE event_type = 'purchase'),
+         c AS (SELECT user_id, ts FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id, p.ts, c.ts AS last_click_ts
+    FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def q_pattern_streaming_asof_enrichment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming as-of enrichment: events replayed in event-time order
+    as 5 micro-batches; every purchase gets the user's latest
+    at-or-before click from ONE user-bucketed LWW state log (probe
+    DPP-pruned to the batch's users' buckets). Oracle = DuckDB's native
+    ASOF LEFT JOIN over the whole table — streaming ≡ batch for the
+    temporal lookup (identical oracle to the batch
+    `asof_join_last_click` row, which composes the same semantics as a
+    batch window). See
+    streaming/patterns.pattern_streaming_asof_enrichment."""
+    run = staging.new_run_dir("pasof")
+    chunks = staging.stage_event_chunks(
+        spark, sf_dir, run, n_chunks=5, order_col="ts"
+    )
+    # cadence 2: fires the two-log maintenance mid-replay (see the
+    # stream-stream join form for the rationale)
+    return patterns.pattern_streaming_asof_enrichment(
+        spark, chunks, run, state_partitions=4, compact_every=2
+    )

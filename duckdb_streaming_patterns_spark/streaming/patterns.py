@@ -2985,3 +2985,158 @@ def distinct_kmv_batch(
 
     # order-free crash contract (fenced overwrite, idempotent append)
     overlap(lambda: verdict_log.append(est, batch_id), _roll_state)
+
+
+def pattern_streaming_asof_enrichment(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    n_buckets: int = 16,
+    state_partitions: int | None = 4,
+    compact_every: int = 8,
+) -> DataFrame:
+    """Streaming AS-OF enrichment: each purchase is joined, AT INGEST
+    TIME, to the user's latest click at-or-before it — the temporal
+    lookup every event-enrichment pipeline runs against a
+    slowly-changing profile, and the STREAMING form of
+    ``asof_join_last_click`` (Spark has no native as-of join; the batch
+    row composes it as a union + last_value window, this pattern keeps
+    the same semantics under continuous ingestion).
+
+    State: ONE user_id-bucketed LWW UpsertLog holding each user's
+    latest click timestamp — per batch it gains at most one row per
+    user who clicked (the batch's per-user max; under event-time-
+    monotone micro-batches the last writer IS the max, so the LWW
+    resolve is the as-of state). The per-batch probe reads ONLY the
+    buckets the batch's users live in — a STATIC isin prune on the
+    layout column (<= n_buckets ids collected per batch), which becomes
+    PartitionFilters on the state scan and scopes the LWW resolve
+    window itself to the probed buckets (the DPP-join form the
+    insert-only dedup probes use cannot reach through the LWW window;
+    plan pinned in tests): per-batch I/O is O(batch's buckets), never
+    O(users).
+
+    Batch semantics: the probed prior click seeds a synthetic
+    ``event_id=-1`` click row per touched user; the window over
+    (seed ∪ batch) ordered by (ts, event_type, event_id) then resolves
+    intra-batch ordering exactly like the batch operator — a purchase
+    sees same-batch clicks at-or-before it AND the carried state, so
+    streaming ≡ batch ASOF under monotone chunking is one hash row.
+
+    Exactly-once: both writes are per-batch-dir idempotent appends
+    (re-delivery overwrites the same dirs with the same deterministic
+    contents, recomputed against ``read_latest(before_batch)`` — the
+    retry reads exactly the pre-batch state); no summary swap, so there
+    is no ordering hazard between them and they overlap."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    clicks_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "clicks"),
+        keys=["user_id"],
+        bucket_col="user_id",
+        n_buckets=n_buckets,
+    )
+    out_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "enriched"),
+        keys=["event_id"],
+        insert_only=True,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            maintain_all([clicks_log, out_log], before_batch=batch_id)
+        asof_enrich_batch(clicks_log, out_log, batch, batch_id)
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_event_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return out_log.read_latest().select(
+        "event_id", "user_id", "ts", "last_click_ts"
+    )
+
+
+def asof_state_seed(clicks_log, ev: DataFrame, batch_id: int) -> DataFrame:
+    """The probed prior-click seed rows for one micro-batch: the state
+    read restricted to the batch's users, shaped like synthetic
+    ``event_id=-1`` click events. Split out so the plan test can pin the
+    dynamic-partition-pruned probe shape directly."""
+    if batch_id == 0:
+        return ev.sparkSession.createDataFrame([], ev.schema)
+    users = ev.select("user_id").distinct()
+    # STATIC bucket prune (the multimodal-probe idiom), not the DPP-join
+    # form: the clicks log is LWW, so read_latest puts a Window between
+    # the scan and any join — Spark's DPP rule will not reach through it,
+    # but a static isin on the layout column becomes PartitionFilters on
+    # the scan AND scopes the LWW window itself to the probed buckets.
+    # The collect is bounded by construction: <= n_buckets distinct ints.
+    kbs = sorted(
+        r["__kb"]
+        for r in users.select(
+            clicks_log.bucket_of(F.col("user_id")).alias("__kb")
+        )
+        .distinct()
+        .collect()
+    )
+    state = clicks_log.read_latest(before_batch=batch_id, buckets=kbs)
+    return state.join(F.broadcast(users), "user_id").select(
+        F.lit(-1).cast("long").alias("event_id"),
+        "user_id",
+        F.col("click_ts").alias("ts"),
+        F.lit("click").alias("event_type"),
+        "click_ts",
+    )
+
+
+def asof_enrich_batch(
+    clicks_log, out_log, batch: DataFrame, batch_id: int
+) -> None:
+    """One micro-batch of the as-of enrichment — module-level for the
+    retry tests. See pattern_streaming_asof_enrichment."""
+    from pyspark.sql import Window as W
+
+    ev = batch.filter(
+        F.col("event_type").isin("click", "purchase")
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "click", F.col("ts")).alias(
+            "click_ts"
+        ),
+    )
+    seed = asof_state_seed(clicks_log, ev, batch_id)
+    both = seed.unionByName(ev)
+    # at equal ts, 'click' < 'purchase' → ASOF's >= semantics; the seed's
+    # event_id=-1 sorts before any real same-ts event (same ordering as
+    # the batch operator, queries_advanced.q_asof_join)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_type", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    enriched = (
+        both.withColumn(
+            "last_click_ts", F.last("click_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "ts", "last_click_ts")
+    )
+    new_clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.max("click_ts").alias("click_ts"))
+    )
+    # both writes are idempotent per-batch appends — order-free, overlap
+    overlap(
+        lambda: out_log.append(enriched, batch_id),
+        lambda: clicks_log.append(new_clicks, batch_id),
+    )

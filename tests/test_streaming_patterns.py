@@ -3749,3 +3749,79 @@ def test_upsert_log_deferred_gc_compact_parks_too(spark, tmp_path):
         **{k: k * 10 + 2 for k in range(5, 10)},
         **{k: k * 10 + 9 for k in range(5)},
     }
+
+
+def test_asof_enrichment_retries_and_prunes_state_probe(spark, tmp_path):
+    """pattern_streaming_asof_enrichment's batch fn: (a) identical
+    enriched rows under every delivery schedule (idempotent per-batch
+    appends recomputed against read_latest(before_batch)); (b) the
+    state probe carries a dynamic-partition-pruning subquery on the
+    user-bucketed clicks log — per batch only the batch's users'
+    buckets are read, never the whole profile state."""
+    import contextlib
+    import datetime as dt
+    import io
+    import os
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        asof_enrich_batch,
+        asof_state_seed,
+    )
+
+    def ts(m):
+        return dt.datetime(2024, 1, 1, 0, m)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "event_id long, user_id long, ts timestamp,"
+            " event_type string"
+        )
+
+    b0 = mk([(0, 1, ts(0), "click"), (1, 2, ts(1), "purchase")])
+    b1 = mk([(2, 1, ts(5), "purchase"), (3, 2, ts(6), "click")])
+    b2 = mk([(4, 1, ts(9), "click"), (5, 1, ts(9), "purchase"),
+             (6, 2, ts(10), "purchase")])
+
+    results = {}
+    for crash in (None, "redeliver"):
+        root = str(tmp_path / f"asof_{crash}")
+        clicks = UpsertLog(
+            spark, os.path.join(root, "clicks"), keys=["user_id"],
+            bucket_col="user_id", n_buckets=4,
+        )
+        out = UpsertLog(
+            spark, os.path.join(root, "enriched"), keys=["event_id"],
+            insert_only=True,
+        )
+        asof_enrich_batch(clicks, out, b0, 0)
+        asof_enrich_batch(clicks, out, b1, 1)
+        if crash == "redeliver":
+            asof_enrich_batch(clicks, out, b1, 1)  # full re-delivery
+        asof_enrich_batch(clicks, out, b2, 2)
+        got = sorted(
+            (r["event_id"], r["last_click_ts"])
+            for r in out.read_latest().collect()
+        )
+        results[crash] = got
+    assert results[None] == results["redeliver"]
+    got = dict(results[None])
+    assert got[1] is None           # purchase before any click by user 2
+    assert got[2] == ts(0)          # carried state across batches
+    assert got[5] == ts(9)          # same-batch click at EQUAL ts visible
+    assert got[6] == ts(6)          # state from batch 1
+
+    # (b) plan shape: the seed probe is DPP-pruned to the batch's users
+    ev = b2.withColumn(
+        "click_ts",
+        F.when(F.col("event_type") == "click", F.col("ts")),
+    )
+    seed = asof_state_seed(clicks, ev, 3)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        seed.explain("formatted")
+    plan = buf.getvalue()
+    import re
+
+    m = re.search(r"PartitionFilters: \[[^\]]*__kb", plan)
+    assert m, plan[:3000]

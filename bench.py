@@ -94,6 +94,8 @@ HEADLINE = [
     "multimodal_ann_ivf",
     "hybrid_rrf_retrieval",
     "hybrid_rrf_retrieval_ivf",
+    "approx_quantiles_kmv",
+    "runtime_bloom_join_revenue",
     # physical layout
     "bucketed_join_revenue",
     "partition_pruned_daily_clicks",
@@ -120,6 +122,8 @@ HEADLINE = [
     "pattern_streaming_bm25_index",
     "pattern_streaming_bm25_midstream",
     "pattern_streaming_hybrid_retrieval",
+    "pattern_streaming_distinct_kmv",
+    "pattern_streaming_asof_enrichment",
     "pattern_streaming_full_funnel",
     "pattern_bootstrap_then_stream",
     "corpus_build_shards",

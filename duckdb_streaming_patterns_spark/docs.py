@@ -100,6 +100,9 @@ _NAME_OVERRIDES: dict[str, str] = {
     # pattern, the runtime-bloom join a join-strategy surface
     "pattern_streaming_distinct_kmv": "streaming-patterns",
     "runtime_bloom_join_revenue": "advanced-sql",
+    # custom Python DataSource (round 12): the batch scan is a source
+    # surface (reference core), the poll-loop replay stays streaming
+    "python_datasource_scan": "reference-core",
 }
 
 _MODULE_DEFAULTS: dict[str, str] = {

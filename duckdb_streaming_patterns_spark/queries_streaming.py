@@ -1178,3 +1178,54 @@ def q_pattern_streaming_asof_enrichment(
     return patterns.pattern_streaming_asof_enrichment(
         spark, chunks, run, state_partitions=4, compact_every=2
     )
+
+
+@register(
+    "python_datasource_scan",
+    """
+    SELECT doc_id, text, lang, source, n_chars FROM documents
+    """,
+)
+def q_python_datasource_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch table scan through the CUSTOM Python DataSource
+    (sources/pysource.py `chunk_topic`): one InputPartition per parquet
+    file, Arrow-RecordBatch reads on the executors — the Spark 4 custom-
+    source surface, value-identical to the native scan by oracle."""
+    import os as _os
+
+    from duckdb_streaming_patterns_spark.sources import pysource
+
+    pysource.ensure_registered(spark)
+    return (
+        spark.read.format("chunk_topic")
+        .option("path", _os.path.join(sf_dir, "documents.parquet"))
+        .load()
+        .select("doc_id", "text", "lang", "source", "n_chars")
+    )
+
+
+@register(
+    "pattern_streaming_python_source",
+    """
+    WITH p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per
+               FROM documents)
+    SELECT doc_id,
+           CAST(floor(doc_id / per) AS BIGINT) AS batch_seq
+    FROM documents, p
+    """,
+)
+def q_pattern_streaming_python_source(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The topic poll-loop through the custom Python streaming source:
+    staged chunks replayed one-offset-per-micro-batch via the
+    chunk_topic format's offset contract; the (doc_id, batch_seq) oracle
+    pins exactly-once arrival AND offset-order == chunk-order. See
+    streaming/patterns.pattern_streaming_python_source."""
+    run = staging.new_run_dir("ppysrc")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    # cadence 2: fires the arrivals-log maintenance mid-replay (see the
+    # stream-stream join form for the rationale)
+    return patterns.pattern_streaming_python_source(
+        spark, chunks, run, n_chunks=5, state_partitions=4, compact_every=2
+    )

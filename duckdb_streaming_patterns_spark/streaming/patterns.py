@@ -3140,3 +3140,82 @@ def asof_enrich_batch(
         lambda: out_log.append(enriched, batch_id),
         lambda: clicks_log.append(new_clicks, batch_id),
     )
+
+
+def pattern_streaming_python_source(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    n_chunks: int = 5,
+    state_partitions: int | None = 4,
+    compact_every: int = 8,
+) -> DataFrame:
+    """The reference's topic poll-loop through Spark 4's CUSTOM Python
+    DataSource API (sources/pysource.py): documents arrive through the
+    ``chunk_topic`` format — a source this repo implements against the
+    public offset contract (initialOffset / latestOffset / partitions /
+    commit, Arrow-batched executor-side reads) rather than the built-in
+    file source — and each micro-batch's rows land in a fenced
+    insert-only log with their batch id.
+
+    The emitted (doc_id, batch_seq) pairs pin BOTH halves of the source
+    contract in one oracle: every document arrived exactly once
+    (doc_id coverage) and in the right micro-batch (batch_seq ==
+    arithmetic chunk of doc_id — offset order IS chunk order, no mtime
+    stamping involved). The stop condition is the reference's poll-loop
+    shape (pattern_1_1.py:119-124): run until the source reports no new
+    offsets, then stop — expressed here as draining until the sink has
+    all ``n_chunks`` fenced batches.
+
+    At 100 TB the pattern is unchanged: the source's five methods are
+    the entire porting surface for a real broker-backed topic, and the
+    per-batch work here is O(batch) appends."""
+    import time as _time
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+    from duckdb_streaming_patterns_spark.sources import pysource
+    from duckdb_streaming_patterns_spark.streaming.staging import DOC_SCHEMA
+
+    pysource.ensure_registered(spark)
+    out_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "arrivals"),
+        keys=["doc_id"],
+        insert_only=True,
+    )
+
+    applied: set[int] = set()
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            out_log.maintain(before_batch=batch_id)
+        out_log.append(
+            batch.select(
+                "doc_id", F.lit(batch_id).cast("long").alias("batch_seq")
+            ),
+            batch_id,
+        )
+        applied.add(batch_id)  # after the append is durable
+
+    with _state_partitions(spark, state_partitions):
+        sdf = (
+            spark.readStream.format("chunk_topic")
+            .option("path", chunks_dir)
+            .schema(DOC_SCHEMA)
+            .load()
+        )
+        q = (
+            sdf.writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # poll-loop stop condition: drain until all n_chunks fenced
+        # micro-batches have durably applied (bounded: the source paces
+        # one chunk per micro-batch, so this converges in n_chunks ticks)
+        deadline = _time.monotonic() + 300
+        while _time.monotonic() < deadline and len(applied) < n_chunks:
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+    return out_log.read_latest().select("doc_id", "batch_seq")

@@ -144,6 +144,7 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
         "pattern_streaming_hybrid_retrieval",
         "pattern_streaming_distinct_kmv",
         "pattern_streaming_asof_enrichment",
+        "pattern_streaming_python_source",
     ]
     for name in owners:
         src = inspect.getsource(qs[name])

@@ -1,0 +1,103 @@
+"""Custom Python DataSource tests (sources/pysource.py): the offset
+contract and pacing are pure-Python — pinned without a Spark session —
+plus the end-to-end Arrow read through a real session."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql.types import StructType
+
+
+def _stage(tmp_path, n_chunks=3, rows_per=4):
+    """A minimal __chunk=K parquet layout (what staging writes)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    root = str(tmp_path / "chunks")
+    for k in range(n_chunks):
+        d = os.path.join(root, f"__chunk={k}")
+        os.makedirs(d)
+        ids = list(range(k * rows_per, (k + 1) * rows_per))
+        t = pa.table({"doc_id": ids, "text": [f"d{i}" for i in ids]})
+        pq.write_table(t, os.path.join(d, "part-0.parquet"))
+    return root
+
+
+def _schema():
+    from pyspark.sql.types import LongType, StringType, StructField
+
+    return StructType(
+        [
+            StructField("doc_id", LongType()),
+            StructField("text", StringType()),
+        ]
+    )
+
+
+def test_stream_reader_paces_one_chunk_per_batch(tmp_path):
+    from duckdb_streaming_patterns_spark.sources.pysource import (
+        ChunkTopicStreamReader,
+    )
+
+    r = ChunkTopicStreamReader(_schema(), {"path": _stage(tmp_path)})
+    assert r.initialOffset() == {"chunk": 0}
+    # one chunk per latestOffset call, capped at what exists
+    assert r.latestOffset() == {"chunk": 1}
+    assert r.latestOffset() == {"chunk": 2}
+    assert r.latestOffset() == {"chunk": 3}
+    assert r.latestOffset() == {"chunk": 3}  # drained: no phantom offsets
+    parts = r.partitions({"chunk": 0}, {"chunk": 2})
+    assert len(parts) == 2  # one file per staged chunk
+    rows = [t for p in parts for t in r.read(p)]
+    assert sum(b.num_rows for b in rows) == 8  # chunks 0+1 only
+    r.commit({"chunk": 2})  # no-op by contract, must not raise
+
+
+def test_stream_reader_restart_never_plans_backwards(tmp_path):
+    """A checkpoint-restarted query re-creates the reader (pacer = 0)
+    and immediately plans partitions(start=committed, end=committed+k);
+    the pacer must fold that end back in so the NEXT latestOffset is
+    >= the committed watermark instead of replaying from 1."""
+    from duckdb_streaming_patterns_spark.sources.pysource import (
+        ChunkTopicStreamReader,
+    )
+
+    root = _stage(tmp_path)
+    fresh = ChunkTopicStreamReader(_schema(), {"path": root})
+    fresh.partitions({"chunk": 2}, {"chunk": 3})  # restart replan
+    assert fresh.latestOffset() == {"chunk": 3}
+
+
+def test_batch_reader_plans_one_partition_per_file(tmp_path):
+    from duckdb_streaming_patterns_spark.sources.pysource import (
+        ChunkTopicBatchReader,
+    )
+
+    r = ChunkTopicBatchReader(_schema(), {"path": _stage(tmp_path)})
+    parts = r.partitions()
+    assert len(parts) == 3
+    batches = [b for p in parts for b in r.read(p)]
+    assert sum(b.num_rows for b in batches) == 12
+    # schema projection: column order follows the SOURCE schema
+    assert batches[0].schema.names == ["doc_id", "text"]
+
+
+def test_chunk_topic_end_to_end_matches_native_scan(spark, sf_small):
+    """Batch read through the registered format equals the native scan
+    (value-level), and streaming replay delivers chunks as ordered
+    micro-batches."""
+    from duckdb_streaming_patterns_spark.queries import QUERIES
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    fn, _ = QUERIES["python_datasource_scan"]
+    got = sorted(
+        (r["doc_id"], r["n_chars"]) for r in fn(spark, sf_small).collect()
+    )
+    want = sorted(
+        (r["doc_id"], r["n_chars"])
+        for r in load_table(spark, sf_small, "documents")
+        .select("doc_id", "n_chars")
+        .collect()
+    )
+    assert got == want

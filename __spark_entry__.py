@@ -194,11 +194,26 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     text_pii_redact, the PII REWRITE half (the scan half had no
 #     driver row either — the redact row hash-covers both the span
 #     grammar and the rewrite order).
+# Round-12 third rotation — the session's two new source/temporal
+# patterns get driver rows:
+#   asof_join_last_click (batch as-of) → pattern_streaming_asof_enrichment:
+#     the SAME DuckDB native-ASOF oracle, and the streaming form runs
+#     the batch operator's union+window composition inside every
+#     micro-batch on top of the bucketed LWW state seed — so the batch
+#     machinery is pinned INSIDE the streaming hash row (batch row stays
+#     exact-checked locally);
+#   scalar_max_ts (single scalar max — pinned inside
+#     watermark_delta_incremental's max-watermark probe and
+#     q1_pricing_summary's aggregate set; stays exact-checked locally)
+#     → pattern_streaming_python_source, the custom Python DataSource
+#     poll-loop whose (doc_id, batch_seq) hash row pins the offset
+#     contract (exactly-once arrival + offset-order ≡ chunk-order) —
+#     the round's S1/S2 source-surface proof.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
     "user_clicks_top5",
-    "scalar_max_ts",
+    "pattern_streaming_python_source",
     "watermark_delta_incremental",
     "pattern_streaming_quality_drift",
     "events_json_extract",
@@ -245,7 +260,7 @@ _PRIORITY = [
     "pattern_gdpr_delete_propagation",
     "doc_chunks_udtf",
     # join/layout strategies (§2.12 scale surfaces)
-    "asof_join_last_click",
+    "pattern_streaming_asof_enrichment",
     "range_join_price_bands",
     "bucketed_join_revenue",
     "partition_pruned_daily_clicks",

@@ -27,6 +27,14 @@ def test_first_50_cover_every_family():
         "base": {"user_clicks", "snapshot_type_widening_read"},
         "streaming": {
             "pattern_1_1_incremental_merge",
+            # round-12 third rotation: asof_join_last_click and
+            # scalar_max_ts rotated out (batch-asof machinery runs
+            # inside the streaming row's per-batch window; scalar max is
+            # pinned by the watermark probe + q1's agg set) — the
+            # streaming temporal-lookup and custom-source rows took the
+            # slots
+            "pattern_streaming_asof_enrichment",
+            "pattern_streaming_python_source",
             "pattern_1_2_cdf_merge",
             "pattern_2_complete_overwrite",
             "pattern_2_insert_overwrite",
@@ -104,7 +112,8 @@ def test_first_50_cover_every_family():
             "contamination_ngram_overlap",
             "contamination_bloom_flags",
         },
-        "layout": {"bucketed_join_revenue", "partition_pruned_daily_clicks"},
+        "layout": {"bucketed_join_revenue", "partition_pruned_daily_clicks",
+                   "range_join_price_bands"},
         "tpch": {"q1_pricing_summary", "q3_shipping_priority"},
     }
     for fam, members in families.items():

@@ -124,6 +124,8 @@ HEADLINE = [
     "pattern_streaming_hybrid_retrieval",
     "pattern_streaming_distinct_kmv",
     "pattern_streaming_asof_enrichment",
+    "pattern_streaming_python_source",
+    "pattern_streaming_python_sink",
     "pattern_streaming_full_funnel",
     "pattern_bootstrap_then_stream",
     "corpus_build_shards",

@@ -1229,3 +1229,28 @@ def q_pattern_streaming_python_source(
     return patterns.pattern_streaming_python_source(
         spark, chunks, run, n_chunks=5, state_partitions=4, compact_every=2
     )
+
+
+@register(
+    "pattern_streaming_python_sink",
+    """
+    WITH p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per
+               FROM documents)
+    SELECT doc_id,
+           CAST(floor(doc_id / per) AS BIGINT) AS batch_seq
+    FROM documents, p
+    """,
+)
+def q_pattern_streaming_python_sink(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The custom Python stream SINK: the chunk-topic stream produced
+    back out through DataSourceStreamWriter's staged-files +
+    manifest-last commit protocol, read back through the manifest
+    commit point. Oracle pins exactly-once publish + batch placement.
+    See streaming/patterns.pattern_streaming_python_sink."""
+    run = staging.new_run_dir("ppysink")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    return patterns.pattern_streaming_python_sink(
+        spark, chunks, run, n_chunks=5, state_partitions=4
+    )

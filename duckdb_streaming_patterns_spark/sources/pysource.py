@@ -163,6 +163,9 @@ class ChunkTopicDataSource(DataSource):
     def streamReader(self, schema) -> DataSourceStreamReader:
         return ChunkTopicStreamReader(schema, self.options)
 
+    def streamWriter(self, schema, overwrite):
+        return ChunkTopicStreamWriter(schema, self.options)
+
 
 _REGISTERED = False
 
@@ -173,3 +176,134 @@ def ensure_registered(spark) -> None:
     if not _REGISTERED:
         spark.dataSource.register(ChunkTopicDataSource)
         _REGISTERED = True
+
+
+# ---------------------------------------------------------------------------
+# The WRITE half: a chunk-topic SINK through the public stream-writer
+# lifecycle (the reference's Kafka PRODUCER wire, W7 — here the
+# transactional-producer shape: staged task files become visible only
+# when the driver's commit publishes the batch manifest).
+
+
+class _StagedFileCommit:
+    """Picklable commit message: one staged file written by one task."""
+
+    def __init__(self, path: str, rows: int):
+        self.path = path
+        self.rows = rows
+
+
+# WriterCommitMessage is a plain marker base — subclass it so Spark's
+# type check passes while keeping the class module-level picklable
+from pyspark.sql.datasource import (  # noqa: E402
+    DataSourceStreamArrowWriter,
+    WriterCommitMessage,
+)
+
+
+class _FileCommit(WriterCommitMessage, _StagedFileCommit):
+    pass
+
+
+COMMIT_MANIFEST = "_commit.json"
+
+
+class ChunkTopicStreamWriter(DataSourceStreamArrowWriter):
+    """Exactly-once publish protocol (the repo's manifest-last commit
+    discipline, applied to the sink API):
+
+    - ``write`` (executors): each task writes its Arrow batches to ONE
+      staged parquet file under ``<path>/.staged/`` and returns it as
+      the commit message — nothing under ``.staged/`` is ever readable.
+    - ``commit`` (driver, all tasks succeeded): move the staged files
+      into ``<path>/__batch=<id>/``, then write the batch's
+      ``_commit.json`` manifest STRICTLY LAST — the manifest IS the
+      commit point; readers ignore manifest-less dirs, so a crash
+      between moves publishes nothing.
+    - ``abort`` (driver, any task failed): delete the staged files; a
+      Spark retry re-runs the whole micro-batch.
+
+    A re-delivered batch id overwrites its own directory before
+    re-publishing (idempotent, same as the engine's fenced appends)."""
+
+    def __init__(self, schema, options):
+        self.path = options["path"]
+        self.field_names = [f.name for f in schema.fields]
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        staged_dir = os.path.join(self.path, ".staged")
+        os.makedirs(staged_dir, exist_ok=True)
+        out = os.path.join(staged_dir, f"{uuid.uuid4().hex}.parquet")
+        writer = None
+        rows = 0
+        for batch in iterator:
+            if writer is None:
+                writer = pq.ParquetWriter(out, batch.schema)
+            writer.write_table(pa.Table.from_batches([batch]))
+            rows += batch.num_rows
+        if writer is not None:
+            writer.close()
+        else:
+            return None  # empty task: nothing staged, no message
+        return _FileCommit(out, rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import shutil
+
+        d = os.path.join(self.path, f"__batch={batchId}")
+        if os.path.isdir(d):  # re-delivered epoch: replace, re-publish
+            shutil.rmtree(d)
+        os.makedirs(d)
+        names = []
+        for i, m in enumerate(m for m in messages if m is not None):
+            name = f"part-{i:05d}.parquet"
+            os.replace(m.path, os.path.join(d, name))
+            names.append({"file": name, "rows": m.rows})
+        tmp = os.path.join(d, f".{COMMIT_MANIFEST}.tmp")
+        with open(tmp, "w") as f:
+            json.dump({"batch": batchId, "files": names}, f)
+            f.flush()
+            os.fsync(f.fileno())
+        os.replace(tmp, os.path.join(d, COMMIT_MANIFEST))  # commit point
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+def committed_batches(path: str) -> list[int]:
+    """Batch ids the sink has PUBLISHED (manifest present) — the only
+    dirs a reader may touch."""
+    return sorted(
+        int(d.rsplit("=", 1)[1])
+        for d in glob.glob(os.path.join(path, "__batch=*"))
+        if os.path.exists(os.path.join(d, COMMIT_MANIFEST))
+    )
+
+
+def read_committed(spark, path: str):
+    """The produced topic, committed batches only, with the batch id as
+    a column (a consumer that respects the manifest commit point)."""
+    from pyspark.sql import functions as F
+
+    dfs = []
+    for b in committed_batches(path):
+        d = os.path.join(path, f"__batch={b}")
+        dfs.append(
+            spark.read.parquet(d).withColumn(
+                "batch_seq", F.lit(b).cast("long")
+            )
+        )
+    if not dfs:
+        raise ValueError(f"no committed batches under {path}")
+    out = dfs[0]
+    for df in dfs[1:]:
+        out = out.unionByName(df)
+    return out

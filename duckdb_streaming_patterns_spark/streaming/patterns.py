@@ -3219,3 +3219,62 @@ def pattern_streaming_python_source(
         q.stop()
         q.awaitTermination()
     return out_log.read_latest().select("doc_id", "batch_seq")
+
+
+def pattern_streaming_python_sink(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    n_chunks: int = 5,
+    state_partitions: int | None = 4,
+) -> DataFrame:
+    """The PRODUCER half of the custom-source story (reference W7 — the
+    Kafka producer wire, pattern_2.py:22-24): the chunk-topic stream is
+    written back out through the PUBLIC ``DataSourceStreamWriter``
+    lifecycle (sources/pysource.py `ChunkTopicStreamWriter`) — executor
+    tasks stage Arrow-batched parquet files and return them as commit
+    messages; the driver's ``commit`` publishes each micro-batch by
+    moving the staged files into ``__batch=<id>/`` and writing the
+    batch manifest STRICTLY LAST (the transactional-producer shape: a
+    crash mid-publish exposes nothing, ``abort`` discards the staged
+    files, a re-delivered epoch republishes idempotently).
+
+    The row is the produced topic read back through the manifest commit
+    point: (doc_id, batch_seq) — so ONE oracle hash pins the entire
+    produce path: every document published exactly once, in the
+    micro-batch its offset says, with nothing visible from uncommitted
+    state. Together with pattern_streaming_python_source this closes
+    the loop: both directions of the external-topic contract execute
+    through public Spark APIs."""
+    import time as _time
+
+    from duckdb_streaming_patterns_spark.sources import pysource
+    from duckdb_streaming_patterns_spark.streaming.staging import DOC_SCHEMA
+
+    pysource.ensure_registered(spark)
+    out = os.path.join(run_dir, "topic_out")
+    with _state_partitions(spark, state_partitions):
+        sdf = (
+            spark.readStream.format("chunk_topic")
+            .option("path", chunks_dir)
+            .schema(DOC_SCHEMA)
+            .load()
+        )
+        q = (
+            sdf.writeStream.format("chunk_topic")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(processingTime="0 seconds")
+            .start()
+        )
+        # poll-loop stop condition on the PUBLISHED manifests — the
+        # consumer-visible commit point, not internal progress
+        deadline = _time.monotonic() + 300
+        while (
+            _time.monotonic() < deadline
+            and len(pysource.committed_batches(out)) < n_chunks
+        ):
+            _time.sleep(0.2)
+        q.stop()
+        q.awaitTermination()
+    return pysource.read_committed(spark, out).select("doc_id", "batch_seq")

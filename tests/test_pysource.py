@@ -101,3 +101,60 @@ def test_chunk_topic_end_to_end_matches_native_scan(spark, sf_small):
         .collect()
     )
     assert got == want
+
+
+def test_sink_commit_protocol_manifest_last(tmp_path):
+    """The sink's publish protocol: staged files invisible; commit
+    moves files then writes the manifest LAST; a dir without a manifest
+    is ignored by the committed reader; abort discards staged files; a
+    re-delivered batch republishes idempotently."""
+    import json
+    import os
+
+    import pyarrow as pa
+
+    from duckdb_streaming_patterns_spark.sources.pysource import (
+        COMMIT_MANIFEST,
+        ChunkTopicStreamWriter,
+        committed_batches,
+    )
+
+    out = str(tmp_path / "topic")
+    os.makedirs(out)
+    w = ChunkTopicStreamWriter(_schema(), {"path": out})
+
+    def batches(ids):
+        yield pa.record_batch(
+            {"doc_id": ids, "text": [f"d{i}" for i in ids]}
+        )
+
+    # task write stages, publishes nothing
+    m0 = w.write(batches([0, 1]))
+    assert os.path.exists(m0.path) and ".staged" in m0.path
+    assert committed_batches(out) == []
+    # commit publishes batch 0, manifest last
+    w.commit([m0, None], 0)  # None = empty task, must be skipped
+    assert committed_batches(out) == [0]
+    d0 = os.path.join(out, "__batch=0")
+    assert os.path.exists(os.path.join(d0, COMMIT_MANIFEST))
+    assert json.load(open(os.path.join(d0, COMMIT_MANIFEST)))["files"][0][
+        "rows"
+    ] == 2
+    # a manifest-less dir (crash between moves and manifest) is invisible
+    os.makedirs(os.path.join(out, "__batch=7"))
+    assert committed_batches(out) == [0]
+    # abort discards staged files
+    m1 = w.write(batches([2]))
+    w.abort([m1], 1)
+    assert not os.path.exists(m1.path)
+    assert committed_batches(out) == [0]
+    # re-delivered epoch republishes (old contents replaced)
+    m0b = w.write(batches([0, 1, 5]))
+    w.commit([m0b], 0)
+    assert committed_batches(out) == [0]
+    assert json.load(open(os.path.join(d0, COMMIT_MANIFEST)))["files"][0][
+        "rows"
+    ] == 3
+    # empty epoch: all-None messages still publish an (empty) manifest
+    w.commit([None], 2)
+    assert committed_batches(out) == [0, 2]

@@ -209,6 +209,14 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     poll-loop whose (doc_id, batch_seq) hash row pins the offset
 #     contract (exactly-once arrival + offset-order ≡ chunk-order) —
 #     the round's S1/S2 source-surface proof.
+#   pattern_1_2_cdf_merge (CDF insert-feed merge — table_changes is
+#     pinned by pattern_gdpr_delete_propagation, which reads the same
+#     change feed including _change_type, and the additive merge by
+#     pattern_1_1; stays exact-checked locally) →
+#     pattern_streaming_python_sink, the W7 producer half: staged
+#     Arrow files + manifest-last commit through the public
+#     DataSourceStreamWriter lifecycle — with the source row above,
+#     BOTH directions of the topic contract carry driver hashes.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -222,7 +230,7 @@ _PRIORITY = [
     "snapshot_type_widening_read",
     # streaming patterns (SURVEY §3, §2.9)
     "pattern_1_1_incremental_merge",
-    "pattern_1_2_cdf_merge",
+    "pattern_streaming_python_sink",
     "pattern_2_complete_overwrite",
     "pattern_2_insert_overwrite",
     "pattern_windowed_watermark",

@@ -35,7 +35,10 @@ def test_first_50_cover_every_family():
             # slots
             "pattern_streaming_asof_enrichment",
             "pattern_streaming_python_source",
-            "pattern_1_2_cdf_merge",
+            # pattern_1_2_cdf_merge rotated out late-r12 (table_changes
+            # pinned by the GDPR propagation row, additive merge by
+            # pattern_1_1); the custom-sink row took the slot
+            "pattern_streaming_python_sink",
             "pattern_2_complete_overwrite",
             "pattern_2_insert_overwrite",
             "pattern_windowed_watermark",

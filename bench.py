@@ -123,6 +123,7 @@ HEADLINE = [
     "pattern_streaming_bm25_midstream",
     "pattern_streaming_hybrid_retrieval",
     "pattern_streaming_distinct_kmv",
+    "pattern_streaming_quantiles_kmv",
     "pattern_streaming_asof_enrichment",
     "pattern_streaming_python_source",
     "pattern_streaming_python_sink",

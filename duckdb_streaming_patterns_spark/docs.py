@@ -99,6 +99,7 @@ _NAME_OVERRIDES: dict[str, str] = {
     # sketch module (round 12): the streaming KMV fold is a streaming
     # pattern, the runtime-bloom join a join-strategy surface
     "pattern_streaming_distinct_kmv": "streaming-patterns",
+    "pattern_streaming_quantiles_kmv": "streaming-patterns",
     "runtime_bloom_join_revenue": "advanced-sql",
     # custom Python DataSource (round 12): the batch scan is a source
     # surface (reference core), the poll-loop replay stays streaming

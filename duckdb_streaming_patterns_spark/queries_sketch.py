@@ -233,3 +233,65 @@ def q_runtime_bloom_join_revenue(
             F.sum(rev).cast("double").alias("revenue"),
         )
     )
+
+
+_SQ_PCT_SQL = ",\n           ".join(
+    f"max(CASE WHEN vr = (m * {num} + {den} - 1) // {den} THEN val END)"
+    f" AS {name}"
+    for name, num, den in (("p50_tokens", 1, 2), ("p90_tokens", 9, 10))
+)
+
+# Streaming ≡ batch at EVERY prefix: under monotone doc_id chunking a
+# doc's batch is floor(doc_id/per); batch b's maintained sample ranks
+# exactly the docs with fb <= b (the quantile analogue of the KMV
+# prefix oracle above).
+_STREAM_QUANTILES_ORACLE = rf"""
+    WITH p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per
+               FROM documents),
+    t AS (SELECT doc_id, lang,
+                 CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+                   AS val,
+                 md5(CAST(doc_id AS VARCHAR)) AS hx,
+                 CAST(floor(doc_id / per) AS BIGINT) AS fb
+          FROM documents, p),
+    h AS (SELECT doc_id, lang, val, hx, fb, {_KQ_H60} AS h60 FROM t),
+    bs AS (SELECT DISTINCT fb AS batch_seq FROM t),
+    pre AS (SELECT bs.batch_seq, h.lang, h.doc_id, h.val, h.hx, h.h60
+            FROM h JOIN bs ON h.fb <= bs.batch_seq),
+    s AS (SELECT batch_seq, lang, doc_id, val,
+                 row_number() OVER (PARTITION BY batch_seq, lang
+                                    ORDER BY h60, hx) AS rn
+          FROM pre),
+    k AS (SELECT batch_seq, lang, doc_id, val FROM s
+          WHERE rn <= {_KQ_K}),
+    r AS (SELECT batch_seq, lang, val,
+                 row_number() OVER (PARTITION BY batch_seq, lang
+                                    ORDER BY val, doc_id) AS vr,
+                 count(*) OVER (PARTITION BY batch_seq, lang) AS m
+          FROM k)
+    SELECT batch_seq, lang, CAST(max(m) AS BIGINT) AS n_sample,
+           {_SQ_PCT_SQL}
+    FROM r GROUP BY batch_seq, lang
+"""
+
+
+@register("pattern_streaming_quantiles_kmv", _STREAM_QUANTILES_ORACLE)
+def q_pattern_streaming_quantiles_kmv(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Streaming quantile-sketch maintenance: documents replayed as 5
+    micro-batches; each batch folds its per-language bottom-k hash
+    sample into the fenced state and records the sample's exact
+    nearest-rank p50/p90 token counts — the distribution-drift
+    trajectory, oracle-pinned at every prefix by the same merge law as
+    the KMV cardinality fold. See
+    streaming/patterns.pattern_streaming_quantiles_kmv."""
+    from duckdb_streaming_patterns_spark.streaming import patterns, staging
+
+    run = staging.new_run_dir("pqkmv")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    # cadence 2: fires the estimate-log maintenance mid-replay (see
+    # test_entry_contract's cadence rationale)
+    return patterns.pattern_streaming_quantiles_kmv(
+        spark, chunks, run, k=_KQ_K, state_partitions=4, compact_every=2
+    )

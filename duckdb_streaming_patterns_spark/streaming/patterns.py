@@ -3278,3 +3278,119 @@ def pattern_streaming_python_sink(
         q.stop()
         q.awaitTermination()
     return pysource.read_committed(spark, out).select("doc_id", "batch_seq")
+
+
+def pattern_streaming_quantiles_kmv(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    k: int = 64,
+    state_partitions: int | None = 4,
+    compact_every: int = 8,
+) -> DataFrame:
+    """Streaming quantile-sketch maintenance: the bottom-k-by-md5 hash
+    sample behind ``approx_quantiles_kmv``, folded per micro-batch — the
+    quantile half of the mergeable-sketch pair (see
+    :func:`pattern_streaming_distinct_kmv` for the cardinality half and
+    the shared merge-law argument: k-min of a union == k-min of the
+    merged k-min sets, so the maintained sample IS the prefix sample
+    and the whole per-batch estimate trajectory is oracle-hash-exact).
+
+    Per batch: the batch's per-language (doc_id, token_count, hash)
+    triples union with the accumulated sample, the k smallest hashes
+    survive per language, and one durable row per (batch, lang) records
+    the sample's exact nearest-rank p50/p90 token counts — the
+    distribution-drift trajectory an ingest pipeline monitors without
+    ever sorting the corpus. State: ≤ k rows × n_langs in a fenced
+    SummaryTable; per-batch cost O(batch + k·n_langs), corpus-size-free.
+    Retry: same two-crash-window contract as the KMV fold."""
+    state = SummaryTable(
+        spark,
+        os.path.join(run_dir, "sample"),
+        "lang string, doc_id long, val long, hx string, h60 long",
+    )
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    verdict_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "estimates"),
+        keys=["batch_seq", "lang"],
+        insert_only=True,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            verdict_log.maintain(before_batch=batch_id)
+        quantiles_kmv_batch(state, verdict_log, batch, batch_id, k)
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_document_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return verdict_log.read_latest().select(
+        "batch_seq", "lang", "n_sample", "p50_tokens", "p90_tokens"
+    )
+
+
+def quantiles_kmv_batch(
+    state, verdict_log, batch: DataFrame, batch_id: int, k: int
+) -> None:
+    """One micro-batch of the quantile-sample fold — module-level for
+    the retry tests. See pattern_streaming_quantiles_kmv."""
+    from pyspark.sql import Window as W
+
+    from duckdb_streaming_patterns_spark.functions.text import tokens
+
+    applied = state.last_batch_id() >= batch_id
+    prior = state.read_prev() if applied else state.read()
+    bd = batch.select(
+        "lang",
+        "doc_id",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("val"),
+        F.md5(F.col("doc_id").cast("string")).alias("hx"),
+    ).withColumn(
+        "h60", F.conv(F.substring("hx", 1, 15), 16, 10).cast("long")
+    )
+    merged = prior.unionByName(bd).dropDuplicates(["lang", "doc_id"])
+    w = W.partitionBy("lang").orderBy("h60", "hx")
+    kept = (
+        merged.select(
+            "lang", "doc_id", "val", "hx", "h60",
+            F.row_number().over(w).alias("__rn"),
+        )
+        .where(F.col("__rn") <= k)
+        .drop("__rn")
+        .localCheckpoint(eager=True)
+    )
+    r = kept.select(
+        "lang",
+        "val",
+        F.row_number()
+        .over(W.partitionBy("lang").orderBy("val", "doc_id"))
+        .alias("__vr"),
+        F.count("*").over(W.partitionBy("lang")).alias("__m"),
+    )
+    aggs = [F.max("__m").cast("bigint").alias("n_sample")]
+    for name, num, den in (("p50_tokens", 1, 2), ("p90_tokens", 9, 10)):
+        idx = F.floor((F.col("__m") * num + den - 1) / den)
+        aggs.append(
+            F.max(F.when(F.col("__vr") == idx, F.col("val"))).alias(name)
+        )
+    est = r.groupBy("lang").agg(*aggs).select(
+        F.lit(batch_id).cast("long").alias("batch_seq"),
+        "lang",
+        "n_sample",
+        "p50_tokens",
+        "p90_tokens",
+    )
+
+    def _roll_state():
+        if not applied:
+            state.overwrite(kept, batch_id=batch_id)
+
+    overlap(lambda: verdict_log.append(est, batch_id), _roll_state)

@@ -158,3 +158,60 @@ def test_sink_commit_protocol_manifest_last(tmp_path):
     # empty epoch: all-None messages still publish an (empty) manifest
     w.commit([None], 2)
     assert committed_batches(out) == [0, 2]
+
+
+def test_stream_source_tails_chunks_added_mid_query(spark, tmp_path):
+    """latestOffset re-lists the directory per micro-batch, so a chunk
+    landing WHILE the query runs is picked up — the tailing behavior of
+    a real topic (a file-source replay can do this too, but here it is
+    the offset contract that delivers it, in chunk order)."""
+    import os
+    import shutil
+    import time
+
+    from duckdb_streaming_patterns_spark.sources import pysource
+
+    root = _stage(tmp_path, n_chunks=2, rows_per=4)
+    pysource.ensure_registered(spark)
+    seen: list[tuple[int, list[int]]] = []
+
+    def sink(b, bid):
+        seen.append((bid, sorted(r["doc_id"] for r in b.collect())))
+
+    q = (
+        spark.readStream.format("chunk_topic")
+        .option("path", root)
+        .schema("doc_id long, text string")
+        .load()
+        .writeStream.foreachBatch(sink)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(processingTime="0 seconds")
+        .start()
+    )
+    try:
+        deadline = time.monotonic() + 60
+        while time.monotonic() < deadline and len(seen) < 2:
+            time.sleep(0.1)
+        assert len(seen) >= 2
+        # chunk 2 lands mid-query (staged atomically: write then rename)
+        tmp_chunk = str(tmp_path / "newchunk")
+        os.makedirs(tmp_chunk)
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        ids = [100, 101]
+        pq.write_table(
+            pa.table({"doc_id": ids, "text": ["x", "y"]}),
+            os.path.join(tmp_chunk, "part-0.parquet"),
+        )
+        shutil.move(tmp_chunk, os.path.join(root, "__chunk=2"))
+        while time.monotonic() < deadline and len(seen) < 3:
+            time.sleep(0.1)
+    finally:
+        q.stop()
+        q.awaitTermination()
+    assert len(seen) >= 3
+    # one chunk per micro-batch, in chunk order, tail included
+    assert seen[0] == (0, [0, 1, 2, 3])
+    assert seen[1] == (1, [4, 5, 6, 7])
+    assert seen[2] == (2, [100, 101])

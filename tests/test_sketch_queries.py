@@ -171,3 +171,62 @@ def test_runtime_bloom_join_plan_injects_bloom_filter(spark, sf_small):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_streaming_quantiles_retries_idempotently(spark, tmp_path):
+    """Quantile-sample fold retry contract (same two crash windows as
+    the KMV fold): identical trajectory under every delivery schedule,
+    and the below-k samples make the estimates EXACT nearest-rank
+    percentiles of the prefix."""
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        SummaryTable,
+        UpsertLog,
+    )
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        quantiles_kmv_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(
+            rows, "doc_id long, lang string, text string"
+        )
+
+    b0 = mk([(0, "en", "one two three"), (1, "en", "one")])
+    b1 = mk([(2, "en", "one two three four five"), (3, "de", "ein zwei")])
+    b2 = mk([(4, "en", "one two")])
+
+    results = {}
+    for crash in (None, "redeliver", "after_merge"):
+        root = str(tmp_path / f"q_{crash}")
+        state = SummaryTable(
+            spark,
+            os.path.join(root, "sample"),
+            "lang string, doc_id long, val long, hx string, h60 long",
+        )
+        vlog = UpsertLog(
+            spark,
+            os.path.join(root, "estimates"),
+            keys=["batch_seq", "lang"],
+            insert_only=True,
+        )
+        quantiles_kmv_batch(state, vlog, b0, 0, 64)
+        if crash == "after_merge":
+            quantiles_kmv_batch(state, vlog, b1, 1, 64)
+            shutil.rmtree(os.path.join(vlog.root, "__batch_id=1"))
+        quantiles_kmv_batch(state, vlog, b1, 1, 64)
+        if crash == "redeliver":
+            quantiles_kmv_batch(state, vlog, b1, 1, 64)
+        quantiles_kmv_batch(state, vlog, b2, 2, 64)
+        got = sorted(
+            (r["batch_seq"], r["lang"], r["n_sample"], r["p50_tokens"],
+             r["p90_tokens"])
+            for r in vlog.read_latest().collect()
+        )
+        results[crash] = got
+    assert results[None] == results["redeliver"] == results["after_merge"]
+    got = results[None]
+    # en prefix at batch 2: vals {3,1,5,2} -> sorted [1,2,3,5]; m=4;
+    # p50 idx=2 -> 2, p90 idx=4 -> 5
+    assert (2, "en", 4, 2, 5) in got
+    # de appears from batch 1 on, single val 2
+    assert (1, "de", 1, 2, 2) in got and (2, "de", 1, 2, 2) in got

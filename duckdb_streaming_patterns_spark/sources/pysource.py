@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import glob
 import os
+import sys
 
 from pyspark.sql.datasource import (
     DataSource,
@@ -171,9 +172,25 @@ _REGISTERED = False
 
 
 def ensure_registered(spark) -> None:
-    """Idempotent session-level registration of the chunk_topic format."""
+    """Idempotent session-level registration of the chunk_topic format.
+
+    The DataSource class is cloudpickled into Spark's Python planner and
+    executor workers, which run with a CLEAN sys.path (no repo root) —
+    pickling by reference would make every worker die with
+    ModuleNotFoundError unless the package is installed there. This
+    module is deliberately self-contained (stdlib + pyspark imports
+    only), so registering it for pickle BY VALUE ships the class bodies
+    inside the pickle and the source works from any cwd / any worker —
+    the same portability a real packaged source gets from pip install.
+    (Caught by the from-/tmp driver-contract sweep, round 12.)"""
     global _REGISTERED
     if not _REGISTERED:
+        # Spark serializes through its VENDORED cloudpickle — the
+        # standalone `cloudpickle` package has a separate by-value
+        # registry that Spark never consults
+        from pyspark import cloudpickle
+
+        cloudpickle.register_pickle_by_value(sys.modules[__name__])
         spark.dataSource.register(ChunkTopicDataSource)
         _REGISTERED = True
 

@@ -85,11 +85,24 @@ HEAVY = [
     # O(history), and tombstone retirement being O(tombstones).
     "pattern_streaming_full_funnel",
     "snapshot_vacuum",
+    # round-12 additions: the mergeable-sketch folds (state <= k rows per
+    # group — expected ~flat beyond input scan), the streaming as-of
+    # lookup (state = one row per clicking user, probe pruned to the
+    # batch's buckets), and the custom Python source/sink loop (offset
+    # contract + manifest-last publish — expected linear in rows moved).
+    "approx_quantiles_kmv",
+    "pattern_streaming_distinct_kmv",
+    "pattern_streaming_quantiles_kmv",
+    "pattern_streaming_asof_enrichment",
+    "pattern_streaming_python_source",
+    "pattern_streaming_python_sink",
 ]
 
 # rows_in attribution per query family (embedding-family rows were
 # previously misreported as document counts — round-3 ADVICE item 3).
 ROWS_TABLE = {
+    "pattern_streaming_distinct_kmv": "events",
+    "pattern_streaming_asof_enrichment": "events",
     "knn_pq_adc": "embeddings",
     "knn_ivf_ann": "embeddings",
     "semdedup_prune": "embeddings",

@@ -101,3 +101,43 @@ def test_upsert_log_tick_and_serve_request_budget(spark, tmp_path):
     late = sum(ticks[48:64]) / 16
     assert late <= early * 2.0, (early, late)
     assert max(ticks) <= 400, max(ticks)
+
+
+def test_asof_probe_request_budget_flat_in_state_depth(spark, tmp_path):
+    """The as-of enrichment's per-batch state probe must stay O(live
+    dirs) on the request plane regardless of stream depth: one LIST +
+    one manifest GET per live dir (read_latest), with the bucket prune
+    happening inside the one Spark scan — never a per-bucket or
+    per-batch-dir request fan-out."""
+    from pyspark.sql import functions as F
+
+    io = CountingCommitIO(ObjectStoreSimIO())
+    clicks = UpsertLog(
+        spark,
+        str(tmp_path / "clicks"),
+        keys=["user_id"],
+        bucket_col="user_id",
+        n_buckets=8,
+        io=io,
+    )
+    import datetime as dt
+
+    def mk(i):
+        return spark.createDataFrame(
+            [(i % 5, dt.datetime(2024, 1, 1, 0, i))],
+            "user_id long, click_ts timestamp",
+        )
+
+    deltas = []
+    for i in range(24):
+        if i > 0 and i % 4 == 0:
+            clicks.maintain(before_batch=i)
+        clicks.append(mk(i), i)
+        before = io.snapshot()
+        # the probe a batch with users {0..4} issues
+        state = clicks.read_latest(before_batch=i + 1, buckets=[0, 1, 2])
+        state.count()
+        deltas.append(sum(io.since(before).values()))
+    # flat: late probes cost the same request budget as early ones
+    # (live dirs bounded by the tiered maintain, not by depth)
+    assert deltas[-1] <= max(deltas[:6]) + 6, deltas

@@ -284,3 +284,22 @@ def test_lww_property_suite(spark, objstore):
     )
     # hypothesis wraps the test function; call the wrapped property
     tsp_prop.test_upsert_log_lww_invariant_under_random_maintenance(spark)
+
+
+# -- round-12 state shapes: sketch folds + as-of probe ------------------------
+
+from tests import test_sketch_queries as tsk  # noqa: E402
+
+
+def test_streaming_kmv_fold_crash_windows(spark, tmp_path, objstore):
+    tsk.test_streaming_kmv_retries_idempotently_across_crash_windows(
+        spark, tmp_path
+    )
+
+
+def test_streaming_quantile_fold_crash_windows(spark, tmp_path, objstore):
+    tsk.test_streaming_quantiles_retries_idempotently(spark, tmp_path)
+
+
+def test_asof_enrichment_crash_windows(spark, tmp_path, objstore):
+    tsp.test_asof_enrichment_retries_and_prunes_state_probe(spark, tmp_path)

@@ -121,6 +121,7 @@ HEADLINE = [
     "pattern_streaming_ingest_funnel",
     "pattern_streaming_bm25_index",
     "pattern_streaming_bm25_midstream",
+    "pattern_streaming_bm25_external_reader",
     "pattern_streaming_hybrid_retrieval",
     "pattern_streaming_distinct_kmv",
     "pattern_streaming_quantiles_kmv",

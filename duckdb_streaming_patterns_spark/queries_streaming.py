@@ -1254,3 +1254,40 @@ def q_pattern_streaming_python_sink(
     return patterns.pattern_streaming_python_sink(
         spark, chunks, run, n_chunks=5, state_partitions=4
     )
+
+
+@register("pattern_streaming_bm25_external_reader", _BM25_ORACLE)
+def q_pattern_streaming_bm25_external_reader(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CONSISTENT external serving of the streaming BM25 index: after
+    the ingest drains, a deliberately HALF-WRITTEN batch is forced into
+    the tf log (term rows for the query terms themselves, with no dl
+    rows, no stats fold, no generation publish — exactly the torn state
+    an external reader could catch a writer in), and the row is
+    bm25_consistent_serve's answer: one generation-pointer GET (gen +
+    exact cumulative stats) scoping both state reads to batches <= gen.
+    Oracle = the batch BM25 over the real corpus — the hash proves the
+    torn batch is INVISIBLE to a consistent reader. See
+    streaming/patterns.bm25_consistent_serve."""
+    run = staging.new_run_dir("pbm25x")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    patterns.pattern_streaming_bm25_index(
+        spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2,
+    )
+    # the torn batch: tf rows for real query terms on phantom doc_ids,
+    # appended WITHOUT dl/stats/pointer — a writer crashed mid-batch
+    tf_log, _dl = patterns.bm25_reader_logs(spark, run)
+    phantom = spark.createDataFrame(
+        [
+            (10_000_000 + i, tok, 50)
+            for i, (qid, qtext) in enumerate(_BM25_QUERIES)
+            for tok in qtext.split()
+        ],
+        "doc_id long, tok string, tf long",
+    )
+    tf_log.append(phantom, batch_id=5)
+    return patterns.bm25_consistent_serve(
+        spark, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5
+    )

@@ -2549,6 +2549,8 @@ def _bm25_serve(
     queries: list,
     score_expr: str,
     k: int,
+    as_of_gen: int | None = None,
+    stats_override: tuple[int, int] | None = None,
 ) -> DataFrame:
     """Answer BM25 queries from the accumulated index state — callable at
     ANY point of the stream (mid-stream probes and the final drain run
@@ -2569,7 +2571,10 @@ def _bm25_serve(
       is O(Σ posting lists of the query's terms) — the standard retrieval
       working set; a production deployment caps or drops stop-word-grade
       terms before this point."""
-    row = stats.read().first()
+    if stats_override is not None:
+        row = {"sum_dl": stats_override[0], "n_docs": stats_override[1]}
+    else:
+        row = stats.read().first()
     if row is None or not row["n_docs"]:
         # A probe before any documents landed (probe_at_batch=0 over an
         # empty first chunk, or a stats fold that crashed pre-commit):
@@ -2597,9 +2602,10 @@ def _bm25_serve(
         qterms.filter(F.length(F.col("tok")) > 0)
         .withColumn("__kb", tf_log.bucket_of(F.col("tok")))
     )
-    cand = tf_log.read_latest(keep_bucket=True).join(
-        F.broadcast(q_keys), ["tok", "__kb"]
-    )
+    scope = None if as_of_gen is None else as_of_gen + 1
+    cand = tf_log.read_latest(
+        before_batch=scope, keep_bucket=True
+    ).join(F.broadcast(q_keys), ["tok", "__kb"])
     dfreq = (
         cand.select("doc_id", "tok")
         .distinct()
@@ -2614,7 +2620,7 @@ def _bm25_serve(
         .withColumn("__kb", dl_log.bucket_of(F.col("doc_id")))
     )
     dl_fetch = (
-        dl_log.read_latest(keep_bucket=True)
+        dl_log.read_latest(before_batch=scope, keep_bucket=True)
         .join(F.broadcast(cand_keys), ["doc_id", "__kb"])
         .select("doc_id", "dl")
     )
@@ -2745,19 +2751,22 @@ def pattern_streaming_bm25_index(
             "doc_id", F.size(tokens(F.col("text"))).alias("dl")
         ).localCheckpoint(eager=True)
 
+        # one agg over the already-materialized dl frame feeds BOTH the
+        # stats fold and the generation pointer below
+        b_sum, b_n = dl.agg(F.sum("dl"), F.count("*")).first()
+        b_sum, b_n = int(b_sum or 0), int(b_n)
+
         def _fold_stats() -> None:
             # O(1) corpus stats: fold this batch's (sum_dl, n_docs) into
-            # the single fenced summary row. The agg runs over the
-            # already-materialized dl frame; integer addition keeps
+            # the single fenced summary row. Integer addition keeps
             # avgdl exact. Fenced (merge_batch skips an applied id), so
             # overlapping it with the idempotent appends carries no
             # crash-contract meaning — only latency (the r8 overlap
             # rule; measured: the serialized form cost ~2 s/5 batches
             # of pure job-launch latency at sf0.1).
-            s, n = dl.agg(F.sum("dl"), F.count("*")).first()
             stats.merge_batch(
                 spark.createDataFrame(
-                    [(0, int(s or 0), int(n))], _BM25_STATS_DDL
+                    [(0, b_sum, b_n)], _BM25_STATS_DDL
                 ),
                 batch_id,
                 keys=["k"],
@@ -2770,6 +2779,20 @@ def pattern_streaming_bm25_index(
             lambda: dl_log.append(dl, batch_id),
             _fold_stats,
         )
+        # CONSISTENCY TOKEN for external readers (round 12): the serve
+        # path reads THREE stores (tf, dl, stats); in-loop probes run
+        # between batches so they are always consistent, but an external
+        # process probing DURING a batch could see tf at batch b with dl
+        # or stats still at b-1 — a torn cross-log read. The generation
+        # pointer is CAS-published strictly AFTER all three writes are
+        # durable and carries the cumulative stats itself, so
+        # bm25_consistent_serve = one pointer GET (gen + exact stats,
+        # O(1)) + both state reads scoped before_batch=gen+1 — a
+        # snapshot-consistent index at every instant, crash included (a
+        # crash between the writes and the publish leaves the pointer at
+        # b-1: readers serve the previous consistent prefix; the fenced
+        # retry republishes).
+        _publish_bm25_gen(tf_log.io, run_dir, batch_id, b_sum, b_n)
         if probe_at_batch is not None and batch_id == probe_at_batch:
             probe_rows.extend(
                 _bm25_serve(
@@ -3394,3 +3417,91 @@ def quantiles_kmv_batch(
             state.overwrite(kept, batch_id=batch_id)
 
     overlap(lambda: verdict_log.append(est, batch_id), _roll_state)
+
+
+def _bm25_gen_path(run_dir: str) -> str:
+    return os.path.join(run_dir, "index_gen.json")
+
+
+def _publish_bm25_gen(
+    io, run_dir: str, batch_id: int, b_sum: int, b_n: int
+) -> None:
+    """CAS-publish the index generation pointer after batch ``batch_id``'s
+    state writes are all durable. Idempotent under redelivery (an
+    already-covered generation is left alone); the pointer accumulates
+    the exact integer corpus stats so consistent readers never touch the
+    SummaryTable."""
+    from duckdb_streaming_patterns_spark.plans.commitio import READ_ABSENT
+
+    path = _bm25_gen_path(run_dir)
+    cur = io.try_read_json(path)
+    if cur is not None and int(cur["gen"]) >= batch_id:
+        return
+    expected = cur if cur is not None else {READ_ABSENT: True}
+    prev_sum = int(cur["sum_dl"]) if cur else 0
+    prev_n = int(cur["n_docs"]) if cur else 0
+    io.swap_pointer(
+        path,
+        {"gen": batch_id, "sum_dl": prev_sum + b_sum, "n_docs": prev_n + b_n},
+        expected=expected,
+    )
+
+
+def bm25_reader_logs(spark: SparkSession, run_dir: str, n_buckets: int = 16):
+    """(tf_log, dl_log) handles an EXTERNAL reader constructs over a
+    pattern_streaming_bm25_index run dir — same keys/layout as the
+    writer's."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    tf_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "tf"),
+        keys=["doc_id", "tok"],
+        insert_only=True,
+        bucket_col="tok",
+        n_buckets=n_buckets,
+    )
+    dl_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "dl"),
+        keys=["doc_id"],
+        insert_only=True,
+        bucket_col="doc_id",
+        n_buckets=n_buckets,
+    )
+    return tf_log, dl_log
+
+
+def bm25_consistent_serve(
+    spark: SparkSession,
+    run_dir: str,
+    queries: list,
+    score_expr: str,
+    k: int = 5,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Serve BM25 queries as an EXTERNAL reader: resolve the generation
+    pointer (one O(1) GET carrying gen + exact cumulative stats), then
+    run the standard pruned serve with both state reads scoped to
+    batches <= gen — immune to torn cross-log state from a writer
+    mid-batch (tested against a deliberately half-written batch). The
+    plan is the same DPP-pruned shape as the in-loop serve; the
+    before_batch scope is a partition filter on __batch_id, so the
+    consistency costs no extra I/O."""
+    tf_log, dl_log = bm25_reader_logs(spark, run_dir, n_buckets)
+    ptr = tf_log.io.try_read_json(_bm25_gen_path(run_dir))
+    if ptr is None:
+        return spark.createDataFrame(
+            [], "query_id long, doc_id long, score double, rank long"
+        )
+    return _bm25_serve(
+        spark,
+        tf_log,
+        dl_log,
+        None,
+        queries,
+        score_expr,
+        k,
+        as_of_gen=int(ptr["gen"]),
+        stats_override=(int(ptr["sum_dl"]), int(ptr["n_docs"])),
+    )

@@ -153,6 +153,7 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
         "pattern_streaming_quality_drift",
         "pattern_streaming_bm25_index",
         "pattern_streaming_bm25_midstream",
+        "pattern_streaming_bm25_external_reader",
         "pattern_streaming_hybrid_retrieval",
         "pattern_streaming_distinct_kmv",
         "pattern_streaming_quantiles_kmv",

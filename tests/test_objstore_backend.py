@@ -303,3 +303,9 @@ def test_streaming_quantile_fold_crash_windows(spark, tmp_path, objstore):
 
 def test_asof_enrichment_crash_windows(spark, tmp_path, objstore):
     tsp.test_asof_enrichment_retries_and_prunes_state_probe(spark, tmp_path)
+
+
+def test_bm25_consistent_serve_torn_batch(spark, sf_small, objstore):
+    # the generation pointer's CAS publish + the scoped serve on
+    # object-store semantics (swap_pointer = If-Match / If-None-Match)
+    tsp.test_bm25_consistent_serve_ignores_torn_batch(spark, sf_small)

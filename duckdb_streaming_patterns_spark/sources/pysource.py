@@ -241,7 +241,15 @@ class ChunkTopicStreamWriter(DataSourceStreamArrowWriter):
       Spark retry re-runs the whole micro-batch.
 
     A re-delivered batch id overwrites its own directory before
-    re-publishing (idempotent, same as the engine's fenced appends)."""
+    re-publishing (idempotent, same as the engine's fenced appends).
+
+    Object-store port note: the driver-side ``os.replace`` moves map to
+    CopyObject + Delete (no rename on a store) with the manifest PUT
+    still strictly last — the commit point and the crash analysis are
+    unchanged, exactly the copy-based promote discipline
+    plans/commitio.py executes for the engine's own state dirs. The
+    executor-side staged files are the DATA plane (plain objects under
+    a .staged/ prefix a reader never lists)."""
 
     def __init__(self, schema, options):
         self.path = options["path"]

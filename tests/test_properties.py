@@ -710,3 +710,74 @@ def test_streaming_kmv_state_is_prefix_kmin(spark, tmp_path_factory, batches):
             (r["event_type"], r["hx"]) for r in state.read().collect()
         }
         assert got == expect, (bid, got, expect)
+
+
+@settings(**_SETTINGS)
+@given(
+    st.lists(
+        st.lists(st.integers(0, 7), min_size=0, max_size=5),
+        min_size=1,
+        max_size=3,
+    )
+)
+def test_streaming_quantile_state_is_prefix_bottom_k(
+    spark, tmp_path_factory, batches
+):
+    """The quantile fold's maintained sample must equal the prefix's
+    bottom-k-by-md5(doc_id) set per language, at a k small enough (k=3)
+    to exercise the cap — same merge law as the KMV property, here over
+    (lang, doc_id, val) triples. doc_ids are globally unique across
+    batches (the staging contract)."""
+    import hashlib
+    import os
+
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        SummaryTable,
+        UpsertLog,
+    )
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        quantiles_kmv_batch,
+    )
+
+    k = 3
+    root = str(tmp_path_factory.mktemp("qprop"))
+    state = SummaryTable(
+        spark,
+        os.path.join(root, "sample"),
+        "lang string, doc_id long, val long, hx string, h60 long",
+    )
+    vlog = UpsertLog(
+        spark,
+        os.path.join(root, "est"),
+        keys=["batch_seq", "lang"],
+        insert_only=True,
+    )
+    next_id = 0
+    seen: list[tuple[int, str]] = []  # (doc_id, lang)
+    for bid, word_counts in enumerate(batches):
+        rows = []
+        for n in word_counts:
+            lang = "en" if next_id % 2 == 0 else "de"
+            rows.append((next_id, lang, "w " * n))
+            seen.append((next_id, lang))
+            next_id += 1
+        df = spark.createDataFrame(
+            rows or [(None, None, None)],
+            "doc_id long, lang string, text string",
+        )
+        if not rows:
+            df = df.where(F.col("doc_id").isNotNull())
+        quantiles_kmv_batch(state, vlog, df, bid, k)
+        expect = set()
+        for lang in {l for _, l in seen}:
+            members = [d for d, l in seen if l == lang]
+            ranked = sorted(
+                members,
+                key=lambda d: (
+                    int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16),
+                    hashlib.md5(str(d).encode()).hexdigest(),
+                ),
+            )
+            expect |= {(lang, d) for d in ranked[:k]}
+        got = {(r["lang"], r["doc_id"]) for r in state.read().collect()}
+        assert got == expect, (bid, got, expect)

@@ -123,6 +123,7 @@ HEADLINE = [
     "pattern_streaming_bm25_midstream",
     "pattern_streaming_bm25_external_reader",
     "pattern_streaming_hybrid_retrieval",
+    "pattern_streaming_hybrid_consistent",
     "pattern_streaming_distinct_kmv",
     "pattern_streaming_quantiles_kmv",
     "pattern_streaming_asof_enrichment",

@@ -599,7 +599,11 @@ class SnapshotTable:
             snaps=snaps,
         )
 
-    def read_as_of(self, snapshot_id: int) -> DataFrame:
+    def read_as_of(
+        self,
+        snapshot_id: int,
+        partition_values: dict[str, list] | None = None,
+    ) -> DataFrame:
         """Time travel: the table as it stood after ``snapshot_id``
         committed (DuckLake reads any snapshot; the reference itself only
         reads latest). Same partition-pruned scan as table_changes —
@@ -607,6 +611,10 @@ class SnapshotTable:
         applied, later ones are not (deletes time-travel too). History
         folded away by ``expire_snapshots`` cannot be travelled to —
         that raises rather than silently returning a partial table.
+        ``partition_values`` scopes the as-of scan to the named leaf
+        partitions exactly like ``read`` (round 12: lets an as-of ANN
+        probe keep its probed-cell pruning — the cross-index consistent
+        hybrid serve's missing piece).
 
         The guard honors ``pending_expired_through`` — the marker an
         in-flight expiry commits BEFORE its generation swap — exactly as
@@ -636,7 +644,9 @@ class SnapshotTable:
                 "committed or in flight — retry an interrupted expiry "
                 "to settle the horizon)"
             )
-        return self._read_visible(snapshot_id, snaps=snaps)
+        return self._read_visible(
+            snapshot_id, partition_values=partition_values, snaps=snaps
+        )
 
     def _read_visible(
         self,

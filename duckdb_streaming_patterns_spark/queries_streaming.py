@@ -1291,3 +1291,67 @@ def q_pattern_streaming_bm25_external_reader(
     return patterns.bm25_consistent_serve(
         spark, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5
     )
+
+
+@register("pattern_streaming_hybrid_consistent", _STREAM_HYBRID_ORACLE)
+def q_pattern_streaming_hybrid_consistent(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """CROSS-INDEX consistent hybrid serving (round 12, SCALE §18
+    extension): after both ingest streams drain, BOTH indexes are
+    deliberately dirtied the way a live fleet would see them — a
+    half-written batch in the BM25 tf log (no dl/stats/publish) AND an
+    ANN ledger commit whose batch_id runs AHEAD of the lexical
+    generation (the embedding stream outpacing the document stream,
+    carrying phantom copies of a query vector so a naive probe WOULD
+    retrieve them). The row is hybrid_consistent_serve's answer: one
+    generation-pointer resolve pins both retrievers to the shared
+    prefix, so the hash equals the clean batch-hybrid oracle with both
+    taints present. See streaming/patterns.hybrid_consistent_serve."""
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    run = staging.new_run_dir("phybc")
+    doc_chunks = staging.stage_document_chunks(
+        spark, sf_dir, staging.new_run_dir("phybcd"), n_chunks=5
+    )
+    emb_chunks = staging.stage_embedding_chunks(
+        spark, sf_dir, staging.new_run_dir("phybce"), n_chunks=5
+    )
+    queries_df = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    patterns.pattern_streaming_hybrid_retrieval(
+        spark, doc_chunks, emb_chunks, run, _BM25_QUERIES, queries_df,
+        _BM25_SCORE_EXPR, state_partitions=4, compact_every=2,
+    )
+    # taint 1: torn BM25 batch (tf only — no dl, no stats, no publish)
+    tf_log, _dl = patterns.bm25_reader_logs(
+        spark, _os.path.join(run, "lex")
+    )
+    phantom_tf = spark.createDataFrame(
+        [
+            (20_000_000 + i, tok, 50)
+            for i, (_qid, qtext) in enumerate(_BM25_QUERIES)
+            for tok in qtext.split()
+        ],
+        "doc_id long, tok string, tf long",
+    )
+    tf_log.append(phantom_tf, batch_id=5)
+    # taint 2: the embedding stream runs AHEAD — a LEDGERED batch-5
+    # commit of query-vector copies spread over every cell (a naive
+    # probe would rank them at cosine 1.0)
+    index = SnapshotTable(
+        spark,
+        _os.path.join(run, "vec", "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    qvec = queries_df.filter(F.col("vec_id") == 0).first()["embedding"]
+    ahead = spark.createDataFrame(
+        [(20_000_000 + c, list(qvec), c) for c in range(16)],
+        "vec_id long, embedding array<float>, cell_id long",
+    )
+    index.append(ahead, batch_id=5)
+    return patterns.hybrid_consistent_serve(
+        spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR,
+    )

@@ -155,6 +155,7 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
         "pattern_streaming_bm25_midstream",
         "pattern_streaming_bm25_external_reader",
         "pattern_streaming_hybrid_retrieval",
+        "pattern_streaming_hybrid_consistent",
         "pattern_streaming_distinct_kmv",
         "pattern_streaming_quantiles_kmv",
         "pattern_streaming_asof_enrichment",

@@ -309,3 +309,9 @@ def test_bm25_consistent_serve_torn_batch(spark, sf_small, objstore):
     # the generation pointer's CAS publish + the scoped serve on
     # object-store semantics (swap_pointer = If-Match / If-None-Match)
     tsp.test_bm25_consistent_serve_ignores_torn_batch(spark, sf_small)
+
+
+def test_hybrid_consistent_cross_index(spark, sf_small, objstore):
+    # generation-pointer resolve + as-of partition-pruned ANN probe on
+    # object-store semantics (the cross-index §18 extension)
+    tsp.test_hybrid_consistent_serve_pins_both_indexes(spark, sf_small)

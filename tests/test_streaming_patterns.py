@@ -3879,3 +3879,106 @@ def test_bm25_consistent_serve_ignores_torn_batch(spark, sf_small):
     # the torn rows at least reach the candidate set
     cand = tf_log.read_latest(keep_bucket=True)
     assert cand.filter(F.col("doc_id") >= 10_000_000).count() > 0
+
+
+def test_hybrid_consistent_serve_pins_both_indexes(spark, sf_small):
+    """Cross-index teeth: with the ANN ledger one batch AHEAD of the
+    lexical generation (phantom query-vector copies in every cell), the
+    naive current-state probe retrieves the phantoms at cosine ~1.0,
+    while the consistent serve's as-of probe does not — and the as-of
+    probe's plan keeps the probed-cell pruning through read_as_of."""
+    import contextlib
+    import io
+    import json
+    import os
+
+    from pyspark.sql import Row
+
+    from duckdb_streaming_patterns_spark.plans.snapshots import (
+        SnapshotTable,
+    )
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from duckdb_streaming_patterns_spark.streaming import patterns, staging
+
+    run = staging.new_run_dir("hybct")
+    doc_chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("hybctd"), n_chunks=5
+    )
+    emb_chunks = staging.stage_embedding_chunks(
+        spark, sf_small, staging.new_run_dir("hybcte"), n_chunks=5
+    )
+    queries_df = load_table(spark, sf_small, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    patterns.pattern_streaming_hybrid_retrieval(
+        spark, doc_chunks, emb_chunks, run, _BM25_QUERIES, queries_df,
+        _BM25_SCORE_EXPR, state_partitions=4, compact_every=2,
+    )
+    clean = sorted(
+        tuple(r) for r in patterns.hybrid_consistent_serve(
+            spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR
+        ).collect()
+    )
+    index = SnapshotTable(
+        spark,
+        os.path.join(run, "vec", "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    qvec = queries_df.filter(F.col("vec_id") == 0).first()["embedding"]
+    index.append(
+        spark.createDataFrame(
+            [(20_000_000 + c, list(qvec), c) for c in range(16)],
+            "vec_id long, embedding array<float>, cell_id long",
+        ),
+        batch_id=5,
+    )
+    with open(os.path.join(run, "vec", "anchors.json")) as f:
+        anchors = [Row(aid=a, vec=v) for a, v in json.load(f)]
+    naive = patterns.ann_probe(
+        spark, index, anchors, queries_df, k=20, n_probe=8
+    )
+    assert naive.filter(F.col("neighbor_id") >= 20_000_000).count() > 0
+    snaps = [
+        s["snapshot_id"]
+        for s in index.snapshots()
+        if s.get("batch_id") is not None and int(s["batch_id"]) <= 4
+    ]
+    asof = patterns.ann_probe(
+        spark, index, anchors, queries_df, k=20, n_probe=8,
+        as_of_snapshot=max(snaps),
+    )
+    assert asof.filter(F.col("neighbor_id") >= 20_000_000).count() == 0
+    # the as-of read enumerates ONLY the probed cells' ledger paths —
+    # assert the pruning mechanism directly: a cell-scoped enumeration
+    # is a strict subset of the full one at the same as-of snapshot
+    all_paths = index._ledger_paths(-1, max(snaps))
+    occupied = sorted(
+        {
+            int(part.split("=", 1)[1])
+            for sn in index.snapshots()
+            if sn.get("partitions") and sn["snapshot_id"] <= max(snaps)
+            for part in sn["partitions"]
+        }
+    )
+    pick = occupied[:2]
+    some = index._ledger_paths(
+        -1, max(snaps), partition_values={"cell_id": pick}
+    )
+    # unpruned enumeration returns whole snapshot dirs (every cell);
+    # the scoped one returns ONLY the picked cells' leaf dirs — the
+    # granularity read_as_of's scan then touches
+    assert some, (pick, occupied)
+    touched = {os.path.basename(p) for p in some}
+    assert touched <= {f"cell_id={c}" for c in pick}, touched
+    assert all(os.path.basename(p).startswith("snapshot_id=") for p in all_paths)
+    consistent = sorted(
+        tuple(r) for r in patterns.hybrid_consistent_serve(
+            spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR
+        ).collect()
+    )
+    assert consistent == clean

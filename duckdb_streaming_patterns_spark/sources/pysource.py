@@ -106,8 +106,14 @@ class ChunkTopicStreamReader(DataSourceStreamReader):
     granularity all the streaming ≡ batch oracles are stated over —
     the Python API has no ReadLimit hook, so the source self-paces;
     a real topic source would honor ``maxOffsetsPerTrigger`` the same
-    way). ``partitions`` folds the planned end offset back into the
-    pacer so a checkpoint-restarted query never plans backwards."""
+    way). The pacer is floored at EVERY offset the engine shows us —
+    ``start``/``end`` in ``partitions`` and ``end`` in ``commit`` — so a
+    checkpoint-restarted query never plans backwards even when its
+    offset log was fully committed (no pending batch to replan): the
+    engine's restart re-commit of the last durable batch re-seeds the
+    fresh reader's pacer at the committed watermark before any new
+    planning, which is what keeps insert-only arrival logs free of
+    re-delivered duplicates."""
 
     def __init__(self, schema, options):
         self.path = options["path"]
@@ -123,7 +129,9 @@ class ChunkTopicStreamReader(DataSourceStreamReader):
         return {"chunk": self._paced}
 
     def partitions(self, start: dict, end: dict):
-        self._paced = max(self._paced, int(end["chunk"]))
+        # floor the pacer at every offset the engine shows us (module
+        # docstring: never plan or emit below the committed watermark)
+        self._paced = max(self._paced, int(start["chunk"]), int(end["chunk"]))
         out = []
         dirs = _chunk_dirs(self.path)
         for k in range(int(start["chunk"]), int(end["chunk"])):
@@ -135,8 +143,12 @@ class ChunkTopicStreamReader(DataSourceStreamReader):
 
     def commit(self, end: dict) -> None:
         # a real topic source would ack offsets < end to the broker;
-        # chunk files are immutable so there is nothing to release
-        pass
+        # chunk files are immutable so there is nothing to release.
+        # Flooring the pacer here covers the restart path where the
+        # engine re-commits the last durable batch before planning
+        # anything new — the only signal a fresh reader gets when the
+        # offset log holds no pending batch to replan.
+        self._paced = max(self._paced, int(end["chunk"]))
 
 
 class ChunkTopicDataSource(DataSource):
@@ -168,7 +180,12 @@ class ChunkTopicDataSource(DataSource):
         return ChunkTopicStreamWriter(schema, self.options)
 
 
-_REGISTERED = False
+# registration is PER-SESSION (spark.dataSource.register binds to the
+# session's registry), but register_pickle_by_value is process-global —
+# track the two separately so a second SparkSession in the same process
+# still gets the format registered
+_SESSIONS_REGISTERED: "weakref.WeakSet" = None  # initialized lazily
+_PICKLE_REGISTERED = False
 
 
 def ensure_registered(spark) -> None:
@@ -182,17 +199,37 @@ def ensure_registered(spark) -> None:
     only), so registering it for pickle BY VALUE ships the class bodies
     inside the pickle and the source works from any cwd / any worker —
     the same portability a real packaged source gets from pip install.
-    (Caught by the from-/tmp driver-contract sweep, round 12.)"""
-    global _REGISTERED
-    if not _REGISTERED:
+    (Caught by the from-/tmp driver-contract sweep, round 12.)
+
+    The guard is keyed on the SESSION (a WeakSet of session objects):
+    ``spark.dataSource.register`` binds to one session's registry, so a
+    process-global flag would make a second SparkSession in the same
+    process skip registration and fail chunk_topic reads with an
+    unknown-data-source error. Only the cloudpickle by-value
+    registration stays process-global."""
+    global _SESSIONS_REGISTERED, _PICKLE_REGISTERED
+    import weakref
+
+    if _SESSIONS_REGISTERED is None:
+        _SESSIONS_REGISTERED = weakref.WeakSet()
+    if not _PICKLE_REGISTERED:
         # Spark serializes through its VENDORED cloudpickle — the
         # standalone `cloudpickle` package has a separate by-value
         # registry that Spark never consults
         from pyspark import cloudpickle
 
         cloudpickle.register_pickle_by_value(sys.modules[__name__])
-        spark.dataSource.register(ChunkTopicDataSource)
-        _REGISTERED = True
+        _PICKLE_REGISTERED = True
+    if spark not in _SESSIONS_REGISTERED:
+        try:
+            spark.dataSource.register(ChunkTopicDataSource)
+        except Exception as e:  # noqa: BLE001 — narrow on message below
+            # sessions cloned via newSession() share the registry, so a
+            # re-register there raises DATA_SOURCE_ALREADY_EXISTS — that
+            # IS the registered state; anything else propagates
+            if "DATA_SOURCE_ALREADY_EXISTS" not in str(e):
+                raise
+        _SESSIONS_REGISTERED.add(spark)
 
 
 # ---------------------------------------------------------------------------

@@ -3267,9 +3267,33 @@ def pattern_streaming_python_source(
         )
         # poll-loop stop condition: drain until all n_chunks fenced
         # micro-batches have durably applied (bounded: the source paces
-        # one chunk per micro-batch, so this converges in n_chunks ticks)
+        # one chunk per micro-batch, so this converges in n_chunks ticks).
+        # Derived from DURABLE state, not just the driver-local `applied`
+        # set: after a checkpoint restart, previously committed chunks
+        # never re-enter foreachBatch, so `applied` alone could never
+        # reach n_chunks and the loop would burn the full deadline. The
+        # stream's own progress carries the committed end offset — once
+        # it reports chunk >= n_chunks, every chunk is durably applied
+        # (progress is emitted after the batch completes).
+        import json as _json
+
+        def _drained() -> bool:
+            if len(applied) >= n_chunks:
+                return True
+            p = q.lastProgress
+            if p and p.get("sources"):
+                end = p["sources"][0].get("endOffset")
+                if isinstance(end, str):
+                    try:
+                        end = _json.loads(end)
+                    except ValueError:
+                        return False
+                if isinstance(end, dict) and "chunk" in end:
+                    return int(end["chunk"]) >= n_chunks
+            return False
+
         deadline = _time.monotonic() + 300
-        while _time.monotonic() < deadline and len(applied) < n_chunks:
+        while _time.monotonic() < deadline and not _drained():
             _time.sleep(0.2)
         q.stop()
         q.awaitTermination()
@@ -3455,6 +3479,13 @@ def _bm25_gen_path(run_dir: str) -> str:
     return os.path.join(run_dir, "index_gen.json")
 
 
+# generations of exact-stats history the pointer retains (one small dict
+# per generation — at one micro-batch per generation this covers hours of
+# stream age; older prefixes fall back to the exact scoped dl_log
+# recompute in _bm25_stats_at)
+_GEN_HISTORY_CAP = 256
+
+
 def _publish_bm25_gen(
     io, run_dir: str, batch_id: int, b_sum: int, b_n: int
 ) -> None:
@@ -3462,7 +3493,10 @@ def _publish_bm25_gen(
     state writes are all durable. Idempotent under redelivery (an
     already-covered generation is left alone); the pointer accumulates
     the exact integer corpus stats so consistent readers never touch the
-    SummaryTable."""
+    SummaryTable. The pointer also carries a bounded HISTORY of
+    per-generation stats so a reader pinning an OLDER prefix (cross-index
+    serving where the dense stream runs behind) gets exact stats for
+    that prefix in the same single GET."""
     from duckdb_streaming_patterns_spark.plans.commitio import READ_ABSENT
 
     path = _bm25_gen_path(run_dir)
@@ -3472,11 +3506,50 @@ def _publish_bm25_gen(
     expected = cur if cur is not None else {READ_ABSENT: True}
     prev_sum = int(cur["sum_dl"]) if cur else 0
     prev_n = int(cur["n_docs"]) if cur else 0
+    hist = list(cur.get("hist", [])) if cur else []
+    if cur is not None:
+        hist.append(
+            {"gen": int(cur["gen"]), "sum_dl": prev_sum, "n_docs": prev_n}
+        )
     io.swap_pointer(
         path,
-        {"gen": batch_id, "sum_dl": prev_sum + b_sum, "n_docs": prev_n + b_n},
+        {
+            "gen": batch_id,
+            "sum_dl": prev_sum + b_sum,
+            "n_docs": prev_n + b_n,
+            "hist": hist[-_GEN_HISTORY_CAP:],
+        },
         expected=expected,
     )
+
+
+def _bm25_stats_at(ptr: dict, gen_eff: int, dl_log) -> tuple[int, int]:
+    """Exact (sum_dl, n_docs) for the corpus prefix ``batch <= gen_eff``.
+
+    Fast path: the pointer's bounded history (one GET already in hand —
+    zero extra I/O). The effective generation is the LARGEST published
+    generation <= gen_eff: generations are published once per applied
+    micro-batch, so that is exactly the prefix the state holds at
+    gen_eff. Fallback (prefix older than the history window): one exact
+    aggregate over the dl log scoped to the prefix — a pruned
+    partition-filtered read, O(corpus) worst case but only reached when
+    the dense stream lags the lexical stream by more than
+    _GEN_HISTORY_CAP generations."""
+    if int(ptr["gen"]) <= gen_eff:
+        return int(ptr["sum_dl"]), int(ptr["n_docs"])
+    candidates = [h for h in ptr.get("hist", []) if int(h["gen"]) <= gen_eff]
+    if candidates:
+        best = max(candidates, key=lambda h: int(h["gen"]))
+        return int(best["sum_dl"]), int(best["n_docs"])
+    row = (
+        dl_log.read_latest(before_batch=gen_eff + 1)
+        .agg(
+            F.sum("dl").cast("long").alias("sum_dl"),
+            F.count("*").cast("long").alias("n_docs"),
+        )
+        .first()
+    )
+    return int(row["sum_dl"] or 0), int(row["n_docs"] or 0)
 
 
 def bm25_reader_logs(spark: SparkSession, run_dir: str, n_buckets: int = 16):
@@ -3559,8 +3632,13 @@ def hybrid_consistent_serve(
     chunk-numbered prefix). Result: one RRF fusion over two
     SAME-PREFIX rank lists, immune to (a) torn BM25 cross-log state,
     (b) ANN batches the embedding stream landed AHEAD of the document
-    stream, and (c) mid-publish crashes on either side — at any instant
-    an external fleet serves ONE consistent corpus version.
+    stream, (c) the embedding stream running BEHIND the document stream
+    (the likelier skew — embedding is the slow stream): both sides pin
+    to the SHARED prefix ``gen_eff = min(lexical gen, max ANN insert
+    batch)``, exact lexical stats for the older prefix resolved from the
+    pointer's bounded history (same single GET) or an exact scoped
+    dl-log aggregate, and (d) mid-publish crashes on either side — at
+    any instant an external fleet serves ONE consistent corpus version.
 
     Cost is unchanged from the unconsistent serves: one pointer GET
     (carrying the exact stats), one snapshots() ledger read
@@ -3578,6 +3656,28 @@ def hybrid_consistent_serve(
     if ptr is None:
         raise ValueError(f"no generation pointer under {lex_dir}")
     gen = int(ptr["gen"])
+
+    index = SnapshotTable(
+        spark,
+        os.path.join(vec_dir, "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    ann_inserts = [
+        (int(s["snapshot_id"]), int(s["batch_id"]))
+        for s in index.snapshots()
+        if s.get("kind", "insert") == "insert"
+        and s.get("batch_id") is not None
+    ]
+    if not any(b <= gen for _, b in ann_inserts):
+        raise ValueError(
+            f"no ANN snapshot covers lexical generation {gen}"
+        )
+    # the shared prefix BOTH indexes durably hold: if the dense stream
+    # runs behind the lexical one, serve the OLDER prefix on both sides
+    # rather than fusing mismatched corpus versions (round-12 ADVICE)
+    gen_eff = min(gen, max(b for _, b in ann_inserts))
+    covered = [sid for sid, b in ann_inserts if b <= gen_eff]
     lex = _bm25_serve(
         spark,
         tf_log,
@@ -3586,27 +3686,9 @@ def hybrid_consistent_serve(
         queries,
         score_expr,
         pool,
-        as_of_gen=gen,
-        stats_override=(int(ptr["sum_dl"]), int(ptr["n_docs"])),
+        as_of_gen=gen_eff,
+        stats_override=_bm25_stats_at(ptr, gen_eff, dl_log),
     ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
-
-    index = SnapshotTable(
-        spark,
-        os.path.join(vec_dir, "ivf_index"),
-        "vec_id long, embedding array<float>, cell_id long",
-        partition_cols=["cell_id"],
-    )
-    covered = [
-        s["snapshot_id"]
-        for s in index.snapshots()
-        if s.get("kind", "insert") == "insert"
-        and s.get("batch_id") is not None
-        and int(s["batch_id"]) <= gen
-    ]
-    if not covered:
-        raise ValueError(
-            f"no ANN snapshot covers lexical generation {gen}"
-        )
     with open(os.path.join(vec_dir, "anchors.json")) as f:
         anchor_rows = [Row(aid=a, vec=v) for a, v in _json.load(f)]
     vec = ann_probe(

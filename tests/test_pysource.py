@@ -271,3 +271,68 @@ def test_stream_source_checkpoint_restart_exactly_once(spark, tmp_path):
     assert [i for bid in sorted(by_bid) for i in by_bid[bid]] == list(
         range(12)
     )
+
+
+def test_stream_reader_committed_restart_floors_pacer(tmp_path):
+    """Round-12 ADVICE: a restart whose offset log is FULLY committed has
+    no pending batch to replan — the only signal the fresh reader gets is
+    the engine's re-commit of the last durable batch. commit() must floor
+    the pacer at that watermark, else the first latestOffset() returns
+    {chunk: 1} (< committed) and new chunks landing afterwards get
+    planned in a BACKWARDS batch that re-delivers committed chunks."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from duckdb_streaming_patterns_spark.sources.pysource import (
+        ChunkTopicStreamReader,
+    )
+
+    root = _stage(tmp_path)  # chunks 0..2, all committed pre-restart
+    fresh = ChunkTopicStreamReader(_schema(), {"path": root})
+    fresh.commit({"chunk": 3})  # engine's restart re-commit
+    # a new chunk lands after the restart
+    d = os.path.join(root, "__chunk=3")
+    os.makedirs(d)
+    ids = [12, 13]
+    pq.write_table(
+        pa.table({"doc_id": ids, "text": [f"d{i}" for i in ids]}),
+        os.path.join(d, "part-0.parquet"),
+    )
+    # the next offset must be ABOVE the committed watermark — exactly
+    # the new chunk, never a replay of chunks 0..2
+    assert fresh.latestOffset() == {"chunk": 4}
+
+
+def test_stream_reader_partitions_floors_on_start_offset(tmp_path):
+    """partitions() folds BOTH offsets into the pacer: planning an empty
+    range (start == end == committed) must still keep latestOffset at or
+    above the watermark."""
+    from duckdb_streaming_patterns_spark.sources.pysource import (
+        ChunkTopicStreamReader,
+    )
+
+    fresh = ChunkTopicStreamReader(_schema(), {"path": _stage(tmp_path)})
+    fresh.partitions({"chunk": 3}, {"chunk": 3})
+    assert fresh.latestOffset() == {"chunk": 3}
+
+
+def test_ensure_registered_is_per_session(spark):
+    """Registration is keyed on the SESSION, not a process-global flag
+    (round-12 ADVICE): a second session in the same process registers
+    again rather than silently skipping. Spark 4.1 shares the Python
+    data-source registry across newSession() clones — there the
+    re-register surfaces as DATA_SOURCE_ALREADY_EXISTS, which
+    ensure_registered treats as the registered state; on a genuinely
+    fresh registry the register call succeeds. Either way the second
+    session ends up able to plan chunk_topic reads."""
+    from duckdb_streaming_patterns_spark.sources import pysource
+
+    pysource.ensure_registered(spark)
+    assert spark in pysource._SESSIONS_REGISTERED
+    s2 = spark.newSession()
+    try:
+        assert s2 not in pysource._SESSIONS_REGISTERED
+        pysource.ensure_registered(s2)  # must not raise on shared registry
+        assert s2 in pysource._SESSIONS_REGISTERED
+    finally:
+        pysource._SESSIONS_REGISTERED.discard(s2)

@@ -3982,3 +3982,111 @@ def test_hybrid_consistent_serve_pins_both_indexes(spark, sf_small):
         ).collect()
     )
     assert consistent == clean
+
+
+def test_hybrid_consistent_serve_dense_behind(spark, sf_small):
+    """The likelier cross-index skew: the EMBEDDING stream runs BEHIND
+    the document stream (embedding is the slow stream). The consistent
+    serve must pin BOTH sides to the shared prefix gen_eff = min(lex
+    gen, max ANN insert batch) — not silently fuse BM25 state at gen=4
+    with a dense index stuck at batch 2 (round-12 ADVICE). Oracle: a
+    control run where BOTH streams replay only the first 3 chunks — the
+    skewed run's consistent serve must hash-equal it, because prefix<=2
+    of the 5-chunk doc stream IS the 3-truncated doc stream's state."""
+    import shutil
+
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    doc_chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("dbehd"), n_chunks=5
+    )
+    emb_chunks = staging.stage_embedding_chunks(
+        spark, sf_small, staging.new_run_dir("dbehe"), n_chunks=5
+    )
+
+    def _truncate(src: str, tag: str, keep: int) -> str:
+        dst = os.path.join(staging.new_run_dir(tag), "chunks")
+        os.makedirs(dst, exist_ok=True)
+        for k in range(keep):
+            d = os.path.join(src, f"__chunk={k}")
+            shutil.copytree(d, os.path.join(dst, f"__chunk={k}"),
+                            copy_function=shutil.copy2)
+        return dst
+
+    doc3 = _truncate(doc_chunks, "dbehd3", 3)
+    emb3 = _truncate(emb_chunks, "dbehe3", 3)
+    queries_df = load_table(spark, sf_small, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    # control: both streams stop at chunk 2 — a fully consistent world
+    control_run = staging.new_run_dir("dbehctl")
+    patterns.pattern_streaming_hybrid_retrieval(
+        spark, doc3, emb3, control_run, _BM25_QUERIES, queries_df,
+        _BM25_SCORE_EXPR, state_partitions=4, compact_every=2,
+    )
+    control = sorted(
+        tuple(r) for r in patterns.hybrid_consistent_serve(
+            spark, control_run, _BM25_QUERIES, queries_df,
+            _BM25_SCORE_EXPR,
+        ).collect()
+    )
+    # skewed: docs replay all 5 chunks (lex gen=4), embeddings only 3
+    # (max ANN insert batch=2) — the dense stream is 2 batches behind
+    skew_run = staging.new_run_dir("dbehskw")
+    patterns.pattern_streaming_hybrid_retrieval(
+        spark, doc_chunks, emb3, skew_run, _BM25_QUERIES, queries_df,
+        _BM25_SCORE_EXPR, state_partitions=4, compact_every=2,
+    )
+    tf_log, _dl = patterns.bm25_reader_logs(
+        spark, os.path.join(skew_run, "lex")
+    )
+    ptr = tf_log.io.try_read_json(
+        patterns._bm25_gen_path(os.path.join(skew_run, "lex"))
+    )
+    assert int(ptr["gen"]) == 4
+    # the pointer history carries exact stats for the older prefix —
+    # the reader resolves gen_eff=2's stats from the SAME single GET
+    assert any(int(h["gen"]) == 2 for h in ptr.get("hist", [])), ptr
+    skewed = sorted(
+        tuple(r) for r in patterns.hybrid_consistent_serve(
+            spark, skew_run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR
+        ).collect()
+    )
+    assert skewed == control
+
+
+def test_bm25_stats_at_history_and_fallback(spark, sf_small):
+    """_bm25_stats_at: history fast path returns the exact stats the
+    pointer recorded at that generation; the fallback (prefix older than
+    the history window) recomputes them exactly from the scoped dl log."""
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+
+    run = staging.new_run_dir("statsat")
+    chunks = staging.stage_document_chunks(spark, sf_small, run, n_chunks=5)
+    patterns.pattern_streaming_bm25_index(
+        spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=0,
+    )
+    tf_log, dl_log = patterns.bm25_reader_logs(spark, run)
+    ptr = tf_log.io.try_read_json(patterns._bm25_gen_path(run))
+    assert int(ptr["gen"]) == 4 and len(ptr["hist"]) == 4
+    # exact recompute from the scoped dl log, per prefix
+    for g in range(5):
+        row = (
+            dl_log.read_latest(before_batch=g + 1)
+            .agg(F.sum("dl").alias("s"), F.count("*").alias("n"))
+            .first()
+        )
+        expect = (int(row["s"]), int(row["n"]))
+        # history path (g < gen) or the pointer head (g == gen)
+        assert patterns._bm25_stats_at(ptr, g, dl_log) == expect
+        # fallback path: strip the history and force the dl-log aggregate
+        bare = {k: v for k, v in ptr.items() if k != "hist"}
+        assert patterns._bm25_stats_at(bare, g, dl_log) == expect

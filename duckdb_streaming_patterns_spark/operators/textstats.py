@@ -199,6 +199,57 @@ def pii_redact(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+#: SQL fragment (identical Spark SQL / DuckDB dialect) building one
+#: deterministic PII marker per document from its id: 4 of every 5 docs
+#: get an email / IPv4 / SSN-shaped / phone-shaped span spliced into the
+#: text at a doc_id-derived offset; the 5th is the unredacted control.
+#: Pure id arithmetic — no randomness — so the injected corpus is a
+#: FUNCTION of the fixture and the oracle rebuilds it bit-for-bit.
+_PII_MARKER_SQL = (
+    "CASE CAST({id} % 5 AS INT) "
+    " WHEN 0 THEN 'user' || CAST({id} AS STRING) || '@example.com' "
+    " WHEN 1 THEN CAST({id} % 256 AS STRING) || '.0.10.' "
+    "      || CAST(({id} * 7) % 256 AS STRING) "
+    " WHEN 2 THEN '123-45-' || lpad(CAST({id} % 10000 AS STRING), 4, '0') "
+    " WHEN 3 THEN '555-867-' || lpad(CAST({id} % 10000 AS STRING), 4, '0') "
+    " ELSE '' END"
+)
+
+#: injected text: marker spliced (space-delimited) at offset
+#: doc_id % (length+1) — mid-text, not appended, so the rewrite is
+#: proven to preserve BOTH surrounding halves byte-for-byte.
+_PII_INJECT_SQL = (
+    "CASE WHEN {marker} = '' THEN {text} ELSE "
+    "substring({text}, 1, CAST({id} % (length({text}) + 1) AS INT)) "
+    "|| ' ' || {marker} || ' ' || "
+    "substring({text}, CAST({id} % (length({text}) + 1) AS INT) + 1) END"
+)
+
+
+def pii_inject_sql(id_col: str, text_col: str) -> str:
+    """The full injected-text expression for either engine (Spark SQL and
+    DuckDB agree on substring/length/lpad/||/% here — CASTs pin the
+    integer arithmetic)."""
+    marker = _PII_MARKER_SQL.format(id=id_col)
+    return _PII_INJECT_SQL.format(marker=marker, text=text_col, id=id_col)
+
+
+def pii_redact_positive(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """``pii_redact`` driven over a deterministically PII-INJECTED copy of
+    the corpus, so the output hash covers ACTUAL rewrites (placeholder
+    choice, leftmost-greedy span boundaries, ordering among patterns) on
+    a pinned 4/5 of rows — not just no-op parity on a digit-free fixture
+    (round-12 verdict finding #3). Still a map-only projection: the
+    injection is id arithmetic fused into the same scan."""
+    injected = df.select(
+        F.col(id_col),
+        F.expr(pii_inject_sql(id_col, text_col)).alias(text_col),
+    )
+    return pii_redact(injected, id_col, text_col)
+
+
 def tfidf_top_terms(
     df: DataFrame,
     group_col: str,

@@ -1355,3 +1355,124 @@ def q_pattern_streaming_hybrid_consistent(
     return patterns.hybrid_consistent_serve(
         spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR,
     )
+
+
+# ---------------------------------------------------------------------------
+# Atomic two-index generation manifest (round 13): corpus version 1 of the
+# UNALIGNED replay — document stream in 6 micro-batches, embedding stream
+# in 3 (each dense batch covers two document batches' prefix). The serve
+# is pinned to the manifest's (lex_gen=3, ann snapshot covering dense
+# batches <= 1) == the doc_id/vec_id < 4*ceil(n/6) corpus prefix, even
+# though BOTH streams ran on (and committed) well past it.
+# ---------------------------------------------------------------------------
+from duckdb_streaming_patterns_spark.queries_text import (  # noqa: E402
+    _hybrid_bm25_ctes,
+)
+
+_MANIFEST_DOC_PREFIX = (
+    "(SELECT * FROM documents WHERE doc_id < "
+    "4 * (((SELECT count(*) FROM documents) + 5) // 6))"
+)
+
+_MANIFEST_HYBRID_ORACLE = rf"""
+    WITH {_hybrid_bm25_ctes(_MANIFEST_DOC_PREFIX)},
+    p AS (SELECT CAST(ceil(count(*) / 6.0) AS BIGINT) AS per
+          FROM embeddings),
+    pe AS (SELECT e.* FROM embeddings e, p WHERE e.vec_id < 4 * p.per),
+    a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+          FROM embeddings, p WHERE vec_id < 2 * p.per
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+          LIMIT 16),
+    asim AS (SELECT e.vec_id, a.aid,
+                    {_dd_cosine("e.embedding", "a.a_vec")} AS cos
+             FROM pe e CROSS JOIN a),
+    ar AS (SELECT vec_id, aid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, aid) AS rn
+           FROM asim),
+    cells AS (SELECT vec_id, aid AS cell_id FROM ar WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, aid AS cell_id
+               FROM ar WHERE vec_id < 3 AND rn <= 8),
+    cand AS (SELECT p2.query_id, c.vec_id AS doc_id
+             FROM probes p2 JOIN cells c USING (cell_id)
+             WHERE c.vec_id <> p2.query_id),
+    ccos AS (SELECT cand.query_id, cand.doc_id,
+                    {_dd_cosine("qe.embedding", "e.embedding")} AS cosine
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = cand.query_id
+             JOIN embeddings e ON e.vec_id = cand.doc_id),
+    crank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, doc_id)
+                       AS vec_rank
+              FROM ccos),
+    cpool AS (SELECT * FROM crank WHERE vec_rank <= 20),
+    {_HYBRID_FUSE_TAIL}"""
+
+
+@register("pattern_streaming_hybrid_manifest", _MANIFEST_HYBRID_ORACLE)
+def q_pattern_streaming_hybrid_manifest(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """ATOMIC two-index generation manifest (round 13): the document and
+    embedding streams replay the same corpus at UNALIGNED micro-batch
+    cadences (6 lexical batches vs 3 dense batches), so no shared batch
+    numbering exists — min(lex gen, dense max batch) would pin the WRONG
+    prefix in both indexes' own units. A coordinator that knows the
+    feed's corpus-version map CAS-publishes ONE manifest carrying
+    (lex_gen=3, ann_snapshot covering dense batches <= 1) — corpus
+    version 1 — while BOTH streams run on and durably commit past it;
+    the serve is then also tainted with a torn lexical batch AND an
+    ahead-running ledgered ANN commit carrying query-vector phantoms.
+    The row is hybrid_manifest_serve's answer: one manifest GET pins
+    both retrievers to version 1's corpus prefix — committed-but-newer
+    state and torn state are equally invisible. Oracle = the batch
+    hybrid over exactly that prefix. See
+    streaming/patterns.pattern_streaming_hybrid_manifest."""
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    run = staging.new_run_dir("phybm")
+    doc_chunks = staging.stage_document_chunks(
+        spark, sf_dir, staging.new_run_dir("phybmd"), n_chunks=6
+    )
+    emb_chunks = staging.stage_paired_embedding_chunks(
+        spark, sf_dir, staging.new_run_dir("phybme"), n_chunks=6
+    )
+    queries_df = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    patterns.pattern_streaming_hybrid_manifest(
+        spark, doc_chunks, emb_chunks, run, _BM25_QUERIES, queries_df,
+        _BM25_SCORE_EXPR, at_version=1, state_partitions=4,
+        compact_every=2,
+    )
+    # taint 1: torn lexical batch BEYOND the stream (tf rows only)
+    tf_log, _dl = patterns.bm25_reader_logs(
+        spark, _os.path.join(run, "lex")
+    )
+    phantom_tf = spark.createDataFrame(
+        [
+            (30_000_000 + i, tok, 50)
+            for i, (_qid, qtext) in enumerate(_BM25_QUERIES)
+            for tok in qtext.split()
+        ],
+        "doc_id long, tok string, tf long",
+    )
+    tf_log.append(phantom_tf, batch_id=6)
+    # taint 2: an ahead-running LEDGERED dense commit of query-vector
+    # phantoms (a naive probe retrieves them at cosine ~1.0)
+    index = SnapshotTable(
+        spark,
+        _os.path.join(run, "vec", "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    qvec = queries_df.filter(F.col("vec_id") == 0).first()["embedding"]
+    ahead = spark.createDataFrame(
+        [(30_000_000 + c, list(qvec), c) for c in range(16)],
+        "vec_id long, embedding array<float>, cell_id long",
+    )
+    index.append(ahead, batch_id=3)
+    return patterns.hybrid_manifest_serve(
+        spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR,
+    )

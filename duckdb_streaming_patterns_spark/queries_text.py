@@ -549,6 +549,48 @@ def q_text_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# POSITIVE-evidence form (round-13, verdict finding #3): the fixture
+# corpus is digit-free, so the plain redact row passes every doc through
+# unredacted. Here the oracle rebuilds the SAME deterministic
+# PII-injected corpus (id-arithmetic markers spliced mid-text — email /
+# IPv4 / SSN / phone on 4 of every 5 docs, the 5th a control) and the
+# hash covers the actual rewrites: placeholder choice, leftmost-greedy
+# span boundaries, pattern order, and byte-preservation of both
+# surrounding halves.
+_PII_REDACT_POSITIVE_ORACLE = rf"""
+    WITH inj AS (
+      SELECT doc_id,
+             {textstats.pii_inject_sql("doc_id", "text")} AS text
+      FROM documents
+    ),
+    r AS (
+      SELECT doc_id,
+             regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+               text,
+               '{textstats.PII_PATTERNS["email"]}', '<EMAIL>', 'g'),
+               '{textstats.PII_PATTERNS["ipv4"]}', '<IP>', 'g'),
+               '{textstats.PII_PATTERNS["ssn"]}', '<SSN>', 'g'),
+               '{textstats.PII_PATTERNS["phone"]}', '<PHONE>', 'g')
+               AS clean_text,
+             text
+      FROM inj
+    )
+    SELECT doc_id, clean_text, clean_text <> text AS redacted FROM r
+"""
+
+
+@register("text_pii_redact_positive", _PII_REDACT_POSITIVE_ORACLE)
+def q_text_pii_redact_positive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction with POSITIVE evidence: a deterministic id-derived
+    PII marker is spliced into 4 of every 5 documents before the rewrite,
+    so the result hash pins real redactions (and the 5th doc pins the
+    no-op path) in one row. Injection is pure id arithmetic fused into
+    the scan — the operator stays map-only at 100 TB."""
+    return textstats.pii_redact_positive(
+        _t(spark, sf_dir, "documents"), "doc_id", "text"
+    )
+
+
 _TFIDF_ORACLE = r"""
     WITH docs AS (
       SELECT lang,
@@ -1063,7 +1105,17 @@ _RRF_K, _RRF_POOL = 60, 20
 
 # BM25 pool + fusion tail shared by the exact and the IVF-probed hybrid
 # oracles — byte-identical SQL so both rows rank the lexical side the
-# same way and fuse with the same arithmetic.
+# same way and fuse with the same arithmetic. The builder takes the
+# document source so prefix-pinned rows (the two-index manifest oracle)
+# reuse the identical pool SQL over a corpus-prefix subquery.
+def _hybrid_bm25_ctes(docs_source: str = "documents") -> str:
+    return _HYBRID_BM25_CTES.replace(
+        "docs AS (SELECT * FROM documents),",
+        f"docs AS (SELECT * FROM {docs_source}),",
+        1,
+    )
+
+
 _HYBRID_BM25_CTES = rf"""docs AS (SELECT * FROM documents),
     dl AS (SELECT doc_id,
                   len(string_split_regex(trim(text), '\s+')) AS dl

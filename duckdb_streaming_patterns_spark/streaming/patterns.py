@@ -3707,3 +3707,220 @@ def hybrid_consistent_serve(
     from duckdb_streaming_patterns_spark.queries_text import _rrf_fuse
 
     return _rrf_fuse(lex, vec)
+
+
+# ---------------------------------------------------------------------------
+# Atomic TWO-INDEX generation manifest (round 13, verdict #2): cross-index
+# consistency WITHOUT shared batch numbering. hybrid_consistent_serve pins
+# the dense side with "ledger batch_id <= lexical gen" — sound only while
+# both streams replay the same chunk-numbered prefix. Two REAL independent
+# streams (documents vs embeddings, each micro-batched at its own cadence)
+# don't share batch ids; what they DO share is the upstream corpus: a
+# coordinator that knows "lexical batch g and dense batch v cover the same
+# corpus prefix" publishes ONE pointer carrying BOTH index versions —
+# (lex_gen, ann_snapshot) plus the exact lexical stats — CAS-swapped only
+# after both sides' writes are durable. Readers resolve that single
+# manifest and never compare batch ids across indexes at all. This is the
+# multi-log generalization of the manifest-last commit discipline: the
+# pointer is the ONLY cross-index coupling, and it is atomic.
+# ---------------------------------------------------------------------------
+
+
+def _hybrid_manifest_path(run_dir: str) -> str:
+    return os.path.join(run_dir, "hybrid_gen.json")
+
+
+def publish_hybrid_manifest(
+    io,
+    run_dir: str,
+    version: int,
+    lex_gen: int,
+    ann_snapshot: int,
+    sum_dl: int,
+    n_docs: int,
+) -> None:
+    """CAS-publish the joint generation manifest for corpus ``version``:
+    the lexical index at batch ``lex_gen`` and the dense index at ledger
+    snapshot ``ann_snapshot`` hold the SAME corpus prefix, both durable.
+    Idempotent under redelivery (an already-covered version is left
+    alone). One O(1) swap — the only cross-index write that exists."""
+    from duckdb_streaming_patterns_spark.plans.commitio import READ_ABSENT
+
+    path = _hybrid_manifest_path(run_dir)
+    cur = io.try_read_json(path)
+    if cur is not None and int(cur["version"]) >= version:
+        return
+    expected = cur if cur is not None else {READ_ABSENT: True}
+    io.swap_pointer(
+        path,
+        {
+            "version": version,
+            "lex_gen": lex_gen,
+            "ann_snapshot": ann_snapshot,
+            "sum_dl": sum_dl,
+            "n_docs": n_docs,
+        },
+        expected=expected,
+    )
+
+
+def hybrid_manifest_serve(
+    spark: SparkSession,
+    run_dir: str,
+    queries: list,
+    queries_df: DataFrame,
+    score_expr: str,
+    pool: int = 20,
+    n_probe: int = 8,
+    n_buckets: int = 16,
+) -> DataFrame:
+    """Serve the hybrid retriever pinned to the atomic two-index
+    manifest: ONE pointer GET yields (lex_gen, ann_snapshot, exact
+    stats); the BM25 side serves scoped to its own batches <= lex_gen
+    (a partition filter), the dense side probes as-of its own ledger
+    snapshot — no batch-id comparison ever crosses the index boundary,
+    so the guarantee survives ANY skew between the two streams' batch
+    cadences, including completely unaligned numbering. Read cost is
+    identical to the single-index consistent serves: one GET, one
+    ledger read, two pruned pool fetches."""
+    import json as _json
+
+    from pyspark.sql import Row
+
+    lex_dir = os.path.join(run_dir, "lex")
+    vec_dir = os.path.join(run_dir, "vec")
+    tf_log, dl_log = bm25_reader_logs(spark, lex_dir, n_buckets)
+    man = tf_log.io.try_read_json(_hybrid_manifest_path(run_dir))
+    if man is None:
+        raise ValueError(f"no hybrid generation manifest under {run_dir}")
+    lex = _bm25_serve(
+        spark,
+        tf_log,
+        dl_log,
+        None,
+        queries,
+        score_expr,
+        pool,
+        as_of_gen=int(man["lex_gen"]),
+        stats_override=(int(man["sum_dl"]), int(man["n_docs"])),
+    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
+    index = SnapshotTable(
+        spark,
+        os.path.join(vec_dir, "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    with open(os.path.join(vec_dir, "anchors.json")) as f:
+        anchor_rows = [Row(aid=a, vec=v) for a, v in _json.load(f)]
+    vec = ann_probe(
+        spark,
+        index,
+        anchor_rows,
+        queries_df,
+        k=pool,
+        n_probe=n_probe,
+        as_of_snapshot=int(man["ann_snapshot"]),
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rank").alias("vec_rank"),
+    )
+    from duckdb_streaming_patterns_spark.queries_text import _rrf_fuse
+
+    return _rrf_fuse(lex, vec)
+
+
+def pattern_streaming_hybrid_manifest(
+    spark: SparkSession,
+    doc_chunks: str,
+    emb_chunks: str,
+    run_dir: str,
+    queries: list,
+    queries_df: DataFrame,
+    score_expr: str,
+    at_version: int = 1,
+    pool: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    state_partitions: int | None = None,
+    compact_every: int = 8,
+) -> DataFrame:
+    """The full two-index manifest story end-to-end: the document stream
+    replays at ONE cadence (6 micro-batches) while the embedding stream
+    replays the SAME corpus at ANOTHER (3 micro-batches — each covering
+    two document batches' worth of prefix, staging's paired chunks), so
+    the two indexes' batch ids are deliberately UNALIGNED. The
+    coordinator — which knows the feed's corpus-version map (version v
+    == document batches <= 2v+1 == embedding batches <= v, the contract
+    a shared upstream feed provides) — CAS-publishes ONE manifest at
+    ``at_version`` after verifying both sides' writes for that prefix
+    are durable; the serve answers pinned to it.
+
+    Both streams keep running PAST the published version (lexical
+    batches beyond 2v+1, dense ledger snapshots beyond v are all
+    durable and committed) — the serve must ignore even committed state
+    beyond the manifest, which no shared-batch-numbering rule could
+    express here: min(lex gen 5, dense max batch 2) pins the WRONG
+    prefix in both indexes' own units. The oracle is the batch hybrid
+    over exactly the version's corpus prefix."""
+    lex_dir = os.path.join(run_dir, "lex")
+    vec_dir = os.path.join(run_dir, "vec")
+    pattern_streaming_bm25_index(
+        spark,
+        doc_chunks,
+        lex_dir,
+        queries,
+        score_expr,
+        k=pool,
+        state_partitions=state_partitions,
+        compact_every=compact_every,
+    )
+    pattern_streaming_ann_index(
+        spark,
+        emb_chunks,
+        vec_dir,
+        queries_df,
+        k=pool,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        state_partitions=state_partitions,
+    )
+    # --- the coordinator: corpus version -> each index's OWN version ---
+    tf_log, dl_log = bm25_reader_logs(spark, lex_dir)
+    lex_ptr = tf_log.io.try_read_json(_bm25_gen_path(lex_dir))
+    lex_gen = 2 * at_version + 1  # the feed's version map, lexical units
+    if lex_ptr is None or int(lex_ptr["gen"]) < lex_gen:
+        raise ValueError(
+            f"lexical index has not durably covered version {at_version}"
+        )
+    index = SnapshotTable(
+        spark,
+        os.path.join(vec_dir, "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    covered = [
+        int(s["snapshot_id"])
+        for s in index.snapshots()
+        if s.get("kind", "insert") == "insert"
+        and s.get("batch_id") is not None
+        and int(s["batch_id"]) <= at_version  # dense units: batch v == version v
+    ]
+    if not covered:
+        raise ValueError(
+            f"dense index has not durably covered version {at_version}"
+        )
+    sum_dl, n_docs = _bm25_stats_at(lex_ptr, lex_gen, dl_log)
+    publish_hybrid_manifest(
+        tf_log.io,
+        run_dir,
+        version=at_version,
+        lex_gen=lex_gen,
+        ann_snapshot=max(covered),
+        sum_dl=sum_dl,
+        n_docs=n_docs,
+    )
+    return hybrid_manifest_serve(
+        spark, run_dir, queries, queries_df, score_expr,
+        pool=pool, n_probe=n_probe,
+    )

@@ -277,6 +277,51 @@ def stage_embedding_chunks(
     return chunks_dir
 
 
+def stage_paired_embedding_chunks(
+    spark: SparkSession,
+    sf_dir: str,
+    out_dir: str,
+    n_chunks: int = 6,
+) -> str:
+    """Embedding chunks at a DIFFERENT micro-batch granularity than the
+    matching document stream: the corpus is split into ``n_chunks``
+    vec_id-arithmetic chunks (the SAME prefix boundaries the document
+    stream uses), then consecutive PAIRS are concatenated into one
+    single-file stream chunk — so embedding micro-batch v carries the
+    corpus coverage of document micro-batches 2v and 2v+1. This is the
+    deliberately UNALIGNED batch numbering the atomic two-index
+    generation manifest exists for: the two streams share corpus-prefix
+    boundaries (the real-world invariant — both consume the same
+    upstream feed) but NOT batch ids."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    src = stage_embedding_chunks(
+        spark, sf_dir, os.path.join(out_dir, "base"), n_chunks=n_chunks
+    )
+    dst = os.path.join(out_dir, "paired")
+    if os.path.isdir(dst) and glob.glob(os.path.join(dst, "__chunk=*")):
+        return dst
+    src_dirs = sorted(
+        glob.glob(os.path.join(src, "__chunk=*")),
+        key=lambda d: int(d.rsplit("=", 1)[1]),
+    )
+    for v in range((len(src_dirs) + 1) // 2):
+        pair = src_dirs[2 * v : 2 * v + 2]
+        tables = [
+            pq.read_table(f)
+            for d in pair
+            for f in sorted(glob.glob(os.path.join(d, "*.parquet")))
+        ]
+        d = os.path.join(dst, f"__chunk={v}")
+        os.makedirs(d, exist_ok=True)
+        pq.write_table(
+            pa.concat_tables(tables), os.path.join(d, "part-0.parquet")
+        )
+    _stamp_chunk_order(dst)
+    return dst
+
+
 def read_embedding_stream(spark: SparkSession, chunks_dir: str) -> DataFrame:
     """File-source micro-batch stream of staged embedding chunks."""
     return (

@@ -389,3 +389,34 @@ def test_pii_redact_rewrites_synthetic_pii(spark):
     assert got[4]["redacted"] is False
     assert got[5]["clean_text"] == "mixed: <EMAIL> then <IP> then <SSN>"
     assert all(got[i]["redacted"] for i in (0, 1, 2, 3, 5))
+
+
+def test_pii_redact_positive_injects_and_rewrites(spark, sf_small):
+    """text_pii_redact_positive (round 13): the deterministic injection
+    plants a marker in 4 of every 5 docs, the redact rewrites every one
+    of them (redacted fraction == the docs whose id % 5 != 4), control
+    docs pass through byte-identical to the plain corpus, and the
+    placeholder that lands matches the id-derived marker kind."""
+    from duckdb_streaming_patterns_spark.operators import textstats
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_small, "documents")
+    out = {
+        r["doc_id"]: r
+        for r in textstats.pii_redact_positive(
+            docs, "doc_id", "text"
+        ).collect()
+    }
+    plain = {r["doc_id"]: r["text"] for r in docs.select("doc_id", "text").collect()}
+    kinds = {0: "<EMAIL>", 1: "<IP>", 2: "<SSN>", 3: "<PHONE>"}
+    for did, row in out.items():
+        k = did % 5
+        if k == 4:
+            assert not row["redacted"]
+            assert row["clean_text"] == plain[did]
+        else:
+            assert row["redacted"], did
+            assert kinds[k] in row["clean_text"], (did, row["clean_text"][:80])
+            # the rewrite preserves both halves: stripping the injected
+            # ' <PLACEHOLDER> ' span restores the original text
+            assert row["clean_text"].replace(f" {kinds[k]} ", "", 1) == plain[did]

@@ -4090,3 +4090,87 @@ def test_bm25_stats_at_history_and_fallback(spark, sf_small):
         # fallback path: strip the history and force the dl-log aggregate
         bare = {k: v for k, v in ptr.items() if k != "hist"}
         assert patterns._bm25_stats_at(bare, g, dl_log) == expect
+
+
+def test_hybrid_manifest_unaligned_batches(spark, sf_small):
+    """The atomic two-index manifest (round 13): with 6 lexical vs 3
+    dense micro-batches over the same corpus, (a) publish is idempotent
+    under redelivery, (b) the serve pinned at version 1 ignores BOTH
+    streams' committed state beyond the manifest, (c) the old shared-
+    numbering rule min(lex gen, dense max batch) pins a DIFFERENT (wrong)
+    prefix — the manifest is load-bearing, and (d) serving without a
+    manifest raises instead of guessing."""
+    import json
+    import pytest
+
+    from duckdb_streaming_patterns_spark.plans.snapshots import (
+        SnapshotTable as ST,
+    )
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    run = staging.new_run_dir("hmanif")
+    doc_chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("hmanifd"), n_chunks=6
+    )
+    emb_chunks = staging.stage_paired_embedding_chunks(
+        spark, sf_small, staging.new_run_dir("hmanife"), n_chunks=6
+    )
+    queries_df = load_table(spark, sf_small, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    pinned = sorted(
+        tuple(r)
+        for r in patterns.pattern_streaming_hybrid_manifest(
+            spark, doc_chunks, emb_chunks, run, _BM25_QUERIES, queries_df,
+            _BM25_SCORE_EXPR, at_version=1, state_partitions=4,
+            compact_every=2,
+        ).collect()
+    )
+    tf_log, _dl = patterns.bm25_reader_logs(spark, os.path.join(run, "lex"))
+    man = tf_log.io.try_read_json(patterns._hybrid_manifest_path(run))
+    assert man["version"] == 1 and man["lex_gen"] == 3
+    # (a) redelivered publish for a covered version is a no-op
+    patterns.publish_hybrid_manifest(
+        tf_log.io, run, version=0, lex_gen=1, ann_snapshot=0,
+        sum_dl=1, n_docs=1,
+    )
+    assert tf_log.io.try_read_json(patterns._hybrid_manifest_path(run)) == man
+    # (b) the serve is stable against everything committed past version 1
+    again = sorted(
+        tuple(r)
+        for r in patterns.hybrid_manifest_serve(
+            spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR
+        ).collect()
+    )
+    assert again == pinned
+    # (c) min(lex gen=5, dense max batch=2) is NOT version 1's pairing
+    # (lex_gen=3, dense<=1): the shared-numbering rule would serve
+    # mismatched prefixes here — the coordinator's version map is the
+    # only sound cross-index linkage
+    lex_ptr = tf_log.io.try_read_json(
+        patterns._bm25_gen_path(os.path.join(run, "lex"))
+    )
+    index = ST(
+        spark,
+        os.path.join(run, "vec", "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    dense_max = max(
+        int(s["batch_id"])
+        for s in index.snapshots()
+        if s.get("kind", "insert") == "insert"
+        and s.get("batch_id") is not None
+    )
+    min_rule = min(int(lex_ptr["gen"]), dense_max)
+    assert min_rule != man["lex_gen"]  # 2 != 3: wrong lexical prefix
+    # (d) no manifest -> loud failure
+    with pytest.raises(ValueError, match="manifest"):
+        patterns.hybrid_manifest_serve(
+            spark, staging.new_run_dir("hmanifx"), _BM25_QUERIES,
+            queries_df, _BM25_SCORE_EXPR,
+        )

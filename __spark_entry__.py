@@ -217,6 +217,39 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     Arrow files + manifest-last commit through the public
 #     DataSourceStreamWriter lifecycle — with the source row above,
 #     BOTH directions of the topic contract carry driver hashes.
+# Round-13 rotation (round-12 verdict item 1) — the round-12 consistency
+# capstones, the sketch family, and the round-13 additions get rows:
+#   pattern_streaming_bm25_midstream (mid-stream serve — its serve plan
+#     AND its 3-chunk prefix-oracle property both run INSIDE the two
+#     consistency rows below, which scope the same serve to a
+#     generation; stays exact-checked locally) →
+#     pattern_streaming_bm25_external_reader: snapshot-consistent
+#     EXTERNAL serving against a deliberately torn tf batch — one
+#     pointer GET, both state reads scoped <= gen;
+#   distinct_users_per_type (A1/A5 multi-key agg — pinned by
+#     user_clicks' count+max per user and q1's aggregate set; stays
+#     exact-checked locally) → pattern_streaming_hybrid_consistent:
+#     CROSS-INDEX consistent hybrid serving, both indexes dirtied
+#     (torn tf batch + ahead-running ANN ledger commit);
+#   source_topk_docs (grouped top-k — the TakeOrderedAndProject /
+#     window-rank machinery is pinned by user_clicks_top5 and every
+#     retrieval row's rank windows; stays exact-checked locally) →
+#     pattern_streaming_hybrid_manifest: the ATOMIC two-index
+#     generation manifest under deliberately UNALIGNED batch cadences
+#     (6 lexical vs 3 dense micro-batches) — round-13 capstone;
+#   contamination_bloom_flags (Bloom membership gate — the n-gram
+#     contamination semantics stay pinned by contamination_ngram_overlap's
+#     exact sibling row, and the bloom machinery by runtime_bloom_join's
+#     local plan-asserted tests; stays exact-checked locally) →
+#     pattern_streaming_quantiles_kmv: the mergeable bottom-k quantile
+#     sketch maintained as streaming state (merge-law fold ≡ prefix
+#     sketch, hash-exact oracle) — the mergeable-sketch family's row;
+#   text_pii_redact (no-op parity on the digit-free fixture — the regex
+#     grammar + rewrite order stay pinned by the POSITIVE row, which
+#     chains the same replaces; stays exact-checked locally) →
+#     text_pii_redact_positive: deterministic id-derived PII markers
+#     spliced mid-text on 4 of 5 docs, so the hash covers ACTUAL
+#     rewrites, placeholders, and both preserved halves.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -226,7 +259,7 @@ _PRIORITY = [
     "pattern_streaming_quality_drift",
     "events_json_extract",
     "pattern_streaming_ann_index_expiring",
-    "distinct_users_per_type",
+    "pattern_streaming_quantiles_kmv",
     "snapshot_type_widening_read",
     # streaming patterns (SURVEY §3, §2.9)
     "pattern_1_1_incremental_merge",
@@ -241,14 +274,14 @@ _PRIORITY = [
     # deduplication + fingerprinting (§2.11)
     "pattern_streaming_corpus_dedup",
     "pattern_streaming_neardup_dedup",
-    "text_pii_redact",
+    "text_pii_redact_positive",
     "dedup_minhash_clusters",
     "corpus_build_shards",
     "dedup_incremental_verdicts",
     # similarity search (§2.11)
     "semdedup_prune",
     "pattern_streaming_semdedup",
-    "contamination_bloom_flags",
+    "pattern_streaming_hybrid_consistent",
     # multimodal (§2.11)
     "knn_pq_adc",
     "multimodal_decode_features",
@@ -257,10 +290,10 @@ _PRIORITY = [
     "text_unigram_surprisal",
     "pattern_streaming_full_funnel",
     "text_language_id",
-    "source_topk_docs",
+    "pattern_streaming_bm25_external_reader",
     "text_bm25_topk",
     "pattern_streaming_hybrid_retrieval",
-    "pattern_streaming_bm25_midstream",
+    "pattern_streaming_hybrid_manifest",
     "hybrid_rrf_retrieval_ivf",
     # corpus pipeline (§2.11)
     "pack_token_bins",

@@ -104,17 +104,27 @@ def test_first_50_cover_every_family():
             # same pruned plan); hybrid_rrf_retrieval likewise (its RRF
             # arithmetic + BM25 pool are inside the _ivf row)
             "text_bm25_topk",
-            "pattern_streaming_bm25_midstream",
+            # r13 rotation: bm25_midstream rotated out (its serve plan +
+            # prefix-oracle property run inside the two consistency rows);
+            # text_pii_redact rotated out for its POSITIVE-evidence
+            # sibling; the round-12/13 consistency capstones took slots
+            "pattern_streaming_bm25_external_reader",
+            "pattern_streaming_hybrid_consistent",
+            "pattern_streaming_hybrid_manifest",
             "hybrid_rrf_retrieval_ivf",
             "pattern_streaming_hybrid_retrieval",
-            "text_pii_redact",
+            "text_pii_redact_positive",
         },
         "funnel": {"pattern_streaming_full_funnel", "corpus_build_shards"},
         "pipeline": {
             "pack_token_bins",
+            # contamination_bloom_flags rotated out in r13 (n-gram
+            # contamination pinned by the exact sibling; bloom machinery
+            # by runtime_bloom_join's plan-asserted local tests)
             "contamination_ngram_overlap",
-            "contamination_bloom_flags",
         },
+        # the mergeable-sketch family (round 12) gets its driver row
+        "sketch": {"pattern_streaming_quantiles_kmv"},
         "layout": {"bucketed_join_revenue", "partition_pruned_daily_clicks",
                    "range_join_price_bands"},
         "tpch": {"q1_pricing_summary", "q3_shipping_priority"},
@@ -156,6 +166,7 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
         "pattern_streaming_bm25_external_reader",
         "pattern_streaming_hybrid_retrieval",
         "pattern_streaming_hybrid_consistent",
+        "pattern_streaming_hybrid_manifest",
         "pattern_streaming_distinct_kmv",
         "pattern_streaming_quantiles_kmv",
         "pattern_streaming_asof_enrichment",

@@ -462,8 +462,24 @@ class UpsertLog:
         # (Listing first inverts the guarantee: a manifest landing
         # between the two reads kills the sources while the listing only
         # saw the partial merge — an empty/short read.)
-        manifests = self._read_fold_manifests()
-        log = self.spark.read.parquet(self.root)  # partition col __batch_id
+        #
+        # Discovery is MANIFEST-DRIVEN (round 13): merged dirs enter the
+        # scan as the explicit file lists their fold manifests recorded,
+        # so read-time listing touches only the RAW dirs (bounded by the
+        # maintenance cadence) — the live_dirs × buckets listing term
+        # that grew with stream age is gone. basePath keeps hive
+        # partition discovery (__batch_id + the layout column) intact.
+        all_dirs = self._batch_dirs()
+        manifests = self._read_fold_manifests(dirs=all_dirs)
+        scan = self._scan_paths(manifests, all_dirs)
+        if scan:
+            log = self.spark.read.option("basePath", self.root).parquet(
+                *scan
+            )
+        else:
+            # empty log: preserve the legacy error shape of reading the
+            # bare root (callers treat it as "no state yet")
+            log = self.spark.read.parquet(self.root)
         # Negative-id (merged) dirs are visible ONLY through their
         # manifest: in-flight or aborted promotes (possible on object
         # stores; POSIX's atomic rename never exposes one) read as
@@ -827,6 +843,13 @@ class UpsertLog:
                 lo = dlo if lo is None else min(lo, dlo)
                 hi = dhi if hi is None else max(hi, dhi)
         manifest: dict = {"folded": sorted(folded), "weight": weight}
+        # Record the merged dir's own DATA FILE list (relative paths):
+        # readers can then add this dir to a scan with ZERO list calls —
+        # the term that otherwise grows with stream age (round-12 verdict
+        # finding #2: the maintained BM25 serve's live_dirs × n_buckets
+        # LISTs). Enumerated here, at fold time, where the listing cost
+        # is paid once and amortized over every later read.
+        manifest["files"] = self._data_files_rel(tmp)
         if lo is not None:
             # For LWW logs this span is CONTIGUOUS (the adjacency rule in
             # maintain()) and drives read-side ranking; for insert-only
@@ -841,6 +864,57 @@ class UpsertLog:
         if self.insert_only:
             manifest["insert_only"] = True
         self.io.put_json(os.path.join(tmp, "_folds.json"), manifest)
+
+    def _data_files_rel(self, d: str) -> list[str]:
+        """Relative paths of every data file under a (possibly one-level
+        hive-partitioned) merged dir — one LIST per layout subdir, paid
+        at FOLD time so the manifest hands readers the complete file set
+        and read-time discovery never lists the dir again."""
+        lcol = self._layout_col
+        out: list[str] = []
+        for n in self.io.list_names(d):
+            if n.startswith(("_", ".")) or n.endswith(".crc"):
+                continue
+            if lcol is not None and n.startswith(f"{lcol}="):
+                for f in self.io.list_names(os.path.join(d, n)):
+                    if not f.startswith(("_", ".")) and not f.endswith(
+                        ".crc"
+                    ):
+                        out.append(f"{n}/{f}")
+            else:
+                out.append(n)
+        return sorted(out)
+
+    def _scan_paths(
+        self, manifests: dict[int, dict], dirs: list[str]
+    ) -> list[str]:
+        """Explicit scan roots for read_latest: merged dirs whose
+        manifest records its file list contribute FILE paths (zero LISTs
+        at read time), raw dirs and legacy manifests contribute their
+        dir path (one bounded listing each — raw dir count is capped by
+        the maintenance cadence, so the read-time listing term is FLAT
+        in stream age instead of O(live_dirs × buckets)). Dead dirs and
+        manifest-less negative dirs (in-flight/aborted promotes) are
+        pruned here, at enumeration — the same visibility rules the
+        filter path enforces."""
+        dead = set(self._dead_batch_ids(manifests))
+        paths: list[str] = []
+        for d in dirs:
+            did = int(d.rsplit("=", 1)[1])
+            if did in dead:
+                continue
+            if did < 0:
+                m = manifests.get(did)
+                if m is None:
+                    continue
+                files = m.get("files")
+                if files:
+                    paths.extend(os.path.join(d, f) for f in files)
+                else:
+                    paths.append(d)
+            else:
+                paths.append(d)
+        return paths
 
     def _prune_manifest(self, dir_path: str) -> None:
         """After a fold's GC completed, shrink the manifest's death list

@@ -141,3 +141,124 @@ def test_asof_probe_request_budget_flat_in_state_depth(spark, tmp_path):
     # flat: late probes cost the same request budget as early ones
     # (live dirs bounded by the tiered maintain, not by depth)
     assert deltas[-1] <= max(deltas[:6]) + 6, deltas
+
+
+def test_consistent_serve_request_budget(spark):
+    """Round-13 (verdict item 5): the EXTERNAL serving path's metadata
+    request budget on the object-store backend. bm25_consistent_serve
+    must cost exactly ONE pointer GET (which doubles as the stats read)
+    plus the two state reads' budget — 1 LIST + O(live dirs) manifest
+    GETs each — and hybrid_manifest_serve ONE manifest GET + one ledger
+    read on top. No per-bucket, per-batch, or per-generation request
+    fan-out anywhere in a serve."""
+    import pytest
+
+    from duckdb_streaming_patterns_spark.operators import merge as merge_mod
+    from duckdb_streaming_patterns_spark.plans import (
+        snapshots as snaps_mod,
+    )
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+    from duckdb_streaming_patterns_spark.streaming import patterns, staging
+
+    io = CountingCommitIO(ObjectStoreSimIO())
+    mp = pytest.MonkeyPatch()
+    mp.setattr(snaps_mod, "POSIX_IO", io)
+    mp.setattr(merge_mod, "POSIX_IO", io)
+    try:
+        run = staging.new_run_dir("budserve")
+        chunks = staging.stage_document_chunks(
+            spark, "/root/testdata/sf0.001", run, n_chunks=5
+        )
+        patterns.pattern_streaming_bm25_index(
+            spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+            state_partitions=4, compact_every=2,
+        )
+        tf_log, dl_log = patterns.bm25_reader_logs(spark, run)
+        live = (
+            len(tf_log._batch_dirs()) + len(dl_log._batch_dirs())
+        )  # upper bound on live dirs across both logs
+        before = io.snapshot()
+        rows = patterns.bm25_consistent_serve(
+            spark, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5
+        ).collect()
+        d = io.since(before)
+        assert rows
+        # 2 root LISTs (tf + dl read_latest) — and NOTHING per bucket
+        assert d.get("list_names", 0) == 2, d
+        # pointer GET + at most one manifest GET per live dir; the
+        # pointer carries the stats, so no SummaryTable read appears
+        assert d.get("try_read_json", 0) <= 1 + live, (d, live)
+        # serving writes nothing
+        for verb in ("put_json", "put_json_if_absent", "swap_pointer",
+                     "promote_dir", "delete", "delete_tree"):
+            assert d.get(verb, 0) == 0, d
+    finally:
+        mp.undo()
+
+
+def test_hybrid_manifest_serve_request_budget(spark):
+    """The two-index manifest serve's request plane: ONE manifest GET
+    pins both retrievers; the lexical side adds its two read_latest
+    budgets, the dense side one snapshots() ledger read (1 LIST +
+    bounded GETs) plus O(snapshots × probed cells) path-construction
+    HEADs — documented per §10.4; no writes, no per-generation GETs."""
+    import pytest
+
+    from pyspark.sql import functions as F
+
+    from duckdb_streaming_patterns_spark.operators import merge as merge_mod
+    from duckdb_streaming_patterns_spark.plans import (
+        snapshots as snaps_mod,
+    )
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from duckdb_streaming_patterns_spark.streaming import patterns, staging
+
+    io = CountingCommitIO(ObjectStoreSimIO())
+    mp = pytest.MonkeyPatch()
+    mp.setattr(snaps_mod, "POSIX_IO", io)
+    mp.setattr(merge_mod, "POSIX_IO", io)
+    try:
+        sf = "/root/testdata/sf0.001"
+        run = staging.new_run_dir("budhyb")
+        doc_chunks = staging.stage_document_chunks(
+            spark, sf, staging.new_run_dir("budhybd"), n_chunks=6
+        )
+        emb_chunks = staging.stage_paired_embedding_chunks(
+            spark, sf, staging.new_run_dir("budhybe"), n_chunks=6
+        )
+        queries_df = load_table(spark, sf, "embeddings").filter(
+            F.col("vec_id") < 3
+        )
+        patterns.pattern_streaming_hybrid_manifest(
+            spark, doc_chunks, emb_chunks, run, _BM25_QUERIES, queries_df,
+            _BM25_SCORE_EXPR, at_version=1, state_partitions=4,
+            compact_every=2,
+        )
+        before = io.snapshot()
+        rows = patterns.hybrid_manifest_serve(
+            spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR
+        ).collect()
+        d = io.since(before)
+        assert rows
+        # 2 log-root LISTs + 1 ledger LIST (+1 tolerance for a
+        # checkpoint-covered re-list)
+        assert d.get("list_names", 0) <= 4, d
+        # manifest GET + fold-manifest GETs (O(live dirs)) + ledger
+        # loose-entry GETs (<= checkpoint_every) — generous flat bound
+        assert d.get("try_read_json", 0) <= 40, d
+        assert d.get("read_json", 0) <= 4, d
+        # path-construction HEADs: O(snapshots x probed cells), never
+        # O(corpus)
+        assert d.get("exists", 0) <= 200, d
+        for verb in ("put_json", "put_json_if_absent", "swap_pointer",
+                     "promote_dir", "delete", "delete_tree"):
+            assert d.get(verb, 0) == 0, d
+    finally:
+        mp.undo()

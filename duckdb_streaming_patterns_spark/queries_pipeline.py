@@ -686,6 +686,90 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
 
 
+_MIX_ALPHA_NUM, _MIX_ALPHA_DEN = 1, 2  # temperature alpha = 0.5
+_MIX_TARGET_FRAC = "0.2"  # target sample = 20% of the corpus
+
+# Temperature-weighted mixture sampling (round 13): per-source acceptance
+# rates DERIVED from the corpus's own counts — rate_s = min(1, T*p_s/n_s)
+# with p_s = n_s^alpha / sum n^alpha and T = frac*total — then a
+# deterministic hash-threshold accept. The boundary compare is INTEGER
+# on both engines: the first 13 hex digits of md5(doc_id) (52 bits,
+# exactly representable) against floor(rate * 2^52) of the identically-
+# computed double rate, so the row set is a pure function of the corpus.
+_MIX_TEMP_ORACLE = rf"""
+    WITH n AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_docs
+               FROM documents GROUP BY source),
+    tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents),
+    z AS (SELECT sum(pow(n_docs, {_MIX_ALPHA_NUM}.0 / {_MIX_ALPHA_DEN}))
+                   AS z FROM n),
+    r AS (SELECT source,
+                 CAST(floor(LEAST(1.0,
+                     ({_MIX_TARGET_FRAC} * total
+                      * pow(n_docs, {_MIX_ALPHA_NUM}.0 / {_MIX_ALPHA_DEN})
+                      / z) / n_docs) * 4503599627370496.0) AS BIGINT)
+                   AS thr
+          FROM n, tot, z)
+    SELECT d.doc_id, d.source, r.thr AS accept_threshold
+    FROM (SELECT doc_id, source,
+                 CAST(concat('0x',
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) AS h52
+          FROM documents) d
+    JOIN r USING (source)
+    WHERE d.h52 < r.thr
+"""
+
+
+@register("mixture_temperature_sample", _MIX_TEMP_ORACLE)
+def q_mixture_temperature_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-weighted corpus MIXING (the multilingual-LM sampling
+    trick): source s's share of the training mix is n_s^alpha / sum
+    n^alpha (alpha = 0.5 — upweights small sources, tempers the head),
+    realized as a per-source acceptance rate over a deterministic
+    52-bit hash threshold. Unlike ``stratified_sample_docs`` (operator-
+    chosen fixed rates) the rates here are a FUNCTION OF THE CORPUS
+    STATISTICS, recomputed exactly on both engines (identical double
+    arithmetic text, floored to an integer threshold so the accept
+    compare is exact).
+
+    Scale shape: one partial-agg count per source (tiny), the rate
+    table broadcasts (n_sources rows), and the accept filter is a scan-
+    time map-side predicate — the whole mix selection is one pass over
+    the corpus with no shuffle of document rows at all; re-runnable
+    with no sampled state (the selection is a pure function of doc_id
+    and the corpus histogram)."""
+    docs = _t(spark, sf_dir, "documents")
+    n = docs.groupBy("source").agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    total = docs.count()  # bounded: one scalar, the corpus row count
+    z_row = n.agg(
+        F.sum(
+            F.expr(f"pow(n_docs, {_MIX_ALPHA_NUM}.0 / {_MIX_ALPHA_DEN})")
+        ).alias("z")
+    ).first()
+    rates = n.select(
+        "source",
+        F.expr(
+            f"CAST(floor(LEAST(1.0, ({_MIX_TARGET_FRAC} * {float(total)}"
+            f" * pow(n_docs, {_MIX_ALPHA_NUM}.0 / {_MIX_ALPHA_DEN})"
+            f" / {float(z_row['z'])}) / n_docs) * 4503599627370496.0)"
+            " AS BIGINT)"
+        ).alias("accept_threshold"),
+    )
+    h52 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    return (
+        docs.select("doc_id", "source", h52.alias("h52"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("h52") < F.col("accept_threshold"))
+        .select("doc_id", "source", "accept_threshold")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Deterministic corpus shuffle + sharding, KMV cardinality, quality classifier
 # (round-4 additions)

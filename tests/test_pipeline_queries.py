@@ -420,3 +420,32 @@ def test_pii_redact_positive_injects_and_rewrites(spark, sf_small):
             # the rewrite preserves both halves: stripping the injected
             # ' <PLACEHOLDER> ' span restores the original text
             assert row["clean_text"].replace(f" {kinds[k]} ", "", 1) == plain[did]
+
+
+def test_mixture_temperature_sample_upweights_small_sources(spark, sf_small):
+    """Temperature sampling (alpha=0.5): smaller sources get HIGHER
+    acceptance rates than the corpus-proportional baseline, the
+    selection is deterministic (pure function of doc_id + histogram),
+    and the realized sample is a fixed, reproducible row set."""
+    from duckdb_streaming_patterns_spark.registry import QUERIES
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    fn, _ = QUERIES["mixture_temperature_sample"]
+    a = sorted(tuple(r) for r in fn(spark, sf_small).collect())
+    b = sorted(tuple(r) for r in fn(spark, sf_small).collect())
+    assert a == b and a  # deterministic, nonempty
+    docs = load_table(spark, sf_small, "documents")
+    from pyspark.sql import functions as F
+
+    sizes = {
+        r["source"]: r["n"]
+        for r in docs.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    thr = {r[1]: r[2] for r in a}  # source -> accept_threshold
+    # alpha<1 monotonicity: a strictly smaller source never gets a
+    # strictly smaller acceptance threshold
+    seen = [(sizes[s], t) for s, t in thr.items()]
+    for (n1, t1) in seen:
+        for (n2, t2) in seen:
+            if n1 < n2:
+                assert t1 >= t2, (n1, t1, n2, t2)

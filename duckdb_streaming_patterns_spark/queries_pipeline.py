@@ -686,37 +686,49 @@ def q_stratified_sample_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(keep).select("doc_id", "lang", "source", "n_chars")
 
 
-_MIX_ALPHA_NUM, _MIX_ALPHA_DEN = 1, 2  # temperature alpha = 0.5
 _MIX_TARGET_FRAC = "0.2"  # target sample = 20% of the corpus
+_MIX_W_SCALE = 1048576.0  # 2^20: weight quantization
+_MIX_THR_SCALE = 4503599627370496.0  # 2^52: threshold quantization
 
 # Temperature-weighted mixture sampling (round 13): per-source acceptance
 # rates DERIVED from the corpus's own counts — rate_s = min(1, T*p_s/n_s)
-# with p_s = n_s^alpha / sum n^alpha and T = frac*total — then a
-# deterministic hash-threshold accept. The boundary compare is INTEGER
-# on both engines: the first 13 hex digits of md5(doc_id) (52 bits,
-# exactly representable) against floor(rate * 2^52) of the identically-
-# computed double rate, so the row set is a pure function of the corpus.
+# with p_s ~ sqrt(n_s) (temperature alpha = 0.5) and T = frac*total.
+# ENGINE-EXACT by construction: the only transcendental is sqrt (IEEE
+# correctly-rounded in both engines, unlike pow), each weight is floored
+# to an integer W_s = floor(sqrt(n_s)*2^20), Z = SUM of integers (no
+# order-dependent double reduction anywhere), and the rate is a FIXED
+# sequence of scalar double ops on identical operands, floored to a
+# 52-bit integer threshold compared against the doc hash's first 13 hex
+# digits — so the sampled row set is a pure function of the corpus, bit-
+# identical on any engine or partitioning.
+_MIX_RATE_SQL = (
+    "CAST(floor(LEAST(1.0, ({frac} * {total}) * "
+    "(CAST({w} AS DOUBLE) / CAST({z} AS DOUBLE)) / {n}) * "
+    "{thr_scale}) AS BIGINT)"
+)
+
 _MIX_TEMP_ORACLE = rf"""
-    WITH n AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_docs
+    WITH n AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
+                      CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+                           * {_MIX_W_SCALE}) AS BIGINT) AS w
                FROM documents GROUP BY source),
     tot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM documents),
-    z AS (SELECT sum(pow(n_docs, {_MIX_ALPHA_NUM}.0 / {_MIX_ALPHA_DEN}))
-                   AS z FROM n),
+    z AS (SELECT sum(w) AS z FROM n),
     r AS (SELECT source,
-                 CAST(floor(LEAST(1.0,
-                     ({_MIX_TARGET_FRAC} * total
-                      * pow(n_docs, {_MIX_ALPHA_NUM}.0 / {_MIX_ALPHA_DEN})
-                      / z) / n_docs) * 4503599627370496.0) AS BIGINT)
-                   AS thr
+                 {_MIX_RATE_SQL.format(frac=_MIX_TARGET_FRAC,
+                                       total="total", w="n.w", z="z.z",
+                                       n="n.n_docs",
+                                       thr_scale=_MIX_THR_SCALE)}
+                   AS accept_threshold
           FROM n, tot, z)
-    SELECT d.doc_id, d.source, r.thr AS accept_threshold
+    SELECT d.doc_id, d.source, r.accept_threshold
     FROM (SELECT doc_id, source,
                  CAST(concat('0x',
                      substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
                    AS BIGINT) AS h52
           FROM documents) d
     JOIN r USING (source)
-    WHERE d.h52 < r.thr
+    WHERE d.h52 < r.accept_threshold
 """
 
 
@@ -725,14 +737,14 @@ def q_mixture_temperature_sample(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     """Temperature-weighted corpus MIXING (the multilingual-LM sampling
-    trick): source s's share of the training mix is n_s^alpha / sum
-    n^alpha (alpha = 0.5 — upweights small sources, tempers the head),
-    realized as a per-source acceptance rate over a deterministic
-    52-bit hash threshold. Unlike ``stratified_sample_docs`` (operator-
-    chosen fixed rates) the rates here are a FUNCTION OF THE CORPUS
-    STATISTICS, recomputed exactly on both engines (identical double
-    arithmetic text, floored to an integer threshold so the accept
-    compare is exact).
+    trick): source s's share of the training mix is ~sqrt(n_s)
+    (alpha = 0.5 — upweights small sources, tempers the head), realized
+    as a per-source acceptance rate over a deterministic 52-bit hash
+    threshold. Unlike ``stratified_sample_docs`` (operator-chosen fixed
+    rates) the rates here are a FUNCTION OF THE CORPUS STATISTICS,
+    recomputed exactly on both engines — integer-quantized weights and
+    an integer Z keep every cross-engine reduction exact (see
+    _MIX_RATE_SQL's derivation note).
 
     Scale shape: one partial-agg count per source (tiny), the rate
     table broadcasts (n_sources rows), and the accept filter is a scan-
@@ -744,19 +756,21 @@ def q_mixture_temperature_sample(
     n = docs.groupBy("source").agg(
         F.count("*").cast("double").alias("n_docs")
     )
-    total = docs.count()  # bounded: one scalar, the corpus row count
-    z_row = n.agg(
-        F.sum(
-            F.expr(f"pow(n_docs, {_MIX_ALPHA_NUM}.0 / {_MIX_ALPHA_DEN})")
-        ).alias("z")
-    ).first()
+    n = n.withColumn(
+        "w",
+        F.expr(f"CAST(floor(sqrt(n_docs) * {_MIX_W_SCALE}) AS BIGINT)"),
+    )
+    # bounded collects: one scalar each — corpus row count and the
+    # integer weight sum (exact, order-free)
+    total = float(docs.count())
+    z = int(n.agg(F.sum("w")).first()[0])
     rates = n.select(
         "source",
         F.expr(
-            f"CAST(floor(LEAST(1.0, ({_MIX_TARGET_FRAC} * {float(total)}"
-            f" * pow(n_docs, {_MIX_ALPHA_NUM}.0 / {_MIX_ALPHA_DEN})"
-            f" / {float(z_row['z'])}) / n_docs) * 4503599627370496.0)"
-            " AS BIGINT)"
+            _MIX_RATE_SQL.format(
+                frac=_MIX_TARGET_FRAC, total=total, w="w", z=z,
+                n="n_docs", thr_scale=_MIX_THR_SCALE,
+            )
         ).alias("accept_threshold"),
     )
     h52 = F.conv(

@@ -1476,3 +1476,63 @@ def q_pattern_streaming_hybrid_manifest(
     return patterns.hybrid_manifest_serve(
         spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR,
     )
+
+
+# Streaming temperature-mixture trajectory: batch b's thresholds derive
+# from the prefix histogram INCLUDING b (monotone doc_id chunking), so
+# the whole accepted set + thresholds is replayable arithmetic.
+from duckdb_streaming_patterns_spark.queries_pipeline import (  # noqa: E402
+    _MIX_RATE_SQL,
+    _MIX_TARGET_FRAC,
+    _MIX_THR_SCALE,
+    _MIX_W_SCALE,
+)
+
+_STREAM_MIX_ORACLE = rf"""
+    WITH p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per
+               FROM documents),
+    d AS (SELECT doc_id, source,
+                 CAST(floor(doc_id / per) AS BIGINT) AS b,
+                 CAST(concat('0x',
+                     substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                   AS BIGINT) AS h52
+          FROM documents, p),
+    bs AS (SELECT DISTINCT b FROM d),
+    hist AS (SELECT bs.b, d2.source, CAST(count(*) AS DOUBLE) AS n_docs,
+                    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+                         * {_MIX_W_SCALE}) AS BIGINT) AS w
+             FROM bs JOIN d d2 ON d2.b <= bs.b GROUP BY bs.b, d2.source),
+    tot AS (SELECT b, CAST(sum(CAST(n_docs AS BIGINT)) AS DOUBLE) AS total
+            FROM hist GROUP BY b),
+    z AS (SELECT b, sum(w) AS z FROM hist GROUP BY b),
+    r AS (SELECT hist.b, hist.source,
+                 {_MIX_RATE_SQL.format(frac=_MIX_TARGET_FRAC,
+                                       total="tot.total", w="hist.w",
+                                       z="z.z", n="hist.n_docs",
+                                       thr_scale=_MIX_THR_SCALE)}
+                   AS accept_threshold
+          FROM hist
+          JOIN tot ON tot.b = hist.b
+          JOIN z ON z.b = hist.b)
+    SELECT d.doc_id, d.source, d.b AS batch_seq, r.accept_threshold
+    FROM d JOIN r ON r.b = d.b AND r.source = d.source
+    WHERE d.h52 < r.accept_threshold
+"""
+
+
+@register("pattern_streaming_mixture_sample", _STREAM_MIX_ORACLE)
+def q_pattern_streaming_mixture_sample(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Temperature-mixture sampling maintained by a stream: per-source
+    acceptance rates recomputed each micro-batch from the accumulated
+    histogram (alpha=0.5 upweighting of small sources), accepted docs
+    landing durably with the integer threshold that admitted them — the
+    auditable-mixing trajectory, streaming ≡ batch at every prefix by
+    oracle. See streaming/patterns.pattern_streaming_mixture_sample."""
+    run = staging.new_run_dir("pmix")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=5)
+    # cadence 2: fires verdict-log maintenance mid-replay
+    return patterns.pattern_streaming_mixture_sample(
+        spark, chunks, run, state_partitions=4, compact_every=2
+    )

@@ -3924,3 +3924,151 @@ def pattern_streaming_hybrid_manifest(
         spark, run_dir, queries, queries_df, score_expr,
         pool=pool, n_probe=n_probe,
     )
+
+
+def mixture_sample_batch(
+    counts,
+    verdict_log,
+    batch: DataFrame,
+    batch_id: int,
+) -> None:
+    """One micro-batch of streaming temperature-mixture sampling —
+    module-level so the retry-idempotence test can re-deliver a batch
+    exactly like a crashed foreachBatch would.
+
+    Semantics: batch b's acceptance thresholds derive from the corpus
+    histogram INCLUDING batch b (the post-batch prefix — what the batch
+    oracle replays). The histogram is an n_sources-row SummaryTable;
+    rates use the batch operator's ENGINE-EXACT arithmetic
+    (queries_pipeline._MIX_RATE_SQL: correctly-rounded sqrt, integer-
+    quantized weights, integer Z — no order-dependent double reduction
+    anywhere), so the per-batch thresholds are bit-identical to the
+    oracle's prefix replay.
+
+    Retry contract: the counts merge is batch-id fenced; a redelivered
+    batch recomputes the SAME post-batch histogram from the already-
+    merged summary (``read()``), so its verdicts and thresholds are
+    bit-identical and the insert-only append is idempotent per batch
+    dir."""
+    from duckdb_streaming_patterns_spark.queries_pipeline import (
+        _MIX_RATE_SQL,
+        _MIX_TARGET_FRAC,
+        _MIX_THR_SCALE,
+        _MIX_W_SCALE,
+    )
+
+    applied = counts.last_batch_id() >= batch_id
+    if applied:
+        hist = counts.read()
+    else:
+        prior = counts.read()
+        delta = batch.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs")
+        )
+        hist = (
+            prior.unionByName(delta)
+            .groupBy("source")
+            .agg(F.sum("n_docs").cast("long").alias("n_docs"))
+        )
+    hist = hist.localCheckpoint(eager=True)  # n_sources rows
+    w = hist.withColumn(
+        "w",
+        F.expr(
+            f"CAST(floor(sqrt(CAST(n_docs AS DOUBLE)) * {_MIX_W_SCALE})"
+            " AS BIGINT)"
+        ),
+    )
+    # bounded collect: ONE row — the exact integer corpus total and
+    # weight sum (order-free reductions)
+    agg = w.agg(
+        F.sum("n_docs").cast("long").alias("total"),
+        F.sum("w").cast("long").alias("z"),
+    ).first()
+    thr = w.select(
+        "source",
+        F.expr(
+            _MIX_RATE_SQL.format(
+                frac=_MIX_TARGET_FRAC,
+                total=float(agg["total"]),
+                w="w",
+                z=int(agg["z"]),
+                n="CAST(n_docs AS DOUBLE)",
+                thr_scale=_MIX_THR_SCALE,
+            )
+        ).alias("accept_threshold"),
+    )
+    h52 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    accepted = (
+        batch.select("doc_id", "source", h52.alias("__h52"))
+        .join(F.broadcast(thr), "source")
+        .filter(F.col("__h52") < F.col("accept_threshold"))
+        .select(
+            "doc_id",
+            "source",
+            F.lit(batch_id).cast("long").alias("batch_seq"),
+            "accept_threshold",
+        )
+        .localCheckpoint(eager=True)  # evaluate BEFORE state mutations
+    )
+
+    def _merge_counts():
+        if not applied:
+            counts.overwrite(hist, batch_id=batch_id)
+
+    overlap(lambda: verdict_log.append(accepted, batch_id), _merge_counts)
+
+
+def pattern_streaming_mixture_sample(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    state_partitions: int | None = 4,
+    compact_every: int = 8,
+) -> DataFrame:
+    """Temperature-weighted mixture sampling under CONTINUOUS ingestion:
+    the batch operator's corpus-statistics-derived acceptance rates
+    (``mixture_temperature_sample`` — share_s ∝ n_s^0.5), recomputed
+    per micro-batch from the accumulated per-source histogram, each
+    batch's accepted docs landing durably with the threshold that
+    admitted them. The emitted trajectory IS the oracle surface:
+    streaming ≡ batch at every prefix, because batch b's thresholds are
+    a pure function of the prefix histogram the SQL oracle rebuilds
+    arithmetically.
+
+    This is how a training-mix builder actually runs at 100 TB — the
+    corpus lands as a stream, the mix rates drift as the source
+    histogram fills in, and every accepted doc carries the rate regime
+    that admitted it (auditable mixing). State: ONE n_sources-row
+    summary + an insert-only verdict log with tiered maintenance;
+    per-batch cost O(batch + n_sources) — corpus-size-free."""
+    counts = SummaryTable(
+        spark, os.path.join(run_dir, "hist"), "source string, n_docs long"
+    )
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    verdict_log = UpsertLog(
+        spark,
+        os.path.join(run_dir, "accepted"),
+        keys=["doc_id"],
+        insert_only=True,
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        if compact_every and batch_id > 0 and batch_id % compact_every == 0:
+            verdict_log.maintain(before_batch=batch_id)
+        mixture_sample_batch(counts, verdict_log, batch, batch_id)
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_document_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    return verdict_log.read_latest().select(
+        "doc_id", "source", "batch_seq", "accept_threshold"
+    )

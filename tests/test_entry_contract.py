@@ -169,6 +169,7 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
         "pattern_streaming_hybrid_manifest",
         "pattern_streaming_distinct_kmv",
         "pattern_streaming_quantiles_kmv",
+        "pattern_streaming_mixture_sample",
         "pattern_streaming_asof_enrichment",
         "pattern_streaming_python_source",
     ]

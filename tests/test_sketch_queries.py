@@ -230,3 +230,56 @@ def test_streaming_quantiles_retries_idempotently(spark, tmp_path):
     assert (2, "en", 4, 2, 5) in got
     # de appears from batch 1 on, single val 2
     assert (1, "de", 1, 2, 2) in got and (2, "de", 1, 2, 2) in got
+
+
+def test_streaming_mixture_retries_idempotently(spark, tmp_path):
+    """Mixture-sampling fold retry contract: a redelivered batch must
+    recompute the SAME post-batch histogram (from the already-merged
+    summary) and therefore bit-identical thresholds + accepted rows —
+    every delivery schedule converges to one trajectory."""
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        SummaryTable,
+        UpsertLog,
+    )
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        mixture_sample_batch,
+    )
+
+    def mk(rows):
+        return spark.createDataFrame(rows, "doc_id long, source string")
+
+    b0 = mk([(i, "a") for i in range(40)] + [(100 + i, "b") for i in range(4)])
+    b1 = mk([(200 + i, "a") for i in range(40)] + [(300, "c")])
+    b2 = mk([(400 + i, "b") for i in range(10)])
+
+    results = {}
+    for crash in (None, "redeliver", "after_merge"):
+        root = str(tmp_path / f"mix_{crash}")
+        counts = SummaryTable(
+            spark, os.path.join(root, "hist"), "source string, n_docs long"
+        )
+        vlog = UpsertLog(
+            spark,
+            os.path.join(root, "accepted"),
+            keys=["doc_id"],
+            insert_only=True,
+        )
+        mixture_sample_batch(counts, vlog, b0, 0)
+        if crash == "after_merge":
+            mixture_sample_batch(counts, vlog, b1, 1)
+            shutil.rmtree(os.path.join(vlog.root, "__batch_id=1"))
+        mixture_sample_batch(counts, vlog, b1, 1)
+        if crash == "redeliver":
+            mixture_sample_batch(counts, vlog, b1, 1)
+        mixture_sample_batch(counts, vlog, b2, 2)
+        got = sorted(tuple(r) for r in vlog.read_latest().collect())
+        results[crash] = got
+        hist = {
+            r["source"]: r["n_docs"] for r in counts.read().collect()
+        }
+        assert hist == {"a": 80, "b": 14, "c": 1}
+        # small sources upweighted: c's threshold (when any c doc was
+        # sampled-in or out) derives from rate min(1, ...) — with n=1
+        # and alpha=.5 the rate caps at 1.0, so doc 300 MUST be accepted
+        assert any(r[0] == 300 for r in got), got
+    assert results[None] == results["redeliver"] == results["after_merge"]

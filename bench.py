@@ -96,6 +96,8 @@ HEADLINE = [
     "hybrid_rrf_retrieval_ivf",
     "approx_quantiles_kmv",
     "runtime_bloom_join_revenue",
+    "mixture_temperature_sample",
+    "text_pii_redact_positive",
     # physical layout
     "bucketed_join_revenue",
     "partition_pruned_daily_clicks",
@@ -124,8 +126,10 @@ HEADLINE = [
     "pattern_streaming_bm25_external_reader",
     "pattern_streaming_hybrid_retrieval",
     "pattern_streaming_hybrid_consistent",
+    "pattern_streaming_hybrid_manifest",
     "pattern_streaming_distinct_kmv",
     "pattern_streaming_quantiles_kmv",
+    "pattern_streaming_mixture_sample",
     "pattern_streaming_asof_enrichment",
     "pattern_streaming_python_source",
     "pattern_streaming_python_sink",

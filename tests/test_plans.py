@@ -770,3 +770,55 @@ def test_partition_col_log_string_values_and_payload_retained(spark, tmp_path):
         pruned.explain("formatted")
     assert "PartitionFilters" in buf.getvalue()
     assert {r["id"] for r in pruned.collect()} == {0, 2}
+
+
+def test_read_latest_scan_is_manifest_enumerated(spark, tmp_path):
+    """Round 13 (verdict #2 of r12's perf findings): after maintenance,
+    read_latest's Spark scan must be built from the fold manifests'
+    recorded file lists — the merged dirs contribute exactly the files
+    their _folds.json names (zero read-time listing of merged dirs), and
+    only raw dirs enter as directories. Pinned via DataFrame.inputFiles()
+    against the manifest contents."""
+    import os
+
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    log = UpsertLog(
+        spark,
+        str(tmp_path / "log"),
+        keys=["k"],
+        insert_only=True,
+        bucket_col="k",
+        n_buckets=4,
+    )
+    for i in range(8):
+        log.append(spark.createDataFrame([(i * 10 + j,) for j in range(4)], "k long"), i)
+    log.maintain(before_batch=6, fanout=2)
+    dirs = log._batch_dirs()
+    manifests = log._read_fold_manifests(dirs=dirs)
+    assert manifests, "no fold happened — test premise broken"
+    # every manifest records its dir's data files
+    expected_files = set()
+    for did, m in manifests.items():
+        assert m.get("files"), f"manifest {did} lacks a file list"
+        d = os.path.join(log.root, f"__batch_id={did}")
+        expected_files.update(os.path.join(d, f) for f in m["files"])
+    dead = set(log._dead_batch_ids(manifests))
+    raw_dirs = [
+        d for d in dirs
+        if int(d.rsplit("=", 1)[1]) >= 0
+        and int(d.rsplit("=", 1)[1]) not in dead
+    ]
+    got = set(log.read_latest().inputFiles())
+    # normalize file:// prefixes
+    got = {p.replace("file:", "").replace("///", "/") for p in got}
+    for f in expected_files:
+        assert f in got, (f, sorted(got)[:5])
+    # every other scanned file lives under a live RAW dir — merged dirs
+    # contribute ONLY their manifest-listed files
+    for p in got:
+        if p in expected_files:
+            continue
+        assert any(p.startswith(d + "/") for d in raw_dirs), p
+    # and the resolved state is intact
+    assert log.read_latest().count() == 32

@@ -873,14 +873,17 @@ class UpsertLog:
         lcol = self._layout_col
         out: list[str] = []
         for n in self.io.list_names(d):
-            if n.startswith(("_", ".")) or n.endswith(".crc"):
-                continue
+            # layout check FIRST: the synthetic bucket column "__kb"
+            # itself starts with an underscore, so the metadata skip
+            # below would otherwise swallow every hive subdir
             if lcol is not None and n.startswith(f"{lcol}="):
                 for f in self.io.list_names(os.path.join(d, n)):
                     if not f.startswith(("_", ".")) and not f.endswith(
                         ".crc"
                     ):
                         out.append(f"{n}/{f}")
+            elif n.startswith(("_", ".")) or n.endswith(".crc"):
+                continue
             else:
                 out.append(n)
         return sorted(out)

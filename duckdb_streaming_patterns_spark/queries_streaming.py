@@ -1473,8 +1473,12 @@ def q_pattern_streaming_hybrid_manifest(
         "vec_id long, embedding array<float>, cell_id long",
     )
     index.append(ahead, batch_id=3)
+    # pin corpus version 1 — resolved from the manifest HISTORY (the
+    # coordinator published every covered version, so the head is 2):
+    # the row exercises cross-version time travel, not just the head
     return patterns.hybrid_manifest_serve(
         spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR,
+        at_version=1,
     )
 
 

@@ -3730,6 +3730,11 @@ def _hybrid_manifest_path(run_dir: str) -> str:
     return os.path.join(run_dir, "hybrid_gen.json")
 
 
+#: versions of joint-manifest history the pointer retains (one small
+#: dict per published corpus version — same rationale as _GEN_HISTORY_CAP)
+_HYBRID_HISTORY_CAP = 256
+
+
 def publish_hybrid_manifest(
     io,
     run_dir: str,
@@ -3743,7 +3748,10 @@ def publish_hybrid_manifest(
     the lexical index at batch ``lex_gen`` and the dense index at ledger
     snapshot ``ann_snapshot`` hold the SAME corpus prefix, both durable.
     Idempotent under redelivery (an already-covered version is left
-    alone). One O(1) swap — the only cross-index write that exists."""
+    alone). One O(1) swap — the only cross-index write that exists.
+    The pointer keeps a bounded HISTORY of published versions, so a
+    reader can pin ANY still-covered corpus version (as-of serving
+    across versions) from the same single GET."""
     from duckdb_streaming_patterns_spark.plans.commitio import READ_ABSENT
 
     path = _hybrid_manifest_path(run_dir)
@@ -3751,6 +3759,11 @@ def publish_hybrid_manifest(
     if cur is not None and int(cur["version"]) >= version:
         return
     expected = cur if cur is not None else {READ_ABSENT: True}
+    hist = list(cur.get("hist", [])) if cur else []
+    if cur is not None:
+        hist.append({k: cur[k] for k in
+                     ("version", "lex_gen", "ann_snapshot", "sum_dl",
+                      "n_docs")})
     io.swap_pointer(
         path,
         {
@@ -3759,6 +3772,7 @@ def publish_hybrid_manifest(
             "ann_snapshot": ann_snapshot,
             "sum_dl": sum_dl,
             "n_docs": n_docs,
+            "hist": hist[-_HYBRID_HISTORY_CAP:],
         },
         expected=expected,
     )
@@ -3773,6 +3787,7 @@ def hybrid_manifest_serve(
     pool: int = 20,
     n_probe: int = 8,
     n_buckets: int = 16,
+    at_version: int | None = None,
 ) -> DataFrame:
     """Serve the hybrid retriever pinned to the atomic two-index
     manifest: ONE pointer GET yields (lex_gen, ann_snapshot, exact
@@ -3782,7 +3797,12 @@ def hybrid_manifest_serve(
     so the guarantee survives ANY skew between the two streams' batch
     cadences, including completely unaligned numbering. Read cost is
     identical to the single-index consistent serves: one GET, one
-    ledger read, two pruned pool fetches."""
+    ledger read, two pruned pool fetches.
+
+    ``at_version`` pins an OLDER published corpus version (time travel
+    across the manifest's bounded history — still the same single GET);
+    raises if that version was never published or aged out. Default:
+    the manifest head, the newest consistent version."""
     import json as _json
 
     from pyspark.sql import Row
@@ -3793,6 +3813,19 @@ def hybrid_manifest_serve(
     man = tf_log.io.try_read_json(_hybrid_manifest_path(run_dir))
     if man is None:
         raise ValueError(f"no hybrid generation manifest under {run_dir}")
+    if at_version is not None and int(man["version"]) != at_version:
+        hits = [
+            h
+            for h in man.get("hist", [])
+            if int(h["version"]) == at_version
+        ]
+        if not hits:
+            raise ValueError(
+                f"corpus version {at_version} is not in the manifest "
+                f"(head {man['version']}, history holds "
+                f"{len(man.get('hist', []))} versions)"
+            )
+        man = hits[-1]
     lex = _bm25_serve(
         spark,
         tf_log,
@@ -3852,9 +3885,11 @@ def pattern_streaming_hybrid_manifest(
     the two indexes' batch ids are deliberately UNALIGNED. The
     coordinator — which knows the feed's corpus-version map (version v
     == document batches <= 2v+1 == embedding batches <= v, the contract
-    a shared upstream feed provides) — CAS-publishes ONE manifest at
-    ``at_version`` after verifying both sides' writes for that prefix
-    are durable; the serve answers pinned to it.
+    a shared upstream feed provides) — CAS-publishes every corpus
+    version both sides durably cover (one swap per version, history
+    retained in the pointer); the serve answers pinned to
+    ``at_version``, resolved through that history when newer versions
+    have been published since.
 
     Both streams keep running PAST the published version (lexical
     batches beyond 2v+1, dense ledger snapshots beyond v are all
@@ -3886,43 +3921,55 @@ def pattern_streaming_hybrid_manifest(
         state_partitions=state_partitions,
     )
     # --- the coordinator: corpus version -> each index's OWN version ---
+    # Publishes EVERY version both sides durably cover (the real
+    # coordinator loop fires once per upstream epoch) — so the manifest
+    # history holds the whole version trajectory and the serve below
+    # time-travels to ``at_version`` through it.
     tf_log, dl_log = bm25_reader_logs(spark, lex_dir)
     lex_ptr = tf_log.io.try_read_json(_bm25_gen_path(lex_dir))
-    lex_gen = 2 * at_version + 1  # the feed's version map, lexical units
-    if lex_ptr is None or int(lex_ptr["gen"]) < lex_gen:
-        raise ValueError(
-            f"lexical index has not durably covered version {at_version}"
-        )
     index = SnapshotTable(
         spark,
         os.path.join(vec_dir, "ivf_index"),
         "vec_id long, embedding array<float>, cell_id long",
         partition_cols=["cell_id"],
     )
-    covered = [
-        int(s["snapshot_id"])
+    dense_inserts = [
+        (int(s["snapshot_id"]), int(s["batch_id"]))
         for s in index.snapshots()
         if s.get("kind", "insert") == "insert"
         and s.get("batch_id") is not None
-        and int(s["batch_id"]) <= at_version  # dense units: batch v == version v
     ]
-    if not covered:
-        raise ValueError(
-            f"dense index has not durably covered version {at_version}"
+    import itertools
+
+    published = -1
+    for v in itertools.count():
+        lex_gen = 2 * v + 1  # the feed's version map, lexical units
+        covered = [sid for sid, b in dense_inserts if b <= v]
+        if (
+            lex_ptr is None
+            or int(lex_ptr["gen"]) < lex_gen
+            or not covered
+        ):
+            break
+        sum_dl, n_docs = _bm25_stats_at(lex_ptr, lex_gen, dl_log)
+        publish_hybrid_manifest(
+            tf_log.io,
+            run_dir,
+            version=v,
+            lex_gen=lex_gen,
+            ann_snapshot=max(covered),
+            sum_dl=sum_dl,
+            n_docs=n_docs,
         )
-    sum_dl, n_docs = _bm25_stats_at(lex_ptr, lex_gen, dl_log)
-    publish_hybrid_manifest(
-        tf_log.io,
-        run_dir,
-        version=at_version,
-        lex_gen=lex_gen,
-        ann_snapshot=max(covered),
-        sum_dl=sum_dl,
-        n_docs=n_docs,
-    )
+        published = v
+    if published < at_version:
+        raise ValueError(
+            f"both indexes have not durably covered version {at_version} "
+            f"(coordinator published up to {published})"
+        )
     return hybrid_manifest_serve(
         spark, run_dir, queries, queries_df, score_expr,
-        pool=pool, n_probe=n_probe,
+        pool=pool, n_probe=n_probe, at_version=at_version,
     )
 
 

@@ -4132,21 +4132,33 @@ def test_hybrid_manifest_unaligned_batches(spark, sf_small):
     )
     tf_log, _dl = patterns.bm25_reader_logs(spark, os.path.join(run, "lex"))
     man = tf_log.io.try_read_json(patterns._hybrid_manifest_path(run))
-    assert man["version"] == 1 and man["lex_gen"] == 3
+    # the coordinator published EVERY covered version: head is 2 (both
+    # streams fully drained), and version 1 lives in the history
+    assert man["version"] == 2 and man["lex_gen"] == 5
+    hist1 = [h for h in man["hist"] if h["version"] == 1]
+    assert hist1 and hist1[-1]["lex_gen"] == 3
     # (a) redelivered publish for a covered version is a no-op
     patterns.publish_hybrid_manifest(
         tf_log.io, run, version=0, lex_gen=1, ann_snapshot=0,
         sum_dl=1, n_docs=1,
     )
     assert tf_log.io.try_read_json(patterns._hybrid_manifest_path(run)) == man
-    # (b) the serve is stable against everything committed past version 1
+    # (b) as-of serving through the history is stable — and pinned at
+    # version 1, DESPITE the head having moved on to version 2
     again = sorted(
         tuple(r)
         for r in patterns.hybrid_manifest_serve(
-            spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR
+            spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR,
+            at_version=1,
         ).collect()
     )
     assert again == pinned
+    # an unpublished / aged-out version raises rather than guessing
+    with pytest.raises(ValueError, match="not in the manifest"):
+        patterns.hybrid_manifest_serve(
+            spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR,
+            at_version=7,
+        )
     # (c) min(lex gen=5, dense max batch=2) is NOT version 1's pairing
     # (lex_gen=3, dense<=1): the shared-numbering rule would serve
     # mismatched prefixes here — the coordinator's version map is the
@@ -4167,7 +4179,9 @@ def test_hybrid_manifest_unaligned_batches(spark, sf_small):
         and s.get("batch_id") is not None
     )
     min_rule = min(int(lex_ptr["gen"]), dense_max)
-    assert min_rule != man["lex_gen"]  # 2 != 3: wrong lexical prefix
+    # 2 != 3: the shared-numbering rule pins the WRONG lexical prefix
+    # for corpus version 1 — only the coordinator's map is sound
+    assert min_rule != hist1[-1]["lex_gen"]
     # (d) no manifest -> loud failure
     with pytest.raises(ValueError, match="manifest"):
         patterns.hybrid_manifest_serve(

@@ -3802,7 +3802,16 @@ def hybrid_manifest_serve(
     ``at_version`` pins an OLDER published corpus version (time travel
     across the manifest's bounded history — still the same single GET);
     raises if that version was never published or aged out. Default:
-    the manifest head, the newest consistent version."""
+    the manifest head, the newest consistent version.
+
+    Retention bound (honest LSM semantics): a pinned version is
+    servable only while the state logs still RESOLVE that prefix — once
+    tiered maintenance folds a merged dir across the version's
+    generation boundary, the scoped read refuses loudly (the straddle
+    guard in read_latest) rather than leak newer rows. History depth is
+    therefore min(pointer history cap, maintenance fold horizon); a
+    deployment that wants deep as-of serving runs maintenance with
+    ``before_batch`` pinned at its oldest served generation."""
     import json as _json
 
     from pyspark.sql import Row
@@ -3871,7 +3880,7 @@ def pattern_streaming_hybrid_manifest(
     queries: list,
     queries_df: DataFrame,
     score_expr: str,
-    at_version: int = 1,
+    at_version: int | None = 1,
     pool: int = 20,
     n_cells: int = 16,
     n_probe: int = 8,
@@ -3962,14 +3971,18 @@ def pattern_streaming_hybrid_manifest(
             n_docs=n_docs,
         )
         published = v
-    if published < at_version:
+    # at_version=None serves the HEAD (newest coverable) version — the
+    # fleet-default; pinned versions are bounded by the retention note
+    # in hybrid_manifest_serve
+    if published < 0 or (at_version is not None and published < at_version):
         raise ValueError(
             f"both indexes have not durably covered version {at_version} "
             f"(coordinator published up to {published})"
         )
     return hybrid_manifest_serve(
         spark, run_dir, queries, queries_df, score_expr,
-        pool=pool, n_probe=n_probe, at_version=at_version,
+        pool=pool, n_probe=n_probe,
+        at_version=at_version if at_version is not None else published,
     )
 
 

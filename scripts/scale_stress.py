@@ -273,6 +273,42 @@ def main() -> None:
                         n_cells=16, state_partitions=4,
                     )
                 )
+            elif name == "pattern_streaming_hybrid_manifest":
+                # the synthesized x-factor corpora explode the arithmetic
+                # chunk count (copies at 10M id offsets -> 6 chunks per
+                # copy), so the registered form's fixed version map
+                # (v -> 2v+1 over 6 batches) doesn't apply; the stress
+                # serves the HEAD (newest coverable) version — the fleet
+                # default — while still exercising the full coordinator
+                # loop (one publish per covered version) and the scoped
+                # serve at that depth
+                from duckdb_streaming_patterns_spark.queries_text import (
+                    _BM25_QUERIES as _BQ,
+                    _BM25_SCORE_EXPR as _BS,
+                )
+                from duckdb_streaming_patterns_spark.sources.tables import (
+                    load_table as _lt,
+                )
+                from duckdb_streaming_patterns_spark.streaming import (
+                    patterns as _pat,
+                    staging as _stg,
+                )
+
+                run = _stg.new_run_dir("phybm_stress")
+                dchunks = _stg.stage_document_chunks(
+                    spark, d, _stg.new_run_dir("phybmd_s"), n_chunks=6
+                )
+                echunks = _stg.stage_paired_embedding_chunks(
+                    spark, d, _stg.new_run_dir("phybme_s"), n_chunks=6
+                )
+                qdf = _lt(spark, d, "embeddings").filter("vec_id < 3")
+                rows_out = force_eval(
+                    _pat.pattern_streaming_hybrid_manifest(
+                        spark, dchunks, echunks, run, _BQ, qdf, _BS,
+                        at_version=None, state_partitions=4,
+                        compact_every=2,
+                    )
+                )
             elif name == "snapshot_vacuum":
                 # setup (appends + tombstones) is UNTIMED — the measured
                 # window is the vacuum rewrite itself + one post-vacuum

@@ -2697,6 +2697,7 @@ def pattern_streaming_bm25_index(
     compact_every: int = 8,
     n_buckets: int = 16,
     probe_at_batch: int | None = None,
+    maintain_floor: int | None = None,
 ) -> DataFrame:
     """Continuous-ingestion BM25 index: documents land as micro-batches;
     each batch's term frequencies and doc length append to LSM state in
@@ -2770,7 +2771,18 @@ def pattern_streaming_bm25_index(
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
-            maintain_all([tf_log, dl_log], before_batch=batch_id)
+            # maintain_floor caps the fold boundary so generations >=
+            # the floor stay batch-resolvable — the retention knob an
+            # as-of-serving fleet pins at its oldest pinned generation
+            # (see hybrid_manifest_serve's retention note); default
+            # folds right up to the current batch (head-serving mode)
+            fold_to = (
+                batch_id
+                if maintain_floor is None
+                else min(batch_id, maintain_floor)
+            )
+            if fold_to > 0:
+                maintain_all([tf_log, dl_log], before_batch=fold_to)
         tf = (
             batch.select(
                 "doc_id", F.explode(tokens(F.col("text"))).alias("tok")

@@ -4188,3 +4188,56 @@ def test_hybrid_manifest_unaligned_batches(spark, sf_small):
             spark, staging.new_run_dir("hmanifx"), _BM25_QUERIES,
             queries_df, _BM25_SCORE_EXPR,
         )
+
+
+def test_bm25_maintain_floor_preserves_asof_serving(spark, sf_small):
+    """The retention knob for as-of serving (round 13): maintenance with
+    ``maintain_floor=G`` never folds across generation G, so a reader
+    pinned at any generation >= G-1 stays servable at ANY stream depth —
+    while the default (fold to head) eventually trips the straddle guard
+    for the same pinned read, refusing loudly instead of leaking."""
+    import pytest
+
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+
+    from duckdb_streaming_patterns_spark.operators.merge import maintain_all
+
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("mflc"), n_chunks=8
+    )
+    # floored: post-drain maintenance folds only BELOW generation 4
+    # (fanout 2 forces real tiered folds at this depth) — the pinned
+    # read at generation 3 stays servable
+    run_f = staging.new_run_dir("mflf")
+    patterns.pattern_streaming_bm25_index(
+        spark, chunks, run_f, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2, maintain_floor=4,
+    )
+    tf_log, dl_log = patterns.bm25_reader_logs(spark, run_f)
+    maintain_all([tf_log, dl_log], before_batch=4, fanout=2)
+    pinned = patterns._bm25_serve(
+        spark, tf_log, dl_log, None, _BM25_QUERIES, _BM25_SCORE_EXPR, 5,
+        as_of_gen=3,
+        stats_override=patterns._bm25_stats_at(
+            tf_log.io.try_read_json(patterns._bm25_gen_path(run_f)), 3,
+            dl_log,
+        ),
+    ).collect()
+    assert pinned
+    # head-mode: maintenance folds right past the pinned generation —
+    # the same read refuses loudly instead of leaking newer rows
+    run_h = staging.new_run_dir("mflh")
+    patterns.pattern_streaming_bm25_index(
+        spark, chunks, run_h, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2,
+    )
+    tf_h, dl_h = patterns.bm25_reader_logs(spark, run_h)
+    maintain_all([tf_h, dl_h], before_batch=8, fanout=2)
+    with pytest.raises(RuntimeError, match="straddles"):
+        patterns._bm25_serve(
+            spark, tf_h, dl_h, None, _BM25_QUERIES, _BM25_SCORE_EXPR, 5,
+            as_of_gen=3, stats_override=(1, 1),
+        ).collect()

@@ -449,3 +449,16 @@ def test_mixture_temperature_sample_upweights_small_sources(spark, sf_small):
         for (n2, t2) in seen:
             if n1 < n2:
                 assert t1 >= t2, (n1, t1, n2, t2)
+
+
+def test_mixture_sample_plan_is_broadcast_scan(spark, sf_small):
+    """Plan shape at scale: the mixture accept is a broadcast of the
+    n_sources rate table into a single scan-side join — document rows
+    must never shuffle (no SortMergeJoin, no hash-partition Exchange on
+    the doc side; the only exchanges are the tiny count aggregation's)."""
+    from duckdb_streaming_patterns_spark.registry import QUERIES
+
+    fn, _ = QUERIES["mixture_temperature_sample"]
+    plan = fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]

@@ -255,10 +255,15 @@ def test_stream_source_checkpoint_restart_exactly_once(spark, tmp_path):
             q.stop()
             q.awaitTermination()
 
-    run_until(2)           # first query: chunks 0 and 1 commit
+    run_until(2, deadline_s=120)  # first query: chunks 0 and 1 commit
     assert len(seen) >= 2
     n_first = len(seen)
-    run_until(n_first + 2)  # restarted query: resumes where it left off
+    # restarted query resumes where it left off; if the first query's
+    # stop raced far enough to drain everything, there is nothing left
+    # to wait for — the coverage assertions below still hold
+    delivered = {i for _bid, ids in seen for i in ids}
+    if len(delivered) < 12:
+        run_until(n_first + 2, deadline_s=120)
     # Contract: an epoch interrupted between foreachBatch and the offset
     # commit may be REDELIVERED with the SAME batch id and identical
     # contents (that is what the engine's batch-id fences absorb) — so

@@ -250,14 +250,37 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     text_pii_redact_positive: deterministic id-derived PII markers
 #     spliced mid-text on 4 of 5 docs, so the hash covers ACTUAL
 #     rewrites, placeholders, and both preserved halves.
+# Round-14 rotation (round-13 verdict item 1) — the round-13 mixture-
+# sampling family and the sketch pair's cardinality half get rows:
+#   watermark_delta_incremental (F2/F4 NULL-safe watermark delta — the
+#     same max-watermark probe + delta filter run INSIDE
+#     pattern_1_1_incremental_merge's per-batch delta agg, which is the
+#     operator this probe exists to feed; stays exact-checked locally) →
+#     mixture_temperature_sample: temperature-weighted (alpha=0.5)
+#     corpus mixing with engine-exact integer-quantized rates — the
+#     batch half of the round-13 sampling family;
+#   pattern_streaming_quality_drift (per-batch fenced verdict
+#     trajectory — exactly the machinery pattern_streaming_mixture_sample
+#     re-runs per batch on top of its rate recomputation, and the drift
+#     DECISION stays pinned by local exact tests + the cadence test;
+#     stays exact-checked locally) → pattern_streaming_mixture_sample:
+#     the streaming mixing form whose durable verdict log records the
+#     admitting threshold per batch (auditable rate drift);
+#   events_json_extract (C3 JSON-path extraction — the same
+#     from_json/get_json_object wire decode is pinned INSIDE
+#     bonus_stateless_view_topk's topic re-scan, which decodes the same
+#     payloads; stays exact-checked locally) →
+#     pattern_streaming_distinct_kmv: the KMV DISTINCT sketch as
+#     streaming state (merge-law fold ≡ prefix sketch) — the
+#     cardinality half of the mergeable-sketch pair.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
     "user_clicks_top5",
     "pattern_streaming_python_source",
-    "watermark_delta_incremental",
-    "pattern_streaming_quality_drift",
-    "events_json_extract",
+    "mixture_temperature_sample",
+    "pattern_streaming_mixture_sample",
+    "pattern_streaming_distinct_kmv",
     "pattern_streaming_ann_index_expiring",
     "pattern_streaming_quantiles_kmv",
     "snapshot_type_widening_read",

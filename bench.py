@@ -446,14 +446,36 @@ def main() -> None:
     _diff_against_previous_round(timings, sf, isolated_names, calibration)
     # The driver records only a tail of stdout, which truncates the
     # per-query dict on long runs (the r6↔r7 diff lost its first ~33
-    # queries twice) — persist the COMPLETE result to the repo so every
-    # round's full timings survive as bench_full_r{N}.json.
+    # queries twice; r13's 90-query line with the full calibration dict
+    # overflowed the window entirely — BENCH_r13.json recorded
+    # "parsed": null) — persist the COMPLETE result to the repo so every
+    # round's full timings survive as bench_full_r{N}.json, and print a
+    # COMPACT one-line summary to stdout: totals, per-query seconds at
+    # 2 decimals, cal median + loaded list, no calibration detail.
     try:
         with open(os.path.join(_REPO_ROOT, "bench_full_latest.json"), "w") as f:
             json.dump(out, f, indent=1)
     except OSError:
         pass
-    print(json.dumps(out))
+    compact = {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "sf": sf,
+        "queries": {
+            n: (round(v, 2) if v is not None else None)
+            for n, v in out["queries"].items()
+        },
+        "cal_median": out["cal_gate"]["median_cal"],
+        "loaded": out["cal_gate"]["loaded"],
+        "full_artifact": "bench_full_latest.json",
+    }
+    if "ingest_events_per_sec" in out:
+        compact["ingest_events_per_sec"] = out["ingest_events_per_sec"]
+    if not out.get("complete", True):
+        compact["complete"] = False
+        compact["errors"] = sorted(errors)
+    print(json.dumps(compact, separators=(",", ":")))
 
 
 def _norm_factor(

@@ -26,6 +26,7 @@ available to test against):
 | delete               | DeleteObject (idempotent)                  | blob.delete (404-tolerant)  |
 | promote_dir          | ListObjectsV2 → CopyObject each (data →    | objects.rewrite, same order |
 |                      | meta → _folds.json STRICTLY LAST) → delete |                             |
+|                      | (>5 GiB objects: multipart UploadPartCopy) |                             |
 | delete_tree          | paged ListObjectsV2 + DeleteObjects (1000) | objects.list + batch delete |
 | exists               | HeadObject, else MaxKeys=1 prefix LIST     | blob.exists / list          |
 | ensure_dir           | no-op (prefixes need no creation)          | no-op                       |
@@ -74,10 +75,22 @@ class S3CommitIO:
     state: every verb is one-or-more client calls with the store's own
     conditional semantics doing the fencing."""
 
-    def __init__(self, client, bucket: str, prefix: str = "") -> None:
+    #: CopyObject's documented hard ceiling is 5 GiB per object; larger
+    #: objects must go through multipart copy (CreateMultipartUpload +
+    #: UploadPartCopy with byte ranges). Class-level so contract tests
+    #: can shrink it and exercise the multipart path with tiny objects.
+    COPY_PART_LIMIT = 5 * 1024**3
+
+    def __init__(
+        self, client, bucket: str, prefix: str = "",
+        copy_part_limit: int | None = None,
+    ) -> None:
         self.client = client
         self.bucket = bucket
         self.prefix = prefix.strip("/")
+        self.copy_part_limit = (
+            copy_part_limit if copy_part_limit else self.COPY_PART_LIMIT
+        )
 
     # -- key construction ---------------------------------------------------
 
@@ -87,6 +100,12 @@ class S3CommitIO:
 
     def _iter_keys(self, prefix_key: str):
         """Every object key under the prefix (recursive), paged."""
+        for key, _size in self._iter_objects(prefix_key):
+            yield key
+
+    def _iter_objects(self, prefix_key: str):
+        """(key, size) for every object under the prefix, paged — size
+        drives the CopyObject-vs-multipart choice in promote_dir."""
         token = None
         while True:
             kw = {"Bucket": self.bucket, "Prefix": prefix_key}
@@ -94,7 +113,7 @@ class S3CommitIO:
                 kw["ContinuationToken"] = token
             resp = self.client.list_objects_v2(**kw)
             for obj in resp.get("Contents", []) or []:
-                yield obj["Key"]
+                yield obj["Key"], int(obj.get("Size", 0))
             if not resp.get("IsTruncated"):
                 return
             token = resp.get("NextContinuationToken")
@@ -188,7 +207,20 @@ class S3CommitIO:
           (412 → PointerCasError);
         - absence-read ``expected`` (READ_ABSENT marker) → conditional
           CREATE via ``If-None-Match: *``;
-        - ``expected=None`` → explicit unconditional install."""
+        - ``expected=None`` → explicit unconditional install.
+
+        ABA caveat (vs the sim's and GCS adapter's GENERATION tokens):
+        S3's If-Match rides on a content-derived ETag (MD5 of the
+        body), so a racer that deletes the pointer and reinstalls
+        byte-identical content between our GET and PUT passes the
+        condition — the condition proves "same bytes", not "same write".
+        Benign for every pointer this engine publishes today (versions,
+        batch fences, and manifest generations are monotonically
+        growing, so byte-identical reinstalls cannot express a
+        different state), but a latent trap for any future pointer type
+        whose payload can revisit a prior value — such payloads must
+        embed a monotonic nonce to keep ETags unique, or use the GCS
+        adapter's generation semantics."""
         key = self._key(path)
         body = json.dumps(obj).encode()
         if expected is None:
@@ -252,23 +284,64 @@ class S3CommitIO:
         final_key = self._key(final).rstrip("/") + "/"
         self._delete_prefix(final_key)
         data, meta, manifest = [], [], []
-        for k in self._iter_keys(staged_key):
+        for k, size in self._iter_objects(staged_key):
             rel = k[len(staged_key):]
             name = rel.rsplit("/", 1)[-1]
-            pair = (k, final_key + rel)
+            triple = (k, final_key + rel, size)
             if name == "_folds.json":
-                manifest.append(pair)
+                manifest.append(triple)
             elif name.startswith(("_", ".")):
-                meta.append(pair)
+                meta.append(triple)
             else:
-                data.append(pair)
-        for src, dst in data + meta + manifest:
+                data.append(triple)
+        for src, dst, size in data + meta + manifest:
+            self._copy_object(src, dst, size)
+        self._delete_prefix(staged_key)
+
+    def _copy_object(self, src: str, dst: str, size: int) -> None:
+        """Server-side copy, sized: one CopyObject up to the 5 GiB API
+        ceiling, multipart (CreateMultipartUpload + ranged
+        UploadPartCopy + CompleteMultipartUpload) above it — merged
+        parquet data files at the engine's target scale routinely
+        exceed the single-call limit, and promote must not be the verb
+        that caps file size. Parts are the ceiling-sized ranges in
+        order; a crash mid-multipart leaves an uncommitted upload (no
+        visible object), which the manifest-last ordering already makes
+        harmless — the retry re-lists and re-copies."""
+        if size <= self.copy_part_limit:
             self.client.copy_object(
                 Bucket=self.bucket,
                 Key=dst,
                 CopySource={"Bucket": self.bucket, "Key": src},
             )
-        self._delete_prefix(staged_key)
+            return
+        up = self.client.create_multipart_upload(Bucket=self.bucket, Key=dst)
+        upload_id = up["UploadId"]
+        parts = []
+        offset = 0
+        while offset < size:
+            end = min(offset + self.copy_part_limit, size) - 1
+            resp = self.client.upload_part_copy(
+                Bucket=self.bucket,
+                Key=dst,
+                UploadId=upload_id,
+                PartNumber=len(parts) + 1,
+                CopySource={"Bucket": self.bucket, "Key": src},
+                CopySourceRange=f"bytes={offset}-{end}",
+            )
+            parts.append(
+                {
+                    "PartNumber": len(parts) + 1,
+                    "ETag": resp["CopyPartResult"]["ETag"],
+                }
+            )
+            offset = end + 1
+        self.client.complete_multipart_upload(
+            Bucket=self.bucket,
+            Key=dst,
+            UploadId=upload_id,
+            MultipartUpload={"Parts": parts},
+        )
 
     def _delete_prefix(self, prefix_key: str) -> None:
         batch: list[dict] = []

@@ -761,9 +761,15 @@ def q_mixture_temperature_sample(
         F.expr(f"CAST(floor(sqrt(n_docs) * {_MIX_W_SCALE}) AS BIGINT)"),
     )
     # bounded collects: one scalar each — corpus row count and the
-    # integer weight sum (exact, order-free)
+    # integer weight sum (exact, order-free; sum() is NULL on an empty
+    # corpus, so coalesce to 0 and short-circuit — z=0 would otherwise
+    # divide by zero in the rate expression)
     total = float(docs.count())
-    z = int(n.agg(F.sum("w")).first()[0])
+    z = int(n.agg(F.sum("w")).first()[0] or 0)
+    if z == 0:
+        return docs.select(
+            "doc_id", "source", F.lit(0).cast("long").alias("accept_threshold")
+        ).limit(0)
     rates = n.select(
         "source",
         F.expr(

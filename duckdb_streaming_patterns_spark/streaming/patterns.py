@@ -4051,11 +4051,33 @@ def mixture_sample_batch(
         ),
     )
     # bounded collect: ONE row — the exact integer corpus total and
-    # weight sum (order-free reductions)
+    # weight sum (order-free reductions; both sums are NULL when the
+    # cumulative histogram is empty, i.e. the very first micro-batch
+    # carried no rows — coalesce to 0 and skip the accept pass, since a
+    # zero Z would divide by zero in the rate expression and an empty
+    # histogram admits nothing anyway)
     agg = w.agg(
         F.sum("n_docs").cast("long").alias("total"),
         F.sum("w").cast("long").alias("z"),
     ).first()
+    if not agg["z"]:
+        def _merge_counts_empty():
+            if not applied:
+                counts.overwrite(hist, batch_id=batch_id)
+
+        overlap(
+            lambda: verdict_log.append(
+                batch.select(
+                    "doc_id",
+                    "source",
+                    F.lit(batch_id).cast("long").alias("batch_seq"),
+                    F.lit(0).cast("long").alias("accept_threshold"),
+                ).limit(0),
+                batch_id,
+            ),
+            _merge_counts_empty,
+        )
+        return
     thr = w.select(
         "source",
         F.expr(

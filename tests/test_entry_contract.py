@@ -87,10 +87,14 @@ def test_first_50_cover_every_family():
             # retrieval row took the slot — see text family
             "multimodal_ann_ivf",
         },
-        "observability": {
-            # r10 rotation: streaming drift monitor + its maintained
-            # verdict log (cadence-pinned — see the cadence test below)
-            "pattern_streaming_quality_drift",
+        # observability's pattern_streaming_quality_drift rotated out in
+        # r14 (its per-batch fenced verdict-trajectory machinery runs
+        # inside pattern_streaming_mixture_sample; the drift DECISION
+        # stays pinned by local exact tests + the cadence test below) —
+        # the round-13 mixture-sampling family took the slots
+        "sampling": {
+            "mixture_temperature_sample",
+            "pattern_streaming_mixture_sample",
         },
         "text": {
             "text_unigram_surprisal",
@@ -123,8 +127,14 @@ def test_first_50_cover_every_family():
             # by runtime_bloom_join's plan-asserted local tests)
             "contamination_ngram_overlap",
         },
-        # the mergeable-sketch family (round 12) gets its driver row
-        "sketch": {"pattern_streaming_quantiles_kmv"},
+        # the mergeable-sketch family (round 12) gets its driver rows —
+        # r14 adds the cardinality half (KMV distinct; slot freed by
+        # events_json_extract, whose C3 wire decode is pinned inside
+        # bonus_stateless_view_topk's topic re-scan)
+        "sketch": {
+            "pattern_streaming_quantiles_kmv",
+            "pattern_streaming_distinct_kmv",
+        },
         "layout": {"bucketed_join_revenue", "partition_pruned_daily_clicks",
                    "range_join_price_bands"},
         "tpch": {"q1_pricing_summary", "q3_shipping_priority"},

@@ -39,10 +39,15 @@ class FakeS3Client:
     server-side CopyObject. A lock serializes conditional check+commit
     pairs — the store's server-side atomicity."""
 
-    def __init__(self) -> None:
+    def __init__(self, copy_size_cap: int | None = None) -> None:
         self.objects: dict[str, bytes] = {}
         self.copy_log: list[str] = []
         self._lock = threading.Lock()
+        # S3's documented CopyObject ceiling (5 GiB); injectable small
+        # so the multipart path is testable with tiny objects
+        self.copy_size_cap = copy_size_cap
+        self._multipart: dict[str, dict] = {}
+        self._upload_seq = 0
 
     @staticmethod
     def _etag(body: bytes) -> str:
@@ -86,7 +91,7 @@ class FakeS3Client:
                 if p not in prefixes:
                     prefixes.append(p)
             else:
-                contents.append({"Key": k})
+                contents.append({"Key": k, "Size": len(self.objects[k])})
         return {
             "Contents": contents[:MaxKeys],
             "CommonPrefixes": [{"Prefix": p} for p in prefixes],
@@ -97,9 +102,40 @@ class FakeS3Client:
         src = self.objects.get(CopySource["Key"])
         if src is None:
             raise _err("NoSuchKey", "CopyObject")
+        if self.copy_size_cap is not None and len(src) > self.copy_size_cap:
+            # real S3: "The specified copy source is larger than the
+            # maximum allowable size for a copy source: 5368709120"
+            raise _err("InvalidRequest", "CopyObject")
         self.objects[Key] = src
         self.copy_log.append(Key)
         return {"CopyObjectResult": {"ETag": self._etag(src)}}
+
+    def create_multipart_upload(self, Bucket, Key):
+        self._upload_seq += 1
+        uid = f"upload-{self._upload_seq}"
+        self._multipart[uid] = {"key": Key, "parts": {}}
+        return {"UploadId": uid}
+
+    def upload_part_copy(
+        self, Bucket, Key, UploadId, PartNumber, CopySource, CopySourceRange
+    ):
+        src = self.objects.get(CopySource["Key"])
+        if src is None:
+            raise _err("NoSuchKey", "UploadPartCopy")
+        lo, hi = CopySourceRange.removeprefix("bytes=").split("-")
+        part = src[int(lo): int(hi) + 1]
+        self._multipart[UploadId]["parts"][PartNumber] = part
+        return {"CopyPartResult": {"ETag": self._etag(part)}}
+
+    def complete_multipart_upload(self, Bucket, Key, UploadId, MultipartUpload):
+        up = self._multipart.pop(UploadId)
+        body = b"".join(
+            up["parts"][p["PartNumber"]]
+            for p in MultipartUpload["Parts"]
+        )
+        self.objects[Key] = body
+        self.copy_log.append(Key)
+        return {"ETag": self._etag(body)}
 
     def delete_object(self, Bucket, Key):
         self.objects.pop(Key, None)  # S3 delete is idempotent
@@ -258,3 +294,26 @@ def test_hybrid_manifest_protocol_on_s3(s3io):
     man = s3io.read_json(_hybrid_manifest_path(run))
     assert man["version"] == 1 and man["lex_gen"] == 3
     assert man["ann_snapshot"] == 7
+
+
+def test_promote_dir_multipart_copy_above_copyobject_ceiling():
+    """Objects above the CopyObject 5 GiB API ceiling must promote via
+    multipart copy (CreateMultipartUpload + ranged UploadPartCopy) —
+    ADVICE r13: a single CopyObject would fail server-side mid-promote.
+    The fake enforces the ceiling; the adapter's limit is shrunk so a
+    20-byte object exercises the ranged-part path."""
+    from duckdb_streaming_patterns_spark.plans.s3io import S3CommitIO
+
+    client = FakeS3Client(copy_size_cap=8)
+    io = S3CommitIO(client, "bkt", copy_part_limit=8)
+    big = b"0123456789abcdefghij"  # 20 bytes -> parts of 8+8+4
+    client.objects["stage/y/part-0.parquet"] = big
+    client.objects["stage/y/_meta.json"] = b"{}"
+    client.objects["stage/y/_folds.json"] = b"{}"
+    io.promote_dir("/stage/y", "/live/y")
+    assert client.objects["live/y/part-0.parquet"] == big
+    assert client.objects["live/y/_folds.json"] == b"{}"
+    assert not any(k.startswith("stage/y/") for k in client.objects)
+    # manifest still strictly last even when data went multipart
+    assert client.copy_log[-1].endswith("_folds.json")
+    assert not client._multipart  # no dangling uncommitted uploads

@@ -273,6 +273,19 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     pattern_streaming_distinct_kmv: the KMV DISTINCT sketch as
 #     streaming state (merge-law fold ≡ prefix sketch) — the
 #     cardinality half of the mergeable-sketch pair.
+# Round-14 second rotation — the delete CDF's serving-plane consumer:
+#   pattern_gdpr_delete_propagation (summary-plane delete propagation —
+#     the S5 delete CDF + tombstone + vacuum machinery all run INSIDE
+#     pattern_streaming_retrieval_gdpr, which commits the same
+#     SnapshotTable delete, consumes the same delete_changes feed, and
+#     vacuums the corpus-of-record; the summary-plane group recompute
+#     stays exact-checked locally + vacuum_after pinned by the cadence
+#     test) → pattern_streaming_retrieval_gdpr: right-to-be-forgotten
+#     propagated into the SERVING indexes — lexical tombstones + dense
+#     tombstone snapshot + physical purge (anti-join fold compactions,
+#     IVF vacuum, corpus vacuum) + negative stats delta + post-purge
+#     manifest with history RESET, hash-matched against the batch
+#     hybrid over the surviving corpus.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -321,7 +334,7 @@ _PRIORITY = [
     # corpus pipeline (§2.11)
     "pack_token_bins",
     "contamination_ngram_overlap",
-    "pattern_gdpr_delete_propagation",
+    "pattern_streaming_retrieval_gdpr",
     "doc_chunks_udtf",
     # join/layout strategies (§2.12 scale surfaces)
     "pattern_streaming_asof_enrichment",

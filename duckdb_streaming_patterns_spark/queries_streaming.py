@@ -1482,6 +1482,95 @@ def q_pattern_streaming_hybrid_manifest(
     )
 
 
+# ---------------------------------------------------------------------------
+# GDPR deletion propagation into the SERVING indexes (round 14): docs
+# deleted on the corpus-of-record vanish from the BM25 pools (df + avgdl
+# recomputed over survivors), the ANN pools, and the hybrid manifest
+# (pre-delete versions no longer pinnable). Oracle = the batch hybrid
+# over the SURVIVING corpus — with one deliberate asymmetry: the IVF
+# quantizer's anchors were trained on the FIRST micro-batch BEFORE the
+# delete and are frozen, so the anchor CTE samples the full first batch
+# (deleted vectors included as centroids — a centroid is arithmetic, not
+# a retrievable doc) while every candidate/cell row excludes them.
+# ---------------------------------------------------------------------------
+
+_GDPR_FORGET_SQL = "% 7 = 3"  # the request: doc_id % 7 == 3
+
+_GDPR_HYBRID_ORACLE = rf"""
+    WITH {_hybrid_bm25_ctes(
+        "(SELECT * FROM documents WHERE NOT (doc_id " + _GDPR_FORGET_SQL + "))"
+    )},
+    p AS (SELECT CAST(ceil(count(*) / 5.0) AS BIGINT) AS per
+          FROM embeddings),
+    a AS (SELECT CAST(vec_id AS BIGINT) AS aid, embedding AS a_vec
+          FROM embeddings, p WHERE vec_id < p.per
+          ORDER BY md5(CAST(vec_id AS VARCHAR)), aid
+          LIMIT 16),
+    live AS (SELECT * FROM embeddings
+             WHERE NOT (vec_id {_GDPR_FORGET_SQL})),
+    asim AS (SELECT e.vec_id, a.aid,
+                    {_dd_cosine("e.embedding", "a.a_vec")} AS cos
+             FROM live e CROSS JOIN a),
+    ar AS (SELECT vec_id, aid,
+                  row_number() OVER (PARTITION BY vec_id
+                                     ORDER BY cos DESC, aid) AS rn
+           FROM asim),
+    cells AS (SELECT vec_id, aid AS cell_id FROM ar WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, aid AS cell_id
+               FROM ar WHERE vec_id < 3 AND rn <= 8),
+    cand AS (SELECT p2.query_id, c.vec_id AS doc_id
+             FROM probes p2 JOIN cells c USING (cell_id)
+             WHERE c.vec_id <> p2.query_id),
+    ccos AS (SELECT cand.query_id, cand.doc_id,
+                    {_dd_cosine("qe.embedding", "e.embedding")} AS cosine
+             FROM cand
+             JOIN embeddings qe ON qe.vec_id = cand.query_id
+             JOIN embeddings e ON e.vec_id = cand.doc_id),
+    crank AS (SELECT query_id, doc_id,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY cosine DESC, doc_id)
+                       AS vec_rank
+              FROM ccos),
+    cpool AS (SELECT * FROM crank WHERE vec_rank <= 20),
+    {_HYBRID_FUSE_TAIL}"""
+
+
+@register("pattern_streaming_retrieval_gdpr", _GDPR_HYBRID_ORACLE)
+def q_pattern_streaming_retrieval_gdpr(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Right-to-be-forgotten for the serving indexes (round 14): both
+    retrieval indexes stream-build over the full corpus; a GDPR delete
+    (doc_id % 7 == 3) commits on the corpus-of-record SnapshotTable;
+    the delete CDF feed propagates — lexical tombstones + dense
+    tombstone snapshot + PHYSICAL purge (anti-join fold compactions +
+    IVF vacuum + corpus vacuum) + negative stats delta — and the hybrid
+    manifest republishes post-purge with its history RESET. The row is
+    the manifest-head serve: forgotten docs absent from BOTH pools with
+    df/avgdl recomputed over survivors, hash-matched against the batch
+    hybrid over the surviving corpus. See
+    streaming/patterns.pattern_streaming_retrieval_gdpr."""
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+
+    run = staging.new_run_dir("pgdprret")
+    doc_chunks = staging.stage_document_chunks(
+        spark, sf_dir, staging.new_run_dir("pgdprd"), n_chunks=5
+    )
+    emb_chunks = staging.stage_embedding_chunks(
+        spark, sf_dir, staging.new_run_dir("pgdpre"), n_chunks=5
+    )
+    queries_df = load_table(spark, sf_dir, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    return patterns.pattern_streaming_retrieval_gdpr(
+        spark, doc_chunks, emb_chunks, run, _BM25_QUERIES, queries_df,
+        _BM25_SCORE_EXPR,
+        corpus_docs=load_table(spark, sf_dir, "documents"),
+        forget_predicate=F.col("doc_id") % 7 == 3,
+        state_partitions=4, compact_every=2,
+    )
+
+
 # Streaming temperature-mixture trajectory: batch b's thresholds derive
 # from the prefix histogram INCLUDING b (monotone doc_id chunking), so
 # the whole accepted set + thresholds is replayable arithmetic.

@@ -2583,6 +2583,7 @@ def _bm25_serve(
     k: int,
     as_of_gen: int | None = None,
     stats_override: tuple[int, int] | None = None,
+    tomb_log=None,
 ) -> DataFrame:
     """Answer BM25 queries from the accumulated index state — callable at
     ANY point of the stream (mid-stream probes and the final drain run
@@ -2638,6 +2639,20 @@ def _bm25_serve(
     cand = tf_log.read_latest(
         before_batch=scope, keep_bucket=True
     ).join(F.broadcast(q_keys), ["tok", "__kb"])
+    if tomb_log is not None:
+        # GDPR tombstones (round 14): forgotten doc_ids, SCOPED like the
+        # state reads — a tombstone's batch id IS the generation whose
+        # pointer publish made the forget visible, so the exclusion
+        # flips atomically with the pointer (a reader pinned before the
+        # forget-publish serves the intact pre-delete prefix; one pinned
+        # at/after it never sees the doc). Broadcast anti-join BEFORE
+        # df: document frequency must count the post-delete posting
+        # lists, matching the batch oracle over the surviving corpus.
+        # Bound: the cumulative forget-request key set — request-sized,
+        # never corpus-sized (physical erasure of the bulk rows is the
+        # purge compaction's job, see retrieval_forget).
+        tombs = tomb_log.read_latest(before_batch=scope).select("doc_id")
+        cand = cand.join(F.broadcast(tombs), "doc_id", "left_anti")
     dfreq = (
         cand.select("doc_id", "tok")
         .distinct()
@@ -3589,6 +3604,281 @@ def bm25_reader_logs(spark: SparkSession, run_dir: str, n_buckets: int = 16):
     return tf_log, dl_log
 
 
+def bm25_tomb_log(spark: SparkSession, run_dir: str, n_buckets: int = 16):
+    """The GDPR tombstone log of a BM25 index run dir (round 14):
+    forgotten doc_ids, one insert-only row each, doc_id-bucketed like
+    the dl log so a purge compaction's anti-join stays co-bucketed.
+    A tombstone batch's id is the GENERATION whose pointer publish made
+    that forget visible (see retrieval_forget)."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    return UpsertLog(
+        spark,
+        os.path.join(run_dir, "tomb"),
+        keys=["doc_id"],
+        insert_only=True,
+        bucket_col="doc_id",
+        n_buckets=n_buckets,
+    )
+
+
+def _bm25_tomb_or_none(spark: SparkSession, run_dir: str, n_buckets: int = 16):
+    """The tombstone log handle iff any forget was ever applied to this
+    run dir, else None — serves on an untouched index skip the anti-join
+    entirely (an empty log cannot even be scanned: no schema)."""
+    log = bm25_tomb_log(spark, run_dir, n_buckets)
+    return log if log._batch_dirs() else None
+
+
+def _forget_complete_manifest(
+    spark: SparkSession, run_dir: str, lex_dir: str, tf_log, out: dict
+) -> None:
+    """Close the one crash window a pointer-complete forget can leave:
+    the generation pointer advanced (the forget IS durable and every
+    consistent BM25 serve honors it) but the hybrid manifest republish
+    never landed, so manifest readers still resolve the pre-forget
+    head. Detect it by the head generation's measurement fence (only
+    forgets write one) and finish the publish — history reset, exactly
+    as the interrupted attempt would have."""
+    man = tf_log.io.try_read_json(_hybrid_manifest_path(run_dir))
+    gen = int(out["gen"])
+    if man is None or int(man["lex_gen"]) >= gen:
+        return
+    fence = tf_log.io.try_read_json(
+        os.path.join(lex_dir, f"forget_g{gen}.json")
+    )
+    if fence is None:
+        return
+    vec_index_dir = os.path.join(run_dir, "vec", "ivf_index")
+    if not os.path.isdir(vec_index_dir):
+        return
+    index = SnapshotTable(
+        spark,
+        vec_index_dir,
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    sids = [
+        int(s["snapshot_id"])
+        for s in index.snapshots()
+        if s.get("batch_id") == 70_000 + gen
+    ]
+    if not sids:
+        return
+    out["ann_delete_snapshot"] = max(sids)
+    publish_hybrid_manifest(
+        tf_log.io,
+        run_dir,
+        version=int(man["version"]) + 1,
+        lex_gen=gen,
+        ann_snapshot=max(sids),
+        sum_dl=out["sum_dl"],
+        n_docs=out["n_docs"],
+        reset_history=True,
+    )
+
+
+def retrieval_forget(
+    spark: SparkSession,
+    run_dir: str,
+    deleted: DataFrame,
+    n_buckets: int = 16,
+    purge: bool = True,
+) -> dict:
+    """Propagate a GDPR delete feed into the SERVING indexes (round 14,
+    verdict item 3 — the missing consumer of the S5 delete CDF,
+    plans/snapshots.py:515,1047): after this call, every consistent
+    serve (BM25, ANN, hybrid-manifest) answers over the corpus MINUS
+    ``deleted``, and no still-publishable version can resurface a
+    forgotten doc.
+
+    ``deleted`` is the delete change feed — a frame with a ``doc_id``
+    column (e.g. ``corpus.delete_changes(...)``); doc_ids and the dense
+    index's vec_ids share the id space (the hybrid contract).
+
+    Ordering (each step durable before the next; the POINTERS are
+    strictly last, so a crash anywhere leaves readers on a consistent
+    pre-forget corpus — not-yet-forgotten, never torn):
+
+    1. measure: the deleted docs' exact (Σdl, n) via a DPP-pruned dl
+       fetch — BEFORE any purge erases the rows being measured;
+    2. lexical tombstones: the doc_ids append to the doc_id-bucketed
+       tomb log at batch id = the NEW generation, so the serve-side
+       anti-join flips atomically with the pointer publish (step 6);
+    3. dense tombstone snapshot: ``SnapshotTable.delete`` on the IVF
+       ledger (vec_id keys) — as-of probes at/after it exclude the
+       vectors;
+    4. (``purge=True``) physical erasure: both BM25 logs fold through
+       ``compact(transform=anti-join)`` — the forgotten rows leave the
+       storage plane, not just the read plane — and the IVF index
+       ``vacuum()``s, so even time-travel reads below the delete
+       snapshot cannot resurface a vector (the documented retention
+       trade, the one GDPR requires);
+    5. stats: the fenced SummaryTable row folds the NEGATIVE delta so
+       in-loop-style reads stay consistent with the pointer plane;
+    6. publish: the BM25 generation pointer advances one generation
+       carrying the negative stats delta; the hybrid manifest (if this
+       run dir serves one) publishes the post-purge version with its
+       HISTORY RESET — versions published before the forget must stop
+       being pinnable (they would resurface the doc), so the forget
+       truncates as-of history by design.
+
+    Scale shape: every step is O(forget-request) or O(state fold) —
+    the measure is a pruned bucket fetch, the tombstone appends are
+    request-sized, the purge rides the SAME tiered fold machinery the
+    maintenance tick already amortizes, and the publishes are two O(1)
+    pointer swaps. Nothing rescans the corpus.
+
+    Returns {"gen", "sum_dl", "n_docs", "ann_delete_snapshot",
+    "n_forgotten"}."""
+    lex_dir = os.path.join(run_dir, "lex")
+    if not os.path.isdir(lex_dir):
+        lex_dir = run_dir  # single-index (BM25-only) run layout
+    tf_log, dl_log = bm25_reader_logs(spark, lex_dir, n_buckets)
+    ptr = tf_log.io.try_read_json(_bm25_gen_path(lex_dir))
+    if ptr is None:
+        raise ValueError(f"no generation pointer under {lex_dir}")
+    new_gen = int(ptr["gen"]) + 1
+    ids = (
+        deleted.select(F.col("doc_id").cast("long").alias("doc_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # sever lineage to CDF tombstone
+        # files a later vacuum may retire (the GDPR-row vacuum lesson)
+    )
+    # NOVEL ids only: docs already tombstoned by an earlier forget were
+    # subtracted at their own generation (and the insert-only tomb log
+    # contract writes a key at most once). A crashed prior attempt that
+    # already appended this generation's tombstones also lands here
+    # with nothing novel — the fence below distinguishes the two.
+    tomb = bm25_tomb_log(spark, lex_dir, n_buckets)
+    if tomb._batch_dirs():
+        ids = ids.join(
+            tomb.read_latest().select("doc_id"), "doc_id", "left_anti"
+        ).localCheckpoint(eager=True)
+    # 1. measure the forgotten docs' exact stats — pruned to their
+    # buckets, BEFORE the purge erases them. The measurement is fenced
+    # to a write-once file keyed by the new generation: a retry that
+    # crashed AFTER the purge would otherwise re-measure the (now
+    # erased) docs as zero and publish a generation whose stats still
+    # count them.
+    fence_path = os.path.join(lex_dir, f"forget_g{new_gen}.json")
+    fence = tf_log.io.try_read_json(fence_path)
+    if fence is not None:
+        del_sum, del_n = int(fence["sum_dl"]), int(fence["n_docs"])
+    elif ids.isEmpty():
+        # Pure no-op (every requested doc already forgotten, no crashed
+        # attempt in flight): don't burn a generation — but DO complete
+        # a predecessor's publish window if the HEAD generation was a
+        # forget whose manifest republish never landed (pointer
+        # advanced, manifest stale — the one remaining tear).
+        out = {
+            "gen": int(ptr["gen"]),
+            "sum_dl": int(ptr["sum_dl"]),
+            "n_docs": int(ptr["n_docs"]),
+            "ann_delete_snapshot": None,
+            "n_forgotten": 0,
+        }
+        _forget_complete_manifest(spark, run_dir, lex_dir, tf_log, out)
+        return out
+    else:
+        keys = ids.withColumn("__kb", dl_log.bucket_of(F.col("doc_id")))
+        row = (
+            dl_log.read_latest(keep_bucket=True)
+            .join(F.broadcast(keys), ["doc_id", "__kb"])
+            .agg(
+                F.sum("dl").cast("long").alias("s"),
+                F.count("*").cast("long").alias("n"),
+            )
+            .first()
+        )
+        del_sum, del_n = int(row["s"] or 0), int(row["n"] or 0)
+        tf_log.io.put_json_if_absent(
+            fence_path, {"sum_dl": del_sum, "n_docs": del_n}
+        )
+    # 2. lexical tombstones at the new generation's batch id. Never
+    # append an empty frame: on a fence-retry the novel set is empty
+    # because the FIRST attempt's append is already durable — an
+    # overwrite would clobber it with a schema-less empty dir.
+    if not ids.isEmpty():
+        tomb.append(ids, batch_id=new_gen)
+    # The CUMULATIVE tombstone set drives the dense delete and the
+    # purge: a retry's novel set may be empty while the physical work
+    # is still undone, and re-applying an already-applied forget is
+    # idempotent on both paths. Bounded collect: total forgotten ids
+    # across the run's life — forget-request-sized, never corpus-sized.
+    all_tombs = (
+        tomb.read_latest()
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    # 3. dense tombstone snapshot (if this run dir has a dense side)
+    vec_index_dir = os.path.join(run_dir, "vec", "ivf_index")
+    ann_sid = None
+    index = None
+    if os.path.isdir(vec_index_dir):
+        index = SnapshotTable(
+            spark,
+            vec_index_dir,
+            "vec_id long, embedding array<float>, cell_id long",
+            partition_cols=["cell_id"],
+        )
+        id_list = [r["doc_id"] for r in all_tombs.collect()]
+        ann_sid = index.delete(
+            F.col("vec_id").isin(id_list),
+            key_cols=["vec_id"],
+            batch_id=70_000 + new_gen,
+        )
+        if ann_sid < 0:  # fenced retry: resolve the committed snapshot
+            ann_sid = max(
+                int(s["snapshot_id"])
+                for s in index.snapshots()
+                if s.get("batch_id") == 70_000 + new_gen
+            )
+    # 4. physical erasure — the rows leave storage, not just the plans
+    if purge:
+        drop = lambda df: df.join(F.broadcast(all_tombs), "doc_id", "left_anti")  # noqa: E731
+        tf_log.compact(transform=drop)
+        dl_log.compact(transform=drop)
+        if index is not None:
+            index.vacuum()
+    # 5. the fenced stats row folds the negative delta
+    stats = SummaryTable(
+        spark, os.path.join(lex_dir, "stats"), _BM25_STATS_DDL
+    )
+    stats.merge_batch(
+        spark.createDataFrame([(0, -del_sum, -del_n)], _BM25_STATS_DDL),
+        new_gen,
+        keys=["k"],
+        add_cols=["sum_dl", "n_docs"],
+        max_cols=[],
+    )
+    # 6. pointers strictly last: generation, then (if present) the
+    # hybrid manifest with history reset
+    _publish_bm25_gen(tf_log.io, lex_dir, new_gen, -del_sum, -del_n)
+    new_ptr = tf_log.io.read_json(_bm25_gen_path(lex_dir))
+    out = {
+        "gen": new_gen,
+        "sum_dl": int(new_ptr["sum_dl"]),
+        "n_docs": int(new_ptr["n_docs"]),
+        "ann_delete_snapshot": ann_sid,
+        "n_forgotten": del_n,
+    }
+    man = tf_log.io.try_read_json(_hybrid_manifest_path(run_dir))
+    if man is not None and ann_sid is not None:
+        publish_hybrid_manifest(
+            tf_log.io,
+            run_dir,
+            version=int(man["version"]) + 1,
+            lex_gen=new_gen,
+            ann_snapshot=int(ann_sid),
+            sum_dl=out["sum_dl"],
+            n_docs=out["n_docs"],
+            reset_history=True,
+        )
+    return out
+
+
 def bm25_consistent_serve(
     spark: SparkSession,
     run_dir: str,
@@ -3621,6 +3911,7 @@ def bm25_consistent_serve(
         k,
         as_of_gen=int(ptr["gen"]),
         stats_override=(int(ptr["sum_dl"]), int(ptr["n_docs"])),
+        tomb_log=_bm25_tomb_or_none(spark, run_dir, n_buckets),
     )
 
 
@@ -3700,6 +3991,7 @@ def hybrid_consistent_serve(
         pool,
         as_of_gen=gen_eff,
         stats_override=_bm25_stats_at(ptr, gen_eff, dl_log),
+        tomb_log=_bm25_tomb_or_none(spark, lex_dir, n_buckets),
     ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
     with open(os.path.join(vec_dir, "anchors.json")) as f:
         anchor_rows = [Row(aid=a, vec=v) for a, v in _json.load(f)]
@@ -3755,6 +4047,8 @@ def publish_hybrid_manifest(
     ann_snapshot: int,
     sum_dl: int,
     n_docs: int,
+    reset_history: bool = False,
+    _max_retries: int = 16,
 ) -> None:
     """CAS-publish the joint generation manifest for corpus ``version``:
     the lexical index at batch ``lex_gen`` and the dense index at ledger
@@ -3763,30 +4057,58 @@ def publish_hybrid_manifest(
     alone). One O(1) swap — the only cross-index write that exists.
     The pointer keeps a bounded HISTORY of published versions, so a
     reader can pin ANY still-covered corpus version (as-of serving
-    across versions) from the same single GET."""
-    from duckdb_streaming_patterns_spark.plans.commitio import READ_ABSENT
+    across versions) from the same single GET.
+
+    MULTI-WRITER safe (round 14, verdict item 4): a lost CAS race is
+    re-read and re-planned, not raised — two coordinators publishing
+    successive versions converge on one history (the racer that lost
+    re-reads, sees its version already covered or re-stacks the newer
+    head into history, and re-swaps). The retry bound only guards a
+    pathological livelock; each retry re-checks version coverage so the
+    loop is monotone.
+
+    ``reset_history=True`` publishes with the version history TRUNCATED
+    — the GDPR forget path (``retrieval_forget``): versions published
+    before a purge must stop being pinnable, or an as-of reader would
+    resurface a forgotten doc through the old version's scoped reads."""
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        READ_ABSENT,
+        PointerCasError,
+    )
 
     path = _hybrid_manifest_path(run_dir)
-    cur = io.try_read_json(path)
-    if cur is not None and int(cur["version"]) >= version:
-        return
-    expected = cur if cur is not None else {READ_ABSENT: True}
-    hist = list(cur.get("hist", [])) if cur else []
-    if cur is not None:
-        hist.append({k: cur[k] for k in
-                     ("version", "lex_gen", "ann_snapshot", "sum_dl",
-                      "n_docs")})
-    io.swap_pointer(
-        path,
-        {
-            "version": version,
-            "lex_gen": lex_gen,
-            "ann_snapshot": ann_snapshot,
-            "sum_dl": sum_dl,
-            "n_docs": n_docs,
-            "hist": hist[-_HYBRID_HISTORY_CAP:],
-        },
-        expected=expected,
+    for _attempt in range(_max_retries):
+        cur = io.try_read_json(path)
+        if cur is not None and int(cur["version"]) >= version:
+            return
+        expected = cur if cur is not None else {READ_ABSENT: True}
+        hist = [] if reset_history else (
+            list(cur.get("hist", [])) if cur else []
+        )
+        if cur is not None and not reset_history:
+            hist.append({k: cur[k] for k in
+                         ("version", "lex_gen", "ann_snapshot", "sum_dl",
+                          "n_docs")})
+        try:
+            io.swap_pointer(
+                path,
+                {
+                    "version": version,
+                    "lex_gen": lex_gen,
+                    "ann_snapshot": ann_snapshot,
+                    "sum_dl": sum_dl,
+                    "n_docs": n_docs,
+                    "hist": hist[-_HYBRID_HISTORY_CAP:],
+                },
+                expected=expected,
+            )
+            return
+        except PointerCasError:
+            continue  # lost the race — re-read and re-plan
+    raise PointerCasError(
+        f"publish_hybrid_manifest({run_dir}, v{version}): CAS retry "
+        f"budget ({_max_retries}) exhausted — pointer under live "
+        "contention beyond any sane coordinator fleet"
     )
 
 
@@ -3857,6 +4179,7 @@ def hybrid_manifest_serve(
         pool,
         as_of_gen=int(man["lex_gen"]),
         stats_override=(int(man["sum_dl"]), int(man["n_docs"])),
+        tomb_log=_bm25_tomb_or_none(spark, lex_dir, n_buckets),
     ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
     index = SnapshotTable(
         spark,
@@ -3995,6 +4318,126 @@ def pattern_streaming_hybrid_manifest(
         spark, run_dir, queries, queries_df, score_expr,
         pool=pool, n_probe=n_probe,
         at_version=at_version if at_version is not None else published,
+    )
+
+
+def pattern_streaming_retrieval_gdpr(
+    spark: SparkSession,
+    doc_chunks: str,
+    emb_chunks: str,
+    run_dir: str,
+    queries: list,
+    queries_df: DataFrame,
+    score_expr: str,
+    corpus_docs: DataFrame = None,
+    forget_predicate=None,
+    pool: int = 20,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    state_partitions: int | None = None,
+    compact_every: int = 8,
+) -> DataFrame:
+    """Right-to-be-forgotten for the SERVING indexes, end-to-end (round
+    14, verdict item 3): both retrieval indexes are maintained by
+    streams, a GDPR delete lands on the corpus-of-record, and the
+    delete's CDF feed (the S5 surface, plans/snapshots.py:515,1047 —
+    previously consumed only by the summary plane) propagates into the
+    BM25 tf/dl logs, the IVF ledger, AND the hybrid generation
+    manifest, so no consistent reader can resurface a forgotten doc:
+
+    1. ingest: the document stream maintains the BM25 index, the
+       embedding stream the frozen-quantizer IVF index (the
+       pattern_streaming_hybrid_retrieval composition, untouched);
+    2. corpus-of-record: the raw docs land in a SnapshotTable; the
+       GDPR request commits as a tombstone snapshot
+       (``forget_predicate``); ``delete_changes`` names the forgotten
+       doc_ids — THE feed;
+    3. pre-delete manifest version 0 publishes (so the forget provably
+       truncates pinnable history, not just advances the head);
+    4. :func:`retrieval_forget` propagates the feed: lexical
+       tombstones + dense tombstone snapshot + PHYSICAL purge (both
+       BM25 logs fold through an anti-join compaction, the IVF index
+       vacuums) + negative stats delta + generation/manifest publishes
+       strictly last with ``reset_history=True``;
+    5. the corpus-of-record itself vacuums (the forgotten rows leave
+       every storage plane this pattern owns);
+    6. the serve answers from the manifest HEAD — the post-purge
+       version — and must hash-match the batch hybrid oracle over the
+       SURVIVING corpus: deleted docs gone from the BM25 pools (df and
+       avgdl recomputed over survivors), gone from the ANN pools, and
+       version 0 no longer pinnable.
+
+    Scale: steps 2-5 are O(forget request) + one state fold each —
+    nothing rescans the corpus; the serve keeps the standard pruned
+    plans (one manifest GET, DPP bucket fetches, probed-cell
+    PartitionFilters)."""
+    lex_dir = os.path.join(run_dir, "lex")
+    vec_dir = os.path.join(run_dir, "vec")
+    # 1. both ingest streams (aligned cadence here — the manifest row
+    # covers the unaligned case)
+    pattern_streaming_bm25_index(
+        spark,
+        doc_chunks,
+        lex_dir,
+        queries,
+        score_expr,
+        k=pool,
+        state_partitions=state_partitions,
+        compact_every=compact_every,
+    )
+    pattern_streaming_ann_index(
+        spark,
+        emb_chunks,
+        vec_dir,
+        queries_df,
+        k=pool,
+        n_cells=n_cells,
+        n_probe=n_probe,
+        state_partitions=state_partitions,
+    )
+    # 2. corpus-of-record + the GDPR request
+    corpus = SnapshotTable(
+        spark,
+        os.path.join(run_dir, "corpus"),
+        "doc_id long, source string",
+    )
+    corpus.append(corpus_docs.select("doc_id", "source"), batch_id=0)
+    ingested_through = corpus.max_insert_snapshot_id()
+    corpus.delete(forget_predicate, key_cols=["doc_id"], batch_id=10_001)
+    feed = (
+        corpus.delete_changes(ingested_through, corpus.max_snapshot_id())
+        .select("doc_id")
+        .distinct()
+    )
+    # 3. pre-delete manifest version 0: the full corpus both indexes hold
+    tf_log, dl_log = bm25_reader_logs(spark, lex_dir)
+    ptr = tf_log.io.read_json(_bm25_gen_path(lex_dir))
+    index = SnapshotTable(
+        spark,
+        os.path.join(vec_dir, "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    publish_hybrid_manifest(
+        tf_log.io,
+        run_dir,
+        version=0,
+        lex_gen=int(ptr["gen"]),
+        ann_snapshot=index.max_insert_snapshot_id(),
+        sum_dl=int(ptr["sum_dl"]),
+        n_docs=int(ptr["n_docs"]),
+    )
+    # 4. the forget — tombstones, purge, negative stats, pointer +
+    # manifest (v1, history reset) strictly last
+    retrieval_forget(spark, run_dir, feed)
+    # 5. the corpus-of-record forgets physically too (feed was eagerly
+    # checkpointed inside retrieval_forget, so vacuuming the tombstone
+    # files it derived from is safe)
+    corpus.vacuum()
+    # 6. serve the manifest head = the post-purge version
+    return hybrid_manifest_serve(
+        spark, run_dir, queries, queries_df, score_expr,
+        pool=pool, n_probe=n_probe,
     )
 
 

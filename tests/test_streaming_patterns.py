@@ -4241,3 +4241,174 @@ def test_bm25_maintain_floor_preserves_asof_serving(spark, sf_small):
             spark, tf_h, dl_h, None, _BM25_QUERIES, _BM25_SCORE_EXPR, 5,
             as_of_gen=3, stats_override=(1, 1),
         ).collect()
+
+
+def test_retrieval_gdpr_forget_history_reset_and_purge(spark, sf_small):
+    """Deletion propagation into the serving indexes (round 14): after
+    the forget, (a) no forgotten doc in the served pools, (b) the
+    pre-delete manifest version is NOT pinnable (history reset — an
+    as-of reader must not resurface the doc), (c) the rows physically
+    left every storage plane (BM25 logs, IVF index, corpus-of-record),
+    and (d) a full re-run of the same forget is a pure no-op: no
+    double-subtracted stats, no burned generation, stable serve."""
+    import pytest
+
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+
+    run = staging.new_run_dir("tgdprret")
+    doc_chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("tgdprd"), n_chunks=5
+    )
+    emb_chunks = staging.stage_embedding_chunks(
+        spark, sf_small, staging.new_run_dir("tgdpre"), n_chunks=5
+    )
+    queries_df = load_table(spark, sf_small, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    docs = load_table(spark, sf_small, "documents")
+    served = sorted(
+        tuple(r)
+        for r in patterns.pattern_streaming_retrieval_gdpr(
+            spark, doc_chunks, emb_chunks, run, _BM25_QUERIES, queries_df,
+            _BM25_SCORE_EXPR, corpus_docs=docs,
+            forget_predicate=F.col("doc_id") % 7 == 3,
+            state_partitions=4, compact_every=2,
+        ).collect()
+    )
+    # (a) no forgotten doc serves
+    assert served and all(r[1] % 7 != 3 for r in served)
+    # (b) version 0 (pre-delete) is gone from the pinnable history
+    with pytest.raises(ValueError, match="not in the manifest"):
+        patterns.hybrid_manifest_serve(
+            spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR,
+            at_version=0,
+        )
+    # (c) physical erasure across every plane
+    lex = os.path.join(run, "lex")
+    tf_log, dl_log = patterns.bm25_reader_logs(spark, lex)
+    assert tf_log.read_latest().filter(F.col("doc_id") % 7 == 3).count() == 0
+    assert dl_log.read_latest().filter(F.col("doc_id") % 7 == 3).count() == 0
+    index = SnapshotTable(
+        spark,
+        os.path.join(run, "vec", "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    assert index.read().filter(F.col("vec_id") % 7 == 3).count() == 0
+    corpus = SnapshotTable(
+        spark, os.path.join(run, "corpus"), "doc_id long, source string"
+    )
+    assert corpus.read().filter(F.col("doc_id") % 7 == 3).count() == 0
+    # (d) full-retry no-op: same feed, nothing novel
+    ptr_before = tf_log.io.read_json(patterns._bm25_gen_path(lex))
+    man_before = tf_log.io.read_json(patterns._hybrid_manifest_path(run))
+    out2 = patterns.retrieval_forget(
+        spark, run, docs.filter(F.col("doc_id") % 7 == 3).select("doc_id")
+    )
+    assert out2["n_forgotten"] == 0
+    assert out2["gen"] == ptr_before["gen"]
+    assert tf_log.io.read_json(patterns._bm25_gen_path(lex)) == ptr_before
+    assert (
+        tf_log.io.read_json(patterns._hybrid_manifest_path(run))
+        == man_before
+    )
+    again = sorted(
+        tuple(r)
+        for r in patterns.hybrid_manifest_serve(
+            spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR
+        ).collect()
+    )
+    assert again == served
+
+
+def test_retrieval_forget_fence_survives_post_purge_retry(spark, sf_small):
+    """The measurement fence: a retry that lands AFTER the purge erased
+    the dl rows must publish the ORIGINAL measured delta, not a
+    re-measured zero. Simulated by rewinding the pointer to its
+    pre-forget value after a completed forget (state purged, fence
+    durable) and re-running — the republished generation must carry the
+    fence's stats."""
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+
+    run = staging.new_run_dir("tgdprfence")
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("tgdprfd"), n_chunks=5
+    )
+    patterns.pattern_streaming_bm25_index(
+        spark, chunks, os.path.join(run, "lex"), _BM25_QUERIES,
+        _BM25_SCORE_EXPR, k=5, state_partitions=4, compact_every=2,
+    )
+    lex = os.path.join(run, "lex")
+    tf_log, _dl = patterns.bm25_reader_logs(spark, lex)
+    ptr0 = tf_log.io.read_json(patterns._bm25_gen_path(lex))
+    feed = load_table(spark, sf_small, "documents").filter(
+        F.col("doc_id") % 7 == 3
+    ).select("doc_id")
+    out1 = patterns.retrieval_forget(spark, run, feed)
+    assert out1["n_forgotten"] > 0
+    ptr1 = tf_log.io.read_json(patterns._bm25_gen_path(lex))
+    # crash simulation: the pointer publish is lost, everything else
+    # (tombstones, purge, fence) is durable
+    tf_log.io.swap_pointer(patterns._bm25_gen_path(lex), ptr0, expected=ptr1)
+    out2 = patterns.retrieval_forget(spark, run, feed)
+    ptr2 = tf_log.io.read_json(patterns._bm25_gen_path(lex))
+    assert ptr2["gen"] == ptr1["gen"]
+    assert ptr2["sum_dl"] == ptr1["sum_dl"]  # fence delta, not zero
+    assert ptr2["n_docs"] == ptr1["n_docs"]
+    # the retry completes the SAME forget generation — it reports the
+    # fence's recorded count, proving the measurement came from the
+    # fence (a post-purge re-measure would read zero)
+    assert out2["n_forgotten"] == out1["n_forgotten"]
+
+
+def test_publish_hybrid_manifest_multiwriter_cas_retry(tmp_path):
+    """Two coordinators racing successive versions converge on one
+    history with no raise and no lost version (round 14, verdict item
+    4): the loser's CAS re-reads, re-checks coverage, re-swaps."""
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        ObjectStoreSimIO,
+    )
+
+    run = str(tmp_path / "race")
+    os.makedirs(run, exist_ok=True)
+
+    class RacingIO:
+        """Delegates to the sim store, but the first manifest swap is
+        beaten by a competing coordinator publishing version 1 — the
+        deterministic two-writer interleave."""
+
+        def __init__(self):
+            self.inner = ObjectStoreSimIO()
+            self.raced = False
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+        def swap_pointer(self, path, obj, expected=None):
+            if not self.raced and obj.get("version") == 2:
+                self.raced = True
+                patterns.publish_hybrid_manifest(
+                    self.inner, run, version=1, lex_gen=3, ann_snapshot=1,
+                    sum_dl=30, n_docs=3,
+                )
+            return self.inner.swap_pointer(path, obj, expected=expected)
+
+    io = RacingIO()
+    patterns.publish_hybrid_manifest(
+        io, run, version=0, lex_gen=1, ann_snapshot=0, sum_dl=10, n_docs=1
+    )
+    # this publish loses its first CAS to the racing version-1 publish,
+    # then retries and lands version 2 with version 1 stacked in history
+    patterns.publish_hybrid_manifest(
+        io, run, version=2, lex_gen=5, ann_snapshot=2, sum_dl=50, n_docs=5
+    )
+    man = io.read_json(patterns._hybrid_manifest_path(run))
+    assert man["version"] == 2 and man["lex_gen"] == 5
+    assert [h["version"] for h in man["hist"]] == [0, 1]
+    assert io.raced

@@ -286,6 +286,17 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     IVF vacuum, corpus vacuum) + negative stats delta + post-purge
 #     manifest with history RESET, hash-matched against the batch
 #     hybrid over the surviving corpus.
+# Round-14 third rotation — the release capstone extends corpus_build:
+#   corpus_build_shards (funnel → span removal → seeded shards — its
+#     ENTIRE composition runs INSIDE corpus_release_manifest, which
+#     extends it through temperature mixing + bin packing and reads the
+#     result back through the published release pointer; the build row
+#     stays exact-checked locally) → corpus_release_manifest: the
+#     versioned training-data RELEASE a training run consumes — one
+#     plan funnel→clean→mix→shard→pack, shard data written, manifest
+#     (mixture thresholds + shard fingerprints) CAS-published strictly
+#     last, rows returned THROUGH the consumer read path (one GET +
+#     direct data reads, request-budget-pinned).
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -312,7 +323,7 @@ _PRIORITY = [
     "pattern_streaming_neardup_dedup",
     "text_pii_redact_positive",
     "dedup_minhash_clusters",
-    "corpus_build_shards",
+    "corpus_release_manifest",
     "dedup_incremental_verdicts",
     # similarity search (§2.11)
     "semdedup_prune",

@@ -12,6 +12,8 @@ sampled state.
 
 from __future__ import annotations
 
+import os as _os
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -999,8 +1001,11 @@ from duckdb_streaming_patterns_spark.functions.text import (  # noqa: E402
 # nothing downstream.
 _SH8 = _duckdb_shingles("text", 8)
 
-_BUILD_ORACLE = rf"""
-    WITH qs AS ({{quality_sql}}),
+# Shared funnel + span-removal CTE prefix (through ``clean``): the
+# corpus-build manifest and the versioned RELEASE capstone both start
+# from the same kept/cleaned corpus; the release extends it through
+# temperature mixing + packing (round 14).
+_FUNNEL_CLEAN_CTES = rf"""qs AS ({{quality_sql}}),
     firsts AS (
       SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS canonical_id
       FROM documents
@@ -1025,7 +1030,7 @@ _BUILD_ORACLE = rf"""
     ),
     ql AS (SELECT doc_id, {_QLOGIT} AS logit FROM qs),
     kept AS (
-      SELECT d.doc_id, d.text
+      SELECT d.doc_id, d.text, d.source
       FROM documents d
       JOIN firsts f ON d.doc_id = f.doc_id
       JOIN ql ON d.doc_id = ql.doc_id
@@ -1060,7 +1065,10 @@ _BUILD_ORACLE = rf"""
                  x -> x IS NOT NULL),
                ' '), '') AS clean_text
       FROM toks LEFT JOIN rem ON toks.doc_id = rem.doc_id
-    ),
+    )"""
+
+_BUILD_ORACLE = rf"""
+    WITH {_FUNNEL_CLEAN_CTES},
     sharded AS (
       SELECT doc_id,
              md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS hx
@@ -1082,34 +1090,27 @@ _BUILD_ORACLE = rf"""
 """
 
 
-@register("corpus_build_shards", None)  # oracle assembled below
-def q_corpus_build_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The end-to-end batch corpus build, one plan: (1) the ingest
-    funnel's keep set — corpus-wide exact dedup, logistic quality gate,
-    Bloom decontamination vs the doc_id<50 benchmark; (2) Lee-et-al span
-    removal computed WITHIN the kept corpus (pipeline order matters: gram
-    statistics over the surviving docs only); (3) deterministic seeded
-    shuffle + shard/position assignment of the cleaned docs. Output is
-    the training-shard manifest (doc -> shard, position, token budget,
-    cleaned-content fingerprint). Everything is a pure function of the
-    corpus + seed, so the WHOLE build replays in one oracle SQL statement
-    — the composition, not just the stages, is hash-verified."""
+def _funnel_keep_clean(spark: SparkSession, docs: DataFrame):
+    """The ingest funnel's keep set + span-removed text, shared by the
+    corpus-build manifest and the versioned release capstone: (1)
+    corpus-wide exact dedup (first occurrence wins), (2) logistic
+    quality gate, (3) Bloom decontamination vs the doc_id<50 benchmark,
+    then Lee-et-al span removal computed WITHIN the kept corpus (gram
+    statistics over survivors only). Returns (kept, clean): kept carries
+    (doc_id, text, source), clean the per-doc token accounting +
+    cleaned text."""
     from pyspark.sql import Window as W
 
     from duckdb_streaming_patterns_spark.functions.text import shingles
     from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
     from duckdb_streaming_patterns_spark.operators import textstats
 
-    docs = _t(spark, sf_dir, "documents")
-    # tier 1: corpus-wide exact dedup (first occurrence wins)
     wdup = W.partitionBy(F.md5("text"))
     dedup_keep = docs.withColumn(
         "__canon", F.min("doc_id").over(wdup)
     ).filter(F.col("doc_id") == F.col("__canon"))
-    # tier 2: logistic quality gate
     qs = textstats.quality_scores(docs, "doc_id", "text")
     q_keep = qs.filter(textstats.qc_logit(qs) >= 0).select("doc_id")
-    # tier 3: Bloom decontamination (drop flagged docs for the build)
     sh8 = docs.select(
         "doc_id", shingles(F.col("text"), k=8).alias("s")
     ).filter(F.size("s") >= 1)
@@ -1127,10 +1128,28 @@ def q_corpus_build_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     kept = (
         dedup_keep.join(q_keep, "doc_id", "semi")
         .join(flagged, "doc_id", "left_anti")
-        .select("doc_id", "text")
+        .select("doc_id", "text", "source")
     )
-    # span removal within the kept corpus
     clean = textstats.remove_duplicated_spans(kept, "doc_id", "text", n=8)
+    return kept, clean
+
+
+@register("corpus_build_shards", None)  # oracle assembled below
+def q_corpus_build_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The end-to-end batch corpus build, one plan: (1) the ingest
+    funnel's keep set — corpus-wide exact dedup, logistic quality gate,
+    Bloom decontamination vs the doc_id<50 benchmark; (2) Lee-et-al span
+    removal computed WITHIN the kept corpus (pipeline order matters: gram
+    statistics over the surviving docs only); (3) deterministic seeded
+    shuffle + shard/position assignment of the cleaned docs. Output is
+    the training-shard manifest (doc -> shard, position, token budget,
+    cleaned-content fingerprint). Everything is a pure function of the
+    corpus + seed, so the WHOLE build replays in one oracle SQL statement
+    — the composition, not just the stages, is hash-verified."""
+    from pyspark.sql import Window as W
+
+    docs = _t(spark, sf_dir, "documents")
+    kept, clean = _funnel_keep_clean(spark, docs)
     # deterministic shard placement of the survivors
     hx = F.md5(
         F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string"))
@@ -1159,4 +1178,313 @@ def q_corpus_build_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QP["corpus_build_shards"] = (
     _QP["corpus_build_shards"][0],
     _BUILD_ORACLE.format(quality_sql=_QP["text_quality_scores"][1]),
+)
+
+
+# ---------------------------------------------------------------------------
+# Versioned training-data RELEASE (round 14, verdict item 6): the full
+# composition a training run consumes — funnel keep set → span removal →
+# temperature-mixture sampling (rates from the KEPT corpus's own
+# histogram) → deterministic shuffle/shards → packed token bins — built
+# as ONE plan, written as shard data, and published behind a CommitIO
+# release-manifest pointer (version, mixture thresholds, per-shard
+# fingerprints + bin counts). The consumer's read path is ONE manifest
+# GET + direct reads of the manifest-named data (zero LISTs) — pinned by
+# tests/test_commitio_budget.py.
+# ---------------------------------------------------------------------------
+
+_RELEASE_BIN_TOKENS = 2048
+
+_RELEASE_ORACLE = rf"""
+    WITH {_FUNNEL_CLEAN_CTES},
+    mixn AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
+                    CAST(floor(sqrt(CAST(count(*) AS DOUBLE))
+                         * {_MIX_W_SCALE}) AS BIGINT) AS w
+             FROM kept GROUP BY source),
+    mixtot AS (SELECT CAST(count(*) AS DOUBLE) AS total FROM kept),
+    mixz AS (SELECT sum(w) AS z FROM mixn),
+    mixr AS (SELECT source,
+                    {_MIX_RATE_SQL.format(frac=_MIX_TARGET_FRAC,
+                                          total="total", w="mixn.w",
+                                          z="mixz.z", n="mixn.n_docs",
+                                          thr_scale=_MIX_THR_SCALE)}
+                      AS accept_threshold
+             FROM mixn, mixtot, mixz),
+    mixed AS (SELECT kept.doc_id, kept.source, mixr.accept_threshold
+              FROM kept JOIN mixr USING (source)
+              WHERE CAST(concat('0x',
+                        substring(md5(CAST(doc_id AS VARCHAR)), 1, 13))
+                      AS BIGINT) < mixr.accept_threshold),
+    placed AS (SELECT doc_id, source, accept_threshold,
+                      md5('{_SHUF_SEED}:' || CAST(doc_id AS VARCHAR)) AS hx
+               FROM mixed),
+    sharded AS (SELECT doc_id, source, accept_threshold, hx,
+                       {_SHUFFLE_H60} % {_N_SHARDS} AS shard
+                FROM placed),
+    rel AS (SELECT s.doc_id, s.source, s.accept_threshold, s.hx,
+                   CAST(s.shard AS BIGINT) AS shard,
+                   c.n_tokens - c.n_removed AS n_clean_tokens,
+                   md5(c.clean_text) AS clean_md5
+            FROM sharded s JOIN clean c ON s.doc_id = c.doc_id)
+    SELECT doc_id, source, accept_threshold, shard,
+           CAST(row_number() OVER (PARTITION BY shard
+                                   ORDER BY hx, doc_id) AS BIGINT)
+             AS shard_pos,
+           CAST(floor(COALESCE(sum(n_clean_tokens) OVER (
+                    PARTITION BY shard ORDER BY hx, doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  0) / {_RELEASE_BIN_TOKENS}.0) AS BIGINT) AS bin_id,
+           CAST(n_clean_tokens AS BIGINT) AS n_clean_tokens,
+           clean_md5
+    FROM rel
+"""
+
+
+def _release_manifest_path(release_dir: str) -> str:
+    return _os.path.join(release_dir, "release.json")
+
+
+def corpus_release_build(
+    spark: SparkSession,
+    docs: DataFrame,
+    release_dir: str,
+    io=None,
+    version: int = 0,
+) -> dict:
+    """Build + publish one corpus release version: compute the released
+    per-doc assignment (funnel → clean → mixture → shard → bin) as one
+    plan, write it as shard-partitioned parquet under a version-named
+    data dir, and CAS-publish the release manifest STRICTLY LAST — the
+    pointer is the commit point, so a crash mid-write leaves an
+    unreferenced orphan dir and readers on the previous version.
+
+    The manifest carries what a training run needs to trust the bytes:
+    the mixture thresholds it was sampled with (auditable mixing), and
+    per-shard fingerprints (doc count, bin count, token total, md5 over
+    the shard's clean_md5 sequence in position order) — so a consumer
+    can verify any shard it read without re-deriving the corpus.
+
+    Scale shape: one pass over the corpus (the funnel + span removal
+    dominate), a 2-scalar collect for the exact mixture normalizers, an
+    n_shards-row collect for the fingerprints, one data write, one
+    pointer swap. Publish is version-monotone and multi-writer-safe via
+    the CAS (same discipline as the hybrid manifest)."""
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        POSIX_IO,
+        READ_ABSENT,
+        PointerCasError,
+    )
+
+    io = io if io is not None else POSIX_IO
+    kept, clean = _funnel_keep_clean(spark, docs)
+    kept = kept.localCheckpoint(eager=True)  # funnel runs once, not 3x
+    n = kept.groupBy("source").agg(
+        F.count("*").cast("double").alias("n_docs")
+    )
+    n = n.withColumn(
+        "w",
+        F.expr(f"CAST(floor(sqrt(n_docs) * {_MIX_W_SCALE}) AS BIGINT)"),
+    )
+    # bounded collects: the exact integer mixture normalizers (2
+    # scalars) — same engine-exact arithmetic as
+    # mixture_temperature_sample, over the KEPT corpus
+    total = float(kept.count())
+    z = int(n.agg(F.sum("w")).first()[0] or 0)
+    if z == 0:
+        raise ValueError("corpus_release_build: empty kept corpus")
+    rates = n.select(
+        "source",
+        F.expr(
+            _MIX_RATE_SQL.format(
+                frac=_MIX_TARGET_FRAC, total=total, w="w", z=z,
+                n="n_docs", thr_scale=_MIX_THR_SCALE,
+            )
+        ).alias("accept_threshold"),
+    )
+    h52 = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 13), 16, 10
+    ).cast("long")
+    mixed = (
+        kept.select("doc_id", "source", h52.alias("__h52"))
+        .join(F.broadcast(rates), "source")
+        .filter(F.col("__h52") < F.col("accept_threshold"))
+        .select("doc_id", "source", "accept_threshold")
+    )
+    hx = F.md5(
+        F.concat(F.lit(f"{_SHUF_SEED}:"), F.col("doc_id").cast("string"))
+    )
+    h60 = F.conv(F.substring(hx, 1, 15), 16, 10).cast("long")
+    placed = mixed.select(
+        "doc_id",
+        "source",
+        "accept_threshold",
+        hx.alias("hx"),
+        F.pmod(h60, F.lit(_N_SHARDS)).cast("bigint").alias("shard"),
+    )
+    from pyspark.sql import Window as W
+
+    wsh = W.partitionBy("shard").orderBy("hx", "doc_id")
+    wtok = wsh.rowsBetween(W.unboundedPreceding, -1)
+    released = (
+        placed.join(
+            clean.select(
+                "doc_id",
+                (F.col("n_tokens") - F.col("n_removed"))
+                .cast("bigint")
+                .alias("n_clean_tokens"),
+                F.md5("clean_text").alias("clean_md5"),
+            ),
+            "doc_id",
+        )
+        .select(
+            "doc_id",
+            "source",
+            "accept_threshold",
+            "shard",
+            F.row_number().over(wsh).cast("bigint").alias("shard_pos"),
+            F.floor(
+                F.coalesce(F.sum("n_clean_tokens").over(wtok), F.lit(0))
+                / float(_RELEASE_BIN_TOKENS)
+            )
+            .cast("bigint")
+            .alias("bin_id"),
+            "n_clean_tokens",
+            "clean_md5",
+        )
+    )
+    data_name = f"data_v{version:04d}"
+    data_dir = _os.path.join(release_dir, data_name)
+    (
+        released.repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(data_dir)
+    )
+    # per-shard fingerprints from the WRITTEN data (the manifest attests
+    # the bytes a consumer will read, not the plan that produced them);
+    # bounded collect: n_shards rows
+    stored = spark.read.parquet(data_dir)
+    shards = (
+        stored.groupBy("shard")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            (F.max("bin_id") + 1).cast("long").alias("n_bins"),
+            F.sum("n_clean_tokens").cast("long").alias("n_clean_tokens"),
+            F.md5(
+                F.concat_ws(
+                    "",
+                    F.transform(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct("shard_pos", "clean_md5")
+                            )
+                        ),
+                        lambda s: s["clean_md5"],
+                    ),
+                )
+            ).alias("fingerprint"),
+        )
+        .collect()
+    )
+    thresholds = sorted(
+        (r["source"], int(r["accept_threshold"]))
+        for r in rates.collect()  # bounded: n_sources rows
+    )
+    manifest = {
+        "version": version,
+        "data": data_name,
+        "bin_tokens": _RELEASE_BIN_TOKENS,
+        "seed": _SHUF_SEED,
+        "n_shards": _N_SHARDS,
+        "mixture": {
+            "alpha": 0.5,
+            "target_frac": float(_MIX_TARGET_FRAC),
+            "total": int(total),
+            "z": z,
+            "thresholds": [
+                {"source": s, "accept_threshold": t} for s, t in thresholds
+            ],
+        },
+        "shards": sorted(
+            (
+                {
+                    "shard": int(r["shard"]),
+                    "n_docs": int(r["n_docs"]),
+                    "n_bins": int(r["n_bins"]),
+                    "n_clean_tokens": int(r["n_clean_tokens"]),
+                    "fingerprint": r["fingerprint"],
+                }
+                for r in shards
+            ),
+            key=lambda d: d["shard"],
+        ),
+    }
+    # pointer strictly last, version-monotone, CAS-retried (the same
+    # multi-writer discipline as publish_hybrid_manifest)
+    path = _release_manifest_path(release_dir)
+    for _ in range(16):
+        cur = io.try_read_json(path)
+        if cur is not None and int(cur["version"]) >= version:
+            return manifest
+        expected = cur if cur is not None else {READ_ABSENT: True}
+        try:
+            io.swap_pointer(path, manifest, expected=expected)
+            return manifest
+        except PointerCasError:
+            continue
+    raise PointerCasError(
+        f"corpus_release_build({release_dir}, v{version}): CAS retry "
+        "budget exhausted"
+    )
+
+
+def corpus_release_read(
+    spark: SparkSession, release_dir: str, io=None
+) -> DataFrame:
+    """The training run's read path: ONE manifest GET resolves the
+    released version and its data dir; the scan reads the manifest-named
+    path directly — zero LIST calls, zero reliance on directory layout
+    (tests/test_commitio_budget.py pins the request budget). Returns the
+    per-doc release assignment exactly as published."""
+    from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
+
+    io = io if io is not None else POSIX_IO
+    man = io.read_json(_release_manifest_path(release_dir))
+    return spark.read.parquet(
+        _os.path.join(release_dir, man["data"])
+    ).select(
+        "doc_id",
+        "source",
+        "accept_threshold",
+        F.col("shard").cast("bigint").alias("shard"),
+        "shard_pos",
+        "bin_id",
+        "n_clean_tokens",
+        "clean_md5",
+    )
+
+
+@register("corpus_release_manifest", None)  # oracle assembled below
+def q_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The versioned training-data RELEASE capstone (round 14): ONE
+    composition — funnel keep set → span removal → temperature-mixture
+    sampling (rates from the kept corpus's histogram, auditable in the
+    manifest) → deterministic seeded shuffle + shard placement → packed
+    2048-token bins — written as shard data and published behind a
+    CommitIO release-manifest pointer; the returned rows are read BACK
+    through that pointer (one GET + direct data reads), so the driver
+    hash covers build, publish, and the consumer read path in one row.
+    Every stage is a pure function of corpus + seed: the whole release
+    replays as one oracle SQL statement."""
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = _t(spark, sf_dir, "documents")
+    release_dir = staging.new_run_dir("crelease")
+    corpus_release_build(spark, docs, release_dir, version=0)
+    return corpus_release_read(spark, release_dir)
+
+
+_QP["corpus_release_manifest"] = (
+    _QP["corpus_release_manifest"][0],
+    _RELEASE_ORACLE.format(quality_sql=_QP["text_quality_scores"][1]),
 )

@@ -186,8 +186,9 @@ def test_consistent_serve_request_budget(spark):
         ).collect()
         d = io.since(before)
         assert rows
-        # 2 root LISTs (tf + dl read_latest) — and NOTHING per bucket
-        assert d.get("list_names", 0) == 2, d
+        # 3 root LISTs (tf + dl read_latest + the O(1) GDPR
+        # tombstone-existence probe, round 14) — NOTHING per bucket
+        assert d.get("list_names", 0) == 3, d
         # pointer GET + at most one manifest GET per live dir; the
         # pointer carries the stats, so no SummaryTable read appears
         assert d.get("try_read_json", 0) <= 1 + live, (d, live)
@@ -249,7 +250,8 @@ def test_hybrid_manifest_serve_request_budget(spark):
         assert rows
         # 2 log-root LISTs + 1 ledger LIST (+1 tolerance for a
         # checkpoint-covered re-list)
-        assert d.get("list_names", 0) <= 4, d
+        # +1 (round 14): the O(1) GDPR tombstone-existence probe
+        assert d.get("list_names", 0) <= 5, d
         # manifest GET + fold-manifest GETs (O(live dirs)) + ledger
         # loose-entry GETs (<= checkpoint_every) — generous flat bound
         assert d.get("try_read_json", 0) <= 40, d
@@ -262,3 +264,34 @@ def test_hybrid_manifest_serve_request_budget(spark):
             assert d.get(verb, 0) == 0, d
     finally:
         mp.undo()
+
+
+def test_release_read_path_request_budget(spark):
+    """The training-run consumer's read path (round 14, verdict item 6):
+    resolving a published corpus release costs exactly ONE manifest GET
+    on the metadata plane — the data scan reads the manifest-named path
+    directly (Spark-side file I/O, zero CommitIO LISTs) and no write
+    verb ever fires on a read."""
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    io = CountingCommitIO(ObjectStoreSimIO())
+    release_dir = staging.new_run_dir("budrelease")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    man = qp.corpus_release_build(spark, docs, release_dir, io=io, version=0)
+    assert man["shards"] and man["mixture"]["thresholds"]
+    before = io.snapshot()
+    rows = qp.corpus_release_read(spark, release_dir, io=io).collect()
+    d = io.since(before)
+    assert rows
+    assert d.get("read_json", 0) == 1, d  # the manifest GET
+    assert d.get("list_names", 0) == 0, d  # zero LISTs — path from manifest
+    for verb in ("put_json", "put_json_if_absent", "swap_pointer",
+                 "promote_dir", "delete", "delete_tree"):
+        assert d.get(verb, 0) == 0, d
+    # publish is version-monotone: a stale rebuild cannot regress the head
+    qp.corpus_release_build(spark, docs, release_dir, io=io, version=0)
+    assert io.inner.read_json(
+        qp._release_manifest_path(release_dir)
+    )["version"] == 0

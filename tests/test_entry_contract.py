@@ -59,8 +59,9 @@ def test_first_50_cover_every_family():
             "pattern_streaming_neardup_dedup",
             # text_remove_duplicated_spans rotated out in r12 (its
             # gram-ranking span-removal machinery stays driver-pinned
-            # inside corpus_build_shards' composition hash); the
-            # mid-stream BM25 serve row took the slot — see text family.
+            # inside the corpus-build composition hash — since r14 that
+            # is corpus_release_manifest, which chains the same span
+            # removal); the mid-stream BM25 serve row took the slot.
             # dedup_minhash_lsh rotated out in r12 too (banded-pair
             # generation stays pinned by minhash_clusters, which consumes
             # the same pairs, and by the streaming near-dup band tier);
@@ -125,7 +126,13 @@ def test_first_50_cover_every_family():
             "pattern_streaming_hybrid_retrieval",
             "text_pii_redact_positive",
         },
-        "funnel": {"pattern_streaming_full_funnel", "corpus_build_shards"},
+        # corpus_build_shards rotated out in r14 (its entire composition
+        # runs inside corpus_release_manifest, which extends it through
+        # mixing + packing; the build row stays exact-checked locally)
+        "funnel": {
+            "pattern_streaming_full_funnel",
+            "corpus_release_manifest",
+        },
         "pipeline": {
             "pack_token_bins",
             # contamination_bloom_flags rotated out in r13 (n-gram

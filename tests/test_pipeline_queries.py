@@ -462,3 +462,51 @@ def test_mixture_sample_plan_is_broadcast_scan(spark, sf_small):
     plan = fn(spark, sf_small)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan, plan[:2000]
     assert "SortMergeJoin" not in plan, plan[:2000]
+
+
+def test_release_manifest_attests_the_stored_shards(spark, sf_small):
+    """The release manifest (round 14) must ATTEST the bytes a consumer
+    reads: recomputing each shard's fingerprint (md5 over the shard's
+    clean_md5 sequence in position order), doc count, bin count, and
+    token total from the READ-BACK rows must reproduce the manifest
+    exactly; bins must pack the shard-order running token offsets; and
+    the mixture block must admit exactly the released doc set."""
+    import hashlib
+
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = load_table(spark, sf_small, "documents")
+    release_dir = staging.new_run_dir("trelattest")
+    man = qp.corpus_release_build(spark, docs, release_dir, version=0)
+    rows = qp.corpus_release_read(spark, release_dir).collect()
+    assert rows
+    by_shard: dict = {}
+    for r in rows:
+        by_shard.setdefault(int(r["shard"]), []).append(r)
+    assert {int(s["shard"]) for s in man["shards"]} == set(by_shard)
+    for s in man["shards"]:
+        rs = sorted(by_shard[int(s["shard"])], key=lambda r: r["shard_pos"])
+        assert s["n_docs"] == len(rs)
+        assert s["n_clean_tokens"] == sum(r["n_clean_tokens"] for r in rs)
+        assert s["n_bins"] == max(r["bin_id"] for r in rs) + 1
+        fp = hashlib.md5(
+            "".join(r["clean_md5"] for r in rs).encode()
+        ).hexdigest()
+        assert fp == s["fingerprint"]
+        # packing law: bin_id = floor(exclusive prefix / bin_tokens)
+        prefix = 0
+        for r in rs:
+            assert r["bin_id"] == prefix // man["bin_tokens"]
+            prefix += r["n_clean_tokens"]
+    # auditable mixing: the manifest's thresholds admit exactly the
+    # released doc hashes
+    thr = {
+        t["source"]: t["accept_threshold"]
+        for t in man["mixture"]["thresholds"]
+    }
+    for r in rows:
+        h52 = int(
+            hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:13], 16
+        )
+        assert h52 < thr[r["source"]]

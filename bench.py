@@ -127,6 +127,7 @@ HEADLINE = [
     "pattern_streaming_hybrid_retrieval",
     "pattern_streaming_hybrid_consistent",
     "pattern_streaming_hybrid_manifest",
+    "pattern_streaming_retrieval_gdpr",
     "pattern_streaming_distinct_kmv",
     "pattern_streaming_quantiles_kmv",
     "pattern_streaming_mixture_sample",
@@ -136,6 +137,7 @@ HEADLINE = [
     "pattern_streaming_full_funnel",
     "pattern_bootstrap_then_stream",
     "corpus_build_shards",
+    "corpus_release_manifest",
     "bonus_stateless_view_topk",
 ]
 

@@ -18,11 +18,19 @@ Each batch: 5 docs x 8 vocab tokens, dl=8 — fixed-rate ingest, so depth
 is the ONLY axis. Serve correctness teeth: the two variants must return
 identical top-k rows at equal depth.
 
+Round 14 adds the TOKEN-FREQUENCY SKEW axis (verdict item 5): the tf
+log buckets by token, so a stop-word-heavy corpus concentrates the head
+terms' postings in a few buckets — pass ``zipf`` to draw each token
+slot from a cubed-uniform rank (head token ≈ 25% of ALL draws, a proper
+stop word) and the run reports per-bucket row skew plus the serve cost
+split into a HEAD-term query set vs a TAIL-term one.
+
 Run one code version per invocation (A/B via git worktree):
 
     python scripts/bm25_depth_stress.py /root/repo 256 1024 4096
+    python scripts/bm25_depth_stress.py /root/repo zipf 256 1024
 
-Prints one JSON line per (variant, depth).
+Prints one JSON line per (dist, variant, depth).
 """
 
 from __future__ import annotations
@@ -34,7 +42,8 @@ import sys
 import time
 
 REPO = sys.argv[1]
-DEPTHS = [int(x) for x in sys.argv[2:]] or [256, 1024, 4096]
+DIST = "zipf" if "zipf" in sys.argv[2:] else "uniform"
+DEPTHS = [int(x) for x in sys.argv[2:] if x.isdigit()] or [256, 1024, 4096]
 sys.path.insert(0, REPO)
 
 import pyarrow as pa  # noqa: E402
@@ -66,23 +75,49 @@ QUERIES = [
 N_BUCKETS = 16
 
 
-def doc_tokens(doc_id: int) -> list[str]:
+# Zipf-ish head/tail query sets: tok00 draws ~25% of ALL zipf slots (a
+# stop word); tok40+ are deep-tail terms. Serve cost is measured for
+# each set separately so the hot bucket's contribution is visible.
+ZIPF_HEAD_QUERIES = [(0, "tok00"), (1, "tok00 tok01")]
+ZIPF_TAIL_QUERIES = [(0, "tok40 tok45"), (1, "tok50 tok55")]
+
+
+def doc_tokens(doc_id: int, dist: str = "uniform") -> list[str]:
+    if dist == "zipf":
+        # deterministic cubed-uniform rank: P(rank=0) = (1/64)^(1/3)
+        # ≈ 0.25 — the head token alone carries a quarter of the corpus
+        out = []
+        for j in range(TOKS_PER_DOC):
+            u = ((doc_id * 2654435761 + j * 40503) % 4096) / 4096.0
+            out.append(VOCAB[int(len(VOCAB) * u * u * u)])
+        return out
     return [VOCAB[(doc_id * 7 + j) % len(VOCAB)] for j in range(TOKS_PER_DOC)]
 
 
 def fabricate_batch(
-    tf_root: str, dl_root: str, b: int, tok_kb: dict, doc_kb: dict
+    tf_root: str,
+    dl_root: str,
+    b: int,
+    tok_kb: dict,
+    doc_kb: dict,
+    dist: str = "uniform",
+    kb_rows: dict | None = None,
 ) -> None:
     """One batch in append()'s exact on-disk shape: hive __kb subdirs,
-    payload columns only (the bucket rides in the dir name)."""
+    payload columns only (the bucket rides in the dir name).
+    ``kb_rows`` accumulates tf rows per bucket (the skew measurement)."""
     by_kb_tf: dict[int, list[tuple[int, str, int]]] = {}
     by_kb_dl: dict[int, list[tuple[int, int]]] = {}
     for d in range(b * DOCS_PER_BATCH, (b + 1) * DOCS_PER_BATCH):
-        for tok in set(doc_tokens(d)):
+        toks = doc_tokens(d, dist)
+        for tok in set(toks):
             by_kb_tf.setdefault(tok_kb[tok], []).append(
-                (d, tok, doc_tokens(d).count(tok))
+                (d, tok, toks.count(tok))
             )
         by_kb_dl.setdefault(doc_kb[d], []).append((d, TOKS_PER_DOC))
+    if kb_rows is not None:
+        for kb, rows in by_kb_tf.items():
+            kb_rows[kb] = kb_rows.get(kb, 0) + len(rows)
     for kb, rows in by_kb_tf.items():
         p = os.path.join(tf_root, f"__batch_id={b}", f"__kb={kb}")
         os.makedirs(p, exist_ok=True)
@@ -110,8 +145,15 @@ def fabricate_batch(
         )
 
 
-def run(spark, variant: str, depth: int, tok_kb: dict, doc_kb: dict) -> dict:
-    root = os.path.join(WORK, f"{variant}_{depth}")
+def run(
+    spark,
+    variant: str,
+    depth: int,
+    tok_kb: dict,
+    doc_kb: dict,
+    dist: str = "uniform",
+) -> dict:
+    root = os.path.join(WORK, f"{dist}_{variant}_{depth}")
     shutil.rmtree(root, ignore_errors=True)
     tf_log = UpsertLog(
         spark, os.path.join(root, "tf"), keys=["doc_id", "tok"],
@@ -123,12 +165,15 @@ def run(spark, variant: str, depth: int, tok_kb: dict, doc_kb: dict) -> dict:
     )
     stats = SummaryTable(spark, os.path.join(root, "stats"), _BM25_STATS_DDL)
     t_maint = 0.0
+    kb_rows: dict[int, int] = {}
     for b in range(depth):
         if variant == "tiered" and b > 0 and b % 8 == 0:
             t0 = time.perf_counter()
             maintain_all([tf_log, dl_log], before_batch=b)
             t_maint += time.perf_counter() - t0
-        fabricate_batch(tf_log.root, dl_log.root, b, tok_kb, doc_kb)
+        fabricate_batch(
+            tf_log.root, dl_log.root, b, tok_kb, doc_kb, dist, kb_rows
+        )
     n_docs = depth * DOCS_PER_BATCH
     stats.overwrite(
         spark.createDataFrame(
@@ -147,6 +192,7 @@ def run(spark, variant: str, depth: int, tok_kb: dict, doc_kb: dict) -> dict:
     t_serve = time.perf_counter() - t0
     assert rows and all(r["rank"] <= 5 for r in rows)
     res = {
+        "dist": dist,
         "variant": variant,
         "depth": depth,
         "live_dirs": live,
@@ -157,6 +203,26 @@ def run(spark, variant: str, depth: int, tok_kb: dict, doc_kb: dict) -> dict:
             (r["query_id"], r["doc_id"], r["rank"]) for r in rows
         ),
     }
+    if dist == "zipf":
+        # bucket skew: how concentrated the tf log really got, plus the
+        # serve split into head-term vs tail-term query sets
+        total_rows = sum(kb_rows.values())
+        hot = max(kb_rows.values())
+        res["tf_rows_total"] = total_rows
+        res["hot_bucket_share"] = round(hot / total_rows, 3)
+        res["bucket_skew_max_over_mean"] = round(
+            hot / (total_rows / N_BUCKETS), 2
+        )
+        for label, qset in (
+            ("head", ZIPF_HEAD_QUERIES),
+            ("tail", ZIPF_TAIL_QUERIES),
+        ):
+            t0 = time.perf_counter()
+            r2 = _bm25_serve(
+                spark, tf_log, dl_log, stats, qset, _BM25_SCORE_EXPR, 5
+            ).collect()
+            res[f"serve_{label}_sec"] = round(time.perf_counter() - t0, 2)
+            res[f"{label}_rows"] = len(r2)
     shutil.rmtree(root, ignore_errors=True)
     return res
 
@@ -186,7 +252,7 @@ def main() -> None:
     prev_topk: dict[int, list] = {}
     for depth in DEPTHS:
         for variant in ("none", "tiered"):
-            res = run(spark, variant, depth, tok_kb, doc_kb)
+            res = run(spark, variant, depth, tok_kb, doc_kb, DIST)
             # exactness teeth: maintained == unmaintained top-k rows
             if depth in prev_topk:
                 assert res["topk"] == prev_topk[depth], (variant, depth)

@@ -4412,3 +4412,100 @@ def test_publish_hybrid_manifest_multiwriter_cas_retry(tmp_path):
     assert man["version"] == 2 and man["lex_gen"] == 5
     assert [h["version"] for h in man["hist"]] == [0, 1]
     assert io.raced
+
+
+def test_bm25_tomb_antijoin_is_broadcast_and_scoped(spark, sf_small):
+    """The GDPR tombstone exclusion in the serve plan: a BROADCAST
+    left-anti join (the tomb set is forget-request-sized, never a
+    shuffle of the candidate side), and generation-scoped — a serve
+    pinned BEFORE the forget generation returns the intact pre-delete
+    pools while the post-forget serve excludes the docs."""
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+
+    run = staging.new_run_dir("tgdprplan")
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("tgdprplc"), n_chunks=5
+    )
+    patterns.pattern_streaming_bm25_index(
+        spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2,
+    )
+    pre = {
+        (r["query_id"], r["doc_id"])
+        for r in patterns.bm25_consistent_serve(
+            spark, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5
+        ).collect()
+    }
+    victims = sorted({d for _q, d in pre})[:2]
+    feed = spark.createDataFrame([(d,) for d in victims], "doc_id long")
+    # purge=False: the scoped-read teeth need the pre-forget rows still
+    # physically present — only the tombstone anti-join may hide them
+    out = patterns.retrieval_forget(spark, run, feed, purge=False)
+    assert out["n_forgotten"] == len(victims)
+    tf_log, dl_log = patterns.bm25_reader_logs(spark, run)
+    tomb = patterns._bm25_tomb_or_none(spark, run)
+    assert tomb is not None
+    served = patterns._bm25_serve(
+        spark, tf_log, dl_log, None, _BM25_QUERIES, _BM25_SCORE_EXPR, 5,
+        as_of_gen=out["gen"],
+        stats_override=(out["sum_dl"], out["n_docs"]),
+        tomb_log=tomb,
+    )
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan and "LeftAnti" in plan, plan[:2000]
+    post = {(r["query_id"], r["doc_id"]) for r in served.collect()}
+    assert not post & {(q, d) for q, d in pre if d in set(victims)}
+    # generation-scoped: pinned BEFORE the forget, the docs still serve
+    pinned = {
+        (r["query_id"], r["doc_id"])
+        for r in patterns._bm25_serve(
+            spark, tf_log, dl_log, None, _BM25_QUERIES, _BM25_SCORE_EXPR,
+            5, as_of_gen=out["gen"] - 1,
+            stats_override=patterns._bm25_stats_at(
+                tf_log.io.read_json(patterns._bm25_gen_path(run)),
+                out["gen"] - 1,
+                dl_log,
+            ),
+            tomb_log=tomb,
+        ).collect()
+    }
+    assert pinned == pre
+
+
+def test_mixture_stream_empty_first_batch_is_safe(spark, tmp_path):
+    """ADVICE r13: an empty very-first micro-batch must not divide by
+    zero (NULL Z) — the fold records an empty verdict batch and the
+    stream proceeds; a later real batch mixes normally."""
+    # the batch fn lazily imports queries_pipeline, whose oracle
+    # assembly needs the full registry chain loaded first
+    from duckdb_streaming_patterns_spark.queries import (  # noqa: F401
+        QUERIES as _ensure_registry,
+    )
+    from duckdb_streaming_patterns_spark.operators.merge import (
+        SummaryTable,
+        UpsertLog,
+    )
+    from duckdb_streaming_patterns_spark.streaming.patterns import (
+        mixture_sample_batch,
+    )
+
+    counts = SummaryTable(
+        spark, str(tmp_path / "counts"), "source string, n_docs long"
+    )
+    verdicts = UpsertLog(
+        spark,
+        str(tmp_path / "verdicts"),
+        keys=["doc_id"],
+        insert_only=True,
+    )
+    empty = spark.createDataFrame([], "doc_id long, source string")
+    mixture_sample_batch(counts, verdicts, empty, 0)  # must not raise
+    real = spark.createDataFrame(
+        [(i, "src0") for i in range(50)], "doc_id long, source string"
+    )
+    mixture_sample_batch(counts, verdicts, real, 1)
+    rows = verdicts.read_latest().collect()
+    assert rows and all(r["batch_seq"] == 1 for r in rows)

@@ -1195,6 +1195,11 @@ _QP["corpus_build_shards"] = (
 
 _RELEASE_BIN_TOKENS = 2048
 
+#: releases of (version, data-dir) history the manifest retains — one
+#: tiny dict per published release (same rationale as the hybrid
+#: manifest's cap)
+_RELEASE_HISTORY_CAP = 64
+
 _RELEASE_ORACLE = rf"""
     WITH {_FUNNEL_CLEAN_CTES},
     mixn AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_docs,
@@ -1420,12 +1425,19 @@ def corpus_release_build(
         ),
     }
     # pointer strictly last, version-monotone, CAS-retried (the same
-    # multi-writer discipline as publish_hybrid_manifest)
+    # multi-writer discipline as publish_hybrid_manifest). The manifest
+    # keeps a bounded HISTORY of (version, data) pairs so a training
+    # run can pin an OLDER release from the same single GET — the
+    # reproducibility contract a rerun needs.
     path = _release_manifest_path(release_dir)
     for _ in range(16):
         cur = io.try_read_json(path)
         if cur is not None and int(cur["version"]) >= version:
             return manifest
+        hist = list(cur.get("hist", [])) if cur else []
+        if cur is not None:
+            hist.append({"version": cur["version"], "data": cur["data"]})
+        manifest["hist"] = hist[-_RELEASE_HISTORY_CAP:]
         expected = cur if cur is not None else {READ_ABSENT: True}
         try:
             io.swap_pointer(path, manifest, expected=expected)
@@ -1439,17 +1451,34 @@ def corpus_release_build(
 
 
 def corpus_release_read(
-    spark: SparkSession, release_dir: str, io=None
+    spark: SparkSession, release_dir: str, io=None, at_version: int | None = None
 ) -> DataFrame:
     """The training run's read path: ONE manifest GET resolves the
     released version and its data dir; the scan reads the manifest-named
     path directly — zero LIST calls, zero reliance on directory layout
     (tests/test_commitio_budget.py pins the request budget). Returns the
-    per-doc release assignment exactly as published."""
+    per-doc release assignment exactly as published.
+
+    ``at_version`` pins an OLDER release through the manifest's bounded
+    history (still the same single GET) — the reproducibility path a
+    training rerun takes; raises if the version was never published or
+    was expired by :func:`corpus_release_expire`."""
     from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
 
     io = io if io is not None else POSIX_IO
     man = io.read_json(_release_manifest_path(release_dir))
+    if at_version is not None and int(man["version"]) != at_version:
+        hits = [
+            h for h in man.get("hist", [])
+            if int(h["version"]) == at_version
+        ]
+        if not hits:
+            raise ValueError(
+                f"release version {at_version} is not in the manifest "
+                f"(head {man['version']}, history holds "
+                f"{len(man.get('hist', []))} versions)"
+            )
+        man = hits[-1]
     return spark.read.parquet(
         _os.path.join(release_dir, man["data"])
     ).select(
@@ -1461,6 +1490,48 @@ def corpus_release_read(
         "bin_id",
         "n_clean_tokens",
         "clean_md5",
+    )
+
+
+def corpus_release_expire(
+    release_dir: str, io=None, keep_last: int = 2
+) -> list[int]:
+    """Release retention: drop all but the newest ``keep_last``
+    versions. Ordering keeps readers safe at every instant — the
+    manifest republishes with the expired versions REMOVED from history
+    FIRST (CAS; a reader resolving the pointer after this can no longer
+    name the expired versions), and only then are their data dirs
+    deleted (a crash between the two leaves unreferenced orphan dirs, a
+    retry re-lists nothing from the manifest and sweeps them — the same
+    orphan discipline as promote). Returns the expired version numbers.
+    O(expired versions) requests; never touches live data."""
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        POSIX_IO,
+        PointerCasError,
+    )
+
+    io = io if io is not None else POSIX_IO
+    path = _release_manifest_path(release_dir)
+    for _ in range(16):
+        cur = io.try_read_json(path)
+        if cur is None:
+            return []
+        hist = list(cur.get("hist", []))
+        keep_hist = max(0, keep_last - 1)  # the head is version #1 kept
+        expired = hist[: len(hist) - keep_hist] if keep_hist else hist
+        if not expired:
+            return []
+        new_man = dict(cur)
+        new_man["hist"] = hist[len(expired):]
+        try:
+            io.swap_pointer(path, new_man, expected=cur)
+        except PointerCasError:
+            continue  # lost a race with a publisher — re-read, re-plan
+        for h in expired:
+            io.delete_tree(_os.path.join(release_dir, h["data"]))
+        return [int(h["version"]) for h in expired]
+    raise PointerCasError(
+        f"corpus_release_expire({release_dir}): CAS retry budget exhausted"
     )
 
 

@@ -510,3 +510,41 @@ def test_release_manifest_attests_the_stored_shards(spark, sf_small):
             hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:13], 16
         )
         assert h52 < thr[r["source"]]
+
+
+def test_release_history_pinning_and_expiry(spark, sf_small):
+    """Release versioning (round 14): an older release stays pinnable
+    through the manifest's bounded history (same single GET) until
+    corpus_release_expire drops it — manifest republished FIRST, data
+    dirs deleted second, so a reader can never resolve a deleted dir."""
+    import os
+
+    import pytest
+
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = load_table(spark, sf_small, "documents")
+    release_dir = staging.new_run_dir("trelhist")
+    for v in range(3):
+        qp.corpus_release_build(spark, docs, release_dir, version=v)
+    man = qp.corpus_release_read  # alias for brevity below
+    head = {r["doc_id"] for r in man(spark, release_dir).collect()}
+    v0 = {
+        r["doc_id"]
+        for r in man(spark, release_dir, at_version=0).collect()
+    }
+    assert v0 == head  # same corpus + seed -> same release content
+    expired = qp.corpus_release_expire(release_dir, keep_last=2)
+    assert expired == [0]
+    assert not os.path.isdir(os.path.join(release_dir, "data_v0000"))
+    with pytest.raises(ValueError, match="not in the manifest"):
+        man(spark, release_dir, at_version=0)
+    # head and the still-retained version 1 survive
+    assert {r["doc_id"] for r in man(spark, release_dir).collect()} == head
+    assert {
+        r["doc_id"]
+        for r in man(spark, release_dir, at_version=1).collect()
+    } == head
+    # idempotent: nothing more to expire at the same retention
+    assert qp.corpus_release_expire(release_dir, keep_last=2) == []

@@ -548,3 +548,36 @@ def test_release_history_pinning_and_expiry(spark, sf_small):
     } == head
     # idempotent: nothing more to expire at the same retention
     assert qp.corpus_release_expire(release_dir, keep_last=2) == []
+
+
+def test_release_rebuild_after_corpus_delete_forgets(spark, sf_small):
+    """GDPR x release composition (SCALE 20 + 21): a release is a pure
+    function of the corpus, so after docs are deleted the REBUILT
+    release version excludes them (mixture rates recomputed over
+    survivors), and the pre-delete version — which still contains the
+    forgotten docs — is expirable so no pinnable release resurfaces
+    them."""
+    import pytest
+
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = load_table(spark, sf_small, "documents")
+    release_dir = staging.new_run_dir("trelgdpr")
+    qp.corpus_release_build(spark, docs, release_dir, version=0)
+    v0 = {
+        r["doc_id"] for r in qp.corpus_release_read(spark, release_dir).collect()
+    }
+    victims = {d for d in v0 if d % 7 == 3}
+    assert victims  # the pre-delete release really contains them
+    survivors_df = docs.filter(F.col("doc_id") % 7 != 3)
+    qp.corpus_release_build(spark, survivors_df, release_dir, version=1)
+    v1 = {
+        r["doc_id"] for r in qp.corpus_release_read(spark, release_dir).collect()
+    }
+    assert not v1 & victims
+    # right-to-be-forgotten for published releases: expire the
+    # pre-delete version; it stops being pinnable and its data is gone
+    assert qp.corpus_release_expire(release_dir, keep_last=1) == [0]
+    with pytest.raises(ValueError, match="not in the manifest"):
+        qp.corpus_release_read(spark, release_dir, at_version=0)

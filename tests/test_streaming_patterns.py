@@ -4509,3 +4509,56 @@ def test_mixture_stream_empty_first_batch_is_safe(spark, tmp_path):
     mixture_sample_batch(counts, verdicts, real, 1)
     rows = verdicts.read_latest().collect()
     assert rows and all(r["batch_seq"] == 1 for r in rows)
+
+
+def test_retrieval_forget_on_bm25_only_run(spark, sf_small):
+    """The single-index layout: retrieval_forget on a bare BM25 run dir
+    (no lex/ subdir, no dense side) — tombstones + purge + negative
+    stats + pointer publish, consistent serve excludes the docs and
+    hash-equals a fresh index built over the surviving corpus."""
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+
+    run = staging.new_run_dir("tgdprlex")
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("tgdprlexc"), n_chunks=5
+    )
+    patterns.pattern_streaming_bm25_index(
+        spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2,
+    )
+    docs = load_table(spark, sf_small, "documents")
+    out = patterns.retrieval_forget(
+        spark, run, docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    )
+    assert out["n_forgotten"] > 0 and out["ann_delete_snapshot"] is None
+    served = {
+        tuple(r)
+        for r in patterns.bm25_consistent_serve(
+            spark, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5
+        ).collect()
+    }
+    assert served and all(r[1] % 5 != 1 for r in served)
+    # the published pointer must carry EXACTLY the surviving corpus's
+    # stats: post-purge dl rows (anti-joined vs the tomb log for
+    # belt-and-braces — the purge already removed them) must sum to the
+    # pointer's (sum_dl, n_docs)
+    tf_log, dl_log = patterns.bm25_reader_logs(spark, run)
+    ptr = tf_log.io.read_json(patterns._bm25_gen_path(run))
+    survivors = dl_log.read_latest().join(
+        F.broadcast(
+            patterns.bm25_tomb_log(spark, run).read_latest()
+            .select("doc_id")
+        ),
+        "doc_id",
+        "left_anti",
+    )
+    row = survivors.agg(
+        F.sum("dl").cast("long").alias("s"),
+        F.count("*").cast("long").alias("n"),
+    ).first()
+    assert (int(ptr["sum_dl"]), int(ptr["n_docs"])) == (
+        int(row["s"]), int(row["n"])
+    )

@@ -4068,9 +4068,17 @@ def publish_hybrid_manifest(
     loop is monotone.
 
     ``reset_history=True`` publishes with the version history TRUNCATED
-    — the GDPR forget path (``retrieval_forget``): versions published
-    before a purge must stop being pinnable, or an as-of reader would
-    resurface a forgotten doc through the old version's scoped reads."""
+    and raises the manifest's ``floor`` (the minimum servable version)
+    to this version — the GDPR forget path (``retrieval_forget``):
+    versions published before a purge must stop being pinnable, or an
+    as-of reader would resurface a forgotten doc through the old
+    version's scoped reads. The floor makes the truncation RACE-PROOF
+    under multiple writers: a normal coordinator that wins the CAS with
+    the next version (stacking the pre-forget head into history) does
+    not defeat the forget — the forget's retry sees its version already
+    covered but the floor unraised, and republishes the CURRENT head
+    with the floor raised and sub-floor history dropped. Every normal
+    publish carries the floor forward and filters its history by it."""
     from duckdb_streaming_patterns_spark.plans.commitio import (
         READ_ABSENT,
         PointerCasError,
@@ -4079,9 +4087,25 @@ def publish_hybrid_manifest(
     path = _hybrid_manifest_path(run_dir)
     for _attempt in range(_max_retries):
         cur = io.try_read_json(path)
+        cur_floor = int(cur.get("floor", 0)) if cur else 0
         if cur is not None and int(cur["version"]) >= version:
-            return
+            if not reset_history or cur_floor >= version:
+                return
+            # forget racing a newer normal publish: raise the floor on
+            # the racer's head rather than regressing the version
+            new_man = dict(cur)
+            new_man["floor"] = version
+            new_man["hist"] = [
+                h for h in cur.get("hist", [])
+                if int(h["version"]) >= version
+            ]
+            try:
+                io.swap_pointer(path, new_man, expected=cur)
+                return
+            except PointerCasError:
+                continue
         expected = cur if cur is not None else {READ_ABSENT: True}
+        floor = version if reset_history else cur_floor
         hist = [] if reset_history else (
             list(cur.get("hist", [])) if cur else []
         )
@@ -4089,6 +4113,7 @@ def publish_hybrid_manifest(
             hist.append({k: cur[k] for k in
                          ("version", "lex_gen", "ann_snapshot", "sum_dl",
                           "n_docs")})
+            hist = [h for h in hist if int(h["version"]) >= floor]
         try:
             io.swap_pointer(
                 path,
@@ -4098,6 +4123,7 @@ def publish_hybrid_manifest(
                     "ann_snapshot": ann_snapshot,
                     "sum_dl": sum_dl,
                     "n_docs": n_docs,
+                    "floor": floor,
                     "hist": hist[-_HYBRID_HISTORY_CAP:],
                 },
                 expected=expected,
@@ -4156,6 +4182,14 @@ def hybrid_manifest_serve(
     man = tf_log.io.try_read_json(_hybrid_manifest_path(run_dir))
     if man is None:
         raise ValueError(f"no hybrid generation manifest under {run_dir}")
+    if at_version is not None and at_version < int(man.get("floor", 0)):
+        # defense-in-depth below the forget floor: history is already
+        # truncated at publish time, but a reader must refuse even a
+        # version it could somehow still resolve — it predates a purge
+        raise ValueError(
+            f"corpus version {at_version} was forgotten (manifest "
+            f"floor {man.get('floor')}) — not servable"
+        )
     if at_version is not None and int(man["version"]) != at_version:
         hits = [
             h

@@ -4562,3 +4562,72 @@ def test_retrieval_forget_on_bm25_only_run(spark, sf_small):
     assert (int(ptr["sum_dl"]), int(ptr["n_docs"])) == (
         int(row["s"]), int(row["n"])
     )
+
+
+def test_forget_floor_survives_racing_normal_publish(tmp_path):
+    """The reset-history race (round 14): a normal coordinator wins the
+    CAS with the NEXT version — stacking the pre-forget head into
+    history — before the forget's reset publish lands. The forget must
+    still win the GUARANTEE: its retry raises the manifest floor on the
+    racer's head and drops sub-floor history, so no pre-forget version
+    is pinnable. A later normal publish carries the floor forward."""
+    import os as _os
+
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        ObjectStoreSimIO,
+    )
+
+    run = str(tmp_path / "floorrace")
+    _os.makedirs(run, exist_ok=True)
+
+    class RacingIO:
+        def __init__(self):
+            self.inner = ObjectStoreSimIO()
+            self.raced = False
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+        def swap_pointer(self, path, obj, expected=None):
+            if not self.raced and obj.get("floor") == 2:
+                self.raced = True
+                # the racer: a NORMAL publish of version 2 that read the
+                # pre-forget head (version 1) and stacked it into hist
+                patterns.publish_hybrid_manifest(
+                    self.inner, run, version=2, lex_gen=5, ann_snapshot=2,
+                    sum_dl=50, n_docs=5,
+                )
+            return self.inner.swap_pointer(path, obj, expected=expected)
+
+    io = RacingIO()
+    patterns.publish_hybrid_manifest(
+        io.inner, run, version=0, lex_gen=1, ann_snapshot=0,
+        sum_dl=10, n_docs=1,
+    )
+    patterns.publish_hybrid_manifest(
+        io.inner, run, version=1, lex_gen=3, ann_snapshot=1,
+        sum_dl=30, n_docs=3,
+    )
+    # the forget publishes version 2 with reset_history — and loses its
+    # first CAS to the normal version-2 publish above
+    patterns.publish_hybrid_manifest(
+        io, run, version=2, lex_gen=4, ann_snapshot=2,
+        sum_dl=20, n_docs=2, reset_history=True,
+    )
+    man = io.inner.read_json(patterns._hybrid_manifest_path(run))
+    assert io.raced
+    # the racer's head survives (version never regresses) ...
+    assert man["version"] == 2 and man["lex_gen"] == 5
+    # ... but the forget's guarantee holds: floor raised, pre-forget
+    # versions gone from history
+    assert man["floor"] == 2
+    assert all(int(h["version"]) >= 2 for h in man.get("hist", []))
+    # a later NORMAL publish carries the floor forward and keeps
+    # sub-floor versions out of its stacked history
+    patterns.publish_hybrid_manifest(
+        io.inner, run, version=3, lex_gen=7, ann_snapshot=3,
+        sum_dl=70, n_docs=7,
+    )
+    man = io.inner.read_json(patterns._hybrid_manifest_path(run))
+    assert man["floor"] == 2
+    assert [h["version"] for h in man["hist"]] == [2]

@@ -4280,8 +4280,9 @@ def test_retrieval_gdpr_forget_history_reset_and_purge(spark, sf_small):
     )
     # (a) no forgotten doc serves
     assert served and all(r[1] % 7 != 3 for r in served)
-    # (b) version 0 (pre-delete) is gone from the pinnable history
-    with pytest.raises(ValueError, match="not in the manifest"):
+    # (b) version 0 (pre-delete) is refused: below the forget floor
+    # (and also gone from the pinnable history)
+    with pytest.raises(ValueError, match="forgotten"):
         patterns.hybrid_manifest_serve(
             spark, run, _BM25_QUERIES, queries_df, _BM25_SCORE_EXPR,
             at_version=0,

@@ -180,7 +180,16 @@ class GCSCommitIO:
         """copy_blob each staged object to the final prefix, data →
         metadata → ``_folds.json`` STRICTLY LAST (the reader-visible
         commit point), then delete the staged prefix; a crashed prior
-        attempt at the final prefix is deleted first."""
+        attempt at the final prefix is deleted first.
+
+        Large-object note (the GCS side of the S3 adapter's multipart
+        story): promote is SAME-bucket, same storage class by
+        construction, and GCS documents that such rewrites complete in
+        a single ``objects.copy``/``rewrite`` call at ANY object size —
+        so no token loop is needed here, unlike S3's hard 5 GiB
+        CopyObject ceiling. A future cross-bucket or KMS-rekeying
+        promote would need ``Blob.rewrite``'s token loop instead of
+        ``copy_blob``."""
         staged_key = self._key(staged).rstrip("/") + "/"
         final_key = self._key(final).rstrip("/") + "/"
         self._delete_prefix(final_key)

@@ -452,22 +452,30 @@ def main() -> None:
     # overflowed the window entirely — BENCH_r13.json recorded
     # "parsed": null) — persist the COMPLETE result to the repo so every
     # round's full timings survive as bench_full_r{N}.json, and print a
-    # COMPACT one-line summary to stdout: totals, per-query seconds at
-    # 2 decimals, cal median + loaded list, no calibration detail.
+    # COMPACT one-line summary to stdout: totals, the 10 slowest
+    # queries only, cal median + loaded list, no calibration detail.
+    # r14's 92-entry per-query dict was ~3 KB against the driver's
+    # ~2.2 KB tail window — the line's HEAD (opening brace + totals)
+    # was cut off and BENCH_r14.json recorded "parsed": null for the
+    # second consecutive round. Capping `queries` at the 10 slowest
+    # keeps the contract key while bounding the line at ~700 bytes;
+    # the complete per-query dict lives in bench_full_latest.json.
     try:
         with open(os.path.join(_REPO_ROOT, "bench_full_latest.json"), "w") as f:
             json.dump(out, f, indent=1)
     except OSError:
         pass
+    slowest = sorted(
+        ((n, v) for n, v in out["queries"].items() if v is not None),
+        key=lambda kv: -kv[1],
+    )[:10]
     compact = {
         "metric": out["metric"],
         "value": out["value"],
         "unit": out["unit"],
         "sf": sf,
-        "queries": {
-            n: (round(v, 2) if v is not None else None)
-            for n, v in out["queries"].items()
-        },
+        "queries": {n: round(v, 2) for n, v in slowest},
+        "queries_total_count": len(out["queries"]),
         "cal_median": out["cal_gate"]["median_cal"],
         "loaded": out["cal_gate"]["loaded"],
         "full_artifact": "bench_full_latest.json",

@@ -307,7 +307,17 @@ class S3CommitIO:
         that caps file size. Parts are the ceiling-sized ranges in
         order; a crash mid-multipart leaves an uncommitted upload (no
         visible object), which the manifest-last ordering already makes
-        harmless — the retry re-lists and re-copies."""
+        harmless for CORRECTNESS — the retry re-lists and re-copies.
+
+        Cost hygiene (round 15): an uncommitted multipart upload is
+        invisible but BILLED until aborted, so a part failure aborts
+        the upload in-band (best-effort — the abort itself may fail on
+        the same network fault), and a HARD crash (process death, no
+        except block runs) still leaves one. Real deployments must pair
+        this with the standard bucket lifecycle rule
+        (AbortIncompleteMultipartUpload, e.g. after 1 day) — the only
+        mechanism that covers the crash case; documented here because
+        no in-band code path can."""
         if size <= self.copy_part_limit:
             self.client.copy_object(
                 Bucket=self.bucket,
@@ -319,29 +329,38 @@ class S3CommitIO:
         upload_id = up["UploadId"]
         parts = []
         offset = 0
-        while offset < size:
-            end = min(offset + self.copy_part_limit, size) - 1
-            resp = self.client.upload_part_copy(
+        try:
+            while offset < size:
+                end = min(offset + self.copy_part_limit, size) - 1
+                resp = self.client.upload_part_copy(
+                    Bucket=self.bucket,
+                    Key=dst,
+                    UploadId=upload_id,
+                    PartNumber=len(parts) + 1,
+                    CopySource={"Bucket": self.bucket, "Key": src},
+                    CopySourceRange=f"bytes={offset}-{end}",
+                )
+                parts.append(
+                    {
+                        "PartNumber": len(parts) + 1,
+                        "ETag": resp["CopyPartResult"]["ETag"],
+                    }
+                )
+                offset = end + 1
+            self.client.complete_multipart_upload(
                 Bucket=self.bucket,
                 Key=dst,
                 UploadId=upload_id,
-                PartNumber=len(parts) + 1,
-                CopySource={"Bucket": self.bucket, "Key": src},
-                CopySourceRange=f"bytes={offset}-{end}",
+                MultipartUpload={"Parts": parts},
             )
-            parts.append(
-                {
-                    "PartNumber": len(parts) + 1,
-                    "ETag": resp["CopyPartResult"]["ETag"],
-                }
-            )
-            offset = end + 1
-        self.client.complete_multipart_upload(
-            Bucket=self.bucket,
-            Key=dst,
-            UploadId=upload_id,
-            MultipartUpload={"Parts": parts},
-        )
+        except Exception:
+            try:
+                self.client.abort_multipart_upload(
+                    Bucket=self.bucket, Key=dst, UploadId=upload_id
+                )
+            except Exception:  # noqa: BLE001 — abort is best-effort;
+                pass  # the original failure is the one to surface
+            raise
 
     def _delete_prefix(self, prefix_key: str) -> None:
         batch: list[dict] = []

@@ -3630,6 +3630,78 @@ def _bm25_tomb_or_none(spark: SparkSession, run_dir: str, n_buckets: int = 16):
     return log if log._batch_dirs() else None
 
 
+def bm25_retired_tomb_log(
+    spark: SparkSession, run_dir: str, n_buckets: int = 16
+):
+    """The RETIRED-tombstone ledger (round 15, verdict item 3): doc_ids
+    whose forget has been fully PURGED from every storage plane. Serves
+    exactly one purpose — the next forget's novel-id filter (so a
+    re-forget of a long-gone doc stays a pure no-op, no burned
+    generation) — and is deliberately NOT read by any serve path or by
+    the purge's cumulative collect: those stay bounded by the LIVE tomb
+    log, i.e. by in-flight forgets. Growth bound: one row per doc ever
+    forgotten — the dl log's own scale class (a doc retires at most
+    once), co-bucketed by doc_id so the filter is the same pruned probe
+    shape as the forget's measurement."""
+    from duckdb_streaming_patterns_spark.operators.merge import UpsertLog
+
+    return UpsertLog(
+        spark,
+        os.path.join(run_dir, "tomb_retired"),
+        keys=["doc_id"],
+        insert_only=True,
+        bucket_col="doc_id",
+        n_buckets=n_buckets,
+    )
+
+
+def _retire_tombstones(tomb, retired, horizon: int) -> int:
+    """Move tombstone batch dirs at generations <= ``horizon`` into the
+    retired ledger (round 15, verdict item 3): after a purge folds BOTH
+    BM25 logs through the anti-join transform and vacuums the IVF
+    index, every tombstone the purge applied is redundant for SERVING —
+    the rows are physically gone from the storage plane, so the
+    serve-side anti-join and the next forget's cumulative collect would
+    only re-exclude absent rows. Retiring them bounds both to IN-FLIGHT
+    forgets under continuous GDPR traffic instead of growing with the
+    run's lifetime forget count, while the retired ledger keeps the
+    membership memory the re-forget no-op contract needs.
+
+    Safe because the caller's purge fold covered EVERY tombstone
+    generation <= horizon (the cumulative set drives the fold), the
+    tomb log is insert-only (no last-writer-wins resolve depends on the
+    dropped dirs), and a tombstone appended by a CONCURRENT forget
+    carries a generation > horizon, which this never touches. Runs
+    strictly AFTER the pointer/manifest publishes; crash windows are
+    benign in both directions — before the retired append commits, the
+    live dirs simply survive for the next purge to retire (the append
+    always writes the COMPLETE live set, so a same-horizon retry's
+    mode=overwrite rewrite cannot lose ids a partial first attempt
+    wrote); between append and delete, an id exists in BOTH logs —
+    every reader treats that identically (anti-joins, distinct
+    membership), and a later-horizon retirement at worst duplicates a
+    crash window's ids across two ledger dirs, harmless for a
+    membership-only ledger."""
+    dirs = [
+        d for d in tomb._batch_dirs()
+        if int(d.rsplit("=", 1)[1]) <= horizon
+    ]
+    if not dirs:
+        return 0
+    live = (
+        tomb.read_latest(before_batch=horizon + 1)
+        .select("doc_id")
+        .distinct()
+        .localCheckpoint(eager=True)  # sever lineage from the dirs the
+        # loop below deletes
+    )
+    if not live.isEmpty():
+        retired.append(live, batch_id=horizon)
+    for d in dirs:
+        tomb.io.delete_tree(d)
+    return len(dirs)
+
+
 def _forget_complete_manifest(
     spark: SparkSession, run_dir: str, lex_dir: str, tf_log, out: dict
 ) -> None:
@@ -3651,7 +3723,15 @@ def _forget_complete_manifest(
         return
     vec_index_dir = os.path.join(run_dir, "vec", "ivf_index")
     if not os.path.isdir(vec_index_dir):
-        return
+        # a hybrid manifest attests a dense side (same invariant
+        # retrieval_forget enforces up front) — returning quietly here
+        # would leave the manifest window open forever for this layout
+        raise ValueError(
+            f"_forget_complete_manifest({run_dir}): stale hybrid "
+            "manifest (head lex_gen < forget generation) but the dense "
+            "index dir vec/ivf_index is missing — layout invariant "
+            "violation; cannot complete the interrupted forget publish"
+        )
     index = SnapshotTable(
         spark,
         vec_index_dir,
@@ -3738,6 +3818,22 @@ def retrieval_forget(
     ptr = tf_log.io.try_read_json(_bm25_gen_path(lex_dir))
     if ptr is None:
         raise ValueError(f"no generation pointer under {lex_dir}")
+    # Layout invariant, checked BEFORE any mutation (ADVICE r14): a
+    # hybrid manifest attests a dense side — if the dense index dir is
+    # absent the manifest republish below would be skipped entirely,
+    # leaving pre-forget versions pinnable with no floor raised, and
+    # _forget_complete_manifest's repair could never close the window.
+    # Refuse loudly rather than half-forget.
+    if (
+        tf_log.io.try_read_json(_hybrid_manifest_path(run_dir)) is not None
+        and not os.path.isdir(os.path.join(run_dir, "vec", "ivf_index"))
+    ):
+        raise ValueError(
+            f"retrieval_forget({run_dir}): hybrid manifest present but "
+            "the dense index dir vec/ivf_index is missing — layout "
+            "invariant violation; a forget on this run dir could not "
+            "reset the manifest history"
+        )
     new_gen = int(ptr["gen"]) + 1
     ids = (
         deleted.select(F.col("doc_id").cast("long").alias("doc_id"))
@@ -3750,11 +3846,30 @@ def retrieval_forget(
     # contract writes a key at most once). A crashed prior attempt that
     # already appended this generation's tombstones also lands here
     # with nothing novel — the fence below distinguishes the two.
+    # Membership is the union of the LIVE tomb log (in-flight forgets)
+    # and the RETIRED ledger (purged forgets, round 15) — the split
+    # that keeps the serve anti-join and the purge collect bounded by
+    # in-flight forgets while a re-forget of a long-gone doc stays a
+    # pure no-op.
     tomb = bm25_tomb_log(spark, lex_dir, n_buckets)
     if tomb._batch_dirs():
         ids = ids.join(
             tomb.read_latest().select("doc_id"), "doc_id", "left_anti"
         ).localCheckpoint(eager=True)
+    retired = bm25_retired_tomb_log(spark, lex_dir, n_buckets)
+    if retired._batch_dirs():
+        # pruned probe (the measurement's shape): broadcast the
+        # request-sized keys against the doc_id-bucketed ledger, then
+        # anti-join the (request-sized) hits back out of ids
+        rkeys = ids.withColumn("__kb", retired.bucket_of(F.col("doc_id")))
+        rhit = (
+            retired.read_latest(keep_bucket=True)
+            .join(F.broadcast(rkeys), ["doc_id", "__kb"])
+            .select("doc_id")
+        )
+        ids = ids.join(rhit, "doc_id", "left_anti").localCheckpoint(
+            eager=True
+        )
     # 1. measure the forgotten docs' exact stats — pruned to their
     # buckets, BEFORE the purge erases them. The measurement is fenced
     # to a write-once file keyed by the new generation: a retry that
@@ -3801,15 +3916,22 @@ def retrieval_forget(
     # overwrite would clobber it with a schema-less empty dir.
     if not ids.isEmpty():
         tomb.append(ids, batch_id=new_gen)
-    # The CUMULATIVE tombstone set drives the dense delete and the
-    # purge: a retry's novel set may be empty while the physical work
-    # is still undone, and re-applying an already-applied forget is
-    # idempotent on both paths. Bounded collect: total forgotten ids
-    # across the run's life — forget-request-sized, never corpus-sized.
+    # The LIVE (unretired) tombstone set drives the dense delete and
+    # the purge: a retry's novel set may be empty while the physical
+    # work is still undone, and re-applying an already-applied forget
+    # is idempotent on both paths. Bounded collect: IN-FLIGHT forgotten
+    # ids (tombstones retire into the membership-only ledger once their
+    # purge completes — round 15), never the lifetime forget count. The
+    # live log can be EMPTY on a fence-retry whose predecessor already
+    # retired (pointer lost post-retirement): the physical re-work then
+    # runs over an empty set — an identity fold and a rows=0 dense
+    # tombstone, both idempotent.
     all_tombs = (
-        tomb.read_latest()
-        .select("doc_id")
-        .distinct()
+        (
+            tomb.read_latest().select("doc_id").distinct()
+            if tomb._batch_dirs()
+            else spark.createDataFrame([], "doc_id long")
+        )
         .localCheckpoint(eager=True)
     )
     # 3. dense tombstone snapshot (if this run dir has a dense side)
@@ -3876,6 +3998,15 @@ def retrieval_forget(
             n_docs=out["n_docs"],
             reset_history=True,
         )
+    # 7. tombstone retirement (round 15): the purge above physically
+    # removed every tombstoned row <= new_gen from both BM25 logs and
+    # the IVF index, so those tombstones are redundant for serving —
+    # move them into the membership-only retired ledger AFTER the
+    # publishes (a crash leaves them for the next purge), bounding the
+    # serve-side anti-join and the purge collect to in-flight forgets
+    # under continuous GDPR traffic.
+    if purge:
+        out["n_tombs_retired"] = _retire_tombstones(tomb, retired, new_gen)
     return out
 
 
@@ -4078,7 +4209,23 @@ def publish_hybrid_manifest(
     not defeat the forget — the forget's retry sees its version already
     covered but the floor unraised, and republishes the CURRENT head
     with the floor raised and sub-floor history dropped. Every normal
-    publish carries the floor forward and filters its history by it."""
+    publish carries the floor forward and filters its history by it.
+
+    Generation clamp (round 15, ADVICE r14): the floor alone does not
+    protect against a racing head whose INDEXES were resolved before
+    the forget — a coordinator that read the generation pointer
+    pre-forget but won the version race post-forget would serve with
+    pre-forget scoping (tombstones scoped out, stats counting the
+    forgotten docs). The manifest therefore carries ``forget_gen``, the
+    highest lexical generation any forget has published: a forget whose
+    CAS loses to such a racer RE-POINTS the racing head's
+    (lex_gen, ann_snapshot, sum_dl, n_docs) to its own post-forget
+    values (generations are a total order on one lex log, so the
+    forget's state covers everything the stale head covered, minus the
+    forgotten docs), and a NORMAL publish carrying ``lex_gen`` below
+    the current ``forget_gen`` is REFUSED (ValueError) — that
+    coordinator must re-resolve the generation pointer, which is
+    post-forget by the forget's own publish ordering."""
     from duckdb_streaming_patterns_spark.plans.commitio import (
         READ_ABSENT,
         PointerCasError,
@@ -4088,24 +4235,52 @@ def publish_hybrid_manifest(
     for _attempt in range(_max_retries):
         cur = io.try_read_json(path)
         cur_floor = int(cur.get("floor", 0)) if cur else 0
+        cur_fgen = int(cur.get("forget_gen", 0)) if cur else 0
         if cur is not None and int(cur["version"]) >= version:
-            if not reset_history or cur_floor >= version:
+            head_stale = reset_history and int(cur["lex_gen"]) < lex_gen
+            if not reset_history or (
+                cur_floor >= version and not head_stale
+            ):
                 return
             # forget racing a newer normal publish: raise the floor on
-            # the racer's head rather than regressing the version
+            # the racer's head rather than regressing the version —
+            # and if the racer resolved its indexes BEFORE the forget,
+            # re-point the head at the forget's post-purge state
             new_man = dict(cur)
-            new_man["floor"] = version
+            new_man["floor"] = max(cur_floor, version)
+            new_man["forget_gen"] = max(cur_fgen, lex_gen)
+            if head_stale:
+                new_man.update(
+                    lex_gen=lex_gen,
+                    ann_snapshot=ann_snapshot,
+                    sum_dl=sum_dl,
+                    n_docs=n_docs,
+                )
             new_man["hist"] = [
                 h for h in cur.get("hist", [])
-                if int(h["version"]) >= version
+                if int(h["version"]) >= new_man["floor"]
+                and int(h.get("lex_gen", 0)) >= lex_gen
             ]
             try:
                 io.swap_pointer(path, new_man, expected=cur)
                 return
             except PointerCasError:
                 continue
+        if not reset_history and lex_gen < cur_fgen:
+            # NOT in the covered branch: this publish would INSTALL a
+            # head resolved before a forget — refuse rather than serve
+            # pre-forget scoping (a covered redelivery above stays a
+            # quiet no-op; only a would-install stale head is an error)
+            raise ValueError(
+                f"publish_hybrid_manifest({run_dir}, v{version}): "
+                f"lex_gen {lex_gen} predates the forget generation "
+                f"{cur_fgen} — this coordinator resolved its indexes "
+                "before a GDPR forget; re-resolve the generation "
+                "pointer and republish"
+            )
         expected = cur if cur is not None else {READ_ABSENT: True}
         floor = version if reset_history else cur_floor
+        forget_gen = max(cur_fgen, lex_gen) if reset_history else cur_fgen
         hist = [] if reset_history else (
             list(cur.get("hist", [])) if cur else []
         )
@@ -4124,6 +4299,7 @@ def publish_hybrid_manifest(
                     "sum_dl": sum_dl,
                     "n_docs": n_docs,
                     "floor": floor,
+                    "forget_gen": forget_gen,
                     "hist": hist[-_HYBRID_HISTORY_CAP:],
                 },
                 expected=expected,

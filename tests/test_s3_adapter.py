@@ -39,7 +39,11 @@ class FakeS3Client:
     server-side CopyObject. A lock serializes conditional check+commit
     pairs — the store's server-side atomicity."""
 
-    def __init__(self, copy_size_cap: int | None = None) -> None:
+    def __init__(
+        self,
+        copy_size_cap: int | None = None,
+        fail_part_copy_at: int | None = None,
+    ) -> None:
         self.objects: dict[str, bytes] = {}
         self.copy_log: list[str] = []
         self._lock = threading.Lock()
@@ -48,6 +52,9 @@ class FakeS3Client:
         self.copy_size_cap = copy_size_cap
         self._multipart: dict[str, dict] = {}
         self._upload_seq = 0
+        # fault injection: UploadPartCopy raises on this PartNumber
+        self.fail_part_copy_at = fail_part_copy_at
+        self.aborted_uploads: list[str] = []
 
     @staticmethod
     def _etag(body: bytes) -> str:
@@ -119,6 +126,8 @@ class FakeS3Client:
     def upload_part_copy(
         self, Bucket, Key, UploadId, PartNumber, CopySource, CopySourceRange
     ):
+        if self.fail_part_copy_at == PartNumber:
+            raise _err("InternalError", "UploadPartCopy")
         src = self.objects.get(CopySource["Key"])
         if src is None:
             raise _err("NoSuchKey", "UploadPartCopy")
@@ -126,6 +135,14 @@ class FakeS3Client:
         part = src[int(lo): int(hi) + 1]
         self._multipart[UploadId]["parts"][PartNumber] = part
         return {"CopyPartResult": {"ETag": self._etag(part)}}
+
+    def abort_multipart_upload(self, Bucket, Key, UploadId):
+        # real S3: aborting an unknown/completed upload is NoSuchUpload
+        if UploadId not in self._multipart:
+            raise _err("NoSuchUpload", "AbortMultipartUpload")
+        self._multipart.pop(UploadId)
+        self.aborted_uploads.append(UploadId)
+        return {}
 
     def complete_multipart_upload(self, Bucket, Key, UploadId, MultipartUpload):
         up = self._multipart.pop(UploadId)
@@ -317,3 +334,30 @@ def test_promote_dir_multipart_copy_above_copyobject_ceiling():
     # manifest still strictly last even when data went multipart
     assert client.copy_log[-1].endswith("_folds.json")
     assert not client._multipart  # no dangling uncommitted uploads
+
+
+def test_multipart_copy_aborts_upload_on_part_failure():
+    """ADVICE r14: a part failure mid-multipart must abort the upload
+    in-band — an uncommitted multipart upload is invisible but BILLED
+    until aborted, so without the abort a transient fault leaks storage
+    cost indefinitely (unless the bucket carries an
+    AbortIncompleteMultipartUpload lifecycle rule, which only the hard-
+    crash case should need). The original failure still surfaces."""
+    from duckdb_streaming_patterns_spark.plans.s3io import S3CommitIO
+
+    client = FakeS3Client(copy_size_cap=8, fail_part_copy_at=2)
+    io = S3CommitIO(client, "bkt", copy_part_limit=8)
+    client.objects["stage/z/part-0.parquet"] = b"0123456789abcdefghij"
+    with pytest.raises(Exception) as exc:
+        io.promote_dir("/stage/z", "/live/z")
+    assert "InternalError" in str(exc.value)
+    # the upload was aborted, not left uncommitted-and-billed
+    assert client.aborted_uploads == ["upload-1"]
+    assert not client._multipart
+    # nothing visible landed at the destination
+    assert "live/z/part-0.parquet" not in client.objects
+    # a RETRY after the transient fault completes cleanly end-to-end
+    client.fail_part_copy_at = None
+    io.promote_dir("/stage/z", "/live/z")
+    assert client.objects["live/z/part-0.parquet"] == b"0123456789abcdefghij"
+    assert not client._multipart

@@ -4542,17 +4542,24 @@ def test_retrieval_forget_on_bm25_only_run(spark, sf_small):
         ).collect()
     }
     assert served and all(r[1] % 5 != 1 for r in served)
+    # the purge's tombstones RETIRED into the membership ledger (round
+    # 15): the live tomb log is empty again (serve takes the
+    # no-tombstone fast path), the retired ledger remembers the ids
+    assert not patterns.bm25_tomb_log(spark, run)._batch_dirs()
+    retired_ids = (
+        patterns.bm25_retired_tomb_log(spark, run)
+        .read_latest()
+        .select("doc_id")
+    )
+    assert retired_ids.count() == out["n_forgotten"]
     # the published pointer must carry EXACTLY the surviving corpus's
-    # stats: post-purge dl rows (anti-joined vs the tomb log for
+    # stats: post-purge dl rows (anti-joined vs the retired ledger for
     # belt-and-braces — the purge already removed them) must sum to the
     # pointer's (sum_dl, n_docs)
     tf_log, dl_log = patterns.bm25_reader_logs(spark, run)
     ptr = tf_log.io.read_json(patterns._bm25_gen_path(run))
     survivors = dl_log.read_latest().join(
-        F.broadcast(
-            patterns.bm25_tomb_log(spark, run).read_latest()
-            .select("doc_id")
-        ),
+        F.broadcast(retired_ids),
         "doc_id",
         "left_anti",
     )
@@ -4632,3 +4639,190 @@ def test_forget_floor_survives_racing_normal_publish(tmp_path):
     man = io.inner.read_json(patterns._hybrid_manifest_path(run))
     assert man["floor"] == 2
     assert [h["version"] for h in man["hist"]] == [2]
+
+
+def test_forget_gen_clamp_repoints_stale_racing_head(tmp_path):
+    """The generation clamp (round 15, ADVICE r14): the floor alone
+    leaves a hole — a racing coordinator that resolved its indexes
+    BEFORE the forget (lex_gen below the forget's) but won the version
+    CAS AFTER it would serve with pre-forget scoping. The forget's
+    covered-branch retry must RE-POINT such a head at its own
+    post-purge index state, and a later normal publish carrying a
+    pre-forget lex_gen must be refused outright."""
+    import pytest as _pytest
+
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        ObjectStoreSimIO,
+    )
+
+    run = str(tmp_path / "genclamp")
+    os.makedirs(run, exist_ok=True)
+
+    class RacingIO:
+        def __init__(self):
+            self.inner = ObjectStoreSimIO()
+            self.raced = False
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+        def swap_pointer(self, path, obj, expected=None):
+            if not self.raced and obj.get("floor") == 2:
+                self.raced = True
+                # the racer: resolved the generation pointer PRE-forget
+                # (lex_gen 3 < the forget's 4) but publishes the next
+                # version AFTER the forget began
+                patterns.publish_hybrid_manifest(
+                    self.inner, run, version=2, lex_gen=3, ann_snapshot=1,
+                    sum_dl=30, n_docs=3,
+                )
+            return self.inner.swap_pointer(path, obj, expected=expected)
+
+    io = RacingIO()
+    patterns.publish_hybrid_manifest(
+        io.inner, run, version=1, lex_gen=3, ann_snapshot=1,
+        sum_dl=30, n_docs=3,
+    )
+    patterns.publish_hybrid_manifest(
+        io, run, version=2, lex_gen=4, ann_snapshot=2,
+        sum_dl=20, n_docs=2, reset_history=True,
+    )
+    man = io.inner.read_json(patterns._hybrid_manifest_path(run))
+    assert io.raced
+    # version never regresses, but the stale head's index state was
+    # re-pointed at the forget's post-purge state
+    assert man["version"] == 2
+    assert man["lex_gen"] == 4 and man["ann_snapshot"] == 2
+    assert man["sum_dl"] == 20 and man["n_docs"] == 2
+    assert man["floor"] == 2 and man["forget_gen"] == 4
+    assert all(int(h["lex_gen"]) >= 4 for h in man.get("hist", []))
+    # a WOULD-INSTALL normal publish with a pre-forget lex_gen is
+    # refused — that coordinator must re-resolve the generation pointer
+    with _pytest.raises(ValueError, match="predates the forget"):
+        patterns.publish_hybrid_manifest(
+            io.inner, run, version=3, lex_gen=3, ann_snapshot=3,
+            sum_dl=30, n_docs=3,
+        )
+    # a redelivery of an already-covered stale publish stays a quiet
+    # no-op (idempotence is not sacrificed to the clamp)
+    patterns.publish_hybrid_manifest(
+        io.inner, run, version=1, lex_gen=3, ann_snapshot=1,
+        sum_dl=30, n_docs=3,
+    )
+    # a post-forget normal publish proceeds and carries forget_gen
+    patterns.publish_hybrid_manifest(
+        io.inner, run, version=3, lex_gen=5, ann_snapshot=3,
+        sum_dl=25, n_docs=2,
+    )
+    man = io.inner.read_json(patterns._hybrid_manifest_path(run))
+    assert man["version"] == 3 and man["forget_gen"] == 4
+
+
+def test_retrieval_forget_refuses_manifest_without_dense_dir(
+    spark, sf_small
+):
+    """Layout invariant (round 15, ADVICE r14): a hybrid manifest
+    attests a dense side — a forget on a run dir that has the manifest
+    but no vec/ivf_index must refuse BEFORE mutating anything (the
+    manifest republish would be skipped, leaving pre-forget versions
+    pinnable with no floor raised)."""
+    import pytest as _pytest
+
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+
+    run = staging.new_run_dir("tgdprnodense")
+    patterns.pattern_streaming_bm25_index(
+        spark,
+        staging.stage_document_chunks(
+            spark, sf_small, staging.new_run_dir("tgdprndc"), n_chunks=3
+        ),
+        os.path.join(run, "lex"),
+        _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2,
+    )
+    tf_log, _dl = patterns.bm25_reader_logs(spark, os.path.join(run, "lex"))
+    # a hybrid manifest exists but the dense dir does not
+    patterns.publish_hybrid_manifest(
+        tf_log.io, run, version=0, lex_gen=1, ann_snapshot=0,
+        sum_dl=10, n_docs=1,
+    )
+    ptr_before = tf_log.io.read_json(
+        patterns._bm25_gen_path(os.path.join(run, "lex"))
+    )
+    feed = spark.createDataFrame([(1,)], "doc_id long")
+    with _pytest.raises(ValueError, match="layout invariant"):
+        patterns.retrieval_forget(spark, run, feed)
+    # refused BEFORE any mutation: pointer untouched, no tombstones
+    assert tf_log.io.read_json(
+        patterns._bm25_gen_path(os.path.join(run, "lex"))
+    ) == ptr_before
+    assert not patterns.bm25_tomb_log(
+        spark, os.path.join(run, "lex")
+    )._batch_dirs()
+
+
+def test_tombstones_retire_after_purge_keeping_serve_exact(
+    spark, sf_small
+):
+    """Tombstone retirement (round 15, verdict item 3): after a purged
+    forget, the LIVE tomb log is empty — the serve takes the
+    no-tombstone fast path (no anti-join at all) yet still excludes the
+    forgotten docs (they are physically gone) — and the membership
+    moves to the retired ledger so a re-forget stays a pure no-op.
+    Under SEQUENTIAL forgets the live log stays bounded by the
+    in-flight request, not the lifetime forget count."""
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+
+    run = staging.new_run_dir("tgdprretire")
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("tgdprretc"), n_chunks=5
+    )
+    patterns.pattern_streaming_bm25_index(
+        spark, chunks, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2,
+    )
+    docs = load_table(spark, sf_small, "documents")
+    out1 = patterns.retrieval_forget(
+        spark, run, docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    )
+    assert out1["n_forgotten"] > 0
+    assert out1["n_tombs_retired"] >= 1
+    # live tomb log empty -> the serve-side probe returns None and the
+    # serve plan carries NO tombstone anti-join
+    assert patterns._bm25_tomb_or_none(spark, run) is None
+    served1 = {
+        tuple(r)
+        for r in patterns.bm25_consistent_serve(
+            spark, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5
+        ).collect()
+    }
+    assert served1 and all(r[1] % 5 != 1 for r in served1)
+    # a SECOND forget: its live tombstones are request-sized (bounded
+    # by the in-flight forget, not cumulative), then retire too
+    out2 = patterns.retrieval_forget(
+        spark, run, docs.filter(F.col("doc_id") % 5 == 2).select("doc_id")
+    )
+    assert out2["n_forgotten"] > 0 and out2["gen"] == out1["gen"] + 1
+    assert patterns._bm25_tomb_or_none(spark, run) is None
+    served2 = {
+        tuple(r)
+        for r in patterns.bm25_consistent_serve(
+            spark, run, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5
+        ).collect()
+    }
+    assert served2 and all(r[1] % 5 not in (1, 2) for r in served2)
+    # the retired ledger holds BOTH forgets' membership ...
+    retired = patterns.bm25_retired_tomb_log(spark, run).read_latest()
+    assert retired.count() == out1["n_forgotten"] + out2["n_forgotten"]
+    # ... so re-forgetting the FIRST request is still a pure no-op:
+    # no burned generation, no republished pointer
+    out3 = patterns.retrieval_forget(
+        spark, run, docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
+    )
+    assert out3["n_forgotten"] == 0 and out3["gen"] == out2["gen"]

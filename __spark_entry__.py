@@ -297,6 +297,24 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     (mixture thresholds + shard fingerprints) CAS-published strictly
 #     last, rows returned THROUGH the consumer read path (one GET +
 #     direct data reads, request-budget-pinned).
+# Round-15 rotation (round-14 verdict item 6) — the release ladder goes
+# streaming:
+#   corpus_release_manifest (the one-shot batch release — its ENTIRE
+#     build/publish/consume machinery runs INSIDE
+#     pattern_streaming_release, which calls the same
+#     corpus_release_build per release point over the accumulated
+#     corpus-of-record and reads the mid-stream version back through
+#     the same manifest-history consumer path; the batch row stays
+#     exact-checked locally, and the streaming≡batch manifest equality
+#     is additionally pinned by
+#     tests/test_streaming_patterns.test_streaming_release_*) →
+#     pattern_streaming_release: versioned releases tracking a LIVE
+#     corpus — 6 micro-batches land, version 1 publishes MID-STREAM
+#     (after batch 3) with Merkle shard fingerprints + derived shard
+#     count, version 2 at the head; the driver hash reads version 1
+#     through the head's history against the batch release SQL over the
+#     3-chunk corpus prefix, so one row pins streaming ≡ batch at a
+#     mid-stream version THROUGH the consumer path.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
@@ -323,7 +341,7 @@ _PRIORITY = [
     "pattern_streaming_neardup_dedup",
     "text_pii_redact_positive",
     "dedup_minhash_clusters",
-    "corpus_release_manifest",
+    "pattern_streaming_release",
     "dedup_incremental_verdicts",
     # similarity search (§2.11)
     "semdedup_prune",

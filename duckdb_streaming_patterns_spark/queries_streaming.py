@@ -1629,3 +1629,49 @@ def q_pattern_streaming_mixture_sample(
     return patterns.pattern_streaming_mixture_sample(
         spark, chunks, run, state_partitions=4, compact_every=2
     )
+
+
+# Streaming release ladder (round 15): the mid-stream release version
+# must equal the BATCH release over the corpus prefix ingested when it
+# published. Chunking is doc_id-arithmetic (staging.stage_document_chunks:
+# per = ceil(n/6), chunk k = doc_id // per, one chunk per micro-batch in
+# order), so "the corpus after 3 of 6 batches" is doc_id < 3*ceil(n/6) —
+# SQL-expressible, which makes the equality DRIVER-CHECKABLE: the oracle
+# is the full release SQL with `documents` SHADOWED by the prefix CTE
+# (main.documents names the real view under the shadow, PostgreSQL CTE
+# scoping).
+from duckdb_streaming_patterns_spark.registry import (  # noqa: E402
+    QUERIES as _REG,
+)
+
+_STREAM_RELEASE_ORACLE = _REG["corpus_release_manifest"][1].replace(
+    "WITH ",
+    "WITH documents AS (\n"
+    "      SELECT * FROM main.documents\n"
+    "      WHERE doc_id < (SELECT 3 * ((count(*) + 5) // 6)\n"
+    "                      FROM main.documents)\n"
+    "    ),\n    ",
+    1,
+)
+
+
+@register("pattern_streaming_release", _STREAM_RELEASE_ORACLE)
+def q_pattern_streaming_release(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Versioned training-data releases tracking a live corpus: 6
+    micro-batches land in the corpus-of-record; release version 1
+    publishes MID-STREAM (after batch 3), version 2 at the end — both
+    through the CAS release manifest with attempt-suffixed data dirs.
+    The returned rows are the CONSUMER read of the mid-stream version
+    (one manifest GET resolving it through the head's bounded history +
+    direct data reads), and the oracle is the batch release SQL over
+    the 3-chunk corpus prefix — the driver hash IS the streaming ≡
+    batch equality at a mid-stream version.
+    See streaming/patterns.pattern_streaming_release."""
+    run = staging.new_run_dir("prel")
+    chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=6)
+    return patterns.pattern_streaming_release(
+        spark, chunks, run, release_every=3, at_version=1,
+        state_partitions=4,
+    )

@@ -4819,3 +4819,175 @@ def pattern_streaming_mixture_sample(
     return verdict_log.read_latest().select(
         "doc_id", "source", "batch_seq", "accept_threshold"
     )
+
+
+def pattern_streaming_release(
+    spark: SparkSession,
+    chunks_dir: str,
+    run_dir: str,
+    release_every: int = 3,
+    at_version: int | None = 1,
+    state_partitions: int | None = 4,
+    shard_token_budget: int | None = None,
+) -> DataFrame:
+    """Versioned training-data releases tracking a LIVE corpus (round
+    15, verdict item 6): the document stream lands batch by batch in a
+    corpus-of-record SnapshotTable, and every ``release_every``
+    micro-batches the coordinator publishes the next release VERSION —
+    the full funnel → mixture → shard → bin assignment over the corpus
+    prefix ingested so far, written under a fresh attempt dir and
+    CAS-committed through the same release manifest
+    (:func:`~duckdb_streaming_patterns_spark.queries_pipeline.
+    corpus_release_build`) a one-shot batch build uses. A training run
+    consuming the manifest therefore sees a version ladder that tracks
+    ingest, each rung byte-identical to the batch release over the same
+    prefix (streaming ≡ batch — the driver row pins the MID-STREAM
+    version against the batch oracle over the prefix corpus), each
+    pinnable through the bounded history, each carrying ``covers`` =
+    the micro-batch watermark it incorporated.
+
+    Returns the consumer read of ``at_version`` (one manifest GET +
+    direct data reads — the history path when a newer head has since
+    published; None reads the head).
+
+    Scale shape: per-batch cost is ONE append to the corpus log
+    (O(batch)); per-RELEASE cost is one corpus-prefix pass (the funnel
+    dominates — identical to the batch build it must equal, amortized
+    across the release cadence, which is hours-to-days in production
+    against a per-minute batch cadence). The publish plane is the
+    batch build's: version-monotone CAS, attempt-suffixed data dirs, a
+    crashed or re-delivered micro-batch re-entering corpus_release_build
+    finds its version covered and returns without touching storage —
+    exactly-once releases on at-least-once batch delivery."""
+    from duckdb_streaming_patterns_spark.queries_pipeline import (
+        corpus_release_build,
+        corpus_release_read,
+    )
+
+    corpus = SnapshotTable(
+        spark,
+        os.path.join(run_dir, "corpus"),
+        "doc_id long, text string, source string",
+    )
+    release_dir = os.path.join(run_dir, "release")
+    os.makedirs(release_dir, exist_ok=True)
+    state = {"batches": 0, "versions": 0}
+    kwargs = (
+        {} if shard_token_budget is None
+        else {"shard_token_budget": shard_token_budget}
+    )
+
+    def apply_batch(batch: DataFrame, batch_id: int) -> None:
+        corpus.append(
+            batch.select("doc_id", "text", "source"), batch_id=batch_id
+        )
+        state["batches"] = max(state["batches"], batch_id + 1)
+        if state["batches"] % release_every == 0:
+            state["versions"] = state["batches"] // release_every
+            corpus_release_build(
+                spark,
+                corpus.read(),
+                release_dir,
+                version=state["versions"],
+                covers=batch_id,
+                **kwargs,
+            )
+
+    with _state_partitions(spark, state_partitions):
+        q = (
+            staging.read_document_stream(spark, chunks_dir)
+            .writeStream.foreachBatch(apply_batch)
+            .option("checkpointLocation", os.path.join(run_dir, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    if state["batches"] % release_every != 0:
+        # tail release: the last partial window still publishes, so the
+        # head always covers the full ingested corpus
+        state["versions"] += 1
+        corpus_release_build(
+            spark,
+            corpus.read(),
+            release_dir,
+            version=state["versions"],
+            covers=state["batches"] - 1,
+            **kwargs,
+        )
+    return corpus_release_read(spark, release_dir, at_version=at_version)
+
+
+def ann_forget(
+    spark: SparkSession,
+    run_dir: str,
+    deleted: DataFrame,
+    purge: bool = True,
+) -> dict:
+    """GDPR forget for a DENSE-ONLY deployment (round 15, verdict item
+    5): the ``pattern_streaming_ann_index`` layout (``run_dir/
+    ivf_index`` + ``anchors.json``) has no BM25 generation pointer, so
+    :func:`retrieval_forget` — whose ordering anchors on the lexical
+    pointer — refuses it. This is the factored dense half, standalone:
+
+    1. tombstone snapshot on the IVF ledger (``SnapshotTable.delete``
+       with vec_id keys) — as-of probes at/after it exclude the
+       vectors, and the ledger entry's row count IS the measurement
+       (no separate pre-purge fetch to fence);
+    2. (``purge=True``) physical vacuum — the vacuumed generation holds
+       only survivors, so even an as-of probe pinned BELOW the delete
+       snapshot cannot resurface a forgotten vector (the same retention
+       trade retrieval_forget documents).
+
+    ``deleted`` carries ``vec_id`` (or ``doc_id`` — the hybrid id-space
+    contract). Idempotent: a re-forget of already-gone vectors commits
+    a rows=0 tombstone (no data dir) and re-vacuums a no-op. The
+    tombstone's batch id is 80_000 + the pre-delete snapshot head —
+    unique per committed state, so a crashed attempt that DID commit
+    its tombstone fences the retry's duplicate.
+
+    Returns {"ann_delete_snapshot", "n_forgotten"}. Scale: one bounded
+    request-sized collect, one visible-scoped scan for the tombstone
+    keys, one fold-sized vacuum — never more than the index's live
+    rows, exactly retrieval_forget's steps 3-4."""
+    index_dir = os.path.join(run_dir, "ivf_index")
+    if not os.path.isdir(index_dir):
+        # the hybrid layout's dense half, forgotten standalone
+        index_dir = os.path.join(run_dir, "vec", "ivf_index")
+    if not os.path.isdir(index_dir):
+        raise ValueError(f"no IVF index dir under {run_dir}")
+    index = SnapshotTable(
+        spark,
+        index_dir,
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    key = "vec_id" if "vec_id" in deleted.columns else "doc_id"
+    ids = (
+        deleted.select(F.col(key).cast("long").alias("vec_id"))
+        .distinct()
+        .localCheckpoint(eager=True)  # sever lineage to CDF feeds a
+        # later vacuum may retire (the GDPR-row vacuum lesson)
+    )
+    id_list = [r["vec_id"] for r in ids.collect()]  # bounded: request
+    batch_id = 80_000 + index.max_snapshot_id()
+    sid = index.delete(
+        F.col("vec_id").isin(id_list), key_cols=["vec_id"],
+        batch_id=batch_id,
+    )
+    if sid < 0:  # fenced retry: resolve the committed snapshot
+        sid = max(
+            int(s["snapshot_id"])
+            for s in index.snapshots()
+            if s.get("batch_id") == batch_id
+        )
+    n = next(
+        (
+            int(s.get("rows", 0))
+            for s in index.snapshots()
+            if int(s["snapshot_id"]) == sid
+        ),
+        0,
+    )
+    if purge:
+        index.vacuum()
+    return {"ann_delete_snapshot": sid, "n_forgotten": n}

@@ -128,10 +128,16 @@ def test_first_50_cover_every_family():
         },
         # corpus_build_shards rotated out in r14 (its entire composition
         # runs inside corpus_release_manifest, which extends it through
-        # mixing + packing; the build row stays exact-checked locally)
+        # mixing + packing; the build row stays exact-checked locally).
+        # corpus_release_manifest rotated out in r15: its entire
+        # build/publish/consume machinery runs INSIDE
+        # pattern_streaming_release (same corpus_release_build per
+        # release point, same manifest-history consumer read); the batch
+        # row stays exact-checked locally and the streaming≡batch
+        # manifest equality is pinned by test_streaming_release_*.
         "funnel": {
             "pattern_streaming_full_funnel",
-            "corpus_release_manifest",
+            "pattern_streaming_release",
         },
         "pipeline": {
             "pack_token_bins",

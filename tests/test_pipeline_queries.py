@@ -464,13 +464,31 @@ def test_mixture_sample_plan_is_broadcast_scan(spark, sf_small):
     assert "SortMergeJoin" not in plan, plan[:2000]
 
 
+def _merkle_fingerprint(rows_in_pos_order, bin_tokens) -> str:
+    """Independent bottom-up recompute of the round-15 Merkle shard
+    fingerprint: md5 per bin over the clean_md5 sequence in position
+    order, then md5 over the bin hashes in bin order."""
+    import hashlib
+
+    by_bin: dict = {}
+    for r in rows_in_pos_order:
+        by_bin.setdefault(int(r["bin_id"]), []).append(r["clean_md5"])
+    bin_hashes = [
+        hashlib.md5("".join(by_bin[b]).encode()).hexdigest()
+        for b in sorted(by_bin)
+    ]
+    return hashlib.md5("".join(bin_hashes).encode()).hexdigest()
+
+
 def test_release_manifest_attests_the_stored_shards(spark, sf_small):
-    """The release manifest (round 14) must ATTEST the bytes a consumer
-    reads: recomputing each shard's fingerprint (md5 over the shard's
-    clean_md5 sequence in position order), doc count, bin count, and
-    token total from the READ-BACK rows must reproduce the manifest
-    exactly; bins must pack the shard-order running token offsets; and
-    the mixture block must admit exactly the released doc set."""
+    """The release manifest must ATTEST the bytes a consumer reads:
+    recomputing each shard's MERKLE fingerprint (round 15: md5 per bin
+    in position order, then md5 over the ordered bin hashes — every
+    buffer bin-bounded, unlike the r14 whole-shard sequence), doc
+    count, bin count, and token total from the READ-BACK rows must
+    reproduce the manifest exactly; bins must pack the shard-order
+    running token offsets; and the mixture block must admit exactly the
+    released doc set."""
     import hashlib
 
     from duckdb_streaming_patterns_spark import queries_pipeline as qp
@@ -479,21 +497,26 @@ def test_release_manifest_attests_the_stored_shards(spark, sf_small):
     docs = load_table(spark, sf_small, "documents")
     release_dir = staging.new_run_dir("trelattest")
     man = qp.corpus_release_build(spark, docs, release_dir, version=0)
+    assert man["fingerprint_algo"] == "merkle/bin-md5/v1"
     rows = qp.corpus_release_read(spark, release_dir).collect()
     assert rows
     by_shard: dict = {}
     for r in rows:
         by_shard.setdefault(int(r["shard"]), []).append(r)
     assert {int(s["shard"]) for s in man["shards"]} == set(by_shard)
+    # derived shard count (round 15): the manifest's n_shards comes
+    # from the released token total and the budget, engine-exactly
+    total_tokens = sum(r["n_clean_tokens"] for r in rows)
+    b = man["shard_token_budget"]
+    assert man["n_shards"] == max(1, (total_tokens + b - 1) // b)
     for s in man["shards"]:
         rs = sorted(by_shard[int(s["shard"])], key=lambda r: r["shard_pos"])
         assert s["n_docs"] == len(rs)
         assert s["n_clean_tokens"] == sum(r["n_clean_tokens"] for r in rs)
         assert s["n_bins"] == max(r["bin_id"] for r in rs) + 1
-        fp = hashlib.md5(
-            "".join(r["clean_md5"] for r in rs).encode()
-        ).hexdigest()
-        assert fp == s["fingerprint"]
+        assert s["fingerprint"] == _merkle_fingerprint(
+            rs, man["bin_tokens"]
+        )
         # packing law: bin_id = floor(exclusive prefix / bin_tokens)
         prefix = 0
         for r in rs:
@@ -535,9 +558,19 @@ def test_release_history_pinning_and_expiry(spark, sf_small):
         for r in man(spark, release_dir, at_version=0).collect()
     }
     assert v0 == head  # same corpus + seed -> same release content
+    # the expired version's (attempt-suffixed, round 15) data dir is
+    # resolved through the manifest BEFORE the republish drops it
+    import duckdb_streaming_patterns_spark.plans.commitio as cio
+    v0_data = [
+        h["data"]
+        for h in cio.POSIX_IO.read_json(
+            qp._release_manifest_path(release_dir)
+        )["hist"]
+        if int(h["version"]) == 0
+    ][0]
     expired = qp.corpus_release_expire(release_dir, keep_last=2)
     assert expired == [0]
-    assert not os.path.isdir(os.path.join(release_dir, "data_v0000"))
+    assert not os.path.isdir(os.path.join(release_dir, v0_data))
     with pytest.raises(ValueError, match="not in the manifest"):
         man(spark, release_dir, at_version=0)
     # head and the still-retained version 1 survive
@@ -581,3 +614,174 @@ def test_release_rebuild_after_corpus_delete_forgets(spark, sf_small):
     assert qp.corpus_release_expire(release_dir, keep_last=1) == [0]
     with pytest.raises(ValueError, match="not in the manifest"):
         qp.corpus_release_read(spark, release_dir, at_version=0)
+
+
+def test_release_fingerprint_invariant_across_input_partitioning(
+    spark, sf_small
+):
+    """Round 15, verdict item 2 ("Done" criterion): the release
+    assignment and its Merkle fingerprints are pure functions of
+    (corpus, seed, budget) — building the same corpus from a 7-way
+    repartitioned frame and a single-partition frame must publish
+    IDENTICAL shard fingerprints, counts, and thresholds (no
+    partitioning-order leak anywhere in the window/agg chain)."""
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = load_table(spark, sf_small, "documents")
+    man_a = qp.corpus_release_build(
+        spark, docs.repartition(7), staging.new_run_dir("trelfpa"),
+        version=0,
+    )
+    man_b = qp.corpus_release_build(
+        spark, docs.coalesce(1), staging.new_run_dir("trelfpb"),
+        version=0,
+    )
+    assert man_a["n_shards"] == man_b["n_shards"]
+    assert man_a["shards"] == man_b["shards"]
+    assert man_a["mixture"] == man_b["mixture"]
+
+
+def test_release_stale_rebuild_never_touches_referenced_data(
+    spark, sf_small
+):
+    """ADVICE r14 (medium): a stale or duplicate-version rebuild must
+    be refused BEFORE any data write — the live manifest references
+    this version's dir, and overwriting it (e.g. from a CHANGED corpus)
+    would silently invalidate the published fingerprints under readers.
+    The stale call returns the CURRENT manifest and leaves storage
+    byte-identical."""
+    import os
+
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = load_table(spark, sf_small, "documents")
+    release_dir = staging.new_run_dir("trelstale")
+    man0 = qp.corpus_release_build(spark, docs, release_dir, version=0)
+    data_dir = os.path.join(release_dir, man0["data"])
+    listing = {
+        (f, os.path.getmtime(os.path.join(dp, f)))
+        for dp, _dn, fns in os.walk(data_dir) for f in fns
+    }
+    # the stale rebuild uses a DIFFERENT corpus — exactly the case
+    # where an overwrite would corrupt the attestation
+    out = qp.corpus_release_build(
+        spark, docs.filter(F.col("doc_id") % 2 == 0), release_dir,
+        version=0,
+    )
+    assert out["version"] == 0 and out["data"] == man0["data"]
+    assert out["shards"] == man0["shards"]
+    after = {
+        (f, os.path.getmtime(os.path.join(dp, f)))
+        for dp, _dn, fns in os.walk(data_dir) for f in fns
+    }
+    assert after == listing  # no file rewritten, none added/removed
+    # and no orphan attempt dir appeared from the refused build
+    assert [
+        n for n in os.listdir(release_dir) if n.startswith("data_v")
+    ] == [man0["data"]]
+
+
+def test_release_forget_floor_survives_racing_normal_publish(
+    spark, sf_small
+):
+    """Round 15, verdict item 4 ("Done" criterion — the release-plane
+    twin of the hybrid manifest's floor race): a forget-driven rebuild
+    whose CAS loses to a racing normal publish of the same next version
+    must still raise the manifest floor on the racer's head and drop
+    sub-floor history, so no pre-forget release stays pinnable; its own
+    race-losing attempt dir is deleted."""
+    import os
+
+    import pytest
+
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        ObjectStoreSimIO,
+    )
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = load_table(spark, sf_small, "documents")
+    release_dir = staging.new_run_dir("trelfloor")
+    os.makedirs(release_dir, exist_ok=True)
+
+    class RacingIO:
+        def __init__(self):
+            self.inner = ObjectStoreSimIO()
+            self.raced = False
+
+        def __getattr__(self, name):
+            return getattr(self.inner, name)
+
+        def swap_pointer(self, path, obj, expected=None):
+            if not self.raced and obj.get("floor") == 2:
+                self.raced = True
+                # the racer: a NORMAL publish of version 2 that stacked
+                # the pre-forget head into its history
+                cur = self.inner.read_json(path)
+                racer = dict(cur)
+                racer.update(version=2, data="data_v0002_racer")
+                racer["hist"] = cur.get("hist", []) + [
+                    {"version": cur["version"], "data": cur["data"]}
+                ]
+                self.inner.swap_pointer(path, racer, expected=cur)
+            return self.inner.swap_pointer(path, obj, expected=expected)
+
+    io = RacingIO()
+    qp.corpus_release_build(spark, docs, release_dir, io=io, version=0)
+    qp.corpus_release_build(spark, docs, release_dir, io=io, version=1)
+    survivors = docs.filter(F.col("doc_id") % 7 != 3)
+    out = qp.corpus_release_build(
+        spark, survivors, release_dir, io=io, version=2, forget=True,
+    )
+    man = io.inner.read_json(qp._release_manifest_path(release_dir))
+    assert io.raced
+    # the racer's head survives (version never regresses) ...
+    assert man["version"] == 2 and man["data"] == "data_v0002_racer"
+    # ... but the forget's guarantee holds: floor raised, pre-forget
+    # versions unpinnable (history truncated AND read-side refusal)
+    assert man["floor"] == 2 and out["floor"] == 2
+    assert all(int(h["version"]) >= 2 for h in man.get("hist", []))
+    with pytest.raises(ValueError, match="forgotten"):
+        qp.corpus_release_read(spark, release_dir, io=io, at_version=0)
+    # the forget's race-losing attempt dir was deleted — only the two
+    # normal builds' dirs remain on disk
+    assert (
+        len([n for n in os.listdir(release_dir) if n.startswith("data_v")])
+        == 2
+    )
+    # a covered RE-forget with the floor already raised is a quiet
+    # no-op returning the current manifest, with no data write
+    again = qp.corpus_release_build(
+        spark, survivors, release_dir, io=io, version=2, forget=True,
+    )
+    assert again["version"] == 2 and again["floor"] == 2
+
+
+def test_release_sweep_orphans(spark, sf_small):
+    """Crashed or race-losing builds leave unreferenced attempt dirs;
+    the sweep removes exactly those at versions <= the head (they can
+    never be published — the CAS is version-monotone) and leaves both
+    referenced dirs and above-head in-flight attempts alone."""
+    import os
+
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = load_table(spark, sf_small, "documents")
+    release_dir = staging.new_run_dir("trelsweep")
+    man0 = qp.corpus_release_build(spark, docs, release_dir, version=0)
+    man1 = qp.corpus_release_build(spark, docs, release_dir, version=1)
+    # simulate a crashed attempt at a covered version and an in-flight
+    # attempt at the next version
+    os.makedirs(os.path.join(release_dir, "data_v0000_deadbeef"))
+    os.makedirs(os.path.join(release_dir, "data_v0002_inflight"))
+    swept = qp.corpus_release_sweep_orphans(release_dir)
+    assert swept == ["data_v0000_deadbeef"]
+    names = {
+        n for n in os.listdir(release_dir) if n.startswith("data_v")
+    }
+    assert names == {man0["data"], man1["data"], "data_v0002_inflight"}
+    # idempotent
+    assert qp.corpus_release_sweep_orphans(release_dir) == []

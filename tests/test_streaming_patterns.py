@@ -4826,3 +4826,173 @@ def test_tombstones_retire_after_purge_keeping_serve_exact(
         spark, run, docs.filter(F.col("doc_id") % 5 == 1).select("doc_id")
     )
     assert out3["n_forgotten"] == 0 and out3["gen"] == out2["gen"]
+
+
+def test_streaming_release_equals_batch_at_every_version(spark, sf_small):
+    """Round 15, verdict item 6: the streaming release ladder must be
+    byte-identical to one-shot batch releases over the same corpus
+    prefixes — version 1 (mid-stream, 3 of 6 chunks) equals the batch
+    build over the prefix corpus, version 2 (head) equals the batch
+    build over the full corpus, manifest fingerprints included; each
+    version carries the micro-batch watermark it covers and stays
+    pinnable through the history from one GET."""
+    from duckdb_streaming_patterns_spark.queries import (  # noqa: F401
+        QUERIES as _load_registry_chain,  # qp's oracle assembly needs it
+    )
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
+
+    run = staging.new_run_dir("tstrel")
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("tstrelc"), n_chunks=6
+    )
+    out = patterns.pattern_streaming_release(
+        spark, chunks, run, release_every=3, at_version=1,
+        state_partitions=4,
+    )
+    docs = load_table(spark, sf_small, "documents")
+    n = docs.count()
+    cut = 3 * ((n + 5) // 6)
+    # batch twins over the same prefixes, in fresh release dirs
+    man_mid = qp.corpus_release_build(
+        spark, docs.filter(F.col("doc_id") < cut),
+        staging.new_run_dir("tstrelmid"), version=1,
+    )
+    man_full = qp.corpus_release_build(
+        spark, docs, staging.new_run_dir("tstrelfull"), version=1,
+    )
+    release_dir = os.path.join(run, "release")
+    man = POSIX_IO.read_json(qp._release_manifest_path(release_dir))
+    assert man["version"] == 2 and man["covers"] == 5
+    assert [h["version"] for h in man["hist"]] == [1]
+    # head == batch-over-full-corpus, attested shard for shard
+    assert man["shards"] == man_full["shards"]
+    assert man["mixture"] == man_full["mixture"]
+    # mid-stream version == batch-over-prefix: its stored bytes
+    # re-fingerprint to the batch twin's manifest, and the returned
+    # consumer read (manifest GET -> history entry -> direct data
+    # reads) row-equals the pinned read of the same version
+    mid_rows = sorted(tuple(r) for r in out.collect())
+    assert man_mid["shards"] == _mid_manifest_shards(spark, release_dir, qp)
+    assert mid_rows == sorted(
+        tuple(r)
+        for r in qp.corpus_release_read(
+            spark, release_dir, at_version=1
+        ).collect()
+    )
+
+
+def _mid_manifest_shards(spark, release_dir, qp):
+    """The mid-stream version's shard fingerprints, recomputed from its
+    own stored data through the Merkle helper — proving the history
+    entry's bytes, not just the head's, match the batch twin."""
+    from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
+
+    man = POSIX_IO.read_json(qp._release_manifest_path(release_dir))
+    mid = [h for h in man["hist"] if int(h["version"]) == 1][0]
+    stored = spark.read.parquet(os.path.join(release_dir, mid["data"]))
+    return sorted(
+        (
+            {
+                "shard": int(r["shard"]),
+                "n_docs": int(r["n_docs"]),
+                "n_bins": int(r["n_bins"]),
+                "n_clean_tokens": int(r["n_clean_tokens"]),
+                "fingerprint": r["fingerprint"],
+            }
+            for r in qp._release_fingerprints(stored)
+        ),
+        key=lambda d: d["shard"],
+    )
+
+
+def test_streaming_release_tail_window_publishes(spark, sf_small):
+    """A chunk count that does not divide the release cadence still
+    publishes a head covering the FULL ingested corpus (the tail
+    release), so a consumer never trains on a truncated ladder."""
+    from duckdb_streaming_patterns_spark.queries import (  # noqa: F401
+        QUERIES as _load_registry_chain,
+    )
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
+
+    run = staging.new_run_dir("tstreltail")
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("tstreltc"), n_chunks=5
+    )
+    out = patterns.pattern_streaming_release(
+        spark, chunks, run, release_every=3, at_version=None,
+        state_partitions=4,
+    )
+    man = POSIX_IO.read_json(
+        qp._release_manifest_path(os.path.join(run, "release"))
+    )
+    # v1 covered batches 0-2; the tail v2 covers the remaining 2
+    assert man["version"] == 2 and man["covers"] == 4
+    docs = load_table(spark, sf_small, "documents")
+    man_full = qp.corpus_release_build(
+        spark, docs, staging.new_run_dir("tstreltf"), version=1,
+    )
+    assert man["shards"] == man_full["shards"]
+    assert out.count() == sum(s["n_docs"] for s in man_full["shards"])
+
+
+def test_ann_forget_on_dense_only_run(spark, sf_small):
+    """Round 15, verdict item 5: an ANN-only deployment (the
+    pattern_streaming_ann_index layout — no BM25 pointer, which
+    retrieval_forget refuses) can forget standalone: tombstone snapshot
+    + vacuum; the head probe excludes the vectors AND an as-of probe
+    pinned BELOW the delete snapshot cannot resurface them (the purge
+    rewrote every generation to survivors only); a re-forget is a
+    rows=0 no-op."""
+    import json as _json
+
+    import pytest
+
+    from pyspark.sql import Row
+
+    run = staging.new_run_dir("tannfgt")
+    chunks = staging.stage_embedding_chunks(
+        spark, sf_small, staging.new_run_dir("tannfgtc"), n_chunks=5
+    )
+    queries_df = load_table(spark, sf_small, "embeddings").filter(
+        F.col("vec_id") < 3
+    )
+    before = patterns.pattern_streaming_ann_index(
+        spark, chunks, run, queries_df, k=5, n_cells=8, n_probe=3,
+        state_partitions=4,
+    ).collect()
+    victims = sorted({r["neighbor_id"] for r in before if r["rank"] <= 2})
+    assert victims
+    feed = spark.createDataFrame([(v,) for v in victims], "vec_id long")
+    # the lexical-anchored forget refuses this layout — the factored
+    # dense half is the supported path
+    with pytest.raises(ValueError, match="generation pointer"):
+        patterns.retrieval_forget(spark, run, feed.withColumnRenamed(
+            "vec_id", "doc_id"
+        ))
+    index = SnapshotTable(
+        spark,
+        os.path.join(run, "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    pre_sid = index.max_snapshot_id()
+    out = patterns.ann_forget(spark, run, feed)
+    assert out["n_forgotten"] == len(victims)
+    assert out["ann_delete_snapshot"] == pre_sid + 1
+    with open(os.path.join(run, "anchors.json")) as f:
+        anchors = [Row(aid=a, vec=v) for a, v in _json.load(f)]
+    head = patterns.ann_probe(
+        spark, index, anchors, queries_df, k=5, n_probe=3
+    ).collect()
+    assert head and not {r["neighbor_id"] for r in head} & set(victims)
+    # the as-of probe BELOW the delete snapshot: purged, not resurfaced
+    pinned = patterns.ann_probe(
+        spark, index, anchors, queries_df, k=5, n_probe=3,
+        as_of_snapshot=pre_sid,
+    ).collect()
+    assert pinned and not {r["neighbor_id"] for r in pinned} & set(victims)
+    # idempotent re-forget: rows=0 tombstone, nothing re-measured
+    out2 = patterns.ann_forget(spark, run, feed)
+    assert out2["n_forgotten"] == 0

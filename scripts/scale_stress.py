@@ -96,6 +96,15 @@ HEAVY = [
     "pattern_streaming_asof_enrichment",
     "pattern_streaming_python_source",
     "pattern_streaming_python_sink",
+    # round-15 additions: the release build re-measured after the Merkle
+    # fingerprint + derived-shard rework (the r14 form's x10 was 4.9 with
+    # an O(shard) fingerprint buffer and 8-way window parallelism — the
+    # rework bounds buffers at bin size and scales n_shards with released
+    # tokens), and the streaming release ladder (per-batch O(batch)
+    # appends + 2 prefix-pass release builds — expected ~linear in corpus
+    # like the batch build it wraps).
+    "corpus_release_manifest",
+    "pattern_streaming_release",
 ]
 
 # rows_in attribution per query family (embedding-family rows were
@@ -118,6 +127,8 @@ ROWS_TABLE = {
     "pattern_streaming_quality_drift": "documents",
     "pattern_streaming_full_funnel": "documents",
     "snapshot_vacuum": "events",
+    "corpus_release_manifest": "documents",
+    "pattern_streaming_release": "documents",
 }
 
 TABLES = [

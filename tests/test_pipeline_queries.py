@@ -785,3 +785,28 @@ def test_release_sweep_orphans(spark, sf_small):
     assert names == {man0["data"], man1["data"], "data_v0002_inflight"}
     # idempotent
     assert qp.corpus_release_sweep_orphans(release_dir) == []
+
+
+def test_release_assign_plan_broadcasts_rates_no_doc_sort_merge(
+    spark, sf_small
+):
+    """Plan shape at scale for the round-15 release assignment: the
+    mixture rate table broadcasts into the doc scan (document rows
+    never shuffle for the accept), and no SortMergeJoin appears — the
+    only wide exchange the assignment owns is the shard hash partition
+    feeding the position window, whose width now scales with the
+    derived shard count."""
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+
+    docs = load_table(spark, sf_small, "documents")
+    reldocs = docs.select(
+        "doc_id",
+        "source",
+        F.length("text").cast("bigint").alias("n_clean_tokens"),
+        F.md5("text").alias("clean_md5"),
+    ).localCheckpoint(eager=True)
+    released, _mixture, n_shards = qp._release_assign(spark, reldocs)
+    assert n_shards >= 1
+    plan = released._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan[:2000]
+    assert "SortMergeJoin" not in plan, plan[:2000]

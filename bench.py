@@ -138,6 +138,7 @@ HEADLINE = [
     "pattern_bootstrap_then_stream",
     "corpus_build_shards",
     "corpus_release_manifest",
+    "pattern_streaming_release",
     "bonus_stateless_view_topk",
 ]
 

@@ -295,3 +295,52 @@ def test_release_read_path_request_budget(spark):
     assert io.inner.read_json(
         qp._release_manifest_path(release_dir)
     )["version"] == 0
+
+
+def test_release_publish_and_redelivery_request_budget(spark):
+    """The streaming-release exactly-once claim on the request plane
+    (round 15): one release publish costs O(1) pointer verbs (a
+    pre-check GET, a CAS-loop GET, one swap); a REDELIVERED build of an
+    already-covered version costs exactly ONE GET and writes NOTHING —
+    the pre-check returns before any data or pointer verb fires. The
+    forget floor-raise on a covered version costs one extra swap."""
+    from duckdb_streaming_patterns_spark.queries import (  # noqa: F401
+        QUERIES as _load_registry_chain,  # qp's oracle assembly needs it
+    )
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    io = CountingCommitIO(ObjectStoreSimIO())
+    release_dir = staging.new_run_dir("budrelpub")
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    before = io.snapshot()
+    qp.corpus_release_build(spark, docs, release_dir, io=io, version=0)
+    d = io.since(before)
+    # pointer plane: pre-check GET + CAS-loop GET + one swap; the data
+    # write is Spark-side (not a CommitIO verb) by design
+    assert d.get("try_read_json", 0) <= 2, d
+    assert d.get("swap_pointer", 0) == 1, d
+    assert d.get("delete_tree", 0) == 0, d
+    # redelivery of the covered version: ONE GET, zero writes, zero
+    # data-dir touches — the exactly-once release on at-least-once
+    # batch delivery
+    before = io.snapshot()
+    qp.corpus_release_build(spark, docs, release_dir, io=io, version=0)
+    d = io.since(before)
+    assert d == {"try_read_json": 1}, d
+    # covered forget with an unraised floor: the floor-raise path adds
+    # exactly one swap (version 1 so there IS a sub-floor version to
+    # truncate; a covered forget at version 0 is a pure-GET no-op —
+    # floor 0 already covers it)
+    qp.corpus_release_build(spark, docs, release_dir, io=io, version=1)
+    before = io.snapshot()
+    qp.corpus_release_build(
+        spark, docs, release_dir, io=io, version=1, forget=True
+    )
+    d = io.since(before)
+    assert d.get("swap_pointer", 0) == 1, d
+    assert d.get("put_json", 0) == 0 and d.get("promote_dir", 0) == 0, d
+    assert int(io.inner.read_json(
+        qp._release_manifest_path(release_dir)
+    )["floor"]) == 1

@@ -4239,7 +4239,11 @@ def publish_hybrid_manifest(
         if cur is not None and int(cur["version"]) >= version:
             head_stale = reset_history and int(cur["lex_gen"]) < lex_gen
             if not reset_history or (
-                cur_floor >= version and not head_stale
+                cur_floor >= version
+                and not head_stale
+                and cur_fgen >= lex_gen  # forget_gen must be recorded
+                # even when floor and head are already fine, or a later
+                # normal publish resolved pre-forget slips the clamp
             ):
                 return
             # forget racing a newer normal publish: raise the floor on
@@ -4266,11 +4270,15 @@ def publish_hybrid_manifest(
                 return
             except PointerCasError:
                 continue
-        if not reset_history and lex_gen < cur_fgen:
+        if lex_gen < cur_fgen:
             # NOT in the covered branch: this publish would INSTALL a
             # head resolved before a forget — refuse rather than serve
             # pre-forget scoping (a covered redelivery above stays a
-            # quiet no-op; only a would-install stale head is an error)
+            # quiet no-op; only a would-install stale head is an error).
+            # Applies to reset_history publishes too: a forget whose
+            # lex_gen sits below the recorded forget_gen is itself a
+            # stale redelivery whose version was somehow never covered
+            # — installing it would REGRESS the head's scoping.
             raise ValueError(
                 f"publish_hybrid_manifest({run_dir}, v{version}): "
                 f"lex_gen {lex_gen} predates the forget generation "

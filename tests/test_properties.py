@@ -781,3 +781,78 @@ def test_streaming_quantile_state_is_prefix_bottom_k(
             expect |= {(lang, d) for d in ranked[:k]}
         got = {(r["lang"], r["doc_id"]) for r in state.read().collect()}
         assert got == expect, (bid, got, expect)
+
+
+# -- Hybrid-manifest floor/clamp algebra (round 15) -------------------------
+# The pointer plane is pure Python (no Spark), so random operation
+# sequences are cheap: any interleaving of normal publishes and forget
+# publishes must preserve the GDPR guarantees the race tests pin at
+# specific interleavings.
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),          # is this publish a forget?
+            st.integers(0, 12),     # version
+            st.integers(0, 20),     # lex_gen
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_manifest_floor_and_clamp_invariants_hold_for_any_sequence(ops):
+    """For ANY sequence of hybrid-manifest publishes: the head version
+    and the floor are monotone non-decreasing; after a forget at
+    version v completes, floor >= v whenever the head covers v; the
+    head NEVER serves a lexical generation below forget_gen (the
+    round-15 clamp — a stale pre-forget head is either re-pointed or
+    its install refused); and every history entry sits at or above the
+    floor. ValueError from the clamp is an allowed outcome for a
+    would-install stale normal publish — the coordinator re-resolves."""
+    import os
+    import tempfile
+
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        ObjectStoreSimIO,
+    )
+    from duckdb_streaming_patterns_spark.streaming import patterns
+
+    io = ObjectStoreSimIO()
+    with tempfile.TemporaryDirectory() as run:
+        os.makedirs(run, exist_ok=True)
+        path = patterns._hybrid_manifest_path(run)
+        prev_head, prev_floor = -1, 0
+        for is_forget, version, lex_gen in ops:
+            try:
+                patterns.publish_hybrid_manifest(
+                    io, run, version=version, lex_gen=lex_gen,
+                    ann_snapshot=lex_gen, sum_dl=lex_gen * 10,
+                    n_docs=lex_gen, reset_history=is_forget,
+                )
+            except ValueError:
+                # the clamp refusing a would-install publish whose
+                # lex_gen predates forget_gen (normal OR a stale
+                # redelivered forget): legal; the invariant checks
+                # below verify the pointer stayed consistent
+                pass
+            man = io.try_read_json(path)
+            if man is None:
+                continue
+            head = int(man["version"])
+            floor = int(man.get("floor", 0))
+            fgen = int(man.get("forget_gen", 0))
+            # monotone head + floor
+            assert head >= prev_head
+            assert floor >= prev_floor
+            prev_head, prev_floor = head, floor
+            # a completed forget's guarantee (its version is covered)
+            if is_forget and head >= version:
+                assert floor >= version
+                assert fgen >= lex_gen
+            # the clamp: the head never serves pre-forget scoping
+            assert int(man["lex_gen"]) >= fgen
+            # history respects the floor and the clamp
+            for h in man.get("hist", []):
+                assert int(h["version"]) >= floor

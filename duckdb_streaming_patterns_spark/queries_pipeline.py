@@ -1429,6 +1429,107 @@ def _release_fingerprints(stored: DataFrame) -> list:
     )
 
 
+def _release_raise_floor(io, path: str, cur: dict, version: int):
+    """The forget's covered-race branch: the head version already
+    covers ours — raise the floor and truncate sub-floor history on
+    the CURRENT head (one CAS; None on a lost race, caller
+    re-reads)."""
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        PointerCasError,
+    )
+
+    new_man = dict(cur)
+    new_man["floor"] = max(int(cur.get("floor", 0)), version)
+    new_man["hist"] = [
+        h for h in cur.get("hist", [])
+        if int(h["version"]) >= new_man["floor"]
+    ]
+    try:
+        io.swap_pointer(path, new_man, expected=cur)
+        return new_man
+    except PointerCasError:
+        return None
+
+
+def _release_covered(io, release_dir: str, version: int, forget: bool):
+    """Spark-free pre-check half of the release publish discipline:
+    returns the GOVERNING manifest when ``version`` is already covered
+    (raising the floor for a not-yet-raised forget), else None — the
+    caller may build. Factored from corpus_release_build (round 15) so
+    the pointer algebra is property-testable without building data."""
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        PointerCasError,
+    )
+
+    path = _release_manifest_path(release_dir)
+    cur = io.try_read_json(path)
+    if cur is None or int(cur["version"]) < version:
+        return None
+    if not forget or int(cur.get("floor", 0)) >= version:
+        return cur
+    for _ in range(16):
+        out = _release_raise_floor(io, path, cur, version)
+        if out is not None:
+            return out
+        cur = io.read_json(path)
+        if int(cur.get("floor", 0)) >= version:
+            return cur
+    raise PointerCasError(
+        f"corpus_release_build({release_dir}, v{version}): floor "
+        "CAS retry budget exhausted"
+    )
+
+
+def _release_publish(
+    io, release_dir: str, manifest: dict, version: int, forget: bool,
+    data_dir: str | None = None,
+) -> dict:
+    """Spark-free CAS half of the release publish discipline: install
+    ``manifest`` as the head iff the version is still uncovered —
+    version-monotone, multi-writer-safe (a lost race re-reads and
+    re-plans), floor-carrying. On a race lost AFTER the build, the
+    caller's attempt ``data_dir`` is deleted (it can never be
+    published) and the winner's manifest governs — a forget still
+    raises the floor on the winner's head. Factored from
+    corpus_release_build (round 15) for property testing."""
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        READ_ABSENT,
+        PointerCasError,
+    )
+
+    path = _release_manifest_path(release_dir)
+    for _ in range(16):
+        cur = io.try_read_json(path)
+        cur_floor = int(cur.get("floor", 0)) if cur else 0
+        if cur is not None and int(cur["version"]) >= version:
+            if data_dir is not None:
+                io.delete_tree(data_dir)
+                data_dir = None  # delete once
+            if not forget or cur_floor >= version:
+                return cur
+            out = _release_raise_floor(io, path, cur, version)
+            if out is not None:
+                return out
+            continue
+        floor = version if forget else cur_floor
+        hist = [] if forget else (list(cur.get("hist", [])) if cur else [])
+        if cur is not None and not forget:
+            hist.append({"version": cur["version"], "data": cur["data"]})
+            hist = [h for h in hist if int(h["version"]) >= floor]
+        manifest["floor"] = floor
+        manifest["hist"] = hist[-_RELEASE_HISTORY_CAP:]
+        expected = cur if cur is not None else {READ_ABSENT: True}
+        try:
+            io.swap_pointer(path, manifest, expected=expected)
+            return manifest
+        except PointerCasError:
+            continue
+    raise PointerCasError(
+        f"corpus_release_build({release_dir}, v{version}): CAS retry "
+        "budget exhausted"
+    )
+
+
 def corpus_release_build(
     spark: SparkSession,
     docs: DataFrame,
@@ -1484,50 +1585,15 @@ def corpus_release_build(
     discipline as publish_hybrid_manifest)."""
     import uuid as _uuid
 
-    from duckdb_streaming_patterns_spark.plans.commitio import (
-        POSIX_IO,
-        READ_ABSENT,
-        PointerCasError,
-    )
+    from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
 
     io = io if io is not None else POSIX_IO
-    path = _release_manifest_path(release_dir)
-
-    def _raise_floor_on_covered_head(cur: dict) -> dict | None:
-        """The forget's covered-race branch: the head version already
-        covers ours — raise the floor and truncate sub-floor history on
-        the CURRENT head (one CAS; None on a lost race, caller
-        re-reads)."""
-        new_man = dict(cur)
-        new_man["floor"] = max(int(cur.get("floor", 0)), version)
-        new_man["hist"] = [
-            h for h in cur.get("hist", [])
-            if int(h["version"]) >= new_man["floor"]
-        ]
-        try:
-            io.swap_pointer(path, new_man, expected=cur)
-            return new_man
-        except PointerCasError:
-            return None
-
-    cur = io.try_read_json(path)
-    if cur is not None and int(cur["version"]) >= version:
+    covered = _release_covered(io, release_dir, version, forget)
+    if covered is not None:
         # version already covered: REFUSED BEFORE ANY DATA WRITE — the
         # live manifest may reference this version's dir; rebuilding it
         # would overwrite attested bytes under readers (ADVICE r14)
-        if not forget or int(cur.get("floor", 0)) >= version:
-            return cur
-        for _ in range(16):
-            out = _raise_floor_on_covered_head(cur)
-            if out is not None:
-                return out
-            cur = io.read_json(path)
-            if int(cur.get("floor", 0)) >= version:
-                return cur
-        raise PointerCasError(
-            f"corpus_release_build({release_dir}, v{version}): floor "
-            "CAS retry budget exhausted"
-        )
+        return covered
     kept, clean = _funnel_keep_clean(spark, docs)
     reldocs = kept.select("doc_id", "source").join(
         clean.select(
@@ -1586,36 +1652,8 @@ def corpus_release_build(
     # keeps a bounded HISTORY of (version, data) pairs so a training
     # run can pin an OLDER release from the same single GET — the
     # reproducibility contract a rerun needs.
-    for _ in range(16):
-        cur = io.try_read_json(path)
-        cur_floor = int(cur.get("floor", 0)) if cur else 0
-        if cur is not None and int(cur["version"]) >= version:
-            # lost the version race after building: our attempt dir can
-            # never be published — delete the orphan, honor the
-            # winner's manifest (and a forget still raises the floor)
-            io.delete_tree(data_dir)
-            if not forget or cur_floor >= version:
-                return cur
-            out = _raise_floor_on_covered_head(cur)
-            if out is not None:
-                return out
-            continue
-        floor = version if forget else cur_floor
-        hist = [] if forget else (list(cur.get("hist", [])) if cur else [])
-        if cur is not None and not forget:
-            hist.append({"version": cur["version"], "data": cur["data"]})
-            hist = [h for h in hist if int(h["version"]) >= floor]
-        manifest["floor"] = floor
-        manifest["hist"] = hist[-_RELEASE_HISTORY_CAP:]
-        expected = cur if cur is not None else {READ_ABSENT: True}
-        try:
-            io.swap_pointer(path, manifest, expected=expected)
-            return manifest
-        except PointerCasError:
-            continue
-    raise PointerCasError(
-        f"corpus_release_build({release_dir}, v{version}): CAS retry "
-        "budget exhausted"
+    return _release_publish(
+        io, release_dir, manifest, version, forget, data_dir=data_dir
     )
 
 

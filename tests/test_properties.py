@@ -856,3 +856,63 @@ def test_manifest_floor_and_clamp_invariants_hold_for_any_sequence(ops):
             # history respects the floor and the clamp
             for h in man.get("hist", []):
                 assert int(h["version"]) >= floor
+
+
+@given(
+    st.lists(
+        st.tuples(
+            st.booleans(),          # forget-driven publish?
+            st.integers(0, 10),     # version
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(max_examples=60, deadline=None)
+def test_release_publish_floor_invariants_hold_for_any_sequence(ops):
+    """The release manifest's factored pointer algebra
+    (queries_pipeline._release_covered / _release_publish, round 15)
+    under ANY sequence of builds: head version and floor monotone
+    non-decreasing; after a forget at version v whose version is
+    covered, floor >= v; every history entry at or above the floor;
+    the pre-check never reports 'covered' for a version above the
+    head. Runs the REAL publish code with synthetic manifests — no
+    Spark, no data dirs."""
+    import os
+    import tempfile
+
+    from duckdb_streaming_patterns_spark.queries import (  # noqa: F401
+        QUERIES as _chain,
+    )
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.plans.commitio import (
+        ObjectStoreSimIO,
+    )
+
+    io = ObjectStoreSimIO()
+    with tempfile.TemporaryDirectory() as rel:
+        os.makedirs(rel, exist_ok=True)
+        path = qp._release_manifest_path(rel)
+        prev_head, prev_floor = -1, 0
+        for forget, version in ops:
+            covered = qp._release_covered(io, rel, version, forget)
+            if covered is None:
+                # the uncovered path "builds" and publishes
+                qp._release_publish(
+                    io, rel,
+                    {"version": version, "data": f"data_v{version:04d}_x"},
+                    version, forget,
+                )
+            else:
+                # covered must never under-report the head
+                assert int(covered["version"]) >= version
+            man = io.try_read_json(path)
+            head = int(man["version"])
+            floor = int(man.get("floor", 0))
+            assert head >= prev_head
+            assert floor >= prev_floor
+            prev_head, prev_floor = head, floor
+            if forget and head >= version:
+                assert floor >= version
+            for h in man.get("hist", []):
+                assert int(h["version"]) >= floor

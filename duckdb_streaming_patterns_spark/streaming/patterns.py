@@ -3810,7 +3810,8 @@ def retrieval_forget(
     pointer swaps. Nothing rescans the corpus.
 
     Returns {"gen", "sum_dl", "n_docs", "ann_delete_snapshot",
-    "n_forgotten"}."""
+    "n_forgotten"} (+ "n_tombs_retired" when ``purge=True`` — the
+    round-15 retirement count, see :func:`_retire_tombstones`)."""
     lex_dir = os.path.join(run_dir, "lex")
     if not os.path.isdir(lex_dir):
         lex_dir = run_dir  # single-index (BM25-only) run layout

@@ -1657,6 +1657,70 @@ def corpus_release_build(
     )
 
 
+def release_version_diff(
+    spark: SparkSession,
+    release_dir: str,
+    v_old: int,
+    v_new: int | None = None,
+    io=None,
+) -> DataFrame:
+    """Cross-release audit (round 15): which docs ENTERED, LEFT, or
+    MOVED between two published release versions — the "what changed in
+    my training data" question a rerun asks before trusting a new
+    version. Both versions resolve through the SAME manifest (one GET —
+    ``v_old`` through the bounded history, ``v_new=None`` = the head),
+    then one full-outer join on doc_id classifies every doc:
+
+    - ``added``: in the new release only (corpus growth or mixture
+      rates admitting it as the histogram shifted);
+    - ``removed``: in the old only (rates tightened, or the doc left
+      the corpus — the GDPR case);
+    - ``moved``: in both but at a different (shard, shard_pos, bin) —
+      repacking, which a resumable training run must know about;
+    - ``stable``: same placement.
+
+    Old/new placement columns are -1-coalesced (never NULL) so the
+    result is engine-exactly comparable. Scale: two manifest-named
+    parquet scans + ONE shuffle on doc_id for the join — no corpus
+    rescan, no funnel re-run; cost is O(released rows), not O(corpus).
+    """
+    old = corpus_release_read(spark, release_dir, io=io, at_version=v_old)
+    new = corpus_release_read(spark, release_dir, io=io, at_version=v_new)
+    o = old.select(
+        "doc_id",
+        F.col("shard").alias("__os"),
+        F.col("shard_pos").alias("__op"),
+        F.col("bin_id").alias("__ob"),
+    )
+    n = new.select(
+        "doc_id",
+        F.col("shard").alias("__ns"),
+        F.col("shard_pos").alias("__np"),
+        F.col("bin_id").alias("__nb"),
+    )
+    j = o.join(n, "doc_id", "full_outer")
+    status = (
+        F.when(F.col("__os").isNull(), F.lit("added"))
+        .when(F.col("__ns").isNull(), F.lit("removed"))
+        .when(
+            (F.col("__os") != F.col("__ns"))
+            | (F.col("__op") != F.col("__np"))
+            | (F.col("__ob") != F.col("__nb")),
+            F.lit("moved"),
+        )
+        .otherwise(F.lit("stable"))
+    )
+    neg1 = F.lit(-1).cast("bigint")
+    return j.select(
+        "doc_id",
+        status.alias("status"),
+        F.coalesce(F.col("__os"), neg1).alias("old_shard"),
+        F.coalesce(F.col("__ob"), neg1).alias("old_bin"),
+        F.coalesce(F.col("__ns"), neg1).alias("new_shard"),
+        F.coalesce(F.col("__nb"), neg1).alias("new_bin"),
+    )
+
+
 def corpus_release_sweep_orphans(release_dir: str, io=None) -> list[str]:
     """Delete unreferenced release data dirs left by crashed or
     race-losing builds (round 15): any ``data_v*`` dir whose version is

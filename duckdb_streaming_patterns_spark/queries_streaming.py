@@ -1675,3 +1675,51 @@ def q_pattern_streaming_release(
         spark, chunks, run, release_every=3, at_version=1,
         state_partitions=4,
     )
+
+
+# Cross-release diff (round 15): both versions of the SAME release dir,
+# classified by a full-outer join — the oracle instantiates the release
+# SQL twice (prefix corpus = version 1, full corpus = version 2, the
+# same prefix arithmetic as the streaming ladder's mid-stream version).
+_RELEASE_DIFF_ORACLE = f"""
+    WITH v1 AS ({_STREAM_RELEASE_ORACLE}),
+         v2 AS ({_REG["corpus_release_manifest"][1]})
+    SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+           CASE WHEN v1.doc_id IS NULL THEN 'added'
+                WHEN v2.doc_id IS NULL THEN 'removed'
+                WHEN v1.shard != v2.shard OR v1.shard_pos != v2.shard_pos
+                     OR v1.bin_id != v2.bin_id THEN 'moved'
+                ELSE 'stable' END AS status,
+           CAST(COALESCE(v1.shard, -1) AS BIGINT) AS old_shard,
+           CAST(COALESCE(v1.bin_id, -1) AS BIGINT) AS old_bin,
+           CAST(COALESCE(v2.shard, -1) AS BIGINT) AS new_shard,
+           CAST(COALESCE(v2.bin_id, -1) AS BIGINT) AS new_bin
+    FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+"""
+
+
+@register("release_version_diff", _RELEASE_DIFF_ORACLE)
+def q_release_version_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cross-release audit a training rerun performs: publish
+    version 1 over the 3-chunk corpus prefix and version 2 over the
+    full corpus into ONE release dir, then classify every doc as
+    added / removed / moved / stable between the two versions — both
+    resolved through the same manifest (version 1 via the bounded
+    history). Mixture rates shift as the histogram fills in, so the
+    diff exercises all four statuses. See
+    queries_pipeline.release_version_diff."""
+    from duckdb_streaming_patterns_spark.queries_pipeline import (
+        corpus_release_build,
+        release_version_diff,
+    )
+    from duckdb_streaming_patterns_spark.registry import _t
+
+    docs = _t(spark, sf_dir, "documents")
+    release_dir = staging.new_run_dir("creldiff")
+    n = docs.count()
+    cut = 3 * ((n + 5) // 6)
+    corpus_release_build(
+        spark, docs.filter(F.col("doc_id") < cut), release_dir, version=1
+    )
+    corpus_release_build(spark, docs, release_dir, version=2)
+    return release_version_diff(spark, release_dir, v_old=1)

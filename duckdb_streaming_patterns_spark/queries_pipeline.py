@@ -1721,6 +1721,52 @@ def release_version_diff(
     )
 
 
+def release_epoch_plan(
+    spark: SparkSession,
+    release_dir: str,
+    n_workers: int,
+    at_version: int | None = None,
+    io=None,
+) -> DataFrame:
+    """The data-loader's read plan for one training epoch (round 15):
+    given a published release version, emit each worker's ORDERED list
+    of (shard, bin) units with doc/token counts — workers own whole
+    shards (`shard % n_workers`, so a shard's position order is never
+    split across workers and the seeded global order is preserved
+    within each worker), and ``seq`` numbers each worker's units in
+    read order (shard, then bin). Resumption is a (worker, seq)
+    watermark; re-sharding the WORKERS (a different n_workers) never
+    changes what a unit contains, only who reads it — the unit identity
+    is (shard, bin), pinned by the manifest's Merkle bin hashes.
+
+    Scale: one manifest-named scan + a (shard, bin)-grouped aggregation
+    (partial map-side — the scan is shard-partitioned) + a window over
+    units, which number corpus_tokens/bin_tokens — millions at 100 TB,
+    trivially window-able. O(units), never O(docs)."""
+    from pyspark.sql import Window as W
+
+    rel = corpus_release_read(spark, release_dir, io=io, at_version=at_version)
+    units = rel.groupBy("shard", "bin_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_clean_tokens").cast("long").alias("n_tokens"),
+    )
+    worker = F.pmod(F.col("shard"), F.lit(n_workers)).cast("bigint")
+    wseq = W.partitionBy("worker").orderBy("shard", "bin_id")
+    return (
+        units.select(
+            worker.alias("worker"), "shard", "bin_id", "n_docs", "n_tokens"
+        )
+        .select(
+            "worker",
+            F.row_number().over(wseq).cast("bigint").alias("seq"),
+            "shard",
+            "bin_id",
+            "n_docs",
+            "n_tokens",
+        )
+    )
+
+
 def corpus_release_sweep_orphans(release_dir: str, io=None) -> list[str]:
     """Delete unreferenced release data dirs left by crashed or
     race-losing builds (round 15): any ``data_v*`` dir whose version is
@@ -1867,4 +1913,45 @@ def q_corpus_release_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QP["corpus_release_manifest"] = (
     _QP["corpus_release_manifest"][0],
     _RELEASE_ORACLE.format(quality_sql=_QP["text_quality_scores"][1]),
+)
+
+
+_EPOCH_WORKERS = 4
+
+_EPOCH_PLAN_ORACLE_TMPL = """
+    WITH rel AS ({release_sql}),
+    units AS (SELECT shard, bin_id,
+                     CAST(count(*) AS BIGINT) AS n_docs,
+                     CAST(sum(n_clean_tokens) AS BIGINT) AS n_tokens
+              FROM rel GROUP BY shard, bin_id)
+    SELECT CAST(shard % {w} AS BIGINT) AS worker,
+           CAST(row_number() OVER (PARTITION BY shard % {w}
+                                   ORDER BY shard, bin_id) AS BIGINT)
+             AS seq,
+           shard, bin_id, n_docs, n_tokens
+    FROM units
+"""
+
+
+@register("release_epoch_plan", None)  # oracle assembled below
+def q_release_epoch_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The epoch read plan the training data-loader consumes (round
+    15): publish one release, then emit each of 4 workers' ordered
+    (shard, bin) unit list with doc/token counts — shard-whole worker
+    ownership, (worker, seq) resumption watermark, unit identity pinned
+    by the manifest's Merkle bin hashes.
+    See :func:`release_epoch_plan`."""
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = _t(spark, sf_dir, "documents")
+    release_dir = staging.new_run_dir("crelepoch")
+    corpus_release_build(spark, docs, release_dir, version=0)
+    return release_epoch_plan(spark, release_dir, n_workers=_EPOCH_WORKERS)
+
+
+_QP["release_epoch_plan"] = (
+    _QP["release_epoch_plan"][0],
+    _EPOCH_PLAN_ORACLE_TMPL.format(
+        release_sql=_QP["corpus_release_manifest"][1], w=_EPOCH_WORKERS
+    ),
 )

@@ -1788,7 +1788,11 @@ def corpus_release_sweep_orphans(release_dir: str, io=None) -> list[str]:
         if not name.startswith("data_v") or name in referenced:
             continue
         try:
-            v = int(name[6:10])
+            # parse up to the '_' attempt-suffix separator, NOT a fixed
+            # 4-char slice (ADVICE r15: data_v10000_… would misparse as
+            # 1000 and an above-head in-flight attempt could be swept
+            # mid-build once the head passes 4 digits)
+            v = int(name[6:].split("_", 1)[0])
         except ValueError:
             continue
         if v <= head:

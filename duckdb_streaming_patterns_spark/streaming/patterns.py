@@ -3682,8 +3682,22 @@ def _retire_tombstones(tomb, retired, horizon: int) -> int:
     membership), and a later-horizon retirement at worst duplicates a
     crash window's ids across two ledger dirs, harmless for a
     membership-only ledger."""
+    # MERGED dirs (ADVICE r15): a fold's dir carries a synthetic
+    # below-all-raw id but may combine tombstones from generations
+    # ABOVE the horizon, so selecting it by id would drop in-flight
+    # forgets. Nothing in-repo maintains the tomb log today; detecting
+    # folds by their manifests guards the generic helper against that
+    # ever changing.
+    all_dirs = tomb._batch_dirs()
+    if tomb._read_fold_manifests(dirs=all_dirs):
+        raise RuntimeError(
+            "_retire_tombstones: the tombstone log holds merged "
+            "(folded) dirs — retirement selects raw generation dirs "
+            "by id and cannot scope a fold that may straddle the "
+            "horizon. Do not maintain()/compact() the tomb log."
+        )
     dirs = [
-        d for d in tomb._batch_dirs()
+        d for d in all_dirs
         if int(d.rsplit("=", 1)[1]) <= horizon
     ]
     if not dirs:
@@ -4950,9 +4964,16 @@ def ann_forget(
     ``deleted`` carries ``vec_id`` (or ``doc_id`` — the hybrid id-space
     contract). Idempotent: a re-forget of already-gone vectors commits
     a rows=0 tombstone (no data dir) and re-vacuums a no-op. The
-    tombstone's batch id is 80_000 + the pre-delete snapshot head —
-    unique per committed state, so a crashed attempt that DID commit
-    its tombstone fences the retry's duplicate.
+    tombstone's batch id derives from the REQUEST — 80_000 + a hash of
+    the sorted vec_id set (ADVICE r15: the old head-derived id changed
+    when a crashed attempt's committed tombstone advanced the head, so
+    the retry committed a SECOND rows=0 entry and reported
+    n_forgotten=0) — so a retry of the same request, before or after a
+    crash, always resolves the original committed snapshot and returns
+    its true count. Consequence: re-forgetting the identical id set
+    after those ids were somehow re-inserted stays fenced to the
+    original tombstone (GDPR re-insertion of forgotten ids is an
+    upstream contract violation, not a retry).
 
     Returns {"ann_delete_snapshot", "n_forgotten"}. Scale: one bounded
     request-sized collect, one visible-scoped scan for the tombstone
@@ -4978,7 +4999,12 @@ def ann_forget(
         # later vacuum may retire (the GDPR-row vacuum lesson)
     )
     id_list = [r["vec_id"] for r in ids.collect()]  # bounded: request
-    batch_id = 80_000 + index.max_snapshot_id()
+    import hashlib as _hashlib
+
+    req_key = _hashlib.md5(
+        "\n".join(str(i) for i in sorted(id_list)).encode()
+    ).hexdigest()
+    batch_id = 80_000 + int(req_key[:12], 16) % 2_000_000_000
     sid = index.delete(
         F.col("vec_id").isin(id_list), key_cols=["vec_id"],
         batch_id=batch_id,

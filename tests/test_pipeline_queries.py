@@ -785,6 +785,12 @@ def test_release_sweep_orphans(spark, sf_small):
     assert names == {man0["data"], man1["data"], "data_v0002_inflight"}
     # idempotent
     assert qp.corpus_release_sweep_orphans(release_dir) == []
+    # 5-digit versions parse up to the attempt-suffix separator (ADVICE
+    # r15: a fixed 4-char slice read data_v10001 as 1000 <= head and
+    # swept an above-head in-flight attempt mid-build)
+    os.makedirs(os.path.join(release_dir, "data_v10001_inflight"))
+    assert qp.corpus_release_sweep_orphans(release_dir) == []
+    assert os.path.isdir(os.path.join(release_dir, "data_v10001_inflight"))
 
 
 def test_release_assign_plan_broadcasts_rates_no_doc_sort_merge(

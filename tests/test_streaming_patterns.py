@@ -4828,6 +4828,24 @@ def test_tombstones_retire_after_purge_keeping_serve_exact(
     assert out3["n_forgotten"] == 0 and out3["gen"] == out2["gen"]
 
 
+def test_retire_tombstones_refuses_maintained_tomb_log(spark):
+    """ADVICE r15: retirement selects raw generation dirs by id; a
+    MERGED (negative-id) dir could fold tombstones from generations
+    above the horizon, so deleting it by its synthetic id would drop
+    in-flight forgets. Nothing in-repo maintains the tomb log — the
+    guard pins that contract in the generic helper."""
+    import pytest
+
+    run = staging.new_run_dir("tretguard")
+    tomb = patterns.bm25_tomb_log(spark, run)
+    retired = patterns.bm25_retired_tomb_log(spark, run)
+    tomb.append(spark.createDataFrame([(1,), (2,)], "doc_id long"), 1)
+    tomb.append(spark.createDataFrame([(3,)], "doc_id long"), 2)
+    tomb.maintain(fanout=2)  # folds the raw dirs into a negative-id dir
+    with pytest.raises(RuntimeError, match="merged"):
+        patterns._retire_tombstones(tomb, retired, horizon=2)
+
+
 def test_streaming_release_equals_batch_at_every_version(spark, sf_small):
     """Round 15, verdict item 6: the streaming release ladder must be
     byte-identical to one-shot batch releases over the same corpus
@@ -4993,6 +5011,21 @@ def test_ann_forget_on_dense_only_run(spark, sf_small):
         as_of_snapshot=pre_sid,
     ).collect()
     assert pinned and not {r["neighbor_id"] for r in pinned} & set(victims)
-    # idempotent re-forget: rows=0 tombstone, nothing re-measured
+    # idempotent re-forget of the SAME request: fenced to the ORIGINAL
+    # tombstone — same snapshot, same measured count, no second ledger
+    # entry (ADVICE r15: the request-derived fence key makes a replay —
+    # crash-retry or caller re-issue — resolve the first commit instead
+    # of committing a rows=0 duplicate and reporting 0)
+    post_sid = index.max_snapshot_id()
     out2 = patterns.ann_forget(spark, run, feed)
-    assert out2["n_forgotten"] == 0
+    assert out2 == out
+    assert index.max_snapshot_id() == post_sid
+    # a DIFFERENT request (disjoint ids, nothing to delete) is its own
+    # commit: a genuine rows=0 no-op, not a fence hit
+    out3 = patterns.ann_forget(
+        spark, run,
+        spark.createDataFrame([(10_000_000,)], "vec_id long"),
+    )
+    assert out3["n_forgotten"] == 0 and out3["ann_delete_snapshot"] != out[
+        "ann_delete_snapshot"
+    ]

@@ -1532,13 +1532,14 @@ def _release_publish(
 
 def corpus_release_build(
     spark: SparkSession,
-    docs: DataFrame,
+    docs: DataFrame | None,
     release_dir: str,
     io=None,
     version: int = 0,
     forget: bool = False,
     shard_token_budget: int = _SHARD_TOKEN_BUDGET,
     covers=None,
+    reldocs: DataFrame | None = None,
 ) -> dict:
     """Build + publish one corpus release version: compute the released
     per-doc assignment (funnel → clean → mixture → shard → bin) as one
@@ -1582,7 +1583,12 @@ def corpus_release_build(
     dominate), three bounded scalar collects, an n_shards-row collect
     for the fingerprints, one data write, one pointer swap. Publish is
     version-monotone and multi-writer-safe via the CAS (same
-    discipline as publish_hybrid_manifest)."""
+    discipline as publish_hybrid_manifest). ``reldocs`` (round 16)
+    skips the funnel entirely: the caller supplies the per-doc
+    (doc_id, source, n_clean_tokens, clean_md5) metadata — the
+    streaming release ladder maintains it incrementally per
+    micro-batch, so its release ticks cost O(released metadata) +
+    the data write, never a corpus re-funnel."""
     import uuid as _uuid
 
     from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
@@ -1594,17 +1600,25 @@ def corpus_release_build(
         # live manifest may reference this version's dir; rebuilding it
         # would overwrite attested bytes under readers (ADVICE r14)
         return covered
-    kept, clean = _funnel_keep_clean(spark, docs)
-    reldocs = kept.select("doc_id", "source").join(
-        clean.select(
+    if reldocs is None:
+        # one-shot batch build: run the funnel + span removal here. The
+        # streaming ladder instead passes ``reldocs`` — the per-doc
+        # funnel/clean metadata it maintains INCREMENTALLY per
+        # micro-batch (round 16) — so a release tick pays O(released
+        # metadata), never a corpus-prefix funnel re-run.
+        kept, clean = _funnel_keep_clean(spark, docs)
+        reldocs = kept.select("doc_id", "source").join(
+            clean.select(
+                "doc_id",
+                (F.col("n_tokens") - F.col("n_removed"))
+                .cast("bigint")
+                .alias("n_clean_tokens"),
+                F.md5("clean_text").alias("clean_md5"),
+            ),
             "doc_id",
-            (F.col("n_tokens") - F.col("n_removed"))
-            .cast("bigint")
-            .alias("n_clean_tokens"),
-            F.md5("clean_text").alias("clean_md5"),
-        ),
-        "doc_id",
-    ).localCheckpoint(eager=True)  # funnel runs once, not 4x
+        )
+    reldocs = reldocs.localCheckpoint(eager=True)  # the assignment takes
+    # several actions over this frame — funnel/state-scan runs once, not 4x
     released, mixture, n_shards = _release_assign(
         spark, reldocs, shard_token_budget
     )

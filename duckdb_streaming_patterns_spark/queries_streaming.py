@@ -1659,12 +1659,18 @@ _STREAM_RELEASE_ORACLE = _REG["corpus_release_manifest"][1].replace(
 def q_pattern_streaming_release(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    """Versioned training-data releases tracking a live corpus: 6
-    micro-batches land in the corpus-of-record; release version 1
-    publishes MID-STREAM (after batch 3), version 2 at the end — both
-    through the CAS release manifest with attempt-suffixed data dirs.
-    The returned rows are the CONSUMER read of the mid-stream version
-    (one manifest GET resolving it through the head's bounded history +
+    """Versioned training-data releases tracking a live corpus,
+    INCREMENTAL form (round 16): 6 micro-batches land in the
+    corpus-of-record while each doc pays the release funnel exactly
+    once at its arrival batch (per-doc keep/clean metadata accumulated
+    in insert-only state logs, maintenance tick at batches 2 and 4);
+    release version 1 publishes MID-STREAM (after batch 3) and version
+    2 at the end from the accumulated METADATA alone — O(released
+    metadata) per tick, no corpus re-funnel — both through the CAS
+    release manifest with attempt-suffixed data dirs, with retention
+    (keep_last=2) expiring + orphan-sweeping after each publish. The
+    returned rows are the CONSUMER read of the mid-stream version (one
+    manifest GET resolving it through the head's bounded history +
     direct data reads), and the oracle is the batch release SQL over
     the 3-chunk corpus prefix — the driver hash IS the streaming ≡
     batch equality at a mid-stream version.
@@ -1673,7 +1679,7 @@ def q_pattern_streaming_release(
     chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=6)
     return patterns.pattern_streaming_release(
         spark, chunks, run, release_every=3, at_version=1,
-        state_partitions=4,
+        state_partitions=4, compact_every=2, keep_last=2,
     )
 
 

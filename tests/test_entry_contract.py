@@ -202,6 +202,9 @@ def test_registered_streaming_forms_pin_maintenance_cadence():
         "pattern_streaming_asof_enrichment",
         "pattern_streaming_python_source",
         "pattern_streaming_retrieval_gdpr",
+        # r16: the release ladder's incremental funnel state logs get
+        # the same in-loop tick
+        "pattern_streaming_release",
     ]
     for name in owners:
         src = inspect.getsource(qs[name])

@@ -4955,6 +4955,224 @@ def test_streaming_release_tail_window_publishes(spark, sf_small):
     assert out.count() == sum(s["n_docs"] for s in man_full["shards"])
 
 
+def test_streaming_release_funnel_state_is_incremental(
+    spark, sf_small, monkeypatch
+):
+    """Round 16, verdict item 1: the ladder must never re-run the batch
+    funnel — each doc's release metadata is computed ONCE, at its
+    arrival batch, and later release ticks re-READ it from state. Pins
+    both halves: _funnel_keep_clean is poisoned for the whole run, and
+    every reldocs row lives in exactly the batch dir of the doc's
+    arrival chunk."""
+    import glob as _glob
+
+    from duckdb_streaming_patterns_spark.queries import (  # noqa: F401
+        QUERIES as _load_registry_chain,  # qp's oracle assembly needs it
+    )
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+
+    def _boom(*a, **k):
+        raise AssertionError("ladder re-ran the batch funnel")
+
+    monkeypatch.setattr(qp, "_funnel_keep_clean", _boom)
+    run = staging.new_run_dir("tstrelinc")
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("tstrelincc"), n_chunks=6
+    )
+    out = patterns.pattern_streaming_release(
+        spark, chunks, run, release_every=3, at_version=None,
+        state_partitions=4,
+    )
+    assert out.count() > 0
+    base = sorted(_glob.glob(os.path.join(run, "fstate_e*")))[-1]
+    rel = spark.read.option(
+        "basePath", os.path.join(base, "reldocs")
+    ).parquet(os.path.join(base, "reldocs"))
+    assert rel.groupBy("doc_id").count().filter("count > 1").count() == 0
+    docs = load_table(spark, sf_small, "documents")
+    per = (docs.count() + 5) // 6
+    rows = rel.select("doc_id", "__batch_id").collect()
+    assert rows and all(
+        r["doc_id"] // per == r["__batch_id"] for r in rows
+    )
+
+
+def test_release_funnel_batch_retry_is_idempotent(spark, sf_small):
+    """A crashed foreachBatch re-delivers its batch; the incremental
+    funnel's before_batch-scoped reads + per-dir idempotent appends
+    must make the re-delivered state bit-identical to a clean run."""
+    docs = load_table(spark, sf_small, "documents")
+    per = (docs.count() + 2) // 3
+    b0 = docs.filter(F.col("doc_id") < per).localCheckpoint(eager=True)
+    b1 = (
+        docs.filter(
+            (F.col("doc_id") >= per) & (F.col("doc_id") < 2 * per)
+        ).localCheckpoint(eager=True)
+    )
+    runs = [staging.new_run_dir("trfbretry"), staging.new_run_dir("trfbclean")]
+    both = [patterns.release_state_logs(spark, r) for r in runs]
+    for logs in both:
+        patterns.release_funnel_batch(spark, *logs, b0, 0)
+        patterns.release_funnel_batch(spark, *logs, b1, 1)
+    patterns.release_funnel_batch(spark, *both[0], b1, 1)  # the retry
+    for i in range(4):
+        a = sorted(tuple(r) for r in both[0][i].read_latest().collect())
+        b = sorted(tuple(r) for r in both[1][i].read_latest().collect())
+        assert a == b, f"state log {i} diverged after re-delivery"
+
+
+def test_streaming_release_exact_when_benchmark_spans_batches(
+    spark, sf_small
+):
+    """The exactness edge of the incremental split (round 16): when
+    tiny chunking spreads the doc_id<50 contamination benchmark across
+    several micro-batches, docs KEPT before the benchmark finished
+    arriving are exactly the short (< 8-token) benchmark docs — which
+    no bitset can ever flag — so the incremental ladder needs NO
+    rebuild and must still equal the one-shot batch build at both
+    rungs. Forced here with 20-doc chunks and docs 0-19 rewritten to a
+    7-token quality-passing text: chunk 0 lands kept docs, chunks 1-2
+    bring the rest of the benchmark's grams afterwards."""
+    import glob as _glob
+
+    from duckdb_streaming_patterns_spark.queries import (  # noqa: F401
+        QUERIES as _load_registry_chain,
+    )
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
+
+    docs = (
+        load_table(spark, sf_small, "documents")
+        .filter(F.col("doc_id") < 120)
+        .withColumn(
+            "text",
+            F.when(
+                F.col("doc_id") < 20,
+                F.concat(
+                    F.lit("it was the best of times "),
+                    F.col("doc_id").cast("string"),
+                ),
+            ).otherwise(F.col("text")),
+        )
+        .localCheckpoint(eager=True)
+    )
+    out_dir = staging.new_run_dir("tstrellatec")
+    chunk = (F.col("doc_id") / F.lit(20)).cast("int").alias("__chunk")
+    chunks_dir = os.path.join(out_dir, "chunks")
+    (
+        docs.select("*", chunk)
+        .repartition("__chunk")
+        .write.mode("overwrite")
+        .partitionBy("__chunk")
+        .parquet(chunks_dir)
+    )
+    staging._stamp_chunk_order(chunks_dir)
+    run = staging.new_run_dir("tstrellate")
+    out = patterns.pattern_streaming_release(
+        spark, chunks_dir, run, release_every=3, at_version=None,
+        state_partitions=4,
+    )
+    # the edge is genuinely exercised: short benchmark docs were kept
+    # and released, and no epoch rebuild happened
+    assert out.filter(F.col("doc_id") < 20).count() > 0
+    eps = sorted(_glob.glob(os.path.join(run, "fstate_e*")))
+    assert len(eps) == 1 and eps[0].endswith("e00000")
+    release_dir = os.path.join(run, "release")
+    man = POSIX_IO.read_json(qp._release_manifest_path(release_dir))
+    man_full = qp.corpus_release_build(
+        spark, docs, staging.new_run_dir("tstrellatef"), version=1
+    )
+    assert man["shards"] == man_full["shards"]
+    assert man["mixture"] == man_full["mixture"]
+    # the mid-stream rung equals the batch build over the 60-doc prefix
+    man_mid = qp.corpus_release_build(
+        spark, docs.filter(F.col("doc_id") < 60),
+        staging.new_run_dir("tstrellatem"), version=1,
+    )
+    assert _mid_manifest_shards(spark, release_dir, qp) == man_mid["shards"]
+
+
+def test_streaming_release_ladder_retention(spark, sf_small):
+    """Round 16, verdict item 2: keep_last wired into the ladder —
+    expired versions' data dirs are GONE from disk while the pinnable
+    history still serves, and a read below the retained window raises."""
+    import pytest
+
+    from duckdb_streaming_patterns_spark.queries import (  # noqa: F401
+        QUERIES as _load_registry_chain,
+    )
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
+
+    run = staging.new_run_dir("tstrelret")
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("tstrelretc"), n_chunks=6
+    )
+    out = patterns.pattern_streaming_release(
+        spark, chunks, run, release_every=1, at_version=5,
+        state_partitions=4, keep_last=2,
+    )
+    release_dir = os.path.join(run, "release")
+    man = POSIX_IO.read_json(qp._release_manifest_path(release_dir))
+    assert man["version"] == 6
+    assert [h["version"] for h in man["hist"]] == [5]
+    data_dirs = [
+        n for n in os.listdir(release_dir) if n.startswith("data_v")
+    ]
+    assert len(data_dirs) == 2  # the head + the one retained rung
+    assert out.count() > 0  # v5 still serves through the history
+    with pytest.raises(ValueError, match="not in the manifest"):
+        qp.corpus_release_read(spark, release_dir, at_version=4)
+
+
+def test_streaming_release_ladder_forget_raises_floor(spark, sf_small):
+    """Round 16, verdict item 5: GDPR forget composed into the LADDER —
+    a mid-stream corpus delete tombstones AND vacuums the corpus-of-
+    record, epoch-rebuilds the funnel state over the survivors, and
+    publishes a forget release whose floor refuses every pre-delete
+    version; the head must equal the one-shot batch release over the
+    surviving corpus."""
+    import pytest
+
+    from duckdb_streaming_patterns_spark.queries import (  # noqa: F401
+        QUERIES as _load_registry_chain,
+    )
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
+
+    run = staging.new_run_dir("tstrelfgt")
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, staging.new_run_dir("tstrelfgtc"), n_chunks=6
+    )
+    out = patterns.pattern_streaming_release(
+        spark, chunks, run, release_every=3, at_version=None,
+        state_partitions=4,
+        forget_predicate=F.col("doc_id") % 7 == 3,
+        forget_after_batch=5,
+    )
+    release_dir = os.path.join(run, "release")
+    man = POSIX_IO.read_json(qp._release_manifest_path(release_dir))
+    assert man["version"] == 3  # v1 (batch 2) + the forget rung
+    assert man["floor"] == 3 and man["hist"] == []
+    assert out.filter(F.col("doc_id") % 7 == 3).count() == 0
+    docs = load_table(spark, sf_small, "documents")
+    man_full = qp.corpus_release_build(
+        spark, docs.filter(~(F.col("doc_id") % 7 == 3)),
+        staging.new_run_dir("tstrelfgtf"), version=1,
+    )
+    assert man["shards"] == man_full["shards"]
+    assert man["mixture"] == man_full["mixture"]
+    with pytest.raises(ValueError, match="forgotten"):
+        qp.corpus_release_read(spark, release_dir, at_version=1)
+    # the corpus-of-record is physically purged, not just tombstoned
+    corpus = SnapshotTable(
+        spark,
+        os.path.join(run, "corpus"),
+        "doc_id long, text string, source string",
+    )
+    assert corpus.read().filter(F.col("doc_id") % 7 == 3).count() == 0
+
+
 def test_ann_forget_on_dense_only_run(spark, sf_small):
     """Round 15, verdict item 5: an ANN-only deployment (the
     pattern_streaming_ann_index layout — no BM25 pointer, which

@@ -1381,7 +1381,7 @@ def _release_assign(
     return released, mixture, n_shards
 
 
-def _release_fingerprints(stored: DataFrame) -> list:
+def _release_fingerprint_df(stored: DataFrame) -> DataFrame:
     """Merkle-shaped per-shard fingerprints over the WRITTEN release
     data (round 15, verdict item 2): md5 over each bin's clean_md5
     sequence in position order, then md5 over the shard's bin hashes in
@@ -1390,8 +1390,10 @@ def _release_fingerprints(stored: DataFrame) -> list:
     holds one BIN's docs (~bin_tokens worth), the per-shard list holds
     32-byte bin hashes (budget/bin_tokens of them) — instead of the
     r14 shape that materialized a whole shard's md5 sequence in one
-    buffer (O(shard) executor memory, the 100 TB killer). Bounded
-    collect: n_shards rows."""
+    buffer (O(shard) executor memory, the 100 TB killer). DataFrame
+    form shared by the build-time attestation
+    (:func:`_release_fingerprints`, an n_shards-row bounded collect)
+    and the consumer-side :func:`corpus_release_verify`."""
     bins = stored.groupBy("shard", "bin_id").agg(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_clean_tokens").cast("long").alias("n_clean_tokens"),
@@ -1407,26 +1409,27 @@ def _release_fingerprints(stored: DataFrame) -> list:
             )
         ).alias("bin_md5"),
     )
-    return (
-        bins.groupBy("shard")
-        .agg(
-            F.sum("n_docs").cast("long").alias("n_docs"),
-            (F.max("bin_id") + 1).cast("long").alias("n_bins"),
-            F.sum("n_clean_tokens").cast("long").alias("n_clean_tokens"),
-            F.md5(
-                F.concat_ws(
-                    "",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("bin_id", "bin_md5"))
-                        ),
-                        lambda s: s["bin_md5"],
+    return bins.groupBy("shard").agg(
+        F.sum("n_docs").cast("long").alias("n_docs"),
+        (F.max("bin_id") + 1).cast("long").alias("n_bins"),
+        F.sum("n_clean_tokens").cast("long").alias("n_clean_tokens"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("bin_id", "bin_md5"))
                     ),
-                )
-            ).alias("fingerprint"),
-        )
-        .collect()
+                    lambda s: s["bin_md5"],
+                ),
+            )
+        ).alias("fingerprint"),
     )
+
+
+def _release_fingerprints(stored: DataFrame) -> list:
+    """Build-time attestation form: bounded collect, n_shards rows."""
+    return _release_fingerprint_df(stored).collect()
 
 
 def _release_raise_floor(io, path: str, cur: dict, version: int):
@@ -1742,21 +1745,35 @@ def release_epoch_plan(
     at_version: int | None = None,
     io=None,
 ) -> DataFrame:
-    """The data-loader's read plan for one training epoch (round 15):
-    given a published release version, emit each worker's ORDERED list
-    of (shard, bin) units with doc/token counts — workers own whole
-    shards (`shard % n_workers`, so a shard's position order is never
+    """The data-loader's read plan for one training epoch (round 15;
+    TOKEN-balanced round 16): given a published release version, emit
+    each worker's ORDERED list of (shard, bin) units with doc/token
+    counts. Workers own whole shards (a shard's position order is never
     split across workers and the seeded global order is preserved
-    within each worker), and ``seq`` numbers each worker's units in
-    read order (shard, then bin). Resumption is a (worker, seq)
-    watermark; re-sharding the WORKERS (a different n_workers) never
-    changes what a unit contains, only who reads it — the unit identity
-    is (shard, bin), pinned by the manifest's Merkle bin hashes.
+    within each worker), assigned by SERPENTINE order over shards
+    ranked by (token count desc, shard): rank r goes to worker r % w on
+    even rounds and w-1-(r % w) on odd rounds — the boustrophedon
+    schedule that closes the r15 corner where `shard % n_workers` gave
+    one worker up to a full extra shard (the budget-partial last shard
+    + any n_workers ∤ n_shards remainder). The spread (max − min worker
+    tokens) stays ≤ the largest shard's tokens — i.e. ≤ the shard
+    token budget — the same bound greedy LPT gives, while remaining a
+    pure SQL-expressible function of the manifest (the oracle replays
+    it; LPT's argmin recurrence is not). ``seq`` numbers each worker's
+    units in read order (shard, then bin); resumption is a (worker,
+    seq) watermark. Re-sharding the WORKERS (a different n_workers)
+    never changes what a unit contains, only who reads it — the unit
+    identity is (shard, bin), pinned by the manifest's Merkle bin
+    hashes, which :func:`corpus_release_verify` recomputes from the
+    stored bytes (the pre-epoch integrity check this plan's consumer
+    should run first).
 
     Scale: one manifest-named scan + a (shard, bin)-grouped aggregation
-    (partial map-side — the scan is shard-partitioned) + a window over
-    units, which number corpus_tokens/bin_tokens — millions at 100 TB,
-    trivially window-able. O(units), never O(docs)."""
+    (partial map-side — the scan is shard-partitioned) + one window
+    over units (corpus_tokens/bin_tokens rows — millions at 100 TB,
+    trivially window-able) + one global rank over SHARDS
+    (corpus_tokens/budget narrow rows; metadata-scale, the same class
+    as the manifest itself). O(units), never O(docs)."""
     from pyspark.sql import Window as W
 
     rel = corpus_release_read(spark, release_dir, io=io, at_version=at_version)
@@ -1764,11 +1781,27 @@ def release_epoch_plan(
         F.count("*").cast("long").alias("n_docs"),
         F.sum("n_clean_tokens").cast("long").alias("n_tokens"),
     )
-    worker = F.pmod(F.col("shard"), F.lit(n_workers)).cast("bigint")
+    shards = units.groupBy("shard").agg(
+        F.sum("n_tokens").alias("__stok")
+    )
+    r = (
+        F.row_number().over(
+            W.orderBy(F.col("__stok").desc(), F.col("shard"))
+        )
+        - 1
+    )
+    pos = F.pmod(r, F.lit(n_workers))
+    worker = F.when(
+        F.pmod(F.floor(r / n_workers), F.lit(2)) == 0, pos
+    ).otherwise(F.lit(n_workers - 1) - pos)
+    asg = shards.select(
+        "shard", worker.cast("bigint").alias("worker")
+    )
     wseq = W.partitionBy("worker").orderBy("shard", "bin_id")
     return (
-        units.select(
-            worker.alias("worker"), "shard", "bin_id", "n_docs", "n_tokens"
+        units.join(F.broadcast(asg), "shard")
+        .select(
+            "worker", "shard", "bin_id", "n_docs", "n_tokens"
         )
         .select(
             "worker",
@@ -1866,6 +1899,87 @@ def corpus_release_read(
     )
 
 
+def corpus_release_verify(
+    spark: SparkSession,
+    release_dir: str,
+    shard: int | None = None,
+    io=None,
+) -> DataFrame:
+    """Consumer-side Merkle verification (round 16, verdict item 6) —
+    the integrity half a training run calls BEFORE an epoch: recompute
+    the per-shard fingerprints bottom-up (bin md5s over clean_md5 in
+    position order, shard md5 over bin hashes in bin order) from the
+    manifest-named stored data and compare them, field by field,
+    against what the HEAD manifest attests. Returns one row per shard:
+    (shard, n_docs, n_bins, n_clean_tokens, fingerprint, ok) — the
+    recomputed values with ``ok`` false on any divergence (tampered or
+    truncated bins flip the bin hash and everything above it; a shard
+    missing from storage or unattested by the manifest reports -1
+    counts / '' fingerprint on its absent side).
+
+    ``shard`` restricts the check to one shard — the stored data is
+    shard-partitioned, so the scan prunes to that shard's partition
+    (PartitionFilters), the single-shard pre-read check a resuming
+    worker runs. Head-only by design: history entries pin (version,
+    data) but deliberately not the O(n_shards) fingerprint lists (the
+    pointer document stays metadata-sized); a pinned rung re-verifies
+    against the manifest that published it.
+
+    Scale: one manifest GET, one (pruned) scan of the release data,
+    the same bounded-buffer Merkle aggregation as the build, one
+    n_shards-row (or 1-row) broadcast of the attested values. O(stored
+    release), never O(corpus)."""
+    from duckdb_streaming_patterns_spark.plans.commitio import POSIX_IO
+
+    io = io if io is not None else POSIX_IO
+    man = io.read_json(_release_manifest_path(release_dir))
+    attested = [
+        s for s in man["shards"]
+        if shard is None or int(s["shard"]) == shard
+    ]
+    # n_shards-row driver list — the manifest already holds it in one
+    # pointer document, so this adds no new scale class
+    exp = spark.createDataFrame(
+        [
+            (
+                int(s["shard"]),
+                int(s["n_docs"]),
+                int(s["n_bins"]),
+                int(s["n_clean_tokens"]),
+                s["fingerprint"],
+            )
+            for s in attested
+        ],
+        "shard bigint, e_n_docs bigint, e_n_bins bigint, "
+        "e_n_clean_tokens bigint, e_fingerprint string",
+    )
+    stored = spark.read.parquet(_os.path.join(release_dir, man["data"]))
+    if shard is not None:
+        stored = stored.filter(F.col("shard") == shard)
+    actual = _release_fingerprint_df(stored).withColumn(
+        "shard", F.col("shard").cast("bigint")
+    )
+    neg1 = F.lit(-1).cast("bigint")
+    return (
+        actual.join(F.broadcast(exp), "shard", "full_outer")
+        .select(
+            "shard",
+            F.coalesce("n_docs", neg1).alias("n_docs"),
+            F.coalesce("n_bins", neg1).alias("n_bins"),
+            F.coalesce("n_clean_tokens", neg1).alias("n_clean_tokens"),
+            F.coalesce("fingerprint", F.lit("")).alias("fingerprint"),
+            (
+                F.col("n_docs").eqNullSafe(F.col("e_n_docs"))
+                & F.col("n_bins").eqNullSafe(F.col("e_n_bins"))
+                & F.col("n_clean_tokens").eqNullSafe(
+                    F.col("e_n_clean_tokens")
+                )
+                & F.col("fingerprint").eqNullSafe(F.col("e_fingerprint"))
+            ).alias("ok"),
+        )
+    )
+
+
 def corpus_release_expire(
     release_dir: str, io=None, keep_last: int = 2
 ) -> list[int]:
@@ -1934,6 +2048,51 @@ _QP["corpus_release_manifest"] = (
 )
 
 
+_RELEASE_VERIFY_ORACLE_TMPL = """
+    WITH rel AS ({release_sql}),
+    bins AS (SELECT shard, bin_id,
+                    CAST(count(*) AS BIGINT) AS n_docs,
+                    CAST(sum(n_clean_tokens) AS BIGINT) AS n_tok,
+                    md5(string_agg(clean_md5, '' ORDER BY shard_pos))
+                      AS bin_md5
+             FROM rel GROUP BY shard, bin_id)
+    SELECT shard,
+           CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           CAST(max(bin_id) + 1 AS BIGINT) AS n_bins,
+           CAST(sum(n_tok) AS BIGINT) AS n_clean_tokens,
+           md5(string_agg(bin_md5, '' ORDER BY bin_id)) AS fingerprint,
+           TRUE AS ok
+    FROM bins GROUP BY shard
+"""
+
+
+@register("corpus_release_verify", None)  # oracle assembled below
+def q_corpus_release_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Consumer-side Merkle verification of a published release (round
+    16): build + publish version 0, then recompute every shard's
+    bin-wise fingerprint bottom-up from the stored bytes and compare
+    against the manifest's attestation — the pre-epoch integrity check
+    a training run performs. The oracle recomputes the same Merkle
+    chain in SQL from the release definition, so the driver hash pins
+    recomputation AND agreement (every ok=true). Tamper detection is
+    pinned locally by test_release_verify_detects_tampered_bin.
+    See :func:`corpus_release_verify`."""
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = _t(spark, sf_dir, "documents")
+    release_dir = staging.new_run_dir("crelver")
+    corpus_release_build(spark, docs, release_dir, version=0)
+    return corpus_release_verify(spark, release_dir)
+
+
+_QP["corpus_release_verify"] = (
+    _QP["corpus_release_verify"][0],
+    _RELEASE_VERIFY_ORACLE_TMPL.format(
+        release_sql=_QP["corpus_release_manifest"][1]
+    ),
+)
+
+
 _EPOCH_WORKERS = 4
 
 _EPOCH_PLAN_ORACLE_TMPL = """
@@ -1941,13 +2100,24 @@ _EPOCH_PLAN_ORACLE_TMPL = """
     units AS (SELECT shard, bin_id,
                      CAST(count(*) AS BIGINT) AS n_docs,
                      CAST(sum(n_clean_tokens) AS BIGINT) AS n_tokens
-              FROM rel GROUP BY shard, bin_id)
-    SELECT CAST(shard % {w} AS BIGINT) AS worker,
-           CAST(row_number() OVER (PARTITION BY shard % {w}
-                                   ORDER BY shard, bin_id) AS BIGINT)
-             AS seq,
-           shard, bin_id, n_docs, n_tokens
-    FROM units
+              FROM rel GROUP BY shard, bin_id),
+    shards AS (SELECT shard, sum(n_tokens) AS stok
+               FROM units GROUP BY shard),
+    ranked AS (SELECT shard,
+                      row_number() OVER (ORDER BY stok DESC, shard) - 1
+                        AS r
+               FROM shards),
+    asg AS (SELECT shard,
+                   CAST(CASE WHEN (r // {w}) % 2 = 0 THEN r % {w}
+                             ELSE {w} - 1 - (r % {w}) END AS BIGINT)
+                     AS worker
+            FROM ranked)
+    SELECT asg.worker,
+           CAST(row_number() OVER (PARTITION BY asg.worker
+                                   ORDER BY units.shard, units.bin_id)
+                AS BIGINT) AS seq,
+           units.shard, units.bin_id, units.n_docs, units.n_tokens
+    FROM units JOIN asg ON asg.shard = units.shard
 """
 
 

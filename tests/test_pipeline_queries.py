@@ -793,6 +793,91 @@ def test_release_sweep_orphans(spark, sf_small):
     assert os.path.isdir(os.path.join(release_dir, "data_v10001_inflight"))
 
 
+def test_release_epoch_plan_token_balance(spark, sf_small):
+    """Round 16, verdict item 7: the epoch plan's serpentine
+    assignment keeps whole-shard ownership and bounds the worker token
+    spread by the largest shard (≤ the shard token budget) — the r15
+    `shard % n_workers` corner (budget-partial last shard + remainder
+    bias) closed. Forced to many shards with a small budget."""
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = load_table(spark, sf_small, "documents")
+    release_dir = staging.new_run_dir("trelbal")
+    man = qp.corpus_release_build(
+        spark, docs, release_dir, version=0, shard_token_budget=256
+    )
+    assert len(man["shards"]) >= 6
+    max_shard = max(int(s["n_clean_tokens"]) for s in man["shards"])
+    for w in (2, 3, 4):
+        plan = qp.release_epoch_plan(spark, release_dir, n_workers=w)
+        rows = plan.collect()
+        per_worker: dict = {}
+        per_shard: dict = {}
+        for r in rows:
+            per_worker[r["worker"]] = (
+                per_worker.get(r["worker"], 0) + r["n_tokens"]
+            )
+            per_shard.setdefault(r["shard"], set()).add(r["worker"])
+        assert all(len(v) == 1 for v in per_shard.values()), (
+            "a shard split across workers"
+        )
+        loads = [per_worker.get(k, 0) for k in range(w)]
+        assert max(loads) - min(loads) <= max_shard, (w, loads, max_shard)
+        # (worker, seq) is a contiguous 1..n read order
+        for wk in per_worker:
+            seqs = sorted(r["seq"] for r in rows if r["worker"] == wk)
+            assert seqs == list(range(1, len(seqs) + 1))
+
+
+def test_release_verify_detects_tampered_bin(spark, sf_small):
+    """Round 16, verdict item 6: corpus_release_verify recomputes the
+    Merkle chain from the stored bytes — green on an untampered
+    release (full and single-shard pruned forms), and a single flipped
+    clean_md5 in one stored row flips exactly its shard's ok."""
+    import os
+
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = load_table(spark, sf_small, "documents")
+    release_dir = staging.new_run_dir("trelver")
+    man = qp.corpus_release_build(spark, docs, release_dir, version=0)
+    ok = qp.corpus_release_verify(spark, release_dir)
+    assert ok.count() == len(man["shards"])
+    assert ok.filter(~F.col("ok")).count() == 0
+    s0 = int(man["shards"][0]["shard"])
+    one = qp.corpus_release_verify(spark, release_dir, shard=s0)
+    rows = one.collect()
+    assert len(rows) == 1 and rows[0]["ok"]
+    # tamper one doc's stored clean_md5 in place
+    data_dir = os.path.join(release_dir, man["data"])
+    stored = spark.read.parquet(data_dir).localCheckpoint(eager=True)
+    victim = stored.orderBy("shard", "shard_pos").first()
+    vshard = int(victim["shard"])
+    (
+        stored.withColumn(
+            "clean_md5",
+            F.when(
+                (F.col("shard") == vshard)
+                & (F.col("shard_pos") == victim["shard_pos"]),
+                F.lit("0" * 32),
+            ).otherwise(F.col("clean_md5")),
+        )
+        .repartition(F.col("shard"))
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(data_dir)
+    )
+    out = qp.corpus_release_verify(spark, release_dir).collect()
+    bad = [r for r in out if not r["ok"]]
+    assert [int(r["shard"]) for r in bad] == [vshard]
+    # a content flip keeps the counts — only the fingerprint diverges
+    att = next(s for s in man["shards"] if int(s["shard"]) == vshard)
+    assert bad[0]["n_docs"] == att["n_docs"]
+    assert bad[0]["fingerprint"] != att["fingerprint"]
+
+
 def test_release_assign_plan_broadcasts_rates_no_doc_sort_merge(
     spark, sf_small
 ):

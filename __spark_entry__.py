@@ -315,12 +315,31 @@ from duckdb_streaming_patterns_spark.queries import QUERIES  # noqa: E402
 #     through the head's history against the batch release SQL over the
 #     3-chunk corpus prefix, so one row pins streaming ≡ batch at a
 #     mid-stream version THROUGH the consumer path.
+# Round-16 rotation (round-15 verdict item 3) — the release plane's
+# CONSUMER surface takes the window:
+#   mixture_temperature_sample (its engine-exact integer mixture
+#     arithmetic runs UNCHANGED inside pattern_streaming_mixture_sample
+#     — still a driver row — and inside every release build the
+#     pattern_streaming_release row hashes; the batch row stays
+#     exact-checked locally) → release_version_diff: the cross-release
+#     audit a training rerun performs — two versions of ONE release dir
+#     resolved through the same manifest (v1 via bounded history),
+#     every doc classified added/removed/moved/stable by one doc_id
+#     full-outer join over manifest-named scans.
+#   pack_token_bins (its per-shard prefix-sum → floor(prefix/2048) bin
+#     packing is EXACTLY the released assignment's bin packing, which
+#     both release driver rows hash over every released doc; the
+#     standalone row stays exact-checked locally) → release_epoch_plan:
+#     the data-loader's per-worker epoch read plan — (shard, bin) units
+#     with doc/token counts, serpentine token-balanced whole-shard
+#     ownership, (worker, seq) resumption — the surface a training run
+#     actually consumes from a release.
 _PRIORITY = [
     # reference parity over `events` (SURVEY §2.3-§2.8)
     "user_clicks",
     "user_clicks_top5",
     "pattern_streaming_python_source",
-    "mixture_temperature_sample",
+    "release_version_diff",
     "pattern_streaming_mixture_sample",
     "pattern_streaming_distinct_kmv",
     "pattern_streaming_ann_index_expiring",
@@ -361,7 +380,7 @@ _PRIORITY = [
     "pattern_streaming_hybrid_manifest",
     "hybrid_rrf_retrieval_ivf",
     # corpus pipeline (§2.11)
-    "pack_token_bins",
+    "release_epoch_plan",
     "contamination_ngram_overlap",
     "pattern_streaming_retrieval_gdpr",
     "doc_chunks_udtf",

@@ -1661,14 +1661,19 @@ def q_pattern_streaming_release(
 ) -> DataFrame:
     """Versioned training-data releases tracking a live corpus,
     INCREMENTAL form (round 16): 6 micro-batches land in the
-    corpus-of-record while each doc pays the release funnel exactly
-    once at its arrival batch (per-doc keep/clean metadata accumulated
-    in insert-only state logs, maintenance tick at batches 2 and 4);
+    corpus-of-record (the only per-batch cost) while each doc pays the
+    release funnel exactly once, at its covering release tick (per-doc
+    keep/clean metadata accumulated in insert-only state logs,
+    maintenance tick at batches 2 and 4);
     release version 1 publishes MID-STREAM (after batch 3) and version
     2 at the end from the accumulated METADATA alone — O(released
     metadata) per tick, no corpus re-funnel — both through the CAS
-    release manifest with attempt-suffixed data dirs, with retention
-    (keep_last=2) expiring + orphan-sweeping after each publish. The
+    release manifest with attempt-suffixed data dirs. Retention is
+    deliberately NOT enabled here: the scale-stress corpus has
+    non-dense doc_ids (chunking yields >6 micro-batches there), so a
+    keep_last window would expire the pinned version this row reads;
+    the expiry + orphan-sweep wiring is pinned by
+    test_streaming_release_ladder_retention instead. The
     returned rows are the CONSUMER read of the mid-stream version (one
     manifest GET resolving it through the head's bounded history +
     direct data reads), and the oracle is the batch release SQL over
@@ -1679,7 +1684,7 @@ def q_pattern_streaming_release(
     chunks = staging.stage_document_chunks(spark, sf_dir, run, n_chunks=6)
     return patterns.pattern_streaming_release(
         spark, chunks, run, release_every=3, at_version=1,
-        state_partitions=4, compact_every=2, keep_last=2,
+        state_partitions=4, compact_every=2,
     )
 
 

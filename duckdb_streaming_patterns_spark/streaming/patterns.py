@@ -5025,6 +5025,7 @@ def release_funnel_batch(
     batch: DataFrame,
     batch_id: int,
     bench_max_id: int = 50,
+    bitset_cache: dict | None = None,
 ) -> None:
     """One micro-batch of the INCREMENTAL release funnel (round 16) —
     the streaming decomposition of queries_pipeline._funnel_keep_clean,
@@ -5051,24 +5052,41 @@ def release_funnel_batch(
     Per-batch cost: three text passes over the BATCH (md5, quality,
     grams), two partition-pruned state probes, one batch-gram window —
     nothing corpus-sized shuffles, document text never leaves its
-    arrival batch."""
+    arrival batch. ``bitset_cache`` (a dict the caller keeps across
+    batches) skips the bench-state scan + bloom rebuild on every batch
+    that brings no benchmark doc — the steady state once the benchmark
+    prefix has arrived; the cached bytes are a pure function of bench
+    state ≤ this batch, so a crashed batch's retry recomputes them
+    bit-identically whether or not the cache survived."""
     from duckdb_streaming_patterns_spark.functions.text import shingles
-
-    bg = (
-        batch.filter(F.col("doc_id") < bench_max_id)
-        .select(F.explode(shingles(F.col("text"), k=8)).alias("g"))
-        .distinct()
-        .localCheckpoint(eager=True)  # bounded: the benchmark's grams
-    )
     from duckdb_streaming_patterns_spark.operators import dedup as dedup_ops
 
-    if _log_has_state(bench_log, batch_id):
-        state_b = bench_log.read_latest(before_batch=batch_id)
-        bench_all = state_b.select("g").unionByName(bg).distinct()
-        new_bg = bg.join(state_b, "g", "left_anti")
-    else:
-        bench_all, new_bg = bg, bg
-    bitset = dedup_ops.bloom_build(bench_all, "g")
+    cache = bitset_cache if bitset_cache is not None else {}
+    has_bench_docs = (
+        len(
+            batch.filter(F.col("doc_id") < bench_max_id)
+            .select("doc_id").take(1)
+        )
+        > 0
+    )
+    new_bg = None
+    if has_bench_docs or "bitset" not in cache:
+        bg = (
+            batch.filter(F.col("doc_id") < bench_max_id)
+            .select(F.explode(shingles(F.col("text"), k=8)).alias("g"))
+            .distinct()
+            .localCheckpoint(eager=True)  # bounded: the benchmark
+        )
+        if _log_has_state(bench_log, batch_id):
+            state_b = bench_log.read_latest(before_batch=batch_id)
+            bench_all = state_b.select("g").unionByName(bg).distinct()
+            new_bg = bg.join(state_b, "g", "left_anti").localCheckpoint(
+                eager=True
+            )
+        else:
+            bench_all, new_bg = bg, bg
+        cache["bitset"] = dedup_ops.bloom_build(bench_all, "g")
+    bitset = cache["bitset"]
     qb, (b, new_firsts, canon) = overlap(
         lambda: _quality_bloom_frame(batch, bitset, k=8),
         lambda: _dedup_tier(seen_log, batch, batch_id),
@@ -5102,20 +5120,25 @@ def release_funnel_batch(
         .localCheckpoint(eager=True)
     )
     # empty frames are skipped (an all-empty log cannot be scanned); the
-    # counts are on checkpointed batch-bounded frames, and a retry
+    # counts run on checkpointed batch-bounded frames INSIDE the
+    # overlapped append thunks (no serial count pass), and a retry
     # recomputes them bit-identically
-    append_all(
-        [
-            (log, df)
-            for log, df in (
-                (seen_log, new_firsts.localCheckpoint(eager=True)),
-                (bench_log, new_bg.localCheckpoint(eager=True)),
-                (gram_log, new_grams),
-                (rel_log, rel_rows),
+    writes = [
+        (seen_log, new_firsts.localCheckpoint(eager=True)),
+        (gram_log, new_grams),
+        (rel_log, rel_rows),
+    ]
+    if new_bg is not None:
+        writes.append((bench_log, new_bg))
+    overlap(
+        *[
+            (
+                lambda log=log, df=df: (
+                    log.append(df, batch_id) if df.count() > 0 else None
+                )
             )
-            if df.count() > 0
-        ],
-        batch_id,
+            for log, df in writes
+        ]
     )
 
 
@@ -5134,19 +5157,22 @@ def pattern_streaming_release(
 ) -> DataFrame:
     """Versioned training-data releases tracking a LIVE corpus —
     INCREMENTAL form (round 16, clearing the r15 weak): the document
-    stream lands batch by batch in a corpus-of-record SnapshotTable
-    while the release funnel's per-doc outputs (keep verdict, span-
-    cleaned token count, clean_md5) are maintained INCREMENTALLY in the
-    four insert-only state logs of :func:`release_state_logs` — each
-    arriving doc pays the funnel exactly once, at its arrival batch
-    (:func:`release_funnel_batch`). Every ``release_every``
-    micro-batches the coordinator publishes the next release VERSION by
-    feeding the accumulated reldocs METADATA to
-    :func:`~duckdb_streaming_patterns_spark.queries_pipeline.
-    corpus_release_build` (``reldocs=`` path): a release tick costs
-    O(released metadata) for the mixture/shard/bin assignment plus the
-    shard data write — document text is never re-read, the funnel never
-    re-runs. Each rung is byte-identical to the one-shot batch release
+    stream lands batch by batch in a corpus-of-record SnapshotTable —
+    the ONLY per-batch cost, O(batch) — while the release funnel's
+    per-doc outputs (keep verdict, span-cleaned token count, clean_md5)
+    are maintained INCREMENTALLY in the four insert-only state logs of
+    :func:`release_state_logs`: each release tick first funnels ONLY
+    the docs that arrived since the last tick (the delta batches, read
+    back from the corpus-of-record by snapshot id and processed as one
+    consolidated :func:`release_funnel_batch` call — each doc pays the
+    funnel exactly once, at its covering tick), then publishes the
+    next release VERSION by feeding the accumulated reldocs METADATA
+    to :func:`~duckdb_streaming_patterns_spark.queries_pipeline.
+    corpus_release_build` (``reldocs=`` path). A release tick
+    therefore costs O(new docs) funnel + O(released metadata)
+    assignment plus the shard data write — the corpus prefix is never
+    re-funneled, document text already funneled is never re-read.
+    Each rung is byte-identical to the one-shot batch release
     over the same corpus prefix (streaming ≡ batch — the driver row
     pins the MID-STREAM version against the batch oracle), pinnable
     through the bounded history, stamped ``covers`` = its micro-batch
@@ -5221,6 +5247,7 @@ def pattern_streaming_release(
         "batches": 0,
         "epoch": int(epochs[-1].rsplit("_e", 1)[1]) if epochs else 0,
     }
+    bitset_cache: dict = {}
     logs = list(release_state_logs(spark, run_dir, state["epoch"]))
     kwargs = (
         {} if shard_token_budget is None
@@ -5255,12 +5282,59 @@ def pattern_streaming_release(
         # partial epoch — the rebuild is deterministic, overwrite whole
         state["epoch"] = epoch
         logs[:] = release_state_logs(spark, run_dir, epoch)
+        bitset_cache.clear()  # the bitset must re-derive from the
+        # SURVIVING corpus (a forget may have removed benchmark docs)
         combined = corpus.read().select(
             "doc_id", "text", "source"
         ).localCheckpoint(eager=True)
-        release_funnel_batch(spark, *logs, combined, batch_id)
+        release_funnel_batch(
+            spark, *logs, combined, batch_id, bitset_cache=bitset_cache
+        )
         if os.path.isdir(old) and old != base:
             _shutil.rmtree(old, ignore_errors=True)
+
+    def _prev_processed(b: int) -> int:
+        """The batch id through which funnel state is already complete
+        when the tick at ``b`` fires — a PURE function of (b, cadence,
+        forget_after_batch), so a foreachBatch retry and a restarted
+        stream compute the identical delta window."""
+        t = ((b + 1) // release_every) * release_every - 1
+        if t >= b:  # b is itself a tick
+            t = b - release_every
+        if forget_after_batch is not None and forget_after_batch <= b:
+            # the forget's epoch rebuild re-funneled the whole surviving
+            # corpus through batch ``forget_after_batch`` inclusive
+            t = max(t, forget_after_batch)
+        return t
+
+    def _ingest_delta(batch_id: int) -> None:
+        """Funnel the docs that arrived since the last processed point —
+        the batches (prev, batch_id] read back from the corpus-of-record
+        by their snapshot ids (the scan prunes to those snapshot dirs) —
+        as ONE consolidated release_funnel_batch call: monotone doc_id
+        arrival makes the combined window identical to per-batch
+        sequential processing, at a third of the job-launch overhead."""
+        lo = _prev_processed(batch_id)
+        if lo >= batch_id:
+            return
+        bids = set(range(lo + 1, batch_id + 1))
+        sids = [
+            int(s["snapshot_id"])
+            for s in corpus.snapshots()
+            if s.get("batch_id") in bids
+        ]
+        if not sids:
+            return
+        delta = (
+            corpus.read()
+            .filter(F.col("snapshot_id").isin(sids))
+            .select("doc_id", "text", "source")
+            .localCheckpoint(eager=True)  # the funnel's tiers read the
+            # delta 5-6 times; one materialization, not repeated scans
+        )
+        release_funnel_batch(
+            spark, *logs, delta, batch_id, bitset_cache=bitset_cache
+        )
 
     def apply_batch(batch: DataFrame, batch_id: int) -> None:
         if compact_every and batch_id > 0 and batch_id % compact_every == 0:
@@ -5269,7 +5343,6 @@ def pattern_streaming_release(
             batch.select("doc_id", "text", "source"), batch_id=batch_id
         )
         state["batches"] = max(state["batches"], batch_id + 1)
-        release_funnel_batch(spark, *logs, batch, batch_id)
         if (
             forget_after_batch is not None
             and batch_id == forget_after_batch
@@ -5283,6 +5356,7 @@ def pattern_streaming_release(
             _rebuild(2 * batch_id + 2, batch_id)
             _publish(_version_for(batch_id), covers=batch_id, forget=True)
         if (batch_id + 1) % release_every == 0:
+            _ingest_delta(batch_id)
             _publish(_version_for(batch_id), covers=batch_id)
 
     with _state_partitions(spark, state_partitions):
@@ -5299,6 +5373,7 @@ def pattern_streaming_release(
     if man is None or int(man.get("covers") if man.get("covers") is not None else -1) < last:
         # tail release: the last partial window still publishes, so the
         # head always covers the full ingested (surviving) corpus
+        _ingest_delta(last)
         _publish((int(man["version"]) + 1) if man else 1, covers=last)
     return corpus_release_read(spark, release_dir, at_version=at_version)
 

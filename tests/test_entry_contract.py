@@ -99,8 +99,12 @@ def test_first_50_cover_every_family():
         # inside pattern_streaming_mixture_sample; the drift DECISION
         # stays pinned by local exact tests + the cadence test below) —
         # the round-13 mixture-sampling family took the slots
+        # mixture_temperature_sample rotated out in r16 (its integer
+        # mixture arithmetic runs unchanged inside the streaming
+        # sampling row AND inside every release build both release
+        # driver rows hash; stays exact-checked locally) — the
+        # cross-release audit took the slot, see pipeline family
         "sampling": {
-            "mixture_temperature_sample",
             "pattern_streaming_mixture_sample",
         },
         "text": {
@@ -140,7 +144,13 @@ def test_first_50_cover_every_family():
             "pattern_streaming_release",
         },
         "pipeline": {
-            "pack_token_bins",
+            # pack_token_bins rotated out in r16 (its per-shard
+            # prefix-sum bin packing IS the released assignment's bin
+            # packing, hashed over every released doc by both release
+            # driver rows; stays exact-checked locally) — the release
+            # consumer surface took the slots
+            "release_version_diff",
+            "release_epoch_plan",
             # contamination_bloom_flags rotated out in r13 (n-gram
             # contamination pinned by the exact sibling; bloom machinery
             # by runtime_bloom_join's plan-asserted local tests)

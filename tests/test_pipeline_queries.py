@@ -793,6 +793,32 @@ def test_release_sweep_orphans(spark, sf_small):
     assert os.path.isdir(os.path.join(release_dir, "data_v10001_inflight"))
 
 
+def test_release_verify_single_shard_scan_prunes(spark, sf_small):
+    """corpus_release_verify(shard=k) is the resuming worker's pre-read
+    check — its scan must prune to that shard's partition
+    (PartitionFilters on the shard-partitioned release data), not read
+    the whole release."""
+    import contextlib
+    import io
+    import re
+
+    from duckdb_streaming_patterns_spark import queries_pipeline as qp
+    from duckdb_streaming_patterns_spark.streaming import staging
+
+    docs = load_table(spark, sf_small, "documents")
+    release_dir = staging.new_run_dir("trelverprune")
+    man = qp.corpus_release_build(spark, docs, release_dir, version=0)
+    s0 = int(man["shards"][0]["shard"])
+    out = qp.corpus_release_verify(spark, release_dir, shard=s0)
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        out.explain("formatted")
+    plan = buf.getvalue()
+    assert "PartitionFilters" in plan, plan[:3000]
+    m = re.search(r"PartitionFilters: \[([^\]]*shard[^\]]*)\]", plan)
+    assert m and str(s0) in m.group(1), plan[:3000]
+
+
 def test_release_epoch_plan_token_balance(spark, sf_small):
     """Round 16, verdict item 7: the epoch plan's serpentine
     assignment keeps whole-shard ownership and bounds the worker token

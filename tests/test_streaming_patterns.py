@@ -5024,6 +5024,48 @@ def test_release_funnel_batch_retry_is_idempotent(spark, sf_small):
         assert a == b, f"state log {i} diverged after re-delivery"
 
 
+def test_span_gram_state_probe_is_dpp_pruned(spark):
+    """The incremental span removal's only state touch: the
+    first-occurrence gram probe must carry a dynamic-partition-pruning
+    subquery on the gram-bucketed log (broadcast batch keys with __kb
+    derived on the build side), so a tick reads O(delta's buckets) of
+    accumulated gram state — never the whole log."""
+    run = staging.new_run_dir("tspanprobe")
+    logs = patterns.release_state_logs(spark, run)
+    gram_log = logs[2]
+    gram_log.append(
+        spark.createDataFrame(
+            [(i * 7919,) for i in range(50)], "gram long"
+        ),
+        0,
+    )
+    g = spark.createDataFrame(
+        [(1, 1, 7919), (1, 2, 123456789)], "__id long, pos long, gram long"
+    )
+    # build the probe's join WITHOUT the localCheckpoint tail (which
+    # would hide the join from explain), through the same pieces the
+    # probe composes
+    import contextlib
+    import io
+
+    state = gram_log.read_latest(before_batch=1, keep_bucket=True)
+    b_keys = (
+        g.select("gram")
+        .distinct()
+        .filter(F.col("gram") >= F.lit(-(2 ** 63)))
+        .withColumn("__kb", gram_log.bucket_of(F.col("gram")))
+    )
+    probe = state.join(F.broadcast(b_keys), ["gram", "__kb"])
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        probe.explain("formatted")
+    plan = buf.getvalue()
+    assert "dynamicpruning" in plan.lower(), plan[:3000]
+    # and the evaluated probe returns exactly the state-present grams
+    out = patterns._span_gram_state_hits(gram_log, g, 1)
+    assert sorted(r["gram"] for r in out.collect()) == [7919]
+
+
 def test_streaming_release_exact_when_benchmark_spans_batches(
     spark, sf_small
 ):

@@ -1067,6 +1067,7 @@ def pattern_streaming_ann_index(
     state_partitions: int | None = None,
     expire_every: int = 0,
     checkpoint_every: int = 16,
+    serve: bool = True,
 ) -> DataFrame:
     """Streaming ANN-index maintenance: an IVF index built INCREMENTALLY
     as embedding batches land, then probed — the continuous-ingestion
@@ -1163,6 +1164,10 @@ def pattern_streaming_ann_index(
         q.awaitTermination()
 
     # -- probe the accumulated at-rest index ---------------------------
+    if not serve:
+        # manifest/GDPR compositions probe later through their own
+        # consistency pin — skip the drain probe's eager cell collect
+        return None
     return ann_probe(
         spark, index, _load_anchors(), queries_df, k=k, n_probe=n_probe
     )
@@ -1556,7 +1561,11 @@ def semdedup_stream_batch(
                 "best_cosine"
             ),
         )
-        .localCheckpoint(eager=True)  # evaluate BEFORE appends
+        # lazy (r16): inputs are the checkpointed `assigned` frame plus a
+        # before_batch-scoped state read whose scan paths were fixed at
+        # construction — the concurrent vecs_log append writes only this
+        # batch's dir, invisible to the scope. The verdict append job
+        # evaluates the plan once; one wave instead of two.
     )
     append_all([(vecs_log, assigned), (verdict_log, verdicts)], batch_id)
 
@@ -2370,7 +2379,12 @@ def neardup_dedup_batch(
             if prepared is not None
             else verdict_extender(batch, verdicts)
         )
-    verdicts = verdicts.localCheckpoint(eager=True)  # evaluate BEFORE appends
+    # verdicts stays LAZY (r16): its inputs are the checkpointed frames
+    # plus before_batch-scoped state reads whose scan paths were fixed
+    # at plan construction — the concurrent appends below write only
+    # this batch's own dirs, invisible to the scope — so the verdict
+    # append job evaluates the same plan the old eager checkpoint did,
+    # hiding the three small appends under it: one wave, not two.
     # the verify-time docs state is the SHINGLE SET, not raw text:
     # nothing re-shingles at verify time, and the at-rest scan is the
     # narrow array column (batch_sets is the shared, already-evaluated
@@ -2543,8 +2557,12 @@ def ingest_funnel_batch(
             "bloom_flagged",
             "verdict",
         )
-        .localCheckpoint(eager=True)
     )
+    # verdicts stays LAZY (r16): every input is an already-evaluated
+    # checkpointed frame and its one state read is before_batch-scoped
+    # (concurrent appends write only this batch's dir, invisible to the
+    # scope), so the verdict-log append job evaluates the same plan the
+    # old eager checkpoint did — one wave instead of two.
     append_all([(seen_log, new_firsts), (verdict_log, verdicts)], batch_id)
 
 
@@ -2562,8 +2580,10 @@ def corpus_dedup_batch(seen_log, verdict_log, batch: DataFrame, batch_id: int) -
             "canonical_id",
             (F.col("doc_id") == F.col("canonical_id")).alias("keep"),
         )
-        .localCheckpoint(eager=True)
     )
+    # lazy by design (r16): both inputs are checkpointed — the append
+    # job evaluates this one cheap join, saving the separate
+    # checkpoint wave (see ingest_funnel_batch).
     append_all([(seen_log, new_firsts), (verdict_log, verdicts)], batch_id)
 
 
@@ -2713,6 +2733,7 @@ def pattern_streaming_bm25_index(
     n_buckets: int = 16,
     probe_at_batch: int | None = None,
     maintain_floor: int | None = None,
+    serve: bool = True,
 ) -> DataFrame:
     """Continuous-ingestion BM25 index: documents land as micro-batches;
     each batch's term frequencies and doc length append to LSM state in
@@ -2798,34 +2819,42 @@ def pattern_streaming_bm25_index(
             )
             if fold_to > 0:
                 maintain_all([tf_log, dl_log], before_batch=fold_to)
-        tf = (
-            batch.select(
-                "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
-            )
-            .groupBy("doc_id", "tok")
-            .agg(F.count("*").alias("tf"))
-            .localCheckpoint(eager=True)
+        # The tf and dl derivations are INDEPENDENT reads of the batch
+        # file — two concurrent checkpoint jobs, not two sequential
+        # waves (r16: each wave is one job-launch latency at fixture
+        # scale and one stage barrier at cluster scale).
+        tf, dl = overlap(
+            lambda: (
+                batch.select(
+                    "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+                )
+                .groupBy("doc_id", "tok")
+                .agg(F.count("*").alias("tf"))
+                .localCheckpoint(eager=True)
+            ),
+            lambda: batch.select(
+                "doc_id", F.size(tokens(F.col("text"))).alias("dl")
+            ).localCheckpoint(eager=True),
         )
-        dl = batch.select(
-            "doc_id", F.size(tokens(F.col("text"))).alias("dl")
-        ).localCheckpoint(eager=True)
 
         # one agg over the already-materialized dl frame feeds BOTH the
-        # stats fold and the generation pointer below
-        b_sum, b_n = dl.agg(F.sum("dl"), F.count("*")).first()
-        b_sum, b_n = int(b_sum or 0), int(b_n)
+        # stats fold and the generation pointer below; it rides the
+        # append wave (r16) — the agg must precede only the stats merge
+        # inside its own thunk, and the merge is batch-id fenced, so
+        # overlapping the chain with the idempotent appends carries no
+        # crash-contract meaning (the r8 overlap rule) — only latency.
+        stats_box: dict = {}
 
-        def _fold_stats() -> None:
+        def _stats_chain() -> None:
             # O(1) corpus stats: fold this batch's (sum_dl, n_docs) into
             # the single fenced summary row. Integer addition keeps
-            # avgdl exact. Fenced (merge_batch skips an applied id), so
-            # overlapping it with the idempotent appends carries no
-            # crash-contract meaning — only latency (the r8 overlap
-            # rule; measured: the serialized form cost ~2 s/5 batches
-            # of pure job-launch latency at sf0.1).
+            # avgdl exact.
+            b_sum, b_n = dl.agg(F.sum("dl"), F.count("*")).first()
+            stats_box["sum"], stats_box["n"] = int(b_sum or 0), int(b_n)
             stats.merge_batch(
                 spark.createDataFrame(
-                    [(0, b_sum, b_n)], _BM25_STATS_DDL
+                    [(0, stats_box["sum"], stats_box["n"])],
+                    _BM25_STATS_DDL,
                 ),
                 batch_id,
                 keys=["k"],
@@ -2836,8 +2865,9 @@ def pattern_streaming_bm25_index(
         overlap(
             lambda: tf_log.append(tf, batch_id),
             lambda: dl_log.append(dl, batch_id),
-            _fold_stats,
+            _stats_chain,
         )
+        b_sum, b_n = stats_box["sum"], stats_box["n"]
         # CONSISTENCY TOKEN for external readers (round 12): the serve
         # path reads THREE stores (tf, dl, stats); in-loop probes run
         # between batches so they are always consistent, but an external
@@ -2871,6 +2901,12 @@ def pattern_streaming_bm25_index(
 
     if probe_at_batch is not None:
         return spark.createDataFrame(probe_rows, _BM25_OUT_DDL)
+    if not serve:
+        # Compositions that serve through their own consistency layer
+        # (generation pointer / manifest) discard this return — skip the
+        # drain serve's eager stats read instead of building a plan
+        # nobody executes.
+        return None
     return _bm25_serve(
         spark, tf_log, dl_log, stats, queries, score_expr, k
     )
@@ -2910,30 +2946,41 @@ def pattern_streaming_hybrid_retrieval(
     so streaming-hybrid ≡ batch-hybrid is one driver hash row.
 
     The two ingest loops are INDEPENDENT streams over disjoint state
-    roots and run sequentially here (overlapping them shares the
-    session's shuffle-partition conf mid-restore — a perf-only race not
-    worth the review burden at fixture scale; a deployment runs them as
-    two jobs)."""
-    lex = pattern_streaming_bm25_index(
-        spark,
-        doc_chunks,
-        os.path.join(run_dir, "lex"),
-        queries,
-        score_expr,
-        k=pool,
-        state_partitions=state_partitions,
-        compact_every=compact_every,
-    ).select("query_id", "doc_id", F.col("rank").alias("lex_rank"))
-    vec = pattern_streaming_ann_index(
-        spark,
-        emb_chunks,
-        os.path.join(run_dir, "vec"),
-        queries_df,
-        k=pool,
-        n_cells=n_cells,
-        n_probe=n_probe,
-        state_partitions=state_partitions,
-    ).select(
+    roots — they run CONCURRENTLY (r16, guide §2.6 overlapped-jobs
+    shape): each stream's micro-batch jobs back-fill the executor slots
+    the other's stragglers leave idle, so the composition's wall cost is
+    max(stream, stream) instead of their sum. The shuffle-partition conf
+    the r12 form flagged as the overlap blocker is set ONCE here for
+    BOTH streams (the sub-patterns receive ``state_partitions=None``),
+    so no thread restores it mid-flight; both sub-patterns were built
+    for a shared session (disjoint checkpoint/state dirs, fenced
+    appends), and a real deployment runs them as two always-on jobs —
+    this is that shape at fixture scale."""
+    with _state_partitions(spark, state_partitions):
+        lex_raw, vec_raw = overlap(
+            lambda: pattern_streaming_bm25_index(
+                spark,
+                doc_chunks,
+                os.path.join(run_dir, "lex"),
+                queries,
+                score_expr,
+                k=pool,
+                compact_every=compact_every,
+            ),
+            lambda: pattern_streaming_ann_index(
+                spark,
+                emb_chunks,
+                os.path.join(run_dir, "vec"),
+                queries_df,
+                k=pool,
+                n_cells=n_cells,
+                n_probe=n_probe,
+            ),
+        )
+    lex = lex_raw.select(
+        "query_id", "doc_id", F.col("rank").alias("lex_rank")
+    )
+    vec = vec_raw.select(
         "query_id",
         F.col("neighbor_id").alias("doc_id"),
         F.col("rank").alias("vec_rank"),
@@ -4477,26 +4524,34 @@ def pattern_streaming_hybrid_manifest(
     over exactly the version's corpus prefix."""
     lex_dir = os.path.join(run_dir, "lex")
     vec_dir = os.path.join(run_dir, "vec")
-    pattern_streaming_bm25_index(
-        spark,
-        doc_chunks,
-        lex_dir,
-        queries,
-        score_expr,
-        k=pool,
-        state_partitions=state_partitions,
-        compact_every=compact_every,
-    )
-    pattern_streaming_ann_index(
-        spark,
-        emb_chunks,
-        vec_dir,
-        queries_df,
-        k=pool,
-        n_cells=n_cells,
-        n_probe=n_probe,
-        state_partitions=state_partitions,
-    )
+    # the two ingest streams are independent (disjoint state roots) and
+    # the coordinator needs BOTH drained — overlap them (guide §2.6;
+    # conf set once for both, see pattern_streaming_hybrid_retrieval);
+    # serve=False skips the drain serves this composition never reads
+    # (it serves through the manifest below)
+    with _state_partitions(spark, state_partitions):
+        overlap(
+            lambda: pattern_streaming_bm25_index(
+                spark,
+                doc_chunks,
+                lex_dir,
+                queries,
+                score_expr,
+                k=pool,
+                compact_every=compact_every,
+                serve=False,
+            ),
+            lambda: pattern_streaming_ann_index(
+                spark,
+                emb_chunks,
+                vec_dir,
+                queries_df,
+                k=pool,
+                n_cells=n_cells,
+                n_probe=n_probe,
+                serve=False,
+            ),
+        )
     # --- the coordinator: corpus version -> each index's OWN version ---
     # Publishes EVERY version both sides durably cover (the real
     # coordinator loop fires once per upstream epoch) — so the manifest
@@ -4606,35 +4661,44 @@ def pattern_streaming_retrieval_gdpr(
     PartitionFilters)."""
     lex_dir = os.path.join(run_dir, "lex")
     vec_dir = os.path.join(run_dir, "vec")
-    # 1. both ingest streams (aligned cadence here — the manifest row
-    # covers the unaligned case)
-    pattern_streaming_bm25_index(
-        spark,
-        doc_chunks,
-        lex_dir,
-        queries,
-        score_expr,
-        k=pool,
-        state_partitions=state_partitions,
-        compact_every=compact_every,
-    )
-    pattern_streaming_ann_index(
-        spark,
-        emb_chunks,
-        vec_dir,
-        queries_df,
-        k=pool,
-        n_cells=n_cells,
-        n_probe=n_probe,
-        state_partitions=state_partitions,
-    )
-    # 2. corpus-of-record + the GDPR request
+    # 1+2a. both ingest streams (aligned cadence here — the manifest row
+    # covers the unaligned case) and the corpus-of-record ingest are
+    # three INDEPENDENT writers over disjoint roots — overlap them
+    # (guide §2.6; conf set once, see pattern_streaming_hybrid_retrieval
+    # for the contract). serve=False: this composition serves through
+    # the manifest head after the forget, never the drain serves.
     corpus = SnapshotTable(
         spark,
         os.path.join(run_dir, "corpus"),
         "doc_id long, source string",
     )
-    corpus.append(corpus_docs.select("doc_id", "source"), batch_id=0)
+    with _state_partitions(spark, state_partitions):
+        overlap(
+            lambda: pattern_streaming_bm25_index(
+                spark,
+                doc_chunks,
+                lex_dir,
+                queries,
+                score_expr,
+                k=pool,
+                compact_every=compact_every,
+                serve=False,
+            ),
+            lambda: pattern_streaming_ann_index(
+                spark,
+                emb_chunks,
+                vec_dir,
+                queries_df,
+                k=pool,
+                n_cells=n_cells,
+                n_probe=n_probe,
+                serve=False,
+            ),
+            lambda: corpus.append(
+                corpus_docs.select("doc_id", "source"), batch_id=0
+            ),
+        )
+    # 2b. the GDPR request lands on the fully-ingested corpus-of-record
     ingested_through = corpus.max_insert_snapshot_id()
     corpus.delete(forget_predicate, key_cols=["doc_id"], batch_id=10_001)
     feed = (

@@ -9,6 +9,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from duckdb_streaming_patterns_spark.operators.merge import overlap
 from duckdb_streaming_patterns_spark.registry import register
 from duckdb_streaming_patterns_spark.streaming import patterns, staging
 
@@ -1131,12 +1132,15 @@ def q_pattern_streaming_hybrid_retrieval(
     from duckdb_streaming_patterns_spark.sources.tables import load_table
 
     run = staging.new_run_dir("phyb")
-    # separate staging dirs: both helpers write to <out>/chunks
-    doc_chunks = staging.stage_document_chunks(
-        spark, sf_dir, staging.new_run_dir("phybd"), n_chunks=5
-    )
-    emb_chunks = staging.stage_embedding_chunks(
-        spark, sf_dir, staging.new_run_dir("phybe"), n_chunks=5
+    # separate staging dirs: both helpers write to <out>/chunks; the two
+    # stagings are independent write jobs — overlap them (r16)
+    doc_chunks, emb_chunks = overlap(
+        lambda: staging.stage_document_chunks(
+            spark, sf_dir, staging.new_run_dir("phybd"), n_chunks=5
+        ),
+        lambda: staging.stage_embedding_chunks(
+            spark, sf_dir, staging.new_run_dir("phybe"), n_chunks=5
+        ),
     )
     queries_df = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 3
@@ -1311,11 +1315,13 @@ def q_pattern_streaming_hybrid_consistent(
     from duckdb_streaming_patterns_spark.sources.tables import load_table
 
     run = staging.new_run_dir("phybc")
-    doc_chunks = staging.stage_document_chunks(
-        spark, sf_dir, staging.new_run_dir("phybcd"), n_chunks=5
-    )
-    emb_chunks = staging.stage_embedding_chunks(
-        spark, sf_dir, staging.new_run_dir("phybce"), n_chunks=5
+    doc_chunks, emb_chunks = overlap(
+        lambda: staging.stage_document_chunks(
+            spark, sf_dir, staging.new_run_dir("phybcd"), n_chunks=5
+        ),
+        lambda: staging.stage_embedding_chunks(
+            spark, sf_dir, staging.new_run_dir("phybce"), n_chunks=5
+        ),
     )
     queries_df = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 3
@@ -1432,11 +1438,13 @@ def q_pattern_streaming_hybrid_manifest(
     from duckdb_streaming_patterns_spark.sources.tables import load_table
 
     run = staging.new_run_dir("phybm")
-    doc_chunks = staging.stage_document_chunks(
-        spark, sf_dir, staging.new_run_dir("phybmd"), n_chunks=6
-    )
-    emb_chunks = staging.stage_paired_embedding_chunks(
-        spark, sf_dir, staging.new_run_dir("phybme"), n_chunks=6
+    doc_chunks, emb_chunks = overlap(
+        lambda: staging.stage_document_chunks(
+            spark, sf_dir, staging.new_run_dir("phybmd"), n_chunks=6
+        ),
+        lambda: staging.stage_paired_embedding_chunks(
+            spark, sf_dir, staging.new_run_dir("phybme"), n_chunks=6
+        ),
     )
     queries_df = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 3
@@ -1553,11 +1561,13 @@ def q_pattern_streaming_retrieval_gdpr(
     from duckdb_streaming_patterns_spark.sources.tables import load_table
 
     run = staging.new_run_dir("pgdprret")
-    doc_chunks = staging.stage_document_chunks(
-        spark, sf_dir, staging.new_run_dir("pgdprd"), n_chunks=5
-    )
-    emb_chunks = staging.stage_embedding_chunks(
-        spark, sf_dir, staging.new_run_dir("pgdpre"), n_chunks=5
+    doc_chunks, emb_chunks = overlap(
+        lambda: staging.stage_document_chunks(
+            spark, sf_dir, staging.new_run_dir("pgdprd"), n_chunks=5
+        ),
+        lambda: staging.stage_embedding_chunks(
+            spark, sf_dir, staging.new_run_dir("pgdpre"), n_chunks=5
+        ),
     )
     queries_df = load_table(spark, sf_dir, "embeddings").filter(
         F.col("vec_id") < 3

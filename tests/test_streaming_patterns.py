@@ -5292,3 +5292,93 @@ def test_ann_forget_on_dense_only_run(spark, sf_small):
     assert out3["n_forgotten"] == 0 and out3["ann_delete_snapshot"] != out[
         "ann_delete_snapshot"
     ]
+
+
+def test_bm25_and_ann_serve_false_leave_fully_servable_state(
+    spark, sf_small
+):
+    """r16 optimization contract: ``serve=False`` on the two ingest
+    patterns skips ONLY the drain serve/probe construction (the eager
+    stats read / probe-cell collect a discarding composition pays for
+    nothing) — it must change NOTHING about the durable state. Pinned
+    by draining twice into twin run dirs, serve on/off, and comparing
+    (a) the returned None, (b) the generation pointer byte-for-byte,
+    (c) the consistent-serve answer row-for-row against the
+    serve=True run's returned frame."""
+    from duckdb_streaming_patterns_spark.queries_text import (
+        _BM25_QUERIES,
+        _BM25_SCORE_EXPR,
+    )
+    from duckdb_streaming_patterns_spark.sources.tables import load_table
+    from duckdb_streaming_patterns_spark.streaming import patterns, staging
+
+    run_on = staging.new_run_dir("srvon")
+    run_off = staging.new_run_dir("srvoff")
+    chunks = staging.stage_document_chunks(
+        spark, sf_small, run_on, n_chunks=5
+    )
+    served = patterns.pattern_streaming_bm25_index(
+        spark, chunks, run_on, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2,
+    )
+    out_off = patterns.pattern_streaming_bm25_index(
+        spark, chunks, run_off, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5,
+        state_partitions=4, compact_every=2, serve=False,
+    )
+    assert out_off is None
+    tf_on, _ = patterns.bm25_reader_logs(spark, run_on)
+    tf_off, _ = patterns.bm25_reader_logs(spark, run_off)
+    ptr_on = tf_on.io.try_read_json(patterns._bm25_gen_path(run_on))
+    ptr_off = tf_off.io.try_read_json(patterns._bm25_gen_path(run_off))
+    assert ptr_on is not None and ptr_on == ptr_off
+    key = lambda r: (r["query_id"], r["rank"], r["doc_id"])  # noqa: E731
+    want = sorted(key(r) for r in served.collect())
+    got = sorted(
+        key(r)
+        for r in patterns.bm25_consistent_serve(
+            spark, run_off, _BM25_QUERIES, _BM25_SCORE_EXPR, k=5
+        ).collect()
+    )
+    assert got == want
+
+    # dense half: serve=False returns None; the frozen-quantizer index
+    # it leaves behind probes identically to the serve=True run's return
+    emb_run = staging.new_run_dir("srvemb")
+    emb_chunks = staging.stage_embedding_chunks(
+        spark, sf_small, emb_run, n_chunks=5
+    )
+    queries_df = load_table(spark, sf_small, "embeddings").filter(
+        "vec_id < 3"
+    )
+    vec_on = patterns.pattern_streaming_ann_index(
+        spark, emb_chunks, os.path.join(emb_run, "on"), queries_df,
+        k=5, state_partitions=4,
+    )
+    vec_off_out = patterns.pattern_streaming_ann_index(
+        spark, emb_chunks, os.path.join(emb_run, "off"), queries_df,
+        k=5, state_partitions=4, serve=False,
+    )
+    assert vec_off_out is None
+    from duckdb_streaming_patterns_spark.plans.snapshots import (
+        SnapshotTable,
+    )
+    import json as _json
+
+    from pyspark.sql import Row
+
+    off_dir = os.path.join(emb_run, "off")
+    index = SnapshotTable(
+        spark,
+        os.path.join(off_dir, "ivf_index"),
+        "vec_id long, embedding array<float>, cell_id long",
+        partition_cols=["cell_id"],
+    )
+    with open(os.path.join(off_dir, "anchors.json")) as f:
+        anchors = [Row(aid=a, vec=v) for a, v in _json.load(f)]
+    vkey = lambda r: (r["query_id"], r["rank"], r["neighbor_id"])  # noqa: E731
+    assert sorted(
+        vkey(r)
+        for r in patterns.ann_probe(
+            spark, index, anchors, queries_df, k=5
+        ).collect()
+    ) == sorted(vkey(r) for r in vec_on.collect())

@@ -762,17 +762,31 @@ def q_mixture_temperature_sample(
         "w",
         F.expr(f"CAST(floor(sqrt(n_docs) * {_MIX_W_SCALE}) AS BIGINT)"),
     )
-    # bounded collects: one scalar each — corpus row count and the
-    # integer weight sum (exact, order-free; sum() is NULL on an empty
-    # corpus, so coalesce to 0 and short-circuit — z=0 would otherwise
-    # divide by zero in the rate expression)
-    total = float(docs.count())
-    z = int(n.agg(F.sum("w")).first()[0] or 0)
+    # ONE bounded collect of the per-source histogram (n_sources rows)
+    # replaces two scalar actions that each re-scanned the corpus (r16,
+    # guide §1.2 — fewer passes): the corpus count is the exact sum of
+    # the per-source counts, Z the exact integer weight sum (order-free
+    # integer/double-exact reductions), and the rate expression below
+    # re-evaluates over a LITERAL frame of the same (n_docs, w) rows —
+    # identical operands through identical engine arithmetic, so the
+    # thresholds are bit-identical while `documents` is scanned once for
+    # the histogram instead of twice more (z=0 — an empty corpus — still
+    # short-circuits: a zero Z would divide by zero in the rate
+    # expression).
+    src_stats = sorted(
+        (r["source"], float(r["n_docs"]), int(r["w"]))
+        for r in n.collect()  # bounded: n_sources rows
+    )
+    total = float(sum(t[1] for t in src_stats))
+    z = int(sum(t[2] for t in src_stats))
     if z == 0:
         return docs.select(
             "doc_id", "source", F.lit(0).cast("long").alias("accept_threshold")
         ).limit(0)
-    rates = n.select(
+    n_lit = spark.createDataFrame(
+        src_stats, "source string, n_docs double, w bigint"
+    )
+    rates = n_lit.select(
         "source",
         F.expr(
             _MIX_RATE_SQL.format(
@@ -1281,9 +1295,9 @@ def _release_assign(
     (reldocs, seed, budget) with engine-exact integer arithmetic.
 
     Returns (released DF, mixture block dict, n_shards). Scale shape:
-    three bounded scalar collects (corpus count, weight sum, released
-    token sum), a broadcast rate join, ONE shuffle on shard for the
-    position window — at 100 TB the physical form is
+    two bounded collects (the per-source histogram — n_sources rows —
+    and the released token sum), a broadcast rate join, ONE shuffle on
+    shard for the position window — at 100 TB the physical form is
     repartition(shard) + sortWithinPartitions (see
     q_corpus_shuffle_shards), with n_shards ~ corpus tokens / budget so
     per-shard state is budget-bounded regardless of corpus size."""
@@ -1294,14 +1308,30 @@ def _release_assign(
         "w",
         F.expr(f"CAST(floor(sqrt(n_docs) * {_MIX_W_SCALE}) AS BIGINT)"),
     )
-    # bounded collects: the exact integer mixture normalizers (2
-    # scalars) — same engine-exact arithmetic as
-    # mixture_temperature_sample, over the KEPT corpus
-    total = float(reldocs.count())
-    z = int(n.agg(F.sum("w")).first()[0] or 0)
+    # ONE bounded collect of the per-source histogram (n_sources rows)
+    # replaces three sequential actions over reldocs (r16, guide §1.2 —
+    # fewer passes): the corpus count is the exact sum of the per-source
+    # counts (double-exact below 2^53), Z the exact integer sum of the
+    # per-source weights, and the rate table is re-evaluated over a
+    # LITERAL frame of the same (source, n_docs, w) rows — the
+    # _MIX_RATE_SQL arithmetic runs unchanged in the engine on identical
+    # operands, so the thresholds (and with them the sampled set) are
+    # bit-identical while reldocs is scanned once here instead of three
+    # times (count, weight-sum, and the threshold collect below each
+    # re-ran the groupBy; so did every downstream action through the
+    # broadcast join's rate subtree).
+    src_stats = sorted(
+        (r["source"], float(r["n_docs"]), int(r["w"]))
+        for r in n.collect()  # bounded: n_sources rows
+    )
+    total = float(sum(t[1] for t in src_stats))
+    z = int(sum(t[2] for t in src_stats))
     if z == 0:
         raise ValueError("_release_assign: empty kept corpus")
-    rates = n.select(
+    n_lit = spark.createDataFrame(
+        src_stats, "source string, n_docs double, w bigint"
+    )
+    rates = n_lit.select(
         "source",
         F.expr(
             _MIX_RATE_SQL.format(
@@ -1583,8 +1613,9 @@ def corpus_release_build(
     every level.
 
     Scale shape: one pass over the corpus (the funnel + span removal
-    dominate), three bounded scalar collects, an n_shards-row collect
-    for the fingerprints, one data write, one pointer swap. Publish is
+    dominate), two bounded collects (per-source histogram + released
+    token sum), an n_shards-row collect for the fingerprints, one data
+    write, one pointer swap. Publish is
     version-monotone and multi-writer-safe via the CAS (same
     discipline as publish_hybrid_manifest). ``reldocs`` (round 16)
     skips the funnel entirely: the caller supplies the per-doc

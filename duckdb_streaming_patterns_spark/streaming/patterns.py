@@ -4782,7 +4782,6 @@ def mixture_sample_batch(
             .groupBy("source")
             .agg(F.sum("n_docs").cast("long").alias("n_docs"))
         )
-    hist = hist.localCheckpoint(eager=True)  # n_sources rows
     w = hist.withColumn(
         "w",
         F.expr(
@@ -4790,16 +4789,30 @@ def mixture_sample_batch(
             " AS BIGINT)"
         ),
     )
-    # bounded collect: ONE row — the exact integer corpus total and
-    # weight sum (order-free reductions; both sums are NULL when the
-    # cumulative histogram is empty, i.e. the very first micro-batch
-    # carried no rows — coalesce to 0 and skip the accept pass, since a
+    # ONE bounded collect of the post-batch histogram (n_sources rows)
+    # replaces the eager checkpoint + separate normalizer aggregate —
+    # one driver wave per micro-batch instead of two (r16, guide §1.2).
+    # The weights are still computed by the ENGINE's sqrt/floor (the
+    # engine-exactness contract); total and Z are exact order-free
+    # integer sums of the collected rows, and both the rate table and
+    # the summary overwrite below are rebuilt as LITERAL frames of the
+    # same rows — identical content, no re-evaluation of the
+    # union-groupBy plan per consumer. z == 0 iff the histogram is
+    # empty (w >= 1 for any n_docs >= 1): skip the accept pass, since a
     # zero Z would divide by zero in the rate expression and an empty
-    # histogram admits nothing anyway)
-    agg = w.agg(
-        F.sum("n_docs").cast("long").alias("total"),
-        F.sum("w").cast("long").alias("z"),
-    ).first()
+    # histogram admits nothing anyway.
+    spark = batch.sparkSession
+    hist_rows = sorted(
+        (r["source"], int(r["n_docs"]), int(r["w"]))
+        for r in w.collect()  # bounded: n_sources rows
+    )
+    agg = {
+        "total": sum(t[1] for t in hist_rows),
+        "z": sum(t[2] for t in hist_rows),
+    }
+    hist = spark.createDataFrame(
+        [(s, n) for s, n, _ in hist_rows], "source string, n_docs long"
+    )
     if not agg["z"]:
         def _merge_counts_empty():
             if not applied:
@@ -4818,7 +4831,10 @@ def mixture_sample_batch(
             _merge_counts_empty,
         )
         return
-    thr = w.select(
+    n_lit = spark.createDataFrame(
+        hist_rows, "source string, n_docs long, w bigint"
+    )
+    thr = n_lit.select(
         "source",
         F.expr(
             _MIX_RATE_SQL.format(

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from duckdb_streaming_patterns_spark.operators.merge import (
     SummaryTable,
+    additive_merge,
     append_all,
     maintain_all,
     overlap,
@@ -332,18 +333,32 @@ def pattern_delete_propagation(
 
     # -- Phase 3: propagate via the delete change feed ------------------
     current = raw.max_snapshot_id()
+    # Materialize the O(affected-groups) key set ONCE (r16): it feeds the
+    # phase-3 delete + recompute AND the phase-4 re-derivation — without
+    # the checkpoint each consumer re-scans the delete change feed, i.e.
+    # the tombstone parquet files, which vacuum() below is about to
+    # physically delete (re-evaluating the lazy plan post-vacuum fails
+    # with FAILED_READ_FILE — caught by this pattern's own smoke run).
+    # One tiny job severs that lineage and replaces four feed scans.
     affected = (
         raw.delete_changes(ingested_through, current)
         .select("user_id")
         .distinct()
+        .localCheckpoint(eager=True)
     )
-    recomputed = _delta_agg(
-        raw.read().join(F.broadcast(affected), "user_id", "semi")
-    )
-    summary.delete_keys(
-        _user_name(affected),
-        batch_id=current,
-        keys=["user_id", "user_name"],
+    # The recompute scans RAW only and the group delete rewrites SUMMARY
+    # only — independent tables, so the two run overlapped (guide §2.6)
+    # instead of queueing the O(affected rows) scan behind the summary
+    # swap. merge_batch below is the only step ordered after both.
+    recomputed, _ = overlap(
+        lambda: _delta_agg(
+            raw.read().join(F.broadcast(affected), "user_id", "semi")
+        ).localCheckpoint(eager=True),
+        lambda: summary.delete_keys(
+            _user_name(affected),
+            batch_id=current,
+            keys=["user_id", "user_name"],
+        ),
     )
     # Affected groups were dropped above, so the additive merge is a pure
     # insert of their recomputed state; untouched groups never rewrite.
@@ -366,29 +381,40 @@ def pattern_delete_propagation(
         # scan (insert-only path, no anti-join): a vacuum that lost
         # surviving rows lowers the recomputed counts, one that
         # resurrected deleted rows raises them — either flips the hash.
-        # Pin the affected-key set to storage FIRST: `affected` is a
-        # lazy plan over the delete change feed, i.e. over tombstone
-        # parquet files — exactly what vacuum() is about to physically
-        # delete. Re-evaluating it post-vacuum fails with
-        # FAILED_READ_FILE (caught by this pattern's own smoke run);
-        # localCheckpoint materializes the O(affected-groups) keys and
-        # severs the lineage to the retired files.
-        affected = affected.localCheckpoint(eager=True)
+        # (`affected` was materialized in phase 3 — the localCheckpoint
+        # that severs its lineage to the tombstone parquet files this
+        # vacuum is about to physically delete; re-evaluating the lazy
+        # feed plan post-vacuum fails with FAILED_READ_FILE, caught by
+        # this pattern's own smoke run.)
         raw.vacuum()
         recomputed_post = _delta_agg(
             raw.read().join(F.broadcast(affected), "user_id", "semi")
         )
-        summary.delete_keys(
-            _user_name(affected),
-            batch_id=current + 2,
-            keys=["user_id", "user_name"],
+        # Delete-then-reinsert in ONE atomic swap (r16, guide §1.2 —
+        # remove a pass): the two-step delete_keys + merge_batch form
+        # rewrote the FULL summary twice back to back; composing the
+        # same broadcast anti-join and additive merge into a single
+        # overwrite halves the phase's summary rewrites and yields
+        # identical contents — `remaining` lacks exactly the affected
+        # groups, so the additive merge inserts their recomputed rows
+        # as-is, precisely what the second rewrite used to produce.
+        # The delete_keys VERB stays exercised by phase 3 above; the
+        # crash contract only strengthens (no delete-applied-but-not-
+        # reinserted middle state; same final batch fence).
+        remaining = summary.read().join(
+            F.broadcast(_user_name(affected)),
+            on=["user_id", "user_name"],
+            how="left_anti",
         )
-        summary.merge_batch(
-            recomputed_post,
-            current + 3,
-            keys=["user_id", "user_name"],
-            add_cols=["count_of_clicks"],
-            max_cols=["updated_at"],
+        summary.overwrite(
+            additive_merge(
+                remaining,
+                recomputed_post,
+                keys=["user_id", "user_name"],
+                add_cols=["count_of_clicks"],
+                max_cols=["updated_at"],
+            ),
+            batch_id=current + 3,
         )
     return summary.read()
 

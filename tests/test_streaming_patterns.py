@@ -1438,6 +1438,46 @@ def test_summary_delete_keys(spark, tmp_path):
     assert {r["user_id"] for r in st.read().collect()} == {1, 3}
 
 
+def test_fused_delete_reinsert_equals_two_step(spark, tmp_path):
+    """The r16 phase-4 optimization in pattern_delete_propagation folds
+    delete_keys + merge_batch into ONE overwrite(additive_merge(anti-join,
+    delta)) swap. Pin the equivalence the fusion relies on: for any
+    summary, affected-key set, and recomputed delta over exactly those
+    keys, the fused rewrite's contents equal the two-step form's."""
+    ddl = "user_id long, count_of_clicks long, updated_at long"
+    base = [(1, 10, 100), (2, 20, 200), (3, 30, 300), (4, 40, 400)]
+    # affected groups: 2 (recomputed to smaller values — the trim case)
+    # and 3 (fully purged: no recomputed row); 1 and 4 untouched
+    affected = spark.createDataFrame([(2,), (3,)], "user_id long")
+    delta = spark.createDataFrame([(2, 7, 150)], ddl)
+
+    two = SummaryTable(spark, str(tmp_path / "two"), ddl)
+    two.overwrite(spark.createDataFrame(base, ddl), batch_id=0)
+    two.delete_keys(affected, batch_id=1, keys=["user_id"])
+    two.merge_batch(
+        delta, 2, keys=["user_id"], add_cols=["count_of_clicks"],
+        max_cols=["updated_at"],
+    )
+
+    fused = SummaryTable(spark, str(tmp_path / "fused"), ddl)
+    fused.overwrite(spark.createDataFrame(base, ddl), batch_id=0)
+    remaining = fused.read().join(
+        F.broadcast(affected), on=["user_id"], how="left_anti"
+    )
+    fused.overwrite(
+        additive_merge(
+            remaining, delta, keys=["user_id"],
+            add_cols=["count_of_clicks"], max_cols=["updated_at"],
+        ),
+        batch_id=2,
+    )
+
+    rows = lambda t: {tuple(r) for r in t.read().collect()}  # noqa: E731
+    assert rows(fused) == rows(two)
+    assert rows(fused) == {(1, 10, 100), (4, 40, 400), (2, 7, 150)}
+    assert fused.last_batch_id() == two.last_batch_id() == 2
+
+
 def test_streaming_ann_index_incremental_build_and_pruned_probe(spark, sf_small):
     """The index accumulates one snapshot per micro-batch, the quantizer is
     frozen from batch 0, and the probe's index scan is directory-pruned to

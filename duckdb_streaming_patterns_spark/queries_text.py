@@ -1054,9 +1054,16 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
 
+    # The candidate side (tf filtered to the query terms ⋈ qterms ⋈
+    # dfreq) is bounded by the query terms' posting lists — the standard
+    # retrieval working set — while dl is O(corpus): broadcast the
+    # CANDIDATE side so the corpus-sized dl never shuffles (guide §3.1;
+    # unhinted this planned as a corpus-wide exchange of dl at scale).
     scored = (
-        tf.join(F.broadcast(qterms), "tok")
-        .join(F.broadcast(dfreq), "tok")
+        F.broadcast(
+            tf.join(F.broadcast(qterms), "tok")
+            .join(F.broadcast(dfreq), "tok")
+        )
         .join(dl, "doc_id")
         .withColumn("n_docs", F.lit(int(n_docs)))
         .withColumn("avgdl", F.lit(avgdl))
@@ -1189,7 +1196,33 @@ def _rrf_fuse(lex: DataFrame, vec: DataFrame) -> DataFrame:
     a (query_id, doc_id, vec_rank) pool — the shared tail of both hybrid
     rows. Joins two (queries × pool)-sized rank lists — KB-scale at any
     corpus size — and never touches text or vectors."""
-    fused = lex.join(vec, ["query_id", "doc_id"], "full_outer").withColumn(
+    # The full-outer join form planned as a SortMergeJoin exchanging BOTH
+    # rank lists (full outer is the one join type Spark cannot broadcast
+    # — r16 plan files: SMJ FullOuter(86) in every hybrid serve). Each
+    # side holds a key at most once (rank lists are per-query distinct),
+    # so union + null-skipping max per key is row-identical to the join
+    # and costs ONE exchange + hash aggregate instead of two exchanges +
+    # two sorts + merge (guide §2.4) — at any scale, though both forms
+    # are (queries × pool)-sized.
+    lex_t = dict(lex.dtypes)["lex_rank"]
+    vec_t = dict(vec.dtypes)["vec_rank"]
+    both = lex.select(
+        "query_id",
+        "doc_id",
+        "lex_rank",
+        F.lit(None).cast(vec_t).alias("vec_rank"),
+    ).unionByName(
+        vec.select(
+            "query_id",
+            "doc_id",
+            F.lit(None).cast(lex_t).alias("lex_rank"),
+            "vec_rank",
+        )
+    )
+    fused = both.groupBy("query_id", "doc_id").agg(
+        F.max("lex_rank").alias("lex_rank"),
+        F.max("vec_rank").alias("vec_rank"),
+    ).withColumn(
         "rrf_score",
         F.coalesce(
             F.lit(1.0) / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0)

@@ -45,25 +45,63 @@ SUMMARY_DDL = (
 
 @contextmanager
 def _state_partitions(spark: SparkSession, n: int | None):
-    """Temporarily set the shuffle-partition count for a streaming run.
+    """Temporarily set the micro-batch loop's shuffle conf for a
+    streaming run: the shuffle-partition count, and (round 17) adaptive
+    query execution OFF for the loop's duration.
 
-    A stateful query's state-store partition count is fixed from
-    ``spark.sql.shuffle.partitions`` at checkpoint creation, and every
-    micro-batch pays a per-partition store open/commit. That fixed cost
-    must be sized to the STATE, not the session default: the bench's
-    ~1.5k-key summaries want a handful of partitions (32 partitions x 5
-    batches of commit overhead dominated pattern_2's runtime, measured
-    2.3x at sf0.1), while a 100 TB keyspace wants thousands. Callers pass
-    the size that fits their state; None keeps the session setting."""
-    if n is None:
+    Partitions: a stateful query's state-store partition count is fixed
+    from ``spark.sql.shuffle.partitions`` at checkpoint creation, and
+    every micro-batch pays a per-partition store open/commit. That fixed
+    cost must be sized to the STATE, not the session default: the
+    bench's ~1.5k-key summaries want a handful of partitions (32
+    partitions x 5 batches of commit overhead dominated pattern_2's
+    runtime, measured 2.3x at sf0.1), while a 100 TB keyspace wants
+    thousands. Callers pass the size that fits their state; None keeps
+    the session setting.
+
+    AQE: inside a foreachBatch loop every materialized exchange is a
+    separate AQE query stage — a re-optimization pass plus a job
+    submission of driver latency, paid per stage per micro-batch,
+    forever. These loops' shuffles are already hand-shaped: partition
+    counts pinned by this context manager, state joins broadcast/DPP-
+    shaped by construction (plan-asserted in tests), hot keys capped
+    before any quadratic expansion — so stage-by-stage re-planning has
+    nothing left to adapt and is pure per-batch latency (Spark itself
+    disables AQE for stateful streaming workloads on the same
+    reasoning; foreachBatch inner jobs are batch jobs and don't inherit
+    that). Measured at sf0.1 (interleaved pairs, quiet window):
+    neardup_dedup 24.1 -> 20.6 s, full_funnel 29.4 -> 23.1 s,
+    bm25_index 14.1 -> 13.3 s. Deployments whose per-batch deltas are
+    large enough to want adaptive coalescing/skew handling (and whose
+    in-loop SnapshotTable rewrites want REBALANCE's skew-splitting) set
+    ``SPARK_GRAFT_BATCH_AQE=1`` to keep AQE on in the loops; the serve/
+    drain reads AFTER the loop always run under the session's AQE=on
+    default either way (their plans evaluate at action time, outside
+    this context). Only the OUTERMOST context flips the flag (a nested
+    sub-pattern sees it already off and leaves it alone), so the
+    overlapped two-stream compositions never race a mid-flight conf
+    restore — the same discipline as the r16 state_partitions=None
+    rule."""
+    sets: dict[str, str] = {}
+    if n is not None:
+        sets["spark.sql.shuffle.partitions"] = str(n)
+    keep_aqe = os.environ.get("SPARK_GRAFT_BATCH_AQE", "0") not in ("", "0")
+    if (
+        not keep_aqe
+        and spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    ):
+        sets["spark.sql.adaptive.enabled"] = "false"
+    if not sets:
         yield
         return
-    old = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    old = {k: spark.conf.get(k) for k in sets}
+    for k, v in sets.items():
+        spark.conf.set(k, v)
     try:
         yield
     finally:
-        spark.conf.set("spark.sql.shuffle.partitions", old)
+        for k, v in old.items():
+            spark.conf.set(k, v)
 
 
 def _user_name(batch: DataFrame) -> DataFrame:
@@ -2717,9 +2755,17 @@ def _bm25_serve(
         .join(F.broadcast(cand_keys), ["doc_id", "__kb"])
         .select("doc_id", "dl")
     )
+    # dl_fetch is candidate-bounded — ≤ one (doc_id, dl) row per distinct
+    # candidate doc, the SAME working-set bound that justifies the
+    # cand_keys broadcast above — so broadcast it explicitly (guide
+    # §3.1): unhinted, Catalyst sizes the join from the dl LOG's scan
+    # stats (the whole accumulated state) and plans a SortMergeJoin that
+    # exchanges BOTH query-working-set sides (r16 plan files: SMJ(50)
+    # with Exchange(28)/Exchange(48) in every bm25/hybrid serve). At
+    # 100 TB the broadcast stays O(candidate docs), never state-sized.
     scored = (
         cand.join(F.broadcast(dfreq), "tok")
-        .join(dl_fetch, "doc_id")
+        .join(F.broadcast(dl_fetch), "doc_id")
         .withColumn("n_docs", F.lit(n_docs))
         .withColumn("avgdl", F.lit(avgdl))
         .withColumn(

@@ -810,18 +810,16 @@ def bloom_build(grams: DataFrame, gram_col: str = "g") -> bytes:
     return bits.tobytes()
 
 
-def bloom_flag_docs(
-    docs_grams: DataFrame,
-    bitset: bytes,
-    id_col: str = "doc_id",
-    grams_col: str = "s",
-) -> DataFrame:
-    """Per doc: how many of its (distinct) grams the bloom filter claims
-    are members. Input carries the gram array; positions are computed
+def bloom_hit_count(grams_col, bitset: bytes) -> "F.Column":
+    """COLUMN form of the bloom membership count — how many of the gram
+    array's entries the bitset claims are members. Positions are computed
     JVM-side (md5 + integer slices per gram), then an Arrow-batched UDF
     tests them against the closure-broadcast 32 KB bitset — the corpus
     never shuffles and the reference set never travels beyond the bitset.
-    Output: (id, n_grams, n_flagged, bloom_flagged)."""
+    Extracted from ``bloom_flag_docs`` (r17) so single-pass consumers
+    (the funnel's fused quality+bloom projection) can evaluate the probe
+    in the SAME select as their other per-row expressions instead of a
+    second text pass + join."""
     bits = np.frombuffer(bitset, dtype=np.uint8)
 
     @F.pandas_udf("long")
@@ -840,13 +838,23 @@ def bloom_flag_docs(
             out.append(int(hit.all(axis=1).sum()))
         return pd.Series(out, dtype="int64")
 
-    pos = F.transform(F.col(grams_col), lambda g: bloom_positions(g))
+    return n_hits(F.transform(grams_col, lambda g: bloom_positions(g)))
+
+
+def bloom_flag_docs(
+    docs_grams: DataFrame,
+    bitset: bytes,
+    id_col: str = "doc_id",
+    grams_col: str = "s",
+) -> DataFrame:
+    """Per doc: how many of its (distinct) grams the bloom filter claims
+    are members — the DataFrame wrapper over :func:`bloom_hit_count`.
+    Output: (id, n_grams, n_flagged, bloom_flagged)."""
     return (
-        docs_grams.withColumn("__pos", pos)
-        .select(
+        docs_grams.select(
             F.col(id_col),
             F.size(grams_col).cast("long").alias("n_grams"),
-            n_hits(F.col("__pos")).alias("n_flagged"),
+            bloom_hit_count(F.col(grams_col), bitset).alias("n_flagged"),
         )
         .withColumn("bloom_flagged", F.col("n_flagged") > 0)
     )

@@ -43,10 +43,17 @@ def _stopword_hits(toks: Column, words: tuple[str, ...]) -> Column:
     return F.size(F.filter(toks, lambda x: F.array_contains(lit_arr, x)))
 
 
-def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+def quality_scores(
+    df: DataFrame, id_col: str, text_col: str, keep: list[str] | None = None
+) -> DataFrame:
     """Heuristic quality signals: length, mean token length, punctuation
     ratio, stopword ratio, uppercase ratio — the standard cheap filters a
-    pretraining pipeline applies before anything model-based."""
+    pretraining pipeline applies before anything model-based.
+
+    ``keep`` (r17) carries the named input columns through the projection
+    unchanged — the single-pass hook for callers that compute sibling
+    per-row signals over the same text scan (the streaming funnel's fused
+    quality+bloom frame) instead of re-scanning and joining."""
     t = F.col(text_col)
     toks = tokens(t)
     n_tok = F.size(toks)
@@ -62,6 +69,7 @@ def quality_scores(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.round(punct_chars / n_chars, 4).alias("punct_ratio"),
         F.round(upper_chars / n_chars, 4).alias("upper_ratio"),
         F.round(sw_hits / n_tok, 4).alias("stopword_ratio"),
+        *[F.col(c) for c in (keep or [])],
     )
 
 

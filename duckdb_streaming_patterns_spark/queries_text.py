@@ -1028,14 +1028,15 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
         {tok for _, qtext in _BM25_QUERIES for tok in qtext.split()}
     )
 
-    # The corpus is tokenized three times (scalar probe, dl join side,
-    # tf explode). Measured negative result (round 10, interleaved A/B
-    # at sf0.1): localCheckpoint-ing the (doc_id, dl) frame to fold the
-    # probe and join scans into one materialization is FLAT-TO-SLOWER
-    # (5.1/6.0/6.6 s vs 5.6/5.0/5.0 s) — the eager block-manager write
-    # costs more than the saved re-scan here, so the lazy form stays.
-    # On a real 100 TB corpus, persist dl (two longs per doc) before
-    # this point; the crossover favors it as scan cost grows.
+    # The corpus is tokenized twice (scalar probe, tf+dl pass below —
+    # the separate dl JOIN side was removed in r17, see the tf comment).
+    # Measured negative result (round 10, interleaved A/B at sf0.1):
+    # localCheckpoint-ing the (doc_id, dl) frame to fold the probe and
+    # tf scans into one materialization is FLAT-TO-SLOWER (5.1/6.0/6.6 s
+    # vs 5.6/5.0/5.0 s) — the eager block-manager write costs more than
+    # the saved re-scan here, so the lazy form stays. On a real 100 TB
+    # corpus, persist dl (two longs per doc) before this point; the
+    # crossover favors it as scan cost grows.
     dl = docs.select(
         "doc_id", F.size(tokens(F.col("text"))).alias("dl")
     )
@@ -1044,27 +1045,38 @@ def _bm25_ranked(spark: SparkSession, sf_dir: str, k: int) -> DataFrame:
     ).first()
     avgdl = float(sl) / float(n_docs)  # exact ints -> one IEEE divide
 
+    # tf AND dl in ONE tokenize pass (r17, guide §1.2): dl is
+    # size(tokens) — a function of the same array the tf explode
+    # consumes — so carrying it through the aggregation removes the
+    # doc-length join entirely. The r16 plan shipped the O(corpus) dl
+    # relation as that join's broadcast build side (BuildRight in
+    # plans/r17/text_bm25_topk_before.txt) — a shape that caps out at
+    # real corpus size (8 GB broadcast limit; unhinted with honest
+    # stats it would SMJ-shuffle the whole dl relation instead). Now NO
+    # corpus-sized relation is joined, broadcast, or shuffled — the one
+    # exchange after the scan carries the query terms' posting lists.
+    # The array is aliased to a column first so tokenize runs ONCE per
+    # row (CollapseProject keeps the projection split because the alias
+    # is referenced twice and tokens() is not collapse-cheap); max(dl)
+    # is exact because dl is functionally dependent on doc_id. Warm
+    # interleaved A/B at sf0.1: 1.46/1.47/1.55 s vs the join form's
+    # 1.40/1.43/1.47 — local parity, scale-correct shape.
     tf = (
-        docs.select(
-            "doc_id", F.explode(tokens(F.col("text"))).alias("tok")
+        docs.select("doc_id", tokens(F.col("text")).alias("__toks"))
+        .select(
+            "doc_id",
+            F.size("__toks").alias("dl"),
+            F.explode("__toks").alias("tok"),
         )
         .filter(F.col("tok").isin(qtok_list))
         .groupBy("doc_id", "tok")
-        .agg(F.count("*").alias("tf"))
+        .agg(F.count("*").alias("tf"), F.max("dl").alias("dl"))
     )
     dfreq = tf.groupBy("tok").agg(F.count("*").alias("df"))
 
-    # The candidate side (tf filtered to the query terms ⋈ qterms ⋈
-    # dfreq) is bounded by the query terms' posting lists — the standard
-    # retrieval working set — while dl is O(corpus): broadcast the
-    # CANDIDATE side so the corpus-sized dl never shuffles (guide §3.1;
-    # unhinted this planned as a corpus-wide exchange of dl at scale).
     scored = (
-        F.broadcast(
-            tf.join(F.broadcast(qterms), "tok")
-            .join(F.broadcast(dfreq), "tok")
-        )
-        .join(dl, "doc_id")
+        tf.join(F.broadcast(qterms), "tok")
+        .join(F.broadcast(dfreq), "tok")
         .withColumn("n_docs", F.lit(int(n_docs)))
         .withColumn("avgdl", F.lit(avgdl))
         .withColumn(

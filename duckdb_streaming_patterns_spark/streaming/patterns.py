@@ -2567,22 +2567,29 @@ def _quality_bloom_frame(
     from duckdb_streaming_patterns_spark.operators import textstats
     from duckdb_streaming_patterns_spark.operators.textstats import qc_logit
 
-    qs = textstats.quality_scores(batch, "doc_id", "text")
+    # ONE text pass (r17): quality signals and the bloom probe are both
+    # per-row expressions over the same text, so they evaluate in a
+    # single projection — the r16 form scanned the batch twice and
+    # joined the two per-doc frames back on doc_id (an exchange pair at
+    # any scale). The shingle array is aliased to a column first so it
+    # is computed once; bloom_flagged stays NULL for gram-less docs
+    # (the old left join's semantics — every consumer coalesces False).
+    # Warm interleaved A/B at sf0.1, 2500-doc batch: 2.71/2.73 s ->
+    # 1.97/1.99 s per call, rows identical.
+    pre = batch.select(
+        "doc_id", "text", shingles(F.col("text"), k=k).alias("__s")
+    )
+    qs = textstats.quality_scores(pre, "doc_id", "text", keep=["__s"])
     logit = qc_logit(qs)
-    quality = qs.select(
+    flagged = dedup_ops.bloom_hit_count(F.col("__s"), bench_bitset) > 0
+    return qs.select(
         "doc_id",
         F.round(logit, 6).alias("quality_logit"),
         (logit >= 0).alias("__q_keep"),
-    )
-    sh = batch.select(
-        "doc_id", shingles(F.col("text"), k=k).alias("s")
-    ).filter(F.size("s") >= 1)
-    bloomed = dedup_ops.bloom_flag_docs(sh, bench_bitset).select(
-        "doc_id", "bloom_flagged"
-    )
-    return quality.join(bloomed, "doc_id", "left").localCheckpoint(
-        eager=True
-    )
+        F.when(F.size("__s") >= 1, flagged)
+        .otherwise(F.lit(None).cast("boolean"))
+        .alias("bloom_flagged"),
+    ).localCheckpoint(eager=True)
 
 
 def ingest_funnel_batch(
@@ -4091,24 +4098,40 @@ def retrieval_forget(
                 for s in index.snapshots()
                 if s.get("batch_id") == 70_000 + new_gen
             )
-    # 4. physical erasure — the rows leave storage, not just the plans
-    if purge:
-        drop = lambda df: df.join(F.broadcast(all_tombs), "doc_id", "left_anti")  # noqa: E731
-        tf_log.compact(transform=drop)
-        dl_log.compact(transform=drop)
-        if index is not None:
-            index.vacuum()
-    # 5. the fenced stats row folds the negative delta
+    # 4+5. physical erasure and the stats fold — FOUR mutually
+    # independent state mutations over disjoint roots (tf log, dl log,
+    # IVF index, stats SummaryTable), each internally crash-safe (folds
+    # commit via manifest-last promote, the dense vacuum via the ledger,
+    # the stats merge via its batch-id fence) — run overlapped (guide
+    # §2.6, r17): sequential, the forget paid four fold-job latencies
+    # end to end; the crash contract is unchanged because a retry
+    # re-runs whichever subset didn't land (idempotent: identity folds,
+    # fenced merge) and the POINTERS below still publish strictly after
+    # all four. The stats operand derives from the write-once fence
+    # (del_sum/del_n), not from the logs being folded.
     stats = SummaryTable(
         spark, os.path.join(lex_dir, "stats"), _BM25_STATS_DDL
     )
-    stats.merge_batch(
-        spark.createDataFrame([(0, -del_sum, -del_n)], _BM25_STATS_DDL),
-        new_gen,
-        keys=["k"],
-        add_cols=["sum_dl", "n_docs"],
-        max_cols=[],
-    )
+    thunks = [
+        lambda: stats.merge_batch(
+            spark.createDataFrame(
+                [(0, -del_sum, -del_n)], _BM25_STATS_DDL
+            ),
+            new_gen,
+            keys=["k"],
+            add_cols=["sum_dl", "n_docs"],
+            max_cols=[],
+        )
+    ]
+    if purge:
+        drop = lambda df: df.join(F.broadcast(all_tombs), "doc_id", "left_anti")  # noqa: E731
+        thunks += [
+            lambda: tf_log.compact(transform=drop),
+            lambda: dl_log.compact(transform=drop),
+        ]
+        if index is not None:
+            thunks.append(index.vacuum)
+    overlap(*thunks)
     # 6. pointers strictly last: generation, then (if present) the
     # hybrid manifest with history reset
     _publish_bm25_gen(tf_log.io, lex_dir, new_gen, -del_sum, -del_n)
@@ -5165,7 +5188,12 @@ def _span_removal_increment(gram_log, kept: DataFrame, batch_id: int):
     new_grams = g.select("gram").distinct()
     if hits is not None:
         new_grams = new_grams.join(F.broadcast(hits), "gram", "left_anti")
-    return clean, new_grams.localCheckpoint(eager=True)
+    # returned LAZY (r17): every input below this point is already
+    # checkpointed (g, hits), so the caller can evaluate new_grams
+    # concurrently with its sibling release-metadata frame instead of
+    # paying a serial checkpoint wave here — see release_funnel_batch's
+    # overlapped append block.
+    return clean, new_grams
 
 
 def release_funnel_batch(
@@ -5257,38 +5285,42 @@ def release_funnel_batch(
         F.broadcast(kept_ids), "doc_id"
     )
     clean, new_grams = _span_removal_increment(gram_log, kept, batch_id)
-    rel_rows = (
-        kept.select("doc_id", "source")
-        .join(
-            clean.select(
-                "doc_id",
-                (F.col("n_tokens") - F.col("n_removed"))
-                .cast("bigint")
-                .alias("n_clean_tokens"),
-                F.md5("clean_text").alias("clean_md5"),
-            ),
+    rel_rows = kept.select("doc_id", "source").join(
+        clean.select(
             "doc_id",
-        )
-        .localCheckpoint(eager=True)
+            (F.col("n_tokens") - F.col("n_removed"))
+            .cast("bigint")
+            .alias("n_clean_tokens"),
+            F.md5("clean_text").alias("clean_md5"),
+        ),
+        "doc_id",
     )
-    # empty frames are skipped (an all-empty log cannot be scanned); the
-    # counts run on checkpointed batch-bounded frames INSIDE the
-    # overlapped append thunks (no serial count pass), and a retry
-    # recomputes them bit-identically
+    # ONE overlapped wave for evaluate + append (r17; was three serial
+    # checkpoint waves — new_firsts, new_grams, rel_rows — followed by
+    # the append wave): every frame's remaining lineage reads only
+    # already-checkpointed inputs (b/matched, g, hits, qb) plus the raw
+    # batch, never sibling state logs, so the concurrent appends of
+    # THIS batch's dirs are invisible to them. Each thunk checkpoints
+    # its frame (evaluate once — the count guard and the append share
+    # the materialization), skips empty frames (an all-empty log cannot
+    # be scanned), and a retry recomputes bit-identically (window
+    # orderBy (__id, pos) is a total order).
     writes = [
-        (seen_log, new_firsts.localCheckpoint(eager=True)),
+        (seen_log, new_firsts),
         (gram_log, new_grams),
         (rel_log, rel_rows),
     ]
     if new_bg is not None:
         writes.append((bench_log, new_bg))
+
+    def _eval_append(log, df):
+        d = df.localCheckpoint(eager=True)
+        if d.count() > 0:
+            log.append(d, batch_id)
+
     overlap(
         *[
-            (
-                lambda log=log, df=df: (
-                    log.append(df, batch_id) if df.count() > 0 else None
-                )
-            )
+            (lambda log=log, df=df: _eval_append(log, df))
             for log, df in writes
         ]
     )

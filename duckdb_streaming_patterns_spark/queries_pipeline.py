@@ -1123,26 +1123,32 @@ def _funnel_keep_clean(spark: SparkSession, docs: DataFrame):
     dedup_keep = docs.withColumn(
         "__canon", F.min("doc_id").over(wdup)
     ).filter(F.col("doc_id") == F.col("__canon"))
-    qs = textstats.quality_scores(docs, "doc_id", "text")
-    q_keep = qs.filter(textstats.qc_logit(qs) >= 0).select("doc_id")
-    sh8 = docs.select(
-        "doc_id", shingles(F.col("text"), k=8).alias("s")
-    ).filter(F.size("s") >= 1)
+    # Quality gate AND bloom decontamination in ONE corpus scan (r17,
+    # guide §1.2): both are per-row expressions over the same text, so
+    # they evaluate in a single projection + filter — the r16 form ran
+    # them as two separate corpus-scanning subtrees attached by a
+    # semi-join and an anti-join. A doc is kept iff its logit clears
+    # the gate and NO gram hits the bitset (hit-count 0 subsumes the
+    # old size(s)>=1 pre-filter: a gram-less doc probes nothing and is
+    # never flagged). The shingle array is aliased so it is computed
+    # once per row; identical keep set, one corpus text pass and one
+    # join fewer at any scale.
+    pre = docs.select(
+        "doc_id", "text", shingles(F.col("text"), k=8).alias("__s")
+    )
     bench_g = (
-        sh8.filter(F.col("doc_id") < 50)
-        .select(F.explode("s").alias("g"))
+        pre.filter(F.col("doc_id") < 50)
+        .select(F.explode("__s").alias("g"))
         .distinct()
     )
     bitset = dedup_ops.bloom_build(bench_g, "g")
-    flagged = (
-        dedup_ops.bloom_flag_docs(sh8, bitset)
-        .filter(F.col("bloom_flagged"))
-        .select("doc_id")
-    )
-    kept = (
-        dedup_keep.join(q_keep, "doc_id", "semi")
-        .join(flagged, "doc_id", "left_anti")
-        .select("doc_id", "text", "source")
+    qs = textstats.quality_scores(pre, "doc_id", "text", keep=["__s"])
+    keep_ids = qs.filter(
+        (textstats.qc_logit(qs) >= 0)
+        & (dedup_ops.bloom_hit_count(F.col("__s"), bitset) == 0)
+    ).select("doc_id")
+    kept = dedup_keep.join(keep_ids, "doc_id", "semi").select(
+        "doc_id", "text", "source"
     )
     clean = textstats.remove_duplicated_spans(kept, "doc_id", "text", n=8)
     return kept, clean
